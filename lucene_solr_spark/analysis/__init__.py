@@ -1,0 +1,15 @@
+from .porter import porter_stem
+from .analyzer import (
+    ENGLISH_STOP_WORDS,
+    LuceneChainAnalyzer,
+    SimpleAnalyzer,
+    analyze_frame,
+)
+
+__all__ = [
+    "porter_stem",
+    "ENGLISH_STOP_WORDS",
+    "LuceneChainAnalyzer",
+    "SimpleAnalyzer",
+    "analyze_frame",
+]

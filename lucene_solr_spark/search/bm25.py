@@ -1,0 +1,92 @@
+"""Lucene-8 BM25 scoring kernels — float32-exact.
+
+Semantics from ``L/search/similarities/BM25Similarity.java`` (8.x, i.e.
+AFTER LUCENE-8563 dropped the classic ``(k1+1)`` numerator factor —
+rank-preserving vs textbook BM25 but absolute scores differ):
+
+  idf    = (float) ln(1 + (docCount − docFreq + 0.5) / (docFreq + 0.5))
+           with docCount = docs that HAVE the field (not maxDoc)
+  avgdl  = (float)(sumTotalTermFreq / (double) docCount)
+  cache[j] = k1 * ((1 − b) + b * LENGTH_TABLE[j] / avgdl)        (float32 ops)
+  weight = boost * idf                                            (float32)
+  score(freq, norm) = weight * (float)(freq / (freq + (double) cache[norm]))
+
+Boolean score = (float) Σ_double(per-clause float32 scores)
+(``DisjunctionSumScorer`` / ``ConjunctionScorer`` accumulate in double and
+cast once). All kernels are numpy-vectorized.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..util.smallfloat import LENGTH_TABLE
+
+K1_DEFAULT = 1.2
+B_DEFAULT = 0.75
+
+
+def idf(doc_freq: int, doc_count: int) -> np.float32:
+    """Per-term idf, float32-cast like BM25Similarity#idf."""
+    return np.float32(math.log(1.0 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5)))
+
+
+def avgdl(sum_total_term_freq: int, doc_count: int) -> np.float32:
+    return np.float32(sum_total_term_freq / float(doc_count))
+
+
+def norm_cache(avg_dl: np.float32, k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> np.ndarray:
+    """The 256-entry per-norm-byte multiplier cache (float32, Lucene op order:
+    ``k1 * ((1 - b) + b * LENGTH_TABLE[j] / avgdl)`` evaluated in float32)."""
+    k1f = np.float32(k1)
+    bf = np.float32(b)
+    table = LENGTH_TABLE.astype(np.float32)
+    return (k1f * ((np.float32(1.0) - bf) + (bf * table) / np.float32(avg_dl))).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class CollectionStats:
+    """Broadcast global stats (``L/search/CollectionStatistics``)."""
+
+    doc_count: int
+    sum_total_term_freq: int
+
+    @property
+    def avgdl(self) -> np.float32:
+        return avgdl(self.sum_total_term_freq, self.doc_count)
+
+
+def score_postings(
+    tfs: np.ndarray,
+    norm_bytes: np.ndarray,
+    weight: np.float32,
+    cache: np.ndarray,
+) -> np.ndarray:
+    """Vectorized BM25Scorer#score over one term's postings.
+
+    tfs: int array; norm_bytes: uint8/int array of norm bytes; weight =
+    boost*idf (float32); cache = norm_cache(...). Returns float32 scores.
+    """
+    freq = tfs.astype(np.float64)
+    norm = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF].astype(np.float64)
+    ratio = (freq / (freq + norm)).astype(np.float32)
+    return (np.float32(weight) * ratio).astype(np.float32)
+
+
+def block_max_score(max_tf: int, min_norm: int, weight: np.float32, cache: np.ndarray) -> np.float32:
+    """Upper bound on any score in a block — the impact bound used by
+    block-max WAND (``L/search/ImpactsDISI#getMaxScore`` analog)."""
+    freq = float(max_tf)
+    norm = float(cache[min_norm & 0xFF])
+    return np.float32(np.float32(weight) * np.float32(freq / (freq + norm)))
+
+
+def sum_scores_f32(per_clause: list[np.ndarray]) -> np.ndarray:
+    """Σ in float64, one float32 cast (Disjunction/ConjunctionScorer)."""
+    acc = np.zeros(per_clause[0].shape, dtype=np.float64)
+    for s in per_clause:
+        acc += s.astype(np.float64)
+    return acc.astype(np.float32)
