@@ -1,0 +1,332 @@
+"""Distributed inverted-index build — the reference's indexing chain
+re-expressed Spark-first.
+
+Reference lifecycle (SURVEY.md §3.3): DWPT per-thread invert →
+segment flush → background merge → commit point. Spark shape:
+
+  input DF → repartitionByRange(n_segments, *key_cols)           (DWPT analog:
+           → sortWithinPartitions(*key_cols)                      one partition
+           → mapInPandas(invert kernel)                           = one segment)
+           → per-partition parquet segment + manifest row         (flush+commit)
+  driver   → global term_stats / stats aggregation                (TermStates#build)
+
+Design decisions for 100 TB scale:
+- **One pass over text.** Analysis is the dominant cost; the kernel computes
+  doc lengths/norms AND postings from a single ``analyze_batch`` call and
+  writes the segment files from inside the task (foreachPartition-style),
+  returning only a small manifest row. No second tokenization job.
+- **DocIDs are data-derived**: dense rank in global ``ORDER BY key_cols``
+  (per-partition counts → cumulative offsets). Stable across partition
+  counts and reruns — the property Lucene gets per-segment and we get
+  globally, which makes segment merge a pure ordered concatenation
+  (no MergeState.DocMap remap needed).
+- **Segments are doc-ranges**: every segment owns a contiguous docID range,
+  so per-segment norms are a dense byte array (O(1) lookup in scoring
+  kernels) and cross-segment postings never interleave.
+- **Checkpoint/resume** (north rule): a segment is complete iff its manifest
+  row file exists (written last = commit marker). Resume skips completed
+  segments inside the kernel. Lineage: row counts, term counts, content
+  hash, build seconds per segment.
+
+Reference analogs: ``L/index/DefaultIndexingChain#processField`` (invert),
+``L/index/FreqProxTermsWriter#flush`` (sorted posting write),
+``L/util/SmallFloat`` (norms), ``L/index/SegmentInfos`` (manifest).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..analysis import LuceneChainAnalyzer, SimpleAnalyzer
+from ..util.smallfloat import encode_lengths
+from .codec import encode_posting_blocks
+
+ANALYZERS = {"lucene": LuceneChainAnalyzer, "simple": SimpleAnalyzer}
+
+MANIFEST_SCHEMA = (
+    "seg int, base long, n_docs long, doc_count long, n_terms long, "
+    "n_postings long, sum_len long, content_hash string, status string, "
+    "build_secs double"
+)
+
+_BLOCK_PA_TYPE = pa.list_(pa.struct([
+    ("first_doc", pa.int64()),
+    ("last_doc", pa.int64()),
+    ("n", pa.int32()),
+    ("max_tf", pa.int32()),
+    ("min_norm", pa.int32()),
+    ("docs_bytes", pa.binary()),
+    ("tfs_bytes", pa.binary()),
+    ("pos_bytes", pa.binary()),
+]))
+
+
+@dataclass(frozen=True)
+class IndexMeta:
+    analyzer: str
+    key_cols: tuple[str, ...]
+    text_col: str
+    positions: bool
+    n_segments: int
+    version: str = "1"
+
+    def save(self, index_dir: str) -> None:
+        with open(os.path.join(index_dir, "meta.json"), "w") as f:
+            json.dump({**self.__dict__, "key_cols": list(self.key_cols)}, f)
+
+    @staticmethod
+    def load(index_dir: str) -> "IndexMeta":
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            d = json.load(f)
+        d["key_cols"] = tuple(d["key_cols"])
+        return IndexMeta(**d)
+
+
+def _atomic_write(table: pa.Table, path: str) -> None:
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp, compression="zstd")
+    os.replace(tmp, path)
+
+
+def _invert_partition(
+    pdfs: list[pd.DataFrame],
+    base: int,
+    seg: int,
+    meta: IndexMeta,
+    index_dir: str,
+    key_types: dict[str, pa.DataType],
+) -> dict:
+    """Invert one segment's rows (already in key order) and write its files."""
+    t0 = time.monotonic()
+    analyzer = ANALYZERS[meta.analyzer]()
+    key_cols = list(meta.key_cols)
+
+    term_parts: list[np.ndarray] = []
+    doc_parts: list[np.ndarray] = []
+    pos_parts: list[np.ndarray] = []
+    len_parts: list[np.ndarray] = []
+    key_parts: list[pd.DataFrame] = []
+    n_rows = 0
+    for pdf in pdfs:
+        frame = analyzer.analyze_batch(pdf[meta.text_col])
+        term_parts.append(frame["term"].to_numpy())
+        doc_parts.append(frame["row"].to_numpy() + n_rows)  # doc-local index
+        pos_parts.append(frame["pos"].to_numpy().astype(np.int64))
+        len_parts.append(frame.attrs["doc_len"])
+        key_parts.append(pdf[key_cols])
+        n_rows += len(pdf)
+
+    lengths = np.concatenate(len_parts) if len_parts else np.empty(0, dtype=np.int64)
+    norms = encode_lengths(lengths)
+    doc_ids = base + np.arange(n_rows, dtype=np.int64)
+
+    # --- docs table (docID map + norms) ---
+    keys = (
+        pd.concat(key_parts, ignore_index=True)
+        if key_parts
+        else pd.DataFrame({c: [] for c in key_cols})
+    )
+    docs_tbl = pa.table({
+        **{c: pa.array(keys[c], type=key_types[c]) for c in key_cols},
+        "doc_id": doc_ids,
+        "length": lengths,
+        "norm": norms.astype(np.int32),
+        "seg": np.full(n_rows, seg, dtype=np.int32),
+    })
+    os.makedirs(os.path.join(index_dir, "docs", f"seg={seg}"), exist_ok=True)
+    _atomic_write(docs_tbl, os.path.join(index_dir, "docs", f"seg={seg}", "part-0.parquet"))
+
+    # --- seg_norms (dense per-segment norm byte array) ---
+    os.makedirs(os.path.join(index_dir, "seg_norms", f"seg={seg}"), exist_ok=True)
+    norms_tbl = pa.table({
+        "seg": np.array([seg], dtype=np.int32),
+        "base": np.array([base], dtype=np.int64),
+        "n": np.array([n_rows], dtype=np.int64),
+        "norms": pa.array([norms.tobytes()], type=pa.binary()),
+    })
+    _atomic_write(norms_tbl, os.path.join(index_dir, "seg_norms", f"seg={seg}", "part-0.parquet"))
+
+    # --- invert: sorted (term, doc, pos) → per-term blocks ---
+    if term_parts and sum(len(t) for t in term_parts):
+        terms = np.concatenate(term_parts)
+        docs_l = np.concatenate(doc_parts)
+        poss = np.concatenate(pos_parts)
+    else:
+        terms = np.empty(0, dtype=object)
+        docs_l = np.empty(0, dtype=np.int64)
+        poss = np.empty(0, dtype=np.int64)
+
+    codes, uniques = pd.factorize(terms, sort=True)
+    order = np.lexsort((poss, docs_l, codes))
+    codes, docs_l, poss = codes[order], docs_l[order], poss[order]
+
+    term_bounds = np.flatnonzero(np.diff(codes, prepend=-1))  # start of each term run
+    term_rows: list[tuple] = []
+    hasher = hashlib.md5()
+    n_postings = 0
+    starts_all = np.append(term_bounds, len(codes))
+    for ti in range(len(uniques)):
+        s, e = starts_all[ti], starts_all[ti + 1]
+        d = docs_l[s:e]
+        p = poss[s:e]
+        # (doc, tf) runs within the term slice
+        doc_bounds = np.flatnonzero(np.diff(d, prepend=-1))
+        udocs = d[doc_bounds]
+        tfs = np.diff(np.append(doc_bounds, len(d)))
+        blocks = encode_posting_blocks(
+            doc_ids[udocs], tfs, norms[udocs].astype(np.int64),
+            p if meta.positions else None,
+        )
+        for blk in blocks:
+            hasher.update(blk["docs_bytes"])
+            hasher.update(blk["tfs_bytes"])
+        n_postings += len(udocs)
+        term_rows.append((str(uniques[ti]), len(udocs), int(tfs.sum()), blocks))
+
+    post_tbl = pa.table({
+        "term": pa.array([r[0] for r in term_rows], type=pa.string()),
+        "df_part": pa.array([r[1] for r in term_rows], type=pa.int64()),
+        "ttf_part": pa.array([r[2] for r in term_rows], type=pa.int64()),
+        "blocks": pa.array([r[3] for r in term_rows], type=_BLOCK_PA_TYPE),
+    })
+    os.makedirs(os.path.join(index_dir, "postings", f"seg={seg}"), exist_ok=True)
+    _atomic_write(post_tbl, os.path.join(index_dir, "postings", f"seg={seg}", "part-0.parquet"))
+
+    manifest = {
+        "seg": seg,
+        "base": base,
+        "n_docs": n_rows,
+        "doc_count": int((lengths > 0).sum()),
+        "n_terms": len(term_rows),
+        "n_postings": int(n_postings),
+        "sum_len": int(lengths.sum()),
+        "content_hash": hasher.hexdigest(),
+        "status": "built",
+        "build_secs": time.monotonic() - t0,
+    }
+    # manifest row file is the commit marker — written LAST, atomically
+    os.makedirs(os.path.join(index_dir, "manifest"), exist_ok=True)
+    _atomic_write(
+        pa.table({k: [v] for k, v in manifest.items()}),
+        os.path.join(index_dir, "manifest", f"seg={seg}.parquet"),
+    )
+    return manifest
+
+
+def _make_kernel(
+    meta: IndexMeta,
+    index_dir: str,
+    bases: dict[int, int],
+    key_types: dict[str, pa.DataType],
+):
+    def kernel(iterator):
+        ctx = TaskContext.get()
+        seg = ctx.partitionId()
+        marker = os.path.join(index_dir, "manifest", f"seg={seg}.parquet")
+        if os.path.exists(marker):  # resume: segment already committed
+            row = pq.read_table(marker).to_pandas()
+            row["status"] = "resumed"
+            yield row
+            return
+        pdfs = list(iterator)
+        manifest = _invert_partition(pdfs, bases[seg], seg, meta, index_dir, key_types)
+        yield pd.DataFrame([manifest])
+
+    return kernel
+
+
+def build_index(
+    spark: SparkSession,
+    df: DataFrame,
+    index_dir: str,
+    *,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    text_col: str = "text",
+    analyzer: str = "lucene",
+    positions: bool = True,
+    n_segments: int | None = None,
+    resume: bool = True,
+) -> DataFrame:
+    """Build (or resume) the full index under ``index_dir``.
+
+    Returns the manifest DataFrame (one row per segment, with lineage).
+    """
+    if "doc_id" in key_cols:
+        raise ValueError("'doc_id' is reserved for the assigned dense docID; rename the key column")
+    if n_segments is None:
+        n_segments = spark.sparkContext.defaultParallelism
+    os.makedirs(index_dir, exist_ok=True)
+
+    meta_path = os.path.join(index_dir, "meta.json")
+    meta = IndexMeta(analyzer, tuple(key_cols), text_col, positions, n_segments)
+    if os.path.exists(meta_path):
+        existing = IndexMeta.load(index_dir)
+        if not resume or existing != meta:
+            raise ValueError(
+                f"index_dir already holds an index built with {existing}; "
+                "pass a fresh dir or resume with identical parameters"
+            )
+        meta = existing
+    else:
+        meta.save(index_dir)
+
+    cols = [*key_cols, text_col]
+    # One range-shuffle keyed on the stable doc key = segment assignment +
+    # within-segment order. persist() pins partition boundaries so the count
+    # job and the build job see identical segments (at warehouse scale this
+    # staging would be a temp table / Iceberg snapshot instead).
+    dfp = (
+        df.select(*cols)
+        .repartitionByRange(meta.n_segments, *key_cols)
+        .sortWithinPartitions(*key_cols)
+        .persist()
+    )
+    counts = (
+        dfp.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid").count()
+        .toPandas().set_index("pid")["count"]
+    )
+    per_seg = np.zeros(meta.n_segments, dtype=np.int64)
+    per_seg[counts.index.to_numpy()] = counts.to_numpy()
+    bases = {seg: int(b) for seg, b in enumerate(np.cumsum(per_seg) - per_seg)}
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    key_types = {c: to_arrow_type(df.schema[c].dataType) for c in key_cols}
+    manifest = dfp.mapInPandas(_make_kernel(meta, index_dir, bases, key_types), MANIFEST_SCHEMA)
+    out = manifest.toPandas().sort_values("seg").reset_index(drop=True)
+    dfp.unpersist()
+
+    _finalize(spark, index_dir)
+    return spark.createDataFrame(out)
+
+
+def _finalize(spark: SparkSession, index_dir: str) -> None:
+    """Global stats — computed BEFORE scoring, as global aggregates
+    (north rule; reference: TermStates#build summing per-leaf stats)."""
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    term_stats = (
+        postings.groupBy("term")
+        .agg(F.sum("df_part").alias("df"), F.sum("ttf_part").alias("ttf"))
+    )
+    term_stats.write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
+
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("max_doc"),
+        F.sum((F.col("length") > 0).cast("long")).alias("doc_count"),
+        F.sum("length").alias("sum_ttf"),
+    )
+    stats.write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))

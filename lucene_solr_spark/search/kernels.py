@@ -1,0 +1,285 @@
+"""Per-segment scoring kernels — exact (brute-force) and block-max WAND.
+
+These run inside an ``applyInPandas`` cogroup over (postings-by-seg,
+norms-by-seg): all math is numpy over decoded posting blocks; no per-row
+Python. Each kernel returns the segment-local top-k by (score desc, docID
+asc) — the global top-k is a union-then-TakeOrdered of per-segment top-k
+(Solr's 2-phase PURPOSE_GET_TOP_IDS shape, SURVEY.md §3.2).
+
+WAND here is an interval-sweep variant of block-max WAND (Ding & Suel 2011;
+reference: ``L/search/WANDScorer`` + ``ImpactsDISI``): block boundaries of
+all query terms partition the docID space into atomic intervals; each
+interval's score upper bound is the sum of the covering blocks' impact
+bounds (float32, monotone IEEE rounding ⇒ bound ≥ any true score in the
+interval); intervals are visited in descending bound order and the sweep
+stops when bound < θ (the current exact k-th (score, docID) threshold).
+Every doc lives in exactly one interval, so results are EXACTLY the
+brute-force results — pruning only skips intervals that provably cannot
+contribute. Conjunctions additionally skip intervals where any MUST term
+has no covering block (block-max conjunction, ``BlockMaxConjunctionScorer``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..index.codec import decode_block, decode_postings
+from .bm25 import score_postings
+from .query import CompiledQuery
+
+
+def _phrase_freqs(
+    docs_per_term: list[np.ndarray],
+    pos_flat_per_term: list[np.ndarray],
+    tfs_per_term: list[np.ndarray],
+    offsets: tuple[int, ...],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-phrase match: docs containing all terms at relative `offsets`.
+
+    Two-phase (``L/search/TwoPhaseIterator``): doc-level intersection first
+    (cheap sorted-array intersect), positions verified only on survivors.
+    Returns (docs, phrase_freq) with freq >= 1.
+    """
+    cand = docs_per_term[0]
+    for d in docs_per_term[1:]:
+        cand = cand[np.isin(cand, d, assume_unique=True)]
+    if cand.size == 0:
+        return cand, np.empty(0, dtype=np.int64)
+    # per-term position lookups for candidate docs
+    splits = []
+    for tfs in tfs_per_term:
+        s = np.zeros(len(tfs) + 1, dtype=np.int64)
+        np.cumsum(tfs, out=s[1:])
+        splits.append(s)
+    out_docs = []
+    out_freq = []
+    for doc in cand:
+        # normalize to first-term-relative positions and intersect
+        acc = None
+        for t, (docs_t, pos_t, off) in enumerate(zip(docs_per_term, pos_flat_per_term, offsets)):
+            i = int(np.searchsorted(docs_t, doc))
+            p = pos_t[splits[t][i]:splits[t][i + 1]] - off
+            acc = p if acc is None else np.intersect1d(acc, p, assume_unique=True)
+            if acc.size == 0:
+                break
+        if acc is not None and acc.size:
+            out_docs.append(doc)
+            out_freq.append(acc.size)
+    return (
+        np.array(out_docs, dtype=np.int64),
+        np.array(out_freq, dtype=np.int64),
+    )
+
+
+def _combine(
+    clause_docs: list[np.ndarray],
+    clause_scores: list[np.ndarray],
+    occurs: list[str],
+    n_must: int,
+    msm: int,
+    excl_docs: np.ndarray | None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Boolean combine: MUST intersect, SHOULD sum, minShouldMatch, MUST_NOT.
+
+    Float discipline: per-doc Σ in float64 over float32 clause scores, in
+    clause order, single float32 cast (Disjunction/ConjunctionScorer).
+    """
+    if not clause_docs:
+        e = np.empty(0, dtype=np.int64)
+        return e, np.empty(0, dtype=np.float32)
+    all_docs = np.concatenate(clause_docs)
+    all_scores = np.concatenate(clause_scores).astype(np.float64)
+    is_must = np.concatenate([
+        np.full(len(d), occ == "must") for d, occ in zip(clause_docs, occurs)
+    ])
+    udocs, inv = np.unique(all_docs, return_inverse=True)
+    sums = np.zeros(len(udocs), dtype=np.float64)
+    np.add.at(sums, inv, all_scores)
+    must_cnt = np.bincount(inv, weights=is_must, minlength=len(udocs))
+    should_cnt = np.bincount(inv, weights=~is_must, minlength=len(udocs))
+    keep = must_cnt == n_must
+    if msm > 0:
+        keep &= should_cnt >= msm
+    if excl_docs is not None and excl_docs.size:
+        keep &= ~np.isin(udocs, excl_docs, assume_unique=True)
+    return udocs[keep], sums[keep].astype(np.float32)
+
+
+def _topk(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(score desc, docID asc) — HitQueue#lessThan tiebreak."""
+    if len(docs) <= k:
+        order = np.lexsort((docs, -scores.astype(np.float64)))
+        return docs[order], scores[order]
+    order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+    return docs[order], scores[order]
+
+
+def _norm_lookup(norms_arr: np.ndarray, base: int, docs: np.ndarray) -> np.ndarray:
+    return norms_arr[docs - base]
+
+
+def score_segment_exact(
+    term_blocks: dict[str, list],
+    norms_arr: np.ndarray,
+    base: int,
+    q: CompiledQuery,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Brute force: decode and score every posting of every clause."""
+    decoded: dict[str, tuple] = {}
+    need_pos = q.needs_positions
+
+    def dec(term):
+        if term not in decoded:
+            blocks = term_blocks.get(term, [])
+            decoded[term] = decode_postings(blocks, with_positions=need_pos)
+        return decoded[term]
+
+    clause_docs, clause_scores, occurs = [], [], []
+    for c in q.clauses:
+        if c.kind == "term":
+            parts = dec(c.terms[0])
+            docs, tfs = parts[0], parts[1]
+        else:
+            per = [dec(t) for t in c.terms]
+            docs, tfs = _phrase_freqs(
+                [p[0] for p in per], [p[2] for p in per], [p[1] for p in per], c.offsets
+            )
+        if docs.size == 0:
+            if c.occur == "must":
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+            continue
+        scores = score_postings(tfs, _norm_lookup(norms_arr, base, docs), c.weight, q.cache)
+        clause_docs.append(docs)
+        clause_scores.append(scores)
+        occurs.append(c.occur)
+    excl = None
+    if q.must_not_terms:
+        excl = np.unique(np.concatenate([
+            decode_postings(term_blocks.get(t, []))[0] for t in q.must_not_terms
+        ])) if any(term_blocks.get(t) for t in q.must_not_terms) else None
+    docs, scores = _combine(clause_docs, clause_scores, occurs, q.n_must, q.min_should_match, excl)
+    return _topk(docs, scores, q.k)
+
+
+def score_segment_wand(
+    term_blocks: dict[str, list],
+    norms_arr: np.ndarray,
+    base: int,
+    q: CompiledQuery,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Interval-sweep block-max WAND (term clauses only; phrase queries take
+    the exact path). Rank-identical to score_segment_exact by construction."""
+    from .bm25 import block_max_score
+
+    clause_terms = [c.terms[0] for c in q.clauses]
+    weights = [c.weight for c in q.clauses]
+    occurs = [c.occur for c in q.clauses]
+    blocks_per_clause = [term_blocks.get(t, []) for t in clause_terms]
+    if q.n_must > 0 and any(
+        not blocks_per_clause[i] for i in range(len(q.clauses)) if occurs[i] == "must"
+    ):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    if all(not b for b in blocks_per_clause):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+
+    # --- build atomic intervals from block boundaries ---
+    firsts = [np.array([blk["first_doc"] if isinstance(blk, dict) else blk.first_doc
+                        for blk in bl], dtype=np.int64) for bl in blocks_per_clause]
+    lasts = [np.array([blk["last_doc"] if isinstance(blk, dict) else blk.last_doc
+                       for blk in bl], dtype=np.int64) for bl in blocks_per_clause]
+    pts = np.unique(np.concatenate(
+        [f for f in firsts if f.size] + [l + 1 for l in lasts if l.size]
+    ))
+    lo = pts[:-1]  # interval i = [lo[i], hi[i]] inclusive
+    hi = pts[1:] - 1
+    n_int = len(lo)
+
+    # per clause: which block (if any) covers each interval
+    cover = np.full((len(q.clauses), n_int), -1, dtype=np.int64)
+    bounds = np.zeros((len(q.clauses), n_int), dtype=np.float64)
+    for ci, bl in enumerate(blocks_per_clause):
+        if not bl:
+            continue
+        f, l = firsts[ci], lasts[ci]
+        idx = np.searchsorted(f, lo, side="right") - 1
+        ok = (idx >= 0) & (lo <= np.where(idx >= 0, l[np.maximum(idx, 0)], -1))
+        cover[ci, ok] = idx[ok]
+        if ok.any():
+            bmax = np.array([
+                float(block_max_score(
+                    int(_bf(b, "max_tf")), int(_bf(b, "min_norm")), weights[ci], q.cache
+                )) for b in bl
+            ])
+            bounds[ci, ok] = bmax[idx[ok]]
+
+    int_bound = bounds.sum(axis=0)
+    if q.n_must > 0:
+        must_rows = [ci for ci in range(len(q.clauses)) if occurs[ci] == "must"]
+        feasible = np.all(cover[must_rows] >= 0, axis=0)
+    else:
+        feasible = cover.max(axis=0) >= 0
+    order = np.argsort(-int_bound, kind="stable")
+    order = order[feasible[order]]
+
+    # must_not postings (non-scoring, decoded once)
+    excl = None
+    if q.must_not_terms:
+        arrs = [decode_postings(term_blocks.get(t, []))[0] for t in q.must_not_terms
+                if term_blocks.get(t)]
+        if arrs:
+            excl = np.unique(np.concatenate(arrs))
+
+    # --- sweep intervals in descending bound order ---
+    dec_cache: dict[tuple[int, int], tuple] = {}   # (clause, block) → (docs, scores32)
+
+    def block_scored(ci: int, bi: int):
+        key = (ci, bi)
+        if key not in dec_cache:
+            docs, tfs = decode_block(blocks_per_clause[ci][bi])
+            scores = score_postings(
+                tfs, _norm_lookup(norms_arr, base, docs), weights[ci], q.cache
+            )
+            dec_cache[key] = (docs, scores)
+        return dec_cache[key]
+
+    pool_docs = np.empty(0, dtype=np.int64)
+    pool_scores = np.empty(0, dtype=np.float32)
+    theta = -np.inf
+    for ii in order:
+        if int_bound[ii] < theta:
+            break
+        cds, css, cocc = [], [], []
+        dead = False
+        for ci in range(len(q.clauses)):
+            bi = cover[ci, ii]
+            if bi < 0:
+                if occurs[ci] == "must":
+                    dead = True
+                    break
+                continue
+            docs, scores = block_scored(ci, int(bi))
+            a = int(np.searchsorted(docs, lo[ii], side="left"))
+            b = int(np.searchsorted(docs, hi[ii], side="right"))
+            if a == b:
+                if occurs[ci] == "must":
+                    dead = True
+                    break
+                continue
+            cds.append(docs[a:b])
+            css.append(scores[a:b])
+            cocc.append(occurs[ci])
+        if dead or not cds:
+            continue
+        d, s = _combine(cds, css, cocc, q.n_must, q.min_should_match, excl)
+        if d.size:
+            pool_docs = np.concatenate([pool_docs, d])
+            pool_scores = np.concatenate([pool_scores, s])
+            if len(pool_docs) >= q.k:
+                pool_docs, pool_scores = _topk(pool_docs, pool_scores, q.k)
+                if len(pool_docs) == q.k:
+                    theta = float(pool_scores[-1])
+    return _topk(pool_docs, pool_scores, q.k)
+
+
+def _bf(block, field):
+    return block[field] if isinstance(block, dict) else getattr(block, field)

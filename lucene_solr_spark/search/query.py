@@ -1,0 +1,176 @@
+"""Query tree + compiler.
+
+Analog of the reference's immutable ``Query`` tree and rewrite/createWeight
+phases (``L/search/IndexSearcher#rewrite``, ``#createWeight``): surface forms
+are analyzed with the SAME chain used at index time
+(``Analyzer#getQueryAnalyzer`` discipline), global term statistics are bound
+into per-clause float32 weights (``TermStates#build`` analog), producing a
+self-contained, picklable CompiledQuery the scoring kernels execute.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .bm25 import idf as bm25_idf
+
+
+@dataclass(frozen=True)
+class TermClause:
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PhraseClause:
+    """Exact phrase: terms at relative position offsets (stop holes preserved,
+    e.g. "merge the segment" → terms (merg, segment), offsets (0, 2))."""
+
+    terms: tuple[str, ...]
+    offsets: tuple[int, ...]
+    boost: float = 1.0
+
+
+@dataclass
+class BooleanSpec:
+    """MUST ∧ SHOULD ∨ MUST_NOT ¬ with minimumNumberShouldMatch
+    (``L/search/BooleanQuery``). Empty must+should ⇒ matches nothing."""
+
+    must: list = field(default_factory=list)
+    should: list = field(default_factory=list)
+    must_not: list = field(default_factory=list)  # TermClause only (non-scoring)
+    min_should_match: int = 0
+
+    @property
+    def scoring_clauses(self) -> list:
+        return [*self.must, *self.should]
+
+    def all_terms(self) -> list[str]:
+        out: list[str] = []
+        for c in self.scoring_clauses:
+            out.extend(c.terms if isinstance(c, PhraseClause) else [c.term])
+        out.extend(c.term for c in self.must_not)
+        return sorted(set(out))
+
+    @property
+    def has_phrase(self) -> bool:
+        return any(isinstance(c, PhraseClause) for c in self.scoring_clauses)
+
+
+def parse_fixture_query(analyzer, qtype: str, surface_terms: list[str], min_should: int = 0) -> BooleanSpec:
+    """Compile one FIXTURES.md §2 query row into a BooleanSpec."""
+    def toks(surface: str) -> list[str]:
+        return [t for t, _ in analyzer.analyze(surface)]
+
+    spec = BooleanSpec(min_should_match=min_should)
+    if qtype == "term":
+        for s in surface_terms:
+            spec.should.extend(TermClause(t) for t in toks(s))
+    elif qtype in ("and2", "and3"):
+        for s in surface_terms:
+            spec.must.extend(TermClause(t) for t in toks(s))
+    elif qtype in ("or2", "or3"):
+        for s in surface_terms:
+            spec.should.extend(TermClause(t) for t in toks(s))
+    elif qtype == "or_minshould":
+        for s in surface_terms:
+            spec.should.extend(TermClause(t) for t in toks(s))
+    elif qtype == "phrase2":
+        analyzed = analyzer.analyze(" ".join(surface_terms))
+        if analyzed:
+            base = analyzed[0][1]
+            spec.must.append(PhraseClause(
+                tuple(t for t, _ in analyzed),
+                tuple(p - base for _, p in analyzed),
+            ))
+    elif qtype == "and_not":
+        pos, neg = surface_terms[0], surface_terms[1]
+        spec.must.extend(TermClause(t) for t in toks(pos))
+        spec.must_not.extend(TermClause(t) for t in toks(neg))
+    else:
+        raise ValueError(f"unknown qtype {qtype}")
+    return spec
+
+
+@dataclass
+class CompiledClause:
+    kind: str                 # 'term' | 'phrase'
+    terms: tuple[str, ...]
+    offsets: tuple[int, ...]  # phrase only
+    weight: np.float32        # boost * idf (sum of idfs for phrase)
+    occur: str                # 'must' | 'should'
+
+
+@dataclass
+class CompiledQuery:
+    """Stats-bound executable query (the Weight-tree analog). Picklable;
+    shipped to scoring kernels inside the UDF closure."""
+
+    clauses: list[CompiledClause]
+    must_not_terms: tuple[str, ...]
+    min_should_match: int
+    k: int
+    cache: np.ndarray         # 256-float32 per-norm-byte multiplier
+    n_must: int
+
+    @property
+    def needs_positions(self) -> bool:
+        return any(c.kind == "phrase" for c in self.clauses)
+
+    @property
+    def scoring_terms(self) -> list[str]:
+        out: list[str] = []
+        for c in self.clauses:
+            out.extend(c.terms)
+        return sorted(set(out))
+
+
+def compile_query(
+    spec: BooleanSpec,
+    term_df: dict[str, int],
+    doc_count: int,
+    cache: np.ndarray,
+    k: int,
+) -> CompiledQuery:
+    """Bind global stats into weights (createWeight analog).
+
+    Terms absent from the index (df=0) are dropped from SHOULD, and make the
+    whole query match nothing when in MUST (Lucene conjunction semantics).
+    Phrase weight = boost * Σ idf(term) (BM25Similarity#idfExplain over
+    TermStatistics[]).
+    """
+    clauses: list[CompiledClause] = []
+    impossible = False
+    for occur, group in (("must", spec.must), ("should", spec.should)):
+        for c in group:
+            if isinstance(c, PhraseClause):
+                if any(term_df.get(t, 0) == 0 for t in c.terms):
+                    impossible |= occur == "must"
+                    continue
+                w = np.float32(c.boost) * np.float32(
+                    sum(float(bm25_idf(term_df[t], doc_count)) for t in c.terms)
+                )
+                clauses.append(CompiledClause("phrase", c.terms, c.offsets, np.float32(w), occur))
+            else:
+                df = term_df.get(c.term, 0)
+                if df == 0:
+                    impossible |= occur == "must"
+                    continue
+                w = np.float32(c.boost) * bm25_idf(df, doc_count)
+                clauses.append(CompiledClause("term", (c.term,), (), np.float32(w), occur))
+    if impossible:
+        clauses = []
+    n_must = sum(1 for c in clauses if c.occur == "must")
+    msm = spec.min_should_match
+    if n_must == 0 and msm < 1 and clauses:
+        msm = 1  # pure disjunction requires ≥1 should match
+    return CompiledQuery(
+        clauses=clauses,
+        must_not_terms=tuple(sorted({c.term for c in spec.must_not})),
+        min_should_match=msm,
+        k=k,
+        cache=cache,
+        n_must=n_must,
+    )

@@ -1,0 +1,192 @@
+"""Distributed IndexSearcher (``L/search/IndexSearcher`` analog).
+
+Query lifecycle (SURVEY.md §3.1, Spark shape):
+
+1. compile on driver: analyze surface terms (query-time chain == index-time
+   chain), bind global stats from the broadcast-sized ``stats``/``term_stats``
+   tables into float32 weights → CompiledQuery.
+2. one narrow job: postings scan pruned to the query's terms (parquet
+   row-group pruning via term-sorted files + seg partition dirs) → cogrouped
+   per-segment scoring kernel (WAND or exact) → per-segment top-k.
+3. global TakeOrdered (score desc, docID asc) limit k — the one shuffle.
+4. optionally join the docs table back for doc keys (fetch-fields-late,
+   Solr PURPOSE_GET_FIELDS discipline: text/keys never flow through scoring).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import cached_property
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..index.build import ANALYZERS, IndexMeta
+from .bm25 import CollectionStats, norm_cache
+from .kernels import score_segment_exact, score_segment_wand
+from .query import BooleanSpec, CompiledQuery, compile_query, parse_fixture_query
+
+RESULT_SCHEMA = "seg int, doc_id long, score float"
+MULTI_SCHEMA = "query_id string, doc_id long, score float"
+
+
+def _make_multi_kernel(queries: dict[str, CompiledQuery], mode: str):
+    def kernel(posts: pd.DataFrame, norms: pd.DataFrame) -> pd.DataFrame:
+        if len(norms) == 0 or len(posts) == 0:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+        base = int(norms["base"].iloc[0])
+        norms_arr = np.frombuffer(norms["norms"].iloc[0], dtype=np.uint8)
+        term_blocks = {t: list(b) for t, b in zip(posts["term"], posts["blocks"])}
+        qids, docs_out, scores_out = [], [], []
+        for qid, q in queries.items():
+            if not q.clauses:
+                continue
+            fn = score_segment_exact if (mode == "exact" or q.needs_positions) else score_segment_wand
+            docs, scores = fn(term_blocks, norms_arr, base, q)
+            qids.extend([qid] * len(docs))
+            docs_out.append(docs)
+            scores_out.append(scores)
+        if not docs_out:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+        return pd.DataFrame({
+            "query_id": np.array(qids, dtype=object),
+            "doc_id": np.concatenate(docs_out),
+            "score": np.concatenate(scores_out).astype(np.float32),
+        })
+
+    return kernel
+
+
+def _make_search_kernel(q: CompiledQuery, mode: str):
+    exact = mode == "exact" or q.needs_positions
+
+    def kernel(posts: pd.DataFrame, norms: pd.DataFrame) -> pd.DataFrame:
+        if len(norms) == 0 or len(posts) == 0:
+            return pd.DataFrame({"seg": [], "doc_id": [], "score": []})
+        seg = int(norms["seg"].iloc[0])
+        base = int(norms["base"].iloc[0])
+        norms_arr = np.frombuffer(norms["norms"].iloc[0], dtype=np.uint8)
+        term_blocks = {
+            t: list(b) for t, b in zip(posts["term"], posts["blocks"])
+        }
+        fn = score_segment_exact if exact else score_segment_wand
+        docs, scores = fn(term_blocks, norms_arr, base, q)
+        return pd.DataFrame({
+            "seg": np.full(len(docs), seg, dtype=np.int32),
+            "doc_id": docs,
+            "score": scores.astype(np.float32),
+        })
+
+    return kernel
+
+
+class IndexSearcher:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.meta = IndexMeta.load(index_dir)
+        self.analyzer = ANALYZERS[self.meta.analyzer]()
+        self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        self.seg_norms = spark.read.parquet(os.path.join(index_dir, "seg_norms"))
+        self.docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+
+    @cached_property
+    def stats(self) -> CollectionStats:
+        row = self.spark.read.parquet(os.path.join(self.index_dir, "stats")).collect()[0]
+        return CollectionStats(int(row.doc_count), int(row.sum_ttf))
+
+    @cached_property
+    def cache(self) -> np.ndarray:
+        return norm_cache(self.stats.avgdl)
+
+    def term_stats(self, terms: list[str]) -> dict[str, int]:
+        """Global docFreq for the query's terms (TermStates#build analog) —
+        a term-pruned scan of the small term_stats table, collected."""
+        if not terms:
+            return {}
+        rows = (
+            self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+            .filter(F.col("term").isin(list(terms)))
+            .collect()
+        )
+        return {r.term: int(r.df) for r in rows}
+
+    def compile(self, spec: BooleanSpec, k: int = 10) -> CompiledQuery:
+        return compile_query(spec, self.term_stats(spec.all_terms()), self.stats.doc_count, self.cache, k)
+
+    def parse(self, qtype: str, surface_terms: list[str], min_should: int = 0) -> BooleanSpec:
+        return parse_fixture_query(self.analyzer, qtype, surface_terms, min_should)
+
+    def search(
+        self,
+        spec: BooleanSpec | CompiledQuery,
+        k: int = 10,
+        mode: str = "wand",
+        with_keys: bool = False,
+    ) -> DataFrame:
+        """Top-k → DataFrame(doc_id, score[, rank, key cols]).
+
+        mode: 'wand' (block-max pruning; phrase clauses fall back to exact
+        automatically) or 'exact' (brute force — the distributed oracle)."""
+        q = spec if isinstance(spec, CompiledQuery) else self.compile(spec, k)
+        if not q.clauses:
+            out = self.spark.createDataFrame([], "doc_id long, score float")
+            return self._finish(out, q.k, with_keys)
+        posts = (
+            self.postings
+            .filter(F.col("term").isin(q.scoring_terms + list(q.must_not_terms)))
+            .select("seg", "term", "blocks")
+        )
+        hits = (
+            posts.groupBy("seg")
+            .cogroup(self.seg_norms.groupBy("seg"))
+            .applyInPandas(_make_search_kernel(q, mode), RESULT_SCHEMA)
+            .select("doc_id", "score")
+        )
+        return self._finish(hits, q.k, with_keys)
+
+    def search_many(
+        self, compiled: dict[str, CompiledQuery], mode: str = "wand"
+    ) -> DataFrame:
+        """Run a whole query set in ONE job (the distributed 2-phase shape:
+        per-segment top-k per query → global per-query TakeOrdered).
+        → DataFrame(query_id, rank, doc_id, score)."""
+        from pyspark.sql import Window
+
+        terms = sorted({
+            t for q in compiled.values()
+            for t in (*q.scoring_terms, *q.must_not_terms)
+        })
+        if not terms:
+            return self.spark.createDataFrame([], "query_id string, rank int, doc_id long, score float")
+        posts = (
+            self.postings.filter(F.col("term").isin(terms))
+            .select("seg", "term", "blocks")
+        )
+        hits = (
+            posts.groupBy("seg")
+            .cogroup(self.seg_norms.groupBy("seg"))
+            .applyInPandas(_make_multi_kernel(compiled, mode), MULTI_SCHEMA)
+        )
+        ks = {qid: q.k for qid, q in compiled.items()}
+        k_df = self.spark.createDataFrame(
+            [(qid, k) for qid, k in ks.items()], "query_id string, k int"
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            hits.withColumn("rank", F.row_number().over(w))
+            .join(F.broadcast(k_df), "query_id")
+            .filter(F.col("rank") <= F.col("k"))
+            .select("query_id", "rank", "doc_id", "score")
+            .orderBy("query_id", "rank")
+        )
+
+    def _finish(self, hits: DataFrame, k: int, with_keys: bool) -> DataFrame:
+        top = hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if with_keys:
+            top = top.join(self.docs.select(*self.meta.key_cols, "doc_id"), "doc_id", "left")
+        from pyspark.sql import Window
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")

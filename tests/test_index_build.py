@@ -1,0 +1,104 @@
+"""Index build invariants — CheckIndex-style (SURVEY.md §5.2, L/index/CheckIndex
+analog): postings sorted, stats consistent, docIDs dense/stable, per-turn text
+equality under stable (conv_id, turn_idx) ordering."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_solr_spark.index.codec import decode_postings
+from lucene_solr_spark.util.smallfloat import encode_lengths
+
+
+def test_manifest_complete(small_index):
+    index_dir, manifest = small_index
+    assert len(manifest) == 4
+    assert (manifest.status == "built").all()
+    assert manifest.n_docs.sum() > 0
+    assert manifest.content_hash.str.len().eq(32).all()
+
+
+def test_docids_dense_and_stable(spark, small_corpus, small_index):
+    index_dir, _ = small_index
+    docs = spark.read.parquet(os.path.join(index_dir, "docs")).toPandas()
+    assert len(docs) == len(small_corpus)
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    np.testing.assert_array_equal(docs.doc_id.to_numpy(), np.arange(len(docs)))
+    # docID = dense rank in ORDER BY conv_id, turn_idx
+    expected = small_corpus.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (docs.conv_id.to_numpy() == expected.conv_id.to_numpy()).all()
+    np.testing.assert_array_equal(docs.turn_idx.to_numpy(), expected.turn_idx.to_numpy())
+
+
+def test_per_turn_text_equality(spark, small_corpus, small_index):
+    """input_hint invariant: joining docs back to the source by key preserves
+    per-turn text equality under stable ordering."""
+    index_dir, _ = small_index
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    src = spark.createDataFrame(small_corpus)
+    joined = docs.join(src, ["conv_id", "turn_idx"]).orderBy("doc_id").toPandas()
+    expected = small_corpus.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (joined.text.to_numpy() == expected.text.to_numpy()).all()
+
+
+def test_norms_match_lengths(spark, small_index, oracle):
+    index_dir, _ = small_index
+    docs = spark.read.parquet(os.path.join(index_dir, "docs")).toPandas().sort_values("doc_id")
+    np.testing.assert_array_equal(docs.length.to_numpy(), oracle.doc_len)
+    np.testing.assert_array_equal(
+        docs.norm.to_numpy(), encode_lengths(oracle.doc_len).astype(np.int32)
+    )
+
+
+def test_seg_norms_blob_matches_docs(spark, small_index):
+    index_dir, _ = small_index
+    docs = spark.read.parquet(os.path.join(index_dir, "docs")).toPandas()
+    segn = spark.read.parquet(os.path.join(index_dir, "seg_norms")).toPandas()
+    for _, r in segn.iterrows():
+        blob = np.frombuffer(r["norms"], dtype=np.uint8)
+        assert len(blob) == r["n"]
+        seg_docs = docs[docs.seg == r["seg"]].sort_values("doc_id")
+        np.testing.assert_array_equal(blob, seg_docs.norm.to_numpy().astype(np.uint8))
+        assert (seg_docs.doc_id.to_numpy() == r["base"] + np.arange(r["n"])).all()
+
+
+def test_postings_sorted_and_consistent(spark, small_index, oracle):
+    """Postings invariants: terms sorted within segment, docIDs strictly
+    ascending within term, df/ttf match brute-force counts."""
+    index_dir, _ = small_index
+    posts = spark.read.parquet(os.path.join(index_dir, "postings")).toPandas()
+    # per-seg term sort
+    for seg, grp in posts.groupby("seg"):
+        terms = grp.term.tolist()
+        assert terms == sorted(terms)
+    # decode every term and compare against the oracle's exploded frame
+    agg: dict[str, list] = {}
+    for _, r in posts.sort_values(["term", "seg"]).iterrows():
+        docs, tfs = decode_postings(list(r["blocks"]))
+        assert np.all(np.diff(docs) > 0), f"docs not strictly ascending for {r['term']}"
+        agg.setdefault(r["term"], []).append((docs, tfs))
+    oracle_tf = oracle._tf
+    assert set(agg) == set(oracle_tf.index.get_level_values(0).unique())
+    for term, parts in agg.items():
+        docs = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        order = np.argsort(docs)
+        docs, tfs = docs[order], tfs[order]
+        sub = oracle_tf.loc[term]
+        np.testing.assert_array_equal(docs, sub.index.to_numpy())
+        np.testing.assert_array_equal(tfs, sub.to_numpy())
+
+
+def test_global_stats(spark, small_index, oracle):
+    index_dir, _ = small_index
+    stats = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
+    assert stats.doc_count == oracle.doc_count
+    assert stats.sum_ttf == oracle.sum_ttf
+    ts = spark.read.parquet(os.path.join(index_dir, "term_stats")).toPandas()
+    df_map = dict(zip(ts.term, ts.df))
+    oracle_df = oracle._df
+    assert len(df_map) == len(oracle_df)
+    for term, df in oracle_df.items():
+        assert df_map[term] == df, term
