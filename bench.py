@@ -1,0 +1,125 @@
+"""Headline benchmark — one JSON line on stdout.
+
+Measures the north-rule pipeline end-to-end:
+  - transcripts_build : inverted-index build (lucene chain: lower/stop/porter)
+    over a deterministic synthetic transcripts corpus sized to the SF
+    (turns/sec is the north-star build metric; also reported).
+  - transcripts_queries : the 50-query reference set (FIXTURES.md §2) run as
+    ONE distributed job (block-max WAND per segment + global top-k merge).
+  - documents_build + documents per-query timings over the driver-provided
+    documents table at $SPARK_GRAFT_SF_DIR.
+  - dedup_minhash / ann_cosine / facet_q1 : training-pipeline ops.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS
+(default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# transcripts corpus size ~ linear in sf (sf0.1 → ~100k turns)
+_SF = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else 0.1
+N_CONV = max(200, int(130_000 * _SF))
+
+
+def main() -> None:
+    from lucene_solr_spark.session import get_spark
+    from lucene_solr_spark.datagen import generate_transcripts, generate_queries
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.search.searcher import IndexSearcher
+    from lucene_solr_spark.engine import DocumentsEngine
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    t_all = time.monotonic()
+
+    spark = get_spark("bench", cpus=CPUS)
+    tmp = tempfile.mkdtemp(prefix="lss_bench_")
+    try:
+        # --- transcripts: generate → build → query set ---
+        pdf = generate_transcripts(N_CONV)
+        n_turns = len(pdf)
+        tdf = spark.createDataFrame(pdf)
+        tdf.write.mode("overwrite").parquet(f"{tmp}/transcripts")
+        src = spark.read.parquet(f"{tmp}/transcripts")
+
+        t0 = time.monotonic()
+        build_index(
+            spark, src, f"{tmp}/tindex",
+            key_cols=("conv_id", "turn_idx"), analyzer="lucene",
+            positions=True, n_segments=CPUS,
+        )
+        timings["transcripts_build"] = time.monotonic() - t0
+        extras["n_turns"] = float(n_turns)
+        extras["build_turns_per_sec"] = n_turns / timings["transcripts_build"]
+
+        searcher = IndexSearcher(spark, f"{tmp}/tindex")
+        qset = generate_queries()
+        t0 = time.monotonic()
+        compiled = searcher.compile_many({
+            f"q{q['query_id']}": (searcher.parse(q["qtype"], q["terms"], q["min_should"]), q["k"])
+            for q in qset
+        })
+        timings["transcripts_compile"] = time.monotonic() - t0
+        t0 = time.monotonic()
+        res = searcher.search_many(compiled, mode="wand")
+        n_hits = res.count()
+        timings["transcripts_queries_50"] = time.monotonic() - t0
+        extras["qset_hits"] = float(n_hits)
+        extras["qset_qps"] = 50.0 / timings["transcripts_queries_50"]
+
+        # --- documents table at SF_DIR: build + representative queries ---
+        t0 = time.monotonic()
+        eng = DocumentsEngine(spark, SF_DIR, analyzer="simple")
+        timings["documents_build"] = time.monotonic() - t0
+        for name, (qt, terms, msm, k) in {
+            "q_term": ("term", ["spark"], 0, 10),
+            "q_and2": ("and2", ["merge", "batch"], 0, 10),
+            "q_or3": ("or3", ["vector", "stream", "filter"], 0, 10),
+            "q_phrase": ("phrase2", ["table", "hash"], 0, 10),
+        }.items():
+            t0 = time.monotonic()
+            eng.topk(qt, terms, k=k, min_should=msm).collect()
+            timings[name] = time.monotonic() - t0
+
+        # --- training-pipeline ops ---
+        from lucene_solr_spark.ops.dedup import dedup_minhash_lsh
+        from lucene_solr_spark.ops.ann import ann_cosine_topk
+        from lucene_solr_spark.ops.facets import facet_metrics_q1
+
+        t0 = time.monotonic()
+        dedup_minhash_lsh(spark, SF_DIR).count()
+        timings["dedup_minhash"] = time.monotonic() - t0
+        t0 = time.monotonic()
+        ann_cosine_topk(spark, SF_DIR).collect()
+        timings["ann_cosine"] = time.monotonic() - t0
+        t0 = time.monotonic()
+        facet_metrics_q1(spark, SF_DIR).collect()
+        timings["facet_q1"] = time.monotonic() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = time.monotonic() - t_all
+    print(json.dumps({
+        "metric": "suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": _SF,
+        "cpus": CPUS,
+        "extras": {k: round(v, 3) for k, v in extras.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

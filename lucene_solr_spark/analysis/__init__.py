@@ -3,6 +3,7 @@ from .analyzer import (
     ENGLISH_STOP_WORDS,
     LuceneChainAnalyzer,
     SimpleAnalyzer,
+    StopChainAnalyzer,
     analyze_frame,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "ENGLISH_STOP_WORDS",
     "LuceneChainAnalyzer",
     "SimpleAnalyzer",
+    "StopChainAnalyzer",
     "analyze_frame",
 ]

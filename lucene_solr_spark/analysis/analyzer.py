@@ -136,6 +136,19 @@ class SimpleAnalyzer(_BaseAnalyzer):
     stem = False
 
 
+class StopChainAnalyzer(_BaseAnalyzer):
+    """Standard → LowerCase → Stop(33) — the Lucene ``StandardAnalyzer`` with
+    its English stop set (``L/analysis/standard/StandardAnalyzer.java``), i.e.
+    the target chain minus Porter. Fully SQL-oracle-expressible (the stop set
+    is a literal NOT IN list), so the driver can cross-check stop-hole
+    positions and stop-aware norms, which the stemmed chain can't (DuckDB has
+    no Porter stemmer in-sandbox)."""
+
+    lowercase = True
+    stop_words = ENGLISH_STOP_WORDS
+    stem = False
+
+
 def analyze_frame(texts: pd.Series, analyzer: _BaseAnalyzer | None = None) -> pd.DataFrame:
     """Module-level convenience for kernels."""
     return (analyzer or LuceneChainAnalyzer()).analyze_batch(texts)

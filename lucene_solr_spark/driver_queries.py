@@ -1,0 +1,93 @@
+"""Registry backing ``__spark_entry__.py``: every implemented operator gets a
+(spark callable, DuckDB oracle SQL) pair the driver cross-checks at sf=0.01.
+
+Fulltext entries run the REAL engine end-to-end (index build → WAND top-k)
+with the ``simple``/``stop`` analyzers whose semantics are SQL-expressible
+(see oracles.py); the Porter chain is exercised by ``entry()`` and pytest.
+Column names are aliased identically on both sides (driver hashes values
+after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .engine import get_engine
+from .index.build import ANALYZERS
+from .oracles import (
+    bm25_topk_sql,
+    collection_stats_sql,
+    docs_norms_sql,
+    term_stats_sql,
+)
+from .search.query import parse_fixture_query
+
+# name → (analyzer, qtype, surface terms, min_should, k)
+FULLTEXT_TOPK = {
+    "ft_term_topk": ("simple", "term", ["spark"], 0, 10),
+    "ft_term_rare_topk": ("simple", "term", ["dup"], 0, 30),
+    "ft_and2_topk": ("simple", "and2", ["merge", "batch"], 0, 10),
+    "ft_and3_topk": ("simple", "and3", ["vector", "stream", "dup"], 0, 10),
+    "ft_or3_topk": ("simple", "or3", ["vector", "stream", "filter"], 0, 10),
+    "ft_or_minshould_topk": ("simple", "or_minshould", ["query", "scan", "sort", "window"], 2, 10),
+    "ft_andnot_topk": ("simple", "and_not", ["table", "join"], 0, 10),
+    "ft_phrase_topk": ("simple", "phrase2", ["table", "hash"], 0, 10),
+    "ft_stop_term_topk": ("stop", "term", ["window"], 0, 10),
+    "ft_stop_and2_topk": ("stop", "and2", ["key", "group"], 0, 10),
+    "ft_stop_phrase_hole_topk": ("stop", "phrase2", ["hash the", "query"], 0, 10),
+}
+
+
+def _topk_query(analyzer: str, qtype: str, terms: list[str], msm: int, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return get_engine(spark, sf_dir, analyzer).topk(qtype, terms, k=k, min_should=msm)
+
+    return run
+
+
+def _topk_oracle(analyzer: str, qtype: str, terms: list[str], msm: int, k: int) -> str:
+    spec = parse_fixture_query(ANALYZERS[analyzer](), qtype, terms, msm)
+    return bm25_topk_sql(analyzer, spec, k)
+
+
+def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable] = {}
+    for name, (an, qt, terms, msm, k) in FULLTEXT_TOPK.items():
+        out[name] = _topk_query(an, qt, terms, msm, k)
+    out["ft_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").docs_norms()
+    out["ft_stop_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "stop").docs_norms()
+    out["ft_term_stats"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").term_stats_df()
+    out["ft_collection_stats"] = (
+        lambda spark, sf_dir: get_engine(spark, sf_dir, "stop").collection_stats_df()
+    )
+    return out
+
+
+def fulltext_oracles() -> dict[str, str]:
+    out = {
+        name: _topk_oracle(an, qt, terms, msm, k)
+        for name, (an, qt, terms, msm, k) in FULLTEXT_TOPK.items()
+    }
+    out["ft_docs_norms"] = docs_norms_sql("simple")
+    out["ft_stop_docs_norms"] = docs_norms_sql("stop")
+    out["ft_term_stats"] = term_stats_sql("simple")
+    out["ft_collection_stats"] = collection_stats_sql("stop")
+    return out
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out = fulltext_queries()
+    from .ops.registry import ops_queries
+
+    out.update(ops_queries())
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out = fulltext_oracles()
+    from .ops.registry import ops_oracles
+
+    out.update(ops_oracles())
+    return out

@@ -1,0 +1,123 @@
+"""High-level facade: build + search a full-text index over any DataFrame —
+the ``IndexWriter``/``IndexSearcher`` pair a Solr user actually touches
+(reference: ``S/handler/component/SearchHandler`` request lifecycle,
+SURVEY.md §3).
+
+``DocumentsEngine`` wraps the driver-provided ``documents`` parquet table
+(columns doc_id, text, lang, source, n_chars): it builds the inverted index
+once per (table, analyzer) into a content-addressed cache dir under
+``/tmp`` (checkpoint/resume makes re-entry free — the manifest marker is the
+commit point), then serves top-k queries. Process-level memoization keeps
+the driver's many ``queries()`` calls from rebuilding.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .index.build import build_index
+from .search.query import BooleanSpec
+from .search.searcher import IndexSearcher
+
+_ENGINES: dict[tuple[str, str], "DocumentsEngine"] = {}
+
+
+class DocumentsEngine:
+    """Index + search over a ``documents``-shaped table (doc_id, text)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        analyzer: str = "simple",
+        *,
+        n_segments: int = 8,
+    ) -> None:
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.analyzer = analyzer
+        src = os.path.join(sf_dir, "documents.parquet")
+        tag = hashlib.md5(
+            f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{analyzer}|{n_segments}|v1".encode()
+        ).hexdigest()[:16]
+        self.index_dir = os.path.join(
+            tempfile.gettempdir(), "lucene_solr_spark_idx", f"docs-{analyzer}-{tag}"
+        )
+        docs = spark.read.parquet(src).select(
+            F.col("doc_id").alias("doc_key"), "text"
+        )
+        self.manifest = build_index(
+            spark,
+            docs,
+            self.index_dir,
+            key_cols=("doc_key",),
+            text_col="text",
+            analyzer=analyzer,
+            positions=True,
+            n_segments=n_segments,
+            resume=True,
+        )
+        self.searcher = IndexSearcher(spark, self.index_dir)
+
+    # -- query helpers ------------------------------------------------------
+
+    def topk(
+        self,
+        qtype: str,
+        surface_terms: list[str],
+        k: int = 10,
+        min_should: int = 0,
+        mode: str = "wand",
+    ) -> DataFrame:
+        """Top-k → DataFrame(rank int, doc_id bigint, score float) keyed on
+        the SOURCE doc_id (fetch-fields-late join back through the docs map)."""
+        spec = self.searcher.parse(qtype, surface_terms, min_should)
+        out = self.searcher.search(spec, k=k, mode=mode, with_keys=True)
+        return out.select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("doc_key").cast("long").alias("doc_id"),
+            F.col("score").cast("float").alias("score"),
+        ).orderBy("rank")
+
+    def analyze_spec(self, qtype: str, surface_terms: list[str], min_should: int = 0) -> BooleanSpec:
+        return self.searcher.parse(qtype, surface_terms, min_should)
+
+    def docs_norms(self) -> DataFrame:
+        """The per-doc (length, norm) map — Lucene's norms file as a table."""
+        return (
+            self.searcher.docs.select(
+                F.col("doc_key").cast("long").alias("doc_id"),
+                F.col("length").cast("long").alias("length"),
+                F.col("norm").cast("int").alias("norm"),
+            )
+            .orderBy("doc_id")
+        )
+
+    def term_stats_df(self, min_df: int = 1) -> DataFrame:
+        """Global (term, df, ttf) — TermStates#build as a table."""
+        ts = self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+        return (
+            ts.filter(F.col("df") >= min_df)
+            .select("term", F.col("df").cast("long"), F.col("ttf").cast("long"))
+        )
+
+    def collection_stats_df(self) -> DataFrame:
+        st = self.spark.read.parquet(os.path.join(self.index_dir, "stats"))
+        return st.select(
+            F.col("doc_count").cast("long"),
+            F.col("sum_ttf").cast("long"),
+            (F.col("sum_ttf").cast("double") / F.col("doc_count")).cast("float").alias("avgdl"),
+        )
+
+
+def get_engine(spark: SparkSession, sf_dir: str, analyzer: str = "simple") -> DocumentsEngine:
+    key = (os.path.abspath(sf_dir), analyzer)
+    eng = _ENGINES.get(key)
+    if eng is None:
+        eng = DocumentsEngine(spark, sf_dir, analyzer)
+        _ENGINES[key] = eng
+    return eng

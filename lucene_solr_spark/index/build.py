@@ -49,11 +49,15 @@ import pyarrow.parquet as pq
 from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..analysis import LuceneChainAnalyzer, SimpleAnalyzer
+from ..analysis import LuceneChainAnalyzer, SimpleAnalyzer, StopChainAnalyzer
 from ..util.smallfloat import encode_lengths
 from .codec import encode_posting_blocks
 
-ANALYZERS = {"lucene": LuceneChainAnalyzer, "simple": SimpleAnalyzer}
+ANALYZERS = {
+    "lucene": LuceneChainAnalyzer,
+    "simple": SimpleAnalyzer,
+    "stop": StopChainAnalyzer,
+}
 
 MANIFEST_SCHEMA = (
     "seg int, base long, n_docs long, doc_count long, n_terms long, "

@@ -1,0 +1,248 @@
+"""Similarity search over embedding columns (array<float>): brute-force
+cosine top-k (the exact baseline) and a random-hyperplane LSH-bucketed
+variant (the sub-linear scale path).
+
+Scale design:
+- **Brute force** is one narrow pass: dot/norm are ``zip_with`` +
+  ``aggregate`` fold expressions (JVM codegen, no Python), then a global
+  TakeOrdered(k). At 100 TB this is the per-partition scoring baseline and
+  the verifier for approximate paths.
+- **LSH**: 8 deterministic random hyperplanes (derived from md5, embedded as
+  literals — engine-independent), signature banded into 2×4 bits; only
+  vectors sharing a band bucket with the probe are scored. At scale the
+  bucket join replaces the full scan with an equi-join on (band, bits) —
+  the same banding trick as MinHash dedup (ops/dedup.py).
+
+Float discipline: all similarity math in float64; final cosine rounded to
+6 decimals on BOTH engines (summation-order differences are ~1e-15, six
+orders below the rounding quantum).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from .registry import register
+
+DIM = 64
+N_PLANES = 8
+BAND_BITS = 4
+PROBE_VEC_ID = 0
+
+
+def _hp_value(j: int, d: int) -> float:
+    """Deterministic hyperplane component in [-1, 1): md5('hp:j:d') → u32."""
+    h = hashlib.md5(f"hp:{j}:{d}".encode()).hexdigest()
+    return int(h[:8], 16) / 2147483648.0 - 1.0
+
+
+HYPERPLANES = [[_hp_value(j, d) for d in range(DIM)] for j in range(N_PLANES)]
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(emb: DataFrame, probe: list[float], k: int, exclude_id: int | None = None) -> DataFrame:
+    """Exact cosine top-k against a probe vector → (vec_id, cos_sim)."""
+    pv = F.array(*[F.lit(float(x)) for x in probe])
+    d = emb
+    if exclude_id is not None:
+        d = d.filter(F.col("vec_id") != exclude_id)
+    return (
+        d.select(
+            "vec_id",
+            F.round(_dot(F.col("embedding"), pv) / (_norm(F.col("embedding")) * _norm(pv)), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _probe_vector(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    return [float(x) for x in df.loc[df.vec_id == vec_id, "embedding"].iloc[0]]
+
+
+# --- brute-force knn --------------------------------------------------------
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    probe = _probe_vector(spark, sf_dir, PROBE_VEC_ID)
+    return cosine_topk(_emb(spark, sf_dir), probe, k=10, exclude_id=PROBE_VEC_ID)
+
+
+ANN_COSINE_SQL = f"""
+WITH probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = {PROBE_VEC_ID}),
+pe AS (SELECT unnest(pv) AS p, generate_subscripts(pv, 1) AS i FROM probe),
+ex AS (
+    SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+    FROM embeddings WHERE vec_id != {PROBE_VEC_ID}
+),
+np AS (SELECT sqrt(sum(p::DOUBLE * p::DOUBLE)) AS npv FROM pe),
+dots AS (
+    SELECT vec_id, sum(x::DOUBLE * p::DOUBLE) AS dot,
+           sqrt(sum(x::DOUBLE * x::DOUBLE)) AS na
+    FROM ex JOIN pe USING (i) GROUP BY 1
+)
+SELECT vec_id, round(dot / (na * npv), 6) AS cos_sim
+FROM dots, np
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""
+
+
+# --- all-pairs top similarity (embedding near-dup scan) ---------------------
+
+def embed_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar embedding pairs — the verify stage of
+    embedding-cosine near-dup (here over all pairs; at scale only over
+    LSH-bucket candidates)."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("va") < F.col("vb"))
+    return (
+        pairs.select(
+            "va", "vb",
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("va"), F.asc("vb"))
+        .limit(20)
+    )
+
+
+EMBED_TOP_PAIRS_SQL = """
+WITH ex AS (
+    SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x::DOUBLE * x::DOUBLE)) AS nrm FROM ex GROUP BY 1),
+dots AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.x::DOUBLE * b.x::DOUBLE) AS dot
+    FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+)
+SELECT va, vb, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+FROM dots JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb
+ORDER BY cos_sim DESC, va ASC, vb ASC LIMIT 20"""
+
+
+# --- LSH-bucketed ANN -------------------------------------------------------
+
+def _signature_bits(emb_col: Column) -> list[Column]:
+    return [
+        F.when(_dot(emb_col, F.array(*[F.lit(v) for v in plane])) >= 0, 1).otherwise(0)
+        for plane in HYPERPLANES
+    ]
+
+
+def lsh_bands_df(emb: DataFrame) -> DataFrame:
+    """(vec_id, band, bits): banded random-hyperplane signature."""
+    bits = _signature_bits(F.col("embedding"))
+    out = emb.select("vec_id", "embedding", *[bits[j].alias(f"bit{j}") for j in range(N_PLANES)])
+    bands = []
+    for band in range(N_PLANES // BAND_BITS):
+        expr = F.lit(0)
+        for j in range(BAND_BITS):
+            expr = expr + (F.col(f"bit{band * BAND_BITS + j}") * (2 ** j))
+        bands.append(
+            out.select("vec_id", "embedding", F.lit(band).alias("band"), expr.cast("int").alias("bits"))
+        )
+    res = bands[0]
+    for b in bands[1:]:
+        res = res.unionAll(b)
+    return res
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: score only vectors sharing ≥1 LSH band bucket with the probe."""
+    emb = _emb(spark, sf_dir)
+    banded = lsh_bands_df(emb)
+    probe_bands = banded.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("band").alias("pband"), F.col("bits").alias("pbits")
+    )
+    cand = (
+        banded.filter(F.col("vec_id") != PROBE_VEC_ID)
+        .join(
+            F.broadcast(probe_bands),
+            (F.col("band") == F.col("pband")) & (F.col("bits") == F.col("pbits")),
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    probe = _probe_vector(spark, sf_dir, PROBE_VEC_ID)
+    pv = F.array(*[F.lit(float(x)) for x in probe])
+    return (
+        emb.join(cand, "vec_id")
+        .select(
+            "vec_id",
+            F.round(_dot(F.col("embedding"), pv) / (_norm(F.col("embedding")) * _norm(pv)), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _hp_sql_rows() -> str:
+    return ", ".join(
+        f"({j}, {d + 1}, {HYPERPLANES[j][d]!r})" for j in range(N_PLANES) for d in range(DIM)
+    )
+
+
+ANN_LSH_SQL = f"""
+WITH hp(j, i, v) AS (VALUES {_hp_sql_rows()}),
+ex AS (
+    SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+),
+proj AS (
+    SELECT e.vec_id, h.j, sum(e.x::DOUBLE * h.v) AS p
+    FROM ex e JOIN hp h USING (i) GROUP BY 1, 2
+),
+bits AS (
+    SELECT vec_id, (j // {BAND_BITS})::INTEGER AS band,
+           sum(CASE WHEN p >= 0 THEN (2 ** (j % {BAND_BITS}))::INTEGER ELSE 0 END)::INTEGER AS bits
+    FROM proj GROUP BY 1, 2
+),
+pband AS (SELECT band, bits FROM bits WHERE vec_id = {PROBE_VEC_ID}),
+cand AS (
+    SELECT DISTINCT b.vec_id
+    FROM bits b JOIN pband p ON b.band = p.band AND b.bits = p.bits
+    WHERE b.vec_id != {PROBE_VEC_ID}
+),
+pe AS (
+    SELECT unnest(embedding) AS p, generate_subscripts(embedding, 1) AS i
+    FROM embeddings WHERE vec_id = {PROBE_VEC_ID}
+),
+np AS (SELECT sqrt(sum(p::DOUBLE * p::DOUBLE)) AS npv FROM pe),
+dots AS (
+    SELECT e.vec_id, sum(e.x::DOUBLE * pe.p::DOUBLE) AS dot,
+           sqrt(sum(e.x::DOUBLE * e.x::DOUBLE)) AS na
+    FROM ex e JOIN pe USING (i) JOIN cand c ON c.vec_id = e.vec_id
+    GROUP BY 1
+)
+SELECT vec_id, round(dot / (na * npv), 6) AS cos_sim
+FROM dots, np
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""
+
+
+register("ann_cosine_topk", ann_cosine_topk, ANN_COSINE_SQL)
+register("embed_top_pairs", embed_top_pairs, EMBED_TOP_PAIRS_SQL)
+register("ann_lsh_topk", ann_lsh_topk, ANN_LSH_SQL)

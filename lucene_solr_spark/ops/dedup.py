@@ -1,0 +1,232 @@
+"""Deduplication operators for training-data pipelines: exact hash dedup,
+n-gram (shingle) Jaccard near-dup, MinHash + LSH banding.
+
+Scale design (the point of these ops at 100 TB):
+- **Exact**: one hash-groupBy on md5(text) — map-side combine, one shuffle.
+- **Shingle Jaccard**: the candidate generator is a self-equi-join on the
+  shingle column. Hot shingles are the skew hazard: ``max_shingle_df``
+  drops shingles present in more than that many docs (boilerplate removal —
+  standard practice; they carry no near-dup signal and quadratically blow
+  up the join). The verified jaccard is exact set arithmetic.
+- **MinHash LSH**: linear passes only — per-(doc, seed) min over md5-hashed
+  shingles (16 signatures), banded into 4 buckets of 4; candidate pairs are
+  an equi-join on (band, band_hash), i.e. only colliding docs ever meet.
+  This is THE sub-quadratic near-dup path for 10^9+ docs; the pairwise
+  verify join runs on the tiny candidate set.
+
+All hashing is md5-over-utf8 (identical in Spark and DuckDB) so every stage
+is SQL-cross-checkable — no engine-private hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .registry import register
+from .textmetrics import TOKEN_RE, TOKEN_RE_SQL
+
+N_SEEDS = 16
+BAND_SIZE = 4
+N_BANDS = N_SEEDS // BAND_SIZE
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def shingles(docs: DataFrame, n: int = 3, max_shingle_df: int | None = None) -> DataFrame:
+    """Distinct token n-gram shingles per doc → (doc_id, shingle)."""
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("pos", "term"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cols = [F.col("term")] + [F.lead("term", i).over(w).alias(f"t{i}") for i in range(1, n)]
+    sh = (
+        tok.select("doc_id", *cols)
+        .filter(F.col(f"t{n-1}").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "term", *[f"t{i}" for i in range(1, n)]).alias("shingle"))
+        .distinct()
+    )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+            .filter(F.col("sdf") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh
+
+
+def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact pairwise Jaccard over docs sharing ≥1 shingle → pairs ≥ threshold."""
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sza, "doc_a").join(szb, "doc_b")
+        .withColumn("jaccard", F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
+    )
+
+
+# --- exact dedup ------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by content hash (hash-groupBy, one shuffle)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("content_hash")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1"""
+
+
+# --- shingle jaccard near-dup ----------------------------------------------
+
+def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles(_docs(spark, sf_dir), n=3)
+    return jaccard_pairs(sh, 0.8).orderBy("doc_a", "doc_b")
+
+
+DEDUP_SHINGLE_SQL = f"""
+WITH tl AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks FROM documents
+),
+t AS (
+    SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl
+),
+sh AS (
+    SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
+    FROM t a
+    JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    JOIN t c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+pairs AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*)::BIGINT AS inter
+    FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb,
+       inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8
+ORDER BY doc_a, doc_b"""
+
+
+# --- MinHash + LSH banding --------------------------------------------------
+
+def minhash_signatures(sh: DataFrame, n_seeds: int = N_SEEDS) -> DataFrame:
+    """(doc_id, seed, mh): per-seed min over md5(seed ':' shingle)."""
+    spark = sh.sparkSession
+    seeds = spark.createDataFrame([(s,) for s in range(n_seeds)], "seed int")
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))).alias("mh"))
+    )
+
+
+def lsh_bands(mh: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
+    """(doc_id, band, band_hash): md5 over the band's seed-ordered minhashes."""
+    sig = (
+        mh.groupBy("doc_id", F.floor(F.col("seed") / band_size).cast("int").alias("band"))
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                        lambda s: s.mh,
+                    ),
+                    ":",
+                )
+            ).alias("band_hash")
+        )
+    )
+    return sig
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidates from LSH band collisions, verified with exact Jaccard ≥ 0.7."""
+    sh = shingles(_docs(spark, sf_dir), n=3)
+    bands = lsh_bands(minhash_signatures(sh))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = jaccard_pairs(sh, 0.7).join(cand, ["doc_a", "doc_b"], "inner")
+    return verified.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH tl AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks FROM documents
+),
+t AS (
+    SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl
+),
+sh AS (
+    SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
+    FROM t a
+    JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    JOIN t c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+seeds AS (SELECT unnest(generate_series(0, {N_SEEDS - 1})) AS seed),
+mh AS (
+    SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS mh
+    FROM sh, seeds GROUP BY 1, 2
+),
+bands AS (
+    SELECT doc_id, (seed // {BAND_SIZE})::INTEGER AS band,
+           md5(string_agg(mh, ':' ORDER BY seed)) AS band_hash
+    FROM mh GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+pairs AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*)::BIGINT AS inter
+    FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT doc_a, doc_b, inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+    FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+    WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.7
+)
+SELECT j.doc_a, j.doc_b, j.jaccard
+FROM jac j JOIN cand c ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+ORDER BY 1, 2"""
+
+
+register("dedup_exact", dedup_exact, DEDUP_EXACT_SQL)
+register("dedup_shingle_jaccard", dedup_shingle_jaccard, DEDUP_SHINGLE_SQL)
+register("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_SQL)

@@ -1,0 +1,238 @@
+"""Solr JSON Facet API / StatsComponent analogs (SURVEY.md §2.E) as
+Catalyst-native aggregations over the TPC-H-ish driver tables.
+
+Reference semantics: terms facet = ``S/search/facet/FacetField`` (top-N
+buckets by count), range facet = ``FacetRange`` (fixed start/gap buckets),
+query facet = ``FacetQuery`` (conditional agg), nested subfacets =
+``FacetModule`` bucket trees, metrics = ``SumAgg/AvgAgg/MinMaxAgg/
+StddevAgg/PercentileAgg/UniqueAgg``, grouping/collapse =
+``S/search/Grouping`` / ``CollapsingQParserPlugin`` (best doc per group).
+
+Scale notes: every facet here is a single hash-aggregate (partial+final —
+Catalyst's map-side combine replaces Solr's 2-phase distributed facet
+refinement); top-N bucket selection is TakeOrdered on the aggregated
+(small) side, never a full sort of the fact table. Grouping/collapse is a
+window rank which AQE executes as one shuffle on the group key.
+
+Float discipline for the DuckDB cross-check: money/quantity sums go through
+DECIMAL casts (exact, associative — immune to summation order), derived
+ratios are computed in double from those exact sums with identical op order
+on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- terms facet: top-N buckets by count (FacetFieldProcessor) --------------
+
+def facet_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("bucket"))
+        .limit(5)
+    )
+
+
+FACET_TERMS_SQL = """
+SELECT o_orderpriority AS bucket,
+       count(*)::BIGINT AS cnt,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY 1 ORDER BY cnt DESC, bucket ASC LIMIT 5"""
+
+
+# --- range facet: fixed start/gap numeric buckets (FacetRange) --------------
+
+def facet_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.col("o_totalprice")).alias("min_price"),
+            F.max(F.col("o_totalprice")).alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+FACET_RANGE_SQL = """
+SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+       count(*)::BIGINT AS cnt,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders GROUP BY 1 ORDER BY bucket"""
+
+
+# --- query facet: bucket = arbitrary predicate (FacetQuery) -----------------
+
+def facet_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    return li.agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).cast("long").alias("n_returned"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).cast("long").alias("n_discounted"),
+        F.sum(F.when(F.col("l_returnflag") == "R", dec)).cast("double").alias("returned_revenue"),
+    )
+
+
+FACET_QUERY_SQL = """
+SELECT sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS n_returned,
+       sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)::BIGINT AS n_discounted,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS returned_revenue
+FROM lineitem"""
+
+
+# --- nested facet + metrics: TPC-H Q1 shape (FacetModule bucket tree) -------
+
+def facet_metrics_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+FACET_METRICS_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       count(*)::BIGINT AS count_order,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+# --- stats component: field stats over a result set -------------------------
+
+def stats_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``S/handler/component/StatsComponent`` — min/max/sum/mean/stddev.
+    stddev from exact decimal power sums, explicit sample formula (matches the
+    oracle's op order bitwise)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "A")
+    dec = F.col("l_quantity").cast("decimal(18,2)")
+    sq = dec * dec
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.sum(dec).cast("double").alias("sum_qty"),
+        F.sum(sq).cast("double").alias("sumsq_qty"),
+    )
+    return agg.select(
+        "n", "min_qty", "max_qty", "sum_qty",
+        (F.col("sum_qty") / F.col("n")).alias("mean_qty"),
+        F.sqrt(
+            (F.col("sumsq_qty") - F.col("sum_qty") * F.col("sum_qty") / F.col("n"))
+            / (F.col("n") - F.lit(1))
+        ).alias("stddev_qty"),
+    )
+
+
+STATS_COMPONENT_SQL = """
+WITH a AS (
+    SELECT count(*)::BIGINT AS n,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sumsq_qty
+    FROM lineitem WHERE l_returnflag = 'A'
+)
+SELECT n, min_qty, max_qty, sum_qty,
+       sum_qty / n AS mean_qty,
+       sqrt((sumsq_qty - sum_qty * sum_qty / n) / (n - 1)) AS stddev_qty
+FROM a"""
+
+
+# --- unique agg: exact count-distinct per bucket (UniqueAgg) ----------------
+
+def facet_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("uniq_users"), F.count(F.lit(1)).alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+FACET_UNIQUE_SQL = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS uniq_users, count(*)::BIGINT AS cnt
+FROM events GROUP BY 1 ORDER BY 1"""
+
+
+# --- grouping / collapse: best row per group (CollapsingQParserPlugin) ------
+
+def collapse_best_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    )
+
+
+COLLAPSE_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+    FROM orders
+) WHERE rn = 1 ORDER BY o_custkey"""
+
+
+# --- grouping: top-k docs per group (lucene/grouping) -----------------------
+
+def group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", F.col("rnk").cast("int").alias("rnk"), "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rnk")
+    )
+
+
+GROUP_TOPK_SQL = """
+SELECT o_orderpriority, rnk::INTEGER AS rnk, o_orderkey, o_totalprice FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+    FROM orders
+) WHERE rnk <= 3 ORDER BY o_orderpriority, rnk"""
+
+
+register("facet_terms", facet_terms, FACET_TERMS_SQL)
+register("facet_range", facet_range, FACET_RANGE_SQL)
+register("facet_query", facet_query, FACET_QUERY_SQL)
+register("facet_metrics_q1", facet_metrics_q1, FACET_METRICS_Q1_SQL)
+register("stats_component", stats_component, STATS_COMPONENT_SQL)
+register("facet_unique", facet_unique, FACET_UNIQUE_SQL)
+register("collapse_best_order", collapse_best_order, COLLAPSE_SQL)
+register("group_topk", group_topk, GROUP_TOPK_SQL)

@@ -1,0 +1,285 @@
+"""Solr Streaming Expressions (SURVEY.md §2.F, ``SJ/io/stream/*``) as
+DataFrame combinators.
+
+Every tuple-at-a-time sorted-stream operator in solrj's io.stream package
+maps to a declarative DataFrame op that Catalyst plans (sort-merge vs
+broadcast-hash picked by stats/AQE — replacing the author-picks-the-join
+model of ``InnerJoinStream`` vs ``HashJoinStream``). ``ParallelStream``'s
+hash-partitioned workers are Spark's exchange itself.
+
+Scale notes: the small dimension side (customer/nation) is explicitly
+``broadcast()`` (HashJoinStream semantics — build side must fit in memory,
+here executor memory); fact-fact joins shuffle on the join key once and
+aggregate on the same key (no second shuffle: groupBy key ⊆ join key).
+Timeseries buckets aggregate map-side first.
+
+Float discipline for the oracles: sums over doubles go through DECIMAL
+casts (order-independent exact arithmetic), like facets.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- innerJoin (sorted-stream equi-join, InnerJoinStream/BiJoinStream) ------
+
+def stream_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders on orderkey, rollup revenue per orderpriority.
+    Fact-fact equi-join → Catalyst sort-merge join (InnerJoinStream analog);
+    the rollup aggregates on the broadcastable result."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("o_orderpriority")
+    )
+
+
+STREAM_INNER_JOIN_SQL = """
+SELECT o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1"""
+
+
+# --- hashJoin (build-side broadcast, HashJoinStream) ------------------------
+
+def stream_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ broadcast(customer ⋈ nation): revenue per nation."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    dim = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return (
+        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+STREAM_HASH_JOIN_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       count(*)::BIGINT AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1"""
+
+
+# --- leftOuterJoin + having (LeftOuterJoinStream, HavingStream) -------------
+
+def stream_left_join_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customers left-joined to their orders, HAVING n_orders >= 15."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+        .orderBy("c_custkey")
+    )
+
+
+STREAM_LEFT_JOIN_HAVING_SQL = """
+SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY 1 HAVING count(o_orderkey) >= 15 ORDER BY 1"""
+
+
+# --- fetch (batched lookup enrich, FetchStream) -----------------------------
+
+def stream_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top-20 orders by price, enriched with customer fields (fetch = late
+    broadcast lookup join AFTER the top-k, never before)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    top = orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(20)
+    return (
+        top.join(F.broadcast(cust), top.o_custkey == cust.c_custkey, "left")
+        .select("o_orderkey", "o_totalprice", "c_name", "c_nationkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+
+
+STREAM_FETCH_SQL = """
+SELECT o_orderkey, o_totalprice, c_name, c_nationkey
+FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20) o
+LEFT JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC"""
+
+
+# --- unique / sort / top (UniqueStream, SortStream, RankStream) -------------
+
+def stream_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct (user_id, event_type) pairs — dedupe on sorted key."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").dropDuplicates().orderBy("user_id", "event_type")
+
+
+STREAM_UNIQUE_SQL = """
+SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2"""
+
+
+def stream_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RankStream: top-50 events by value (desc, event_id asc tiebreak)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(50)
+        .select("event_id", "user_id", "value")
+    )
+
+
+STREAM_TOP_SQL = """
+SELECT event_id, user_id, value FROM events ORDER BY value DESC, event_id ASC LIMIT 50"""
+
+
+# --- rollup / reduce (RollupStream + metrics) -------------------------------
+
+def stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec).cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAM_ROLLUP_SQL = """
+SELECT user_id, count(*)::BIGINT AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1 ORDER BY 1"""
+
+
+# --- intersect / complement (IntersectStream, ComplementStream) -------------
+
+def stream_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """users who both clicked AND errored (left-semi ∘ left-semi)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    errors = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return clicks.intersect(errors).orderBy("user_id")
+
+
+STREAM_INTERSECT_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+ORDER BY user_id"""
+
+
+def stream_complement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """users who viewed but never purchased (anti-join)."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return views.join(buys, "user_id", "left_anti").orderBy("user_id")
+
+
+STREAM_COMPLEMENT_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+ORDER BY user_id"""
+
+
+# --- cartesianProduct (unnest multivalued field, CartesianProductStream) ----
+
+def stream_cartesian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode the json props into (event_id, key, value) tuples."""
+    ev = _t(spark, sf_dir, "events")
+    kv = F.explode(F.from_json(F.col("props"), "map<string,string>"))
+    return (
+        ev.select("event_id", kv.alias("k", "v"))
+        .orderBy("event_id", "k")
+    )
+
+
+STREAM_CARTESIAN_SQL = """
+SELECT event_id,
+       unnest(regexp_extract_all(props, '"([^"]+)" *:', 1)) AS k,
+       unnest(regexp_extract_all(props, ': *"?([^",}}]+)"?', 1)) AS v
+FROM events
+ORDER BY event_id, k"""
+
+
+# --- select/eval (SelectStream + SJ/io/eval evaluators) ---------------------
+
+def stream_select_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """computed fields: date math, if/else, arithmetic (eval classes)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.dayofweek("ts").cast("int").alias("dow"),
+        (F.col("value") * 2.0 + 1.0).alias("scaled"),
+        F.when(F.col("value") > 10.0, F.lit("high")).otherwise(F.lit("low")).alias("band"),
+    ).orderBy("event_id")
+
+
+STREAM_SELECT_EVAL_SQL = """
+SELECT event_id,
+       date_trunc('day', ts) AS day,
+       (dayofweek(ts) + 1)::INTEGER AS dow,
+       value * 2.0 + 1.0 AS scaled,
+       CASE WHEN value > 10.0 THEN 'high' ELSE 'low' END AS band
+FROM events ORDER BY event_id"""
+
+
+# --- timeseries (TimeSeriesStream = date-range facet) -----------------------
+
+def stream_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec).cast("double").alias("sum_value"))
+        .orderBy("day", "event_type")
+    )
+
+
+STREAM_TIMESERIES_SQL = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       count(*)::BIGINT AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+register("stream_inner_join", stream_inner_join, STREAM_INNER_JOIN_SQL)
+register("stream_hash_join", stream_hash_join, STREAM_HASH_JOIN_SQL)
+register("stream_left_join_having", stream_left_join_having, STREAM_LEFT_JOIN_HAVING_SQL)
+register("stream_fetch", stream_fetch, STREAM_FETCH_SQL)
+register("stream_unique", stream_unique, STREAM_UNIQUE_SQL)
+register("stream_top", stream_top, STREAM_TOP_SQL)
+register("stream_rollup", stream_rollup, STREAM_ROLLUP_SQL)
+register("stream_intersect", stream_intersect, STREAM_INTERSECT_SQL)
+register("stream_complement", stream_complement, STREAM_COMPLEMENT_SQL)
+register("stream_cartesian", stream_cartesian, STREAM_CARTESIAN_SQL)
+register("stream_select_eval", stream_select_eval, STREAM_SELECT_EVAL_SQL)
+register("stream_timeseries", stream_timeseries, STREAM_TIMESERIES_SQL)

@@ -1,0 +1,209 @@
+"""DuckDB ANSI-SQL oracles for the driver's correctness gate.
+
+Each builder returns a self-contained SQL string over the pre-registered
+``documents`` view that recomputes the engine's result *independently* —
+tokenization via the same regex, SmallFloat norm quantization via an embedded
+256-row decode table, and Lucene-8 BM25 with the engine's exact float32
+op-order (verified bitwise against numpy: DuckDB FLOAT arithmetic rounds per
+op to float32, ``ln`` matches libm, FLOAT literals parse like np.float32).
+
+Scope note: DuckDB in-sandbox has no Porter stemmer, so SQL oracles cover the
+``simple`` (lower) and ``stop`` (lower+stop, position holes) chains; the full
+Porter chain is validated by pytest goldens + the pure-pandas brute-force
+oracle (tests/test_rank_identity.py) instead.
+
+Reference semantics being checked: ``L/search/similarities/BM25Similarity``
+(idf/score/computeNorm), ``L/util/SmallFloat#intToByte4``,
+``L/search/BooleanQuery`` occur semantics, ``L/search/PhraseQuery`` with
+stop-hole position gaps, ``L/search/HitQueue`` (score desc, docID asc).
+"""
+
+from __future__ import annotations
+
+from .analysis.analyzer import ENGLISH_STOP_WORDS
+from .search.query import BooleanSpec, PhraseClause
+from .util.smallfloat import LENGTH_TABLE
+
+# Same token rule as analysis.analyzer._TOKEN_RE, RE2 syntax, SQL-quoted.
+TOKEN_RE_SQL = "[0-9A-Za-z_](?:[''’]?[0-9A-Za-z_]){0,254}"
+
+_STOP_LIST_SQL = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+
+_SF_ROWS = ", ".join(f"({b}, {int(LENGTH_TABLE[b])})" for b in range(256))
+
+_MAX_DL = 1 << 62
+
+
+def _kept_filter(analyzer: str) -> str:
+    if analyzer == "simple":
+        return ""
+    if analyzer == "stop":
+        return f" WHERE term NOT IN ({_STOP_LIST_SQL})"
+    raise ValueError(f"no SQL oracle for analyzer {analyzer!r} (porter not in DuckDB)")
+
+
+def base_ctes(analyzer: str) -> str:
+    """Shared WITH-clause body: tokens, per-doc lengths, norms, stats, cache.
+
+    Positions are assigned BEFORE the stop filter (0-based), preserving stop
+    holes exactly like FilteringTokenFilter's position increments.
+    """
+    return f"""
+tl AS (
+    SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE_SQL}') AS toks FROM documents
+),
+raw_toks AS (
+    SELECT doc_id, lower(unnest(toks)) AS term,
+           generate_subscripts(toks, 1) - 1 AS pos
+    FROM tl
+),
+kept AS (SELECT * FROM raw_toks{_kept_filter(analyzer)}),
+doclen AS (
+    SELECT d.doc_id, count(k.term)::BIGINT AS length
+    FROM documents d LEFT JOIN kept k USING (doc_id)
+    GROUP BY d.doc_id
+),
+stats AS (
+    SELECT count(*) FILTER (WHERE length > 0)::BIGINT AS doc_count,
+           sum(length)::BIGINT AS sum_ttf
+    FROM doclen
+),
+statsf AS (
+    SELECT doc_count, sum_ttf,
+           CAST(sum_ttf::DOUBLE / doc_count AS FLOAT) AS avgdl
+    FROM stats
+),
+sf(b, dl) AS (VALUES {_SF_ROWS}),
+sfr AS (
+    SELECT b, dl::BIGINT AS dl,
+           lead(dl::BIGINT, 1, {_MAX_DL}::BIGINT) OVER (ORDER BY b) AS next_dl
+    FROM sf
+),
+norms AS (
+    SELECT d.doc_id, d.length, s.b AS norm, s.dl AS decoded
+    FROM doclen d JOIN sfr s ON d.length >= s.dl AND d.length < s.next_dl
+),
+cachec AS (
+    -- float32 op order of bm25.norm_cache: k1f*((1f-bf) + (bf*dl)/avgdl)
+    SELECT n.doc_id, n.norm,
+           CAST(1.2 AS FLOAT) * (CAST(0.25 AS FLOAT)
+               + (CAST(0.75 AS FLOAT) * CAST(n.decoded AS FLOAT)) / st.avgdl) AS cache
+    FROM norms n, statsf st
+)"""
+
+
+def docs_norms_sql(analyzer: str) -> str:
+    return f"""WITH {base_ctes(analyzer)}
+SELECT n.doc_id::BIGINT AS doc_id, n.length::BIGINT AS length, n.norm::INTEGER AS norm
+FROM norms n ORDER BY doc_id"""
+
+
+def term_stats_sql(analyzer: str, min_df: int = 1) -> str:
+    return f"""WITH {base_ctes(analyzer)}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
+FROM kept GROUP BY term HAVING count(DISTINCT doc_id) >= {min_df}"""
+
+
+def collection_stats_sql(analyzer: str) -> str:
+    return f"""WITH {base_ctes(analyzer)}
+SELECT doc_count, sum_ttf, avgdl FROM statsf"""
+
+
+def _idf_expr(term: str) -> str:
+    """float32 idf — BM25Similarity#idf exact double op order, one f32 cast."""
+    return (
+        "CAST(ln(1.0 + (st.doc_count - "
+        f"(SELECT count(DISTINCT doc_id) FROM kept WHERE term = '{term}')"
+        " + 0.5) / ("
+        f"(SELECT count(DISTINCT doc_id) FROM kept WHERE term = '{term}')"
+        " + 0.5)) AS FLOAT)"
+    )
+
+
+def bm25_topk_sql(analyzer: str, spec: BooleanSpec, k: int) -> str:
+    """Full BM25 boolean/phrase top-k — bitwise float32 parity with the
+    engine's kernels (per-clause f32 score, Σ in double, one f32 cast,
+    (score desc, doc_id asc) tiebreak, minShouldMatch, MUST_NOT)."""
+    clause_ctes: list[str] = []
+    clause_selects: list[str] = []
+    ci = 0
+    for occur, group in (("must", spec.must), ("should", spec.should)):
+        for c in group:
+            is_must = "TRUE" if occur == "must" else "FALSE"
+            if isinstance(c, PhraseClause):
+                terms, offsets = c.terms, c.offsets
+                joins = []
+                for j in range(1, len(terms)):
+                    joins.append(
+                        f"JOIN kept k{j} ON k{j}.doc_id = k0.doc_id "
+                        f"AND k{j}.pos = k0.pos + {offsets[j] - offsets[0]} "
+                        f"AND k{j}.term = '{terms[j]}'"
+                    )
+                # weight = f32(Σ_double of per-term f32 idfs, in term order)
+                idf_sum = " + ".join(f"CAST({_idf_expr(t)} AS DOUBLE)" for t in terms)
+                exists = " AND ".join(
+                    f"EXISTS (SELECT 1 FROM kept WHERE term = '{t}')" for t in terms
+                )
+                clause_ctes.append(f"""
+ph{ci} AS (
+    SELECT k0.doc_id, count(*)::BIGINT AS tf
+    FROM kept k0 {' '.join(joins)}
+    WHERE k0.term = '{terms[0]}'
+    GROUP BY k0.doc_id
+),
+cs{ci} AS (
+    SELECT p.doc_id,
+           CAST(CAST({idf_sum} AS FLOAT)
+                * CAST(p.tf::DOUBLE / (p.tf::DOUBLE + CAST(c.cache AS DOUBLE)) AS FLOAT)
+            AS FLOAT) AS s,
+           {is_must} AS is_must
+    FROM ph{ci} p JOIN cachec c USING (doc_id), statsf st
+    WHERE {exists}
+)""")
+            else:
+                t = c.term
+                clause_ctes.append(f"""
+cs{ci} AS (
+    SELECT k.doc_id,
+           CAST({_idf_expr(t)}
+                * CAST(count(*)::DOUBLE / (count(*)::DOUBLE + CAST(any_value(c.cache) AS DOUBLE)) AS FLOAT)
+            AS FLOAT) AS s,
+           {is_must} AS is_must
+    FROM kept k JOIN cachec c USING (doc_id), statsf st
+    WHERE k.term = '{t}'
+    GROUP BY k.doc_id, st.doc_count
+)""")
+            clause_selects.append(f"SELECT doc_id, s, is_must FROM cs{ci}")
+            ci += 1
+
+    if ci == 0:
+        return "SELECT 1::INTEGER AS rank, 1::BIGINT AS doc_id, 1.0::FLOAT AS score WHERE FALSE"
+
+    n_must = len(spec.must)
+    msm = spec.min_should_match
+    if n_must == 0 and msm < 1:
+        msm = 1  # pure disjunction requires >=1 SHOULD (compile_query)
+    msm_clause = f"AND n_should >= {msm}" if msm > 0 else ""
+    mn_clause = ""
+    if spec.must_not:
+        mn_terms = ", ".join(f"'{c.term}'" for c in spec.must_not)
+        mn_clause = (
+            "AND NOT EXISTS (SELECT 1 FROM kept x "
+            f"WHERE x.doc_id = h.doc_id AND x.term IN ({mn_terms}))"
+        )
+
+    return f"""WITH {base_ctes(analyzer)},{','.join(clause_ctes)},
+clause_scores AS ({' UNION ALL '.join(clause_selects)}),
+hits AS (
+    SELECT doc_id,
+           CAST(sum(CAST(s AS DOUBLE)) AS FLOAT) AS score,
+           sum(CASE WHEN is_must THEN 1 ELSE 0 END) AS n_must,
+           sum(CASE WHEN is_must THEN 0 ELSE 1 END) AS n_should
+    FROM clause_scores GROUP BY doc_id
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY h.score DESC, h.doc_id ASC) AS rank,
+           h.doc_id, h.score
+    FROM hits h
+    WHERE n_must = {n_must} {msm_clause} {mn_clause}
+) WHERE rank <= {k} ORDER BY rank"""

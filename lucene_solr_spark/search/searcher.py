@@ -116,6 +116,17 @@ class IndexSearcher:
     def compile(self, spec: BooleanSpec, k: int = 10) -> CompiledQuery:
         return compile_query(spec, self.term_stats(spec.all_terms()), self.stats.doc_count, self.cache, k)
 
+    def compile_many(self, specs: dict[str, tuple[BooleanSpec, int]]) -> dict[str, CompiledQuery]:
+        """Compile a whole query set with ONE stats lookup job (TermStates
+        for the union of all query terms — the batched analog of
+        ``IndexSearcher#createWeight`` per request)."""
+        all_terms = sorted({t for spec, _ in specs.values() for t in spec.all_terms()})
+        df_map = self.term_stats(all_terms)
+        return {
+            qid: compile_query(spec, df_map, self.stats.doc_count, self.cache, k)
+            for qid, (spec, k) in specs.items()
+        }
+
     def parse(self, qtype: str, surface_terms: list[str], min_should: int = 0) -> BooleanSpec:
         return parse_fixture_query(self.analyzer, qtype, surface_terms, min_should)
 
