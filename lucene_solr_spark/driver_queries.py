@@ -17,9 +17,13 @@ from pyspark.sql import DataFrame, SparkSession
 from .engine import get_engine
 from .index.build import ANALYZERS
 from .oracles import (
+    blockjoin_sql,
     bm25_topk_sql,
     collection_stats_sql,
+    dismax_topk_sql,
     docs_norms_sql,
+    mlt_topk_sql,
+    multiterm_topk_sql,
     term_stats_sql,
 )
 from .search.query import parse_fixture_query
@@ -52,10 +56,43 @@ def _topk_oracle(analyzer: str, qtype: str, terms: list[str], msm: int, k: int) 
     return bm25_topk_sql(analyzer, spec, k)
 
 
+# MultiTermQuery fixtures: name → (kind, engine pattern, oracle SQL predicate)
+MULTITERM = {
+    "ft_prefix_topk": ("prefix", "s", "term LIKE 's%'"),
+    "ft_wildcard_topk": ("wildcard", "s%w", "term LIKE 's%w'"),
+    "ft_fuzzy_topk": ("fuzzy", ("batc", 1), "levenshtein(term, 'batc') <= 1"),
+    "ft_regexp_topk": ("regexp", "key|hash", "regexp_full_match(term, 'key|hash')"),
+    "ft_set_topk": ("set", ("table", "join", "key"), "term IN ('table', 'join', 'key')"),
+}
+
+DISMAX_TERMS = ["vector", "stream", "filter"]
+DISMAX_TIE = 0.3
+MLT_SRC_DOC = 42
+BLOCKJOIN_TERMS = ["dup", "vector"]
+PAGE2_QUERY = ("and2", ["merge", "batch"])
+
+
 def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
     for name, (an, qt, terms, msm, k) in FULLTEXT_TOPK.items():
         out[name] = _topk_query(an, qt, terms, msm, k)
+    for name, (kind, pattern, _pred) in MULTITERM.items():
+        out[name] = (
+            lambda spark, sf_dir, kind=kind, pattern=pattern:
+            get_engine(spark, sf_dir, "simple").multiterm_topk(kind, pattern, k=10)
+        )
+    out["ft_dismax_topk"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").dismax_topk(
+        DISMAX_TERMS, DISMAX_TIE, k=10
+    )
+    out["ft_mlt_topk"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").mlt_topk(
+        MLT_SRC_DOC, top_terms=5, k=10
+    )
+    out["ft_page2_topk"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").search_after_page(
+        PAGE2_QUERY[0], PAGE2_QUERY[1], k=10
+    )
+    out["ft_blockjoin_source"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).blockjoin_by_source("or2", BLOCKJOIN_TERMS, n_groups=5)
     out["ft_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").docs_norms()
     out["ft_stop_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "stop").docs_norms()
     out["ft_term_stats"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").term_stats_df()
@@ -70,6 +107,17 @@ def fulltext_oracles() -> dict[str, str]:
         name: _topk_oracle(an, qt, terms, msm, k)
         for name, (an, qt, terms, msm, k) in FULLTEXT_TOPK.items()
     }
+    for name, (_kind, _pattern, pred) in MULTITERM.items():
+        out[name] = multiterm_topk_sql("simple", pred, 10)
+    out["ft_dismax_topk"] = dismax_topk_sql("simple", DISMAX_TERMS, DISMAX_TIE, 10)
+    out["ft_mlt_topk"] = mlt_topk_sql("simple", MLT_SRC_DOC, 5, 10)
+    out["ft_page2_topk"] = bm25_topk_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), PAGE2_QUERY[0], PAGE2_QUERY[1], 0),
+        10,
+        offset=10,
+    )
+    out["ft_blockjoin_source"] = blockjoin_sql("simple", BLOCKJOIN_TERMS, 5)
     out["ft_docs_norms"] = docs_norms_sql("simple")
     out["ft_stop_docs_norms"] = docs_norms_sql("stop")
     out["ft_term_stats"] = term_stats_sql("simple")

@@ -41,8 +41,10 @@ class DocumentsEngine:
         self.sf_dir = sf_dir
         self.analyzer = analyzer
         src = os.path.join(sf_dir, "documents.parquet")
+        # bump the version token whenever the on-disk index format changes
+        # (cache dirs are content-addressed; a stale format must not resume)
         tag = hashlib.md5(
-            f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{analyzer}|{n_segments}|v1".encode()
+            f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{analyzer}|{n_segments}|v2".encode()
         ).hexdigest()[:16]
         self.index_dir = os.path.join(
             tempfile.gettempdir(), "lucene_solr_spark_idx", f"docs-{analyzer}-{tag}"
@@ -85,6 +87,73 @@ class DocumentsEngine:
 
     def analyze_spec(self, qtype: str, surface_terms: list[str], min_should: int = 0) -> BooleanSpec:
         return self.searcher.parse(qtype, surface_terms, min_should)
+
+    def _present(self, out: DataFrame) -> DataFrame:
+        return out.select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("doc_key").cast("long").alias("doc_id"),
+            F.col("score").cast("float").alias("score"),
+        ).orderBy("rank")
+
+    def multiterm_topk(self, kind: str, pattern, k: int = 10) -> DataFrame:
+        """Prefix/wildcard/regexp/fuzzy/set query → scoring boolean rewrite."""
+        spec = self.searcher.multiterm_spec(kind, pattern)
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
+    def dismax_topk(self, surface_terms: list[str], tie: float, k: int = 10) -> DataFrame:
+        spec = self.searcher.parse("or3", surface_terms, 0)
+        spec.dismax, spec.tie = True, tie
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
+    def mlt_topk(self, src_doc_id: int, top_terms: int = 5, k: int = 10) -> DataFrame:
+        """MoreLikeThis: interesting-terms disjunction of doc ``src_doc_id``,
+        excluding the source doc itself."""
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            os.path.join(self.sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        ).to_pandas()
+        text = t.loc[t.doc_id == src_doc_id, "text"].iloc[0]
+        spec = self.searcher.more_like_this_spec(text, top_terms)
+        out = self.searcher.search(spec, k=k + 1, with_keys=True)
+        out = out.filter(F.col("doc_key") != src_doc_id).limit(k)
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return self._present(out.withColumn("rank", F.row_number().over(w)))
+
+    def search_after_page(
+        self, qtype: str, surface_terms: list[str], k: int = 10, min_should: int = 0
+    ) -> DataFrame:
+        """Page 2 via a searchAfter cursor from page 1 (``IndexSearcher#searchAfter``)."""
+        spec = self.searcher.parse(qtype, surface_terms, min_should)
+        page1 = self.searcher.search(spec, k=k).collect()
+        if len(page1) < k:
+            return self.spark.createDataFrame([], "rank int, doc_id long, score float")
+        cursor = (page1[-1].score, page1[-1].doc_id)
+        return self._present(
+            self.searcher.search(spec, k=k, with_keys=True, after=cursor)
+        )
+
+    def blockjoin_by_source(self, qtype: str, surface_terms: list[str], n_groups: int = 5) -> DataFrame:
+        """ToParentBlockJoin analog: child (doc) BM25 hits roll up to the
+        parent ``source`` group; parent score = max child score
+        (ScoreMode.Max), plus the child hit count."""
+        spec = self.searcher.parse(qtype, surface_terms, 0)
+        hits = self.searcher.search(spec, k=1 << 30, mode="exact", with_keys=True)
+        src = self.spark.read.parquet(os.path.join(self.sf_dir, "documents.parquet")).select(
+            F.col("doc_id").alias("doc_key"), "source"
+        )
+        return (
+            hits.join(F.broadcast(src), "doc_key")
+            .groupBy("source")
+            .agg(
+                F.max("score").cast("float").alias("parent_score"),
+                F.count(F.lit(1)).alias("n_children"),
+            )
+            .orderBy(F.desc("parent_score"), F.asc("source"))
+            .limit(n_groups)
+        )
 
     def docs_norms(self) -> DataFrame:
         """The per-doc (length, norm) map — Lucene's norms file as a table."""

@@ -106,18 +106,26 @@ def _atomic_write(table: pa.Table, path: str) -> None:
 
 def _invert_partition(
     pdfs: list[pd.DataFrame],
-    base: int,
     seg: int,
     meta: IndexMeta,
     index_dir: str,
     key_types: dict[str, pa.DataType],
 ) -> dict:
-    """Invert one segment's rows (already in key order) and write its files."""
+    """Invert one segment's rows (already in key order) and write its files.
+
+    DocIDs are SEGMENT-LOCAL (0..n-1 in key order). Global IDs are
+    ``local + segment base`` where bases are the cumulative per-segment row
+    counts, computed AFTER the single build pass from the manifest —
+    avoiding the persist + count prepass an up-front global assignment
+    would need (one less full materialization of the corpus; exactly
+    Lucene's per-segment id + base design, ``MergeState.DocMap``-free
+    because segments are doc-range-ordered)."""
     t0 = time.monotonic()
     analyzer = ANALYZERS[meta.analyzer]()
     key_cols = list(meta.key_cols)
 
-    term_parts: list[np.ndarray] = []
+    code_parts: list[np.ndarray] = []   # per-batch term codes
+    cat_parts: list[np.ndarray] = []    # per-batch category vocabularies
     doc_parts: list[np.ndarray] = []
     pos_parts: list[np.ndarray] = []
     len_parts: list[np.ndarray] = []
@@ -125,7 +133,14 @@ def _invert_partition(
     n_rows = 0
     for pdf in pdfs:
         frame = analyzer.analyze_batch(pdf[meta.text_col])
-        term_parts.append(frame["term"].to_numpy())
+        tcol = frame["term"]
+        if isinstance(tcol.dtype, pd.CategoricalDtype):
+            code_parts.append(tcol.cat.codes.to_numpy().astype(np.int64))
+            cat_parts.append(tcol.cat.categories.to_numpy())
+        else:  # fallback analyzer paths return plain object strings
+            c, u = pd.factorize(tcol.to_numpy(), sort=True)
+            code_parts.append(c.astype(np.int64))
+            cat_parts.append(np.asarray(u, dtype=object))
         doc_parts.append(frame["row"].to_numpy() + n_rows)  # doc-local index
         pos_parts.append(frame["pos"].to_numpy().astype(np.int64))
         len_parts.append(frame.attrs["doc_len"])
@@ -134,7 +149,7 @@ def _invert_partition(
 
     lengths = np.concatenate(len_parts) if len_parts else np.empty(0, dtype=np.int64)
     norms = encode_lengths(lengths)
-    doc_ids = base + np.arange(n_rows, dtype=np.int64)
+    doc_ids = np.arange(n_rows, dtype=np.int64)  # segment-local
 
     # --- docs table (docID map + norms) ---
     keys = (
@@ -144,7 +159,7 @@ def _invert_partition(
     )
     docs_tbl = pa.table({
         **{c: pa.array(keys[c], type=key_types[c]) for c in key_cols},
-        "doc_id": doc_ids,
+        "doc_local": doc_ids,
         "length": lengths,
         "norm": norms.astype(np.int32),
         "seg": np.full(n_rows, seg, dtype=np.int32),
@@ -152,27 +167,35 @@ def _invert_partition(
     os.makedirs(os.path.join(index_dir, "docs", f"seg={seg}"), exist_ok=True)
     _atomic_write(docs_tbl, os.path.join(index_dir, "docs", f"seg={seg}", "part-0.parquet"))
 
-    # --- seg_norms (dense per-segment norm byte array) ---
+    # --- seg_norms (dense per-segment norm byte array; base fixed up
+    # post-build once global counts are known) ---
     os.makedirs(os.path.join(index_dir, "seg_norms", f"seg={seg}"), exist_ok=True)
     norms_tbl = pa.table({
         "seg": np.array([seg], dtype=np.int32),
-        "base": np.array([base], dtype=np.int64),
+        "base": np.array([-1], dtype=np.int64),
         "n": np.array([n_rows], dtype=np.int64),
         "norms": pa.array([norms.tobytes()], type=pa.binary()),
     })
     _atomic_write(norms_tbl, os.path.join(index_dir, "seg_norms", f"seg={seg}", "part-0.parquet"))
 
     # --- invert: sorted (term, doc, pos) → per-term blocks ---
-    if term_parts and sum(len(t) for t in term_parts):
-        terms = np.concatenate(term_parts)
+    # unify the per-batch vocabularies (small) into one sorted global vocab,
+    # remap codes through per-batch LUTs — no token-level string work.
+    if code_parts and sum(len(c) for c in code_parts):
+        uniques = np.unique(np.concatenate(cat_parts))
+        remapped = []
+        for c, cats in zip(code_parts, cat_parts):
+            lut = np.searchsorted(uniques, cats)
+            remapped.append(lut[c])
+        codes = np.concatenate(remapped)
         docs_l = np.concatenate(doc_parts)
         poss = np.concatenate(pos_parts)
     else:
-        terms = np.empty(0, dtype=object)
+        codes = np.empty(0, dtype=np.int64)
+        uniques = np.empty(0, dtype=object)
         docs_l = np.empty(0, dtype=np.int64)
         poss = np.empty(0, dtype=np.int64)
 
-    codes, uniques = pd.factorize(terms, sort=True)
     order = np.lexsort((poss, docs_l, codes))
     codes, docs_l, poss = codes[order], docs_l[order], poss[order]
 
@@ -210,7 +233,7 @@ def _invert_partition(
 
     manifest = {
         "seg": seg,
-        "base": base,
+        "base": -1,  # assigned post-build (cumsum of n_docs in seg order)
         "n_docs": n_rows,
         "doc_count": int((lengths > 0).sum()),
         "n_terms": len(term_rows),
@@ -232,12 +255,12 @@ def _invert_partition(
 def _make_kernel(
     meta: IndexMeta,
     index_dir: str,
-    bases: dict[int, int],
     key_types: dict[str, pa.DataType],
+    seg_offset: int = 0,
 ):
     def kernel(iterator):
         ctx = TaskContext.get()
-        seg = ctx.partitionId()
+        seg = seg_offset + ctx.partitionId()
         marker = os.path.join(index_dir, "manifest", f"seg={seg}.parquet")
         if os.path.exists(marker):  # resume: segment already committed
             row = pq.read_table(marker).to_pandas()
@@ -245,7 +268,7 @@ def _make_kernel(
             yield row
             return
         pdfs = list(iterator)
-        manifest = _invert_partition(pdfs, bases[seg], seg, meta, index_dir, key_types)
+        manifest = _invert_partition(pdfs, seg, meta, index_dir, key_types)
         yield pd.DataFrame([manifest])
 
     return kernel
@@ -287,34 +310,87 @@ def build_index(
         meta.save(index_dir)
 
     cols = [*key_cols, text_col]
-    # One range-shuffle keyed on the stable doc key = segment assignment +
-    # within-segment order. persist() pins partition boundaries so the count
-    # job and the build job see identical segments (at warehouse scale this
-    # staging would be a temp table / Iceberg snapshot instead).
+    # ONE range-shuffle keyed on the stable doc key = segment assignment +
+    # within-segment order, consumed directly by the invert kernel. DocIDs
+    # are segment-local, so no persist/count prepass is needed — bases are
+    # derived from the manifest afterwards (segment order == range order).
     dfp = (
         df.select(*cols)
         .repartitionByRange(meta.n_segments, *key_cols)
         .sortWithinPartitions(*key_cols)
-        .persist()
     )
-    counts = (
-        dfp.select(F.spark_partition_id().alias("pid"))
-        .groupBy("pid").count()
-        .toPandas().set_index("pid")["count"]
-    )
-    per_seg = np.zeros(meta.n_segments, dtype=np.int64)
-    per_seg[counts.index.to_numpy()] = counts.to_numpy()
-    bases = {seg: int(b) for seg, b in enumerate(np.cumsum(per_seg) - per_seg)}
 
     from pyspark.sql.pandas.types import to_arrow_type
 
     key_types = {c: to_arrow_type(df.schema[c].dataType) for c in key_cols}
-    manifest = dfp.mapInPandas(_make_kernel(meta, index_dir, bases, key_types), MANIFEST_SCHEMA)
+    manifest = dfp.mapInPandas(_make_kernel(meta, index_dir, key_types), MANIFEST_SCHEMA)
     out = manifest.toPandas().sort_values("seg").reset_index(drop=True)
-    dfp.unpersist()
+    out["base"] = out["n_docs"].cumsum() - out["n_docs"]
+    _fixup_bases(index_dir, out)
 
     _finalize(spark, index_dir)
     return spark.createDataFrame(out)
+
+
+def append_batch(
+    spark: SparkSession,
+    df: DataFrame,
+    index_dir: str,
+    *,
+    n_segments: int | None = None,
+) -> DataFrame:
+    """Append a new batch of docs as fresh segments (NRT soft-commit /
+    ``TopicStream`` incremental-pull analog, SURVEY.md §2.H): new segments
+    get ids after the existing ones, global stats and bases are recomputed
+    (= reopening the NRT reader rebinds collection stats). Append-only —
+    update/delete tombstones are out of scope (v2)."""
+    meta = IndexMeta.load(index_dir)
+    if n_segments is None:
+        n_segments = spark.sparkContext.defaultParallelism
+    existing = [
+        int(f.split("=")[1].split(".")[0])
+        for f in os.listdir(os.path.join(index_dir, "manifest"))
+        if f.startswith("seg=")
+    ]
+    offset = (max(existing) + 1) if existing else 0
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    key_cols = list(meta.key_cols)
+    dfp = (
+        df.select(*key_cols, meta.text_col)
+        .repartitionByRange(n_segments, *key_cols)
+        .sortWithinPartitions(*key_cols)
+    )
+    key_types = {c: to_arrow_type(df.schema[c].dataType) for c in key_cols}
+    manifest = dfp.mapInPandas(
+        _make_kernel(meta, index_dir, key_types, seg_offset=offset), MANIFEST_SCHEMA
+    )
+    manifest.toPandas()  # run the batch job
+
+    # recompute bases + global stats over ALL segments (reader reopen)
+    all_rows = []
+    for f in sorted(os.listdir(os.path.join(index_dir, "manifest"))):
+        if f.startswith("seg="):
+            all_rows.append(pq.read_table(os.path.join(index_dir, "manifest", f)).to_pandas())
+    out = pd.concat(all_rows, ignore_index=True).sort_values("seg").reset_index(drop=True)
+    out["base"] = out["n_docs"].cumsum() - out["n_docs"]
+    _fixup_bases(index_dir, out)
+    _finalize(spark, index_dir)
+    return spark.createDataFrame(out)
+
+
+def _fixup_bases(index_dir: str, manifest: pd.DataFrame) -> None:
+    """Write the derived global base into each (tiny) seg_norms file.
+    Idempotent — bases are a pure function of the manifest row counts."""
+    for seg, base in manifest[["seg", "base"]].itertuples(index=False):
+        path = os.path.join(index_dir, "seg_norms", f"seg={seg}", "part-0.parquet")
+        t = pq.read_table(path)
+        if t.column("base")[0].as_py() == int(base):
+            continue
+        cols = {name: t.column(name) for name in t.column_names}
+        cols["base"] = pa.array([int(base)], type=pa.int64())
+        _atomic_write(pa.table(cols), path)
 
 
 def _finalize(spark: SparkSession, index_dir: str) -> None:

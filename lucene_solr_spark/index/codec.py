@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..util.varint import decode_varints, encode_varints
+from ..util.varint import decode_varints, encode_varints, encode_varints_sliced
 
 BLOCK_SIZE = 128
 
@@ -51,40 +51,59 @@ def encode_posting_blocks(
 
     positions_flat: all positions doc-major (row i owns tfs[i] entries),
     or None to omit positions (DOCS_AND_FREQS index option).
+
+    Hot path: each stream (doc deltas / tfs / position deltas) is encoded in
+    ONE vectorized pass over the whole term and sliced into per-block byte
+    strings by offset tables — not one ``encode_varints`` call per block
+    (~6x fewer numpy dispatches; the build kernel's dominant cost).
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     norms = np.asarray(norms, dtype=np.int64)
     n = len(doc_ids)
-    blocks: list[dict] = []
-    pos_splits = None
+    if n == 0:
+        return []
+    bstarts = np.arange(0, n, block_size, dtype=np.int64)
+    bbounds = np.append(bstarts, n)
+    n_blocks = len(bstarts)
+
+    # doc deltas: per block, first delta is 0 (delta vs the block's first_doc)
+    deltas = np.diff(doc_ids, prepend=doc_ids[0])
+    deltas[bstarts] = 0
+    docs_sliced = encode_varints_sliced(deltas, bbounds)
+    tfs_sliced = encode_varints_sliced(tfs, bbounds)
+
+    pos_sliced = None
     if positions_flat is not None:
         positions_flat = np.asarray(positions_flat, dtype=np.int64)
         pos_splits = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(tfs, out=pos_splits[1:])
-    for start in range(0, n, block_size):
-        end = min(start + block_size, n)
-        d = doc_ids[start:end]
-        t = tfs[start:end]
-        deltas = np.diff(d, prepend=d[0])
-        pos_bytes = b""
-        if positions_flat is not None:
-            p = positions_flat[pos_splits[start]:pos_splits[end]]
-            if p.size:
-                # per-doc delta coding: subtract previous position within doc
-                pd_ = np.diff(p, prepend=np.int64(0))
-                doc_starts = (pos_splits[start:end] - pos_splits[start])[t > 0]
-                pd_[doc_starts] = p[doc_starts]  # first position per doc as-is
-                pos_bytes = encode_varints(pd_)
+        if positions_flat.size:
+            # per-doc delta coding: first position absolute, rest deltas
+            pd_ = np.diff(positions_flat, prepend=np.int64(0))
+            doc_starts = pos_splits[:-1][tfs > 0]
+            pd_[doc_starts] = positions_flat[doc_starts]
+            pos_sliced = encode_varints_sliced(pd_, pos_splits[bbounds])
+        else:
+            pos_sliced = [b""] * n_blocks
+
+    # per-block stats via segmented reductions
+    max_tf = np.maximum.reduceat(tfs, bstarts)
+    min_norm = np.minimum.reduceat(norms, bstarts)
+    first_doc = doc_ids[bstarts]
+    last_doc = doc_ids[bbounds[1:] - 1]
+
+    blocks: list[dict] = []
+    for i in range(n_blocks):
         blocks.append({
-            "first_doc": int(d[0]),
-            "last_doc": int(d[-1]),
-            "n": int(end - start),
-            "max_tf": int(t.max()),
-            "min_norm": int(norms[start:end].min()),
-            "docs_bytes": encode_varints(deltas),
-            "tfs_bytes": encode_varints(t),
-            "pos_bytes": pos_bytes,
+            "first_doc": int(first_doc[i]),
+            "last_doc": int(last_doc[i]),
+            "n": int(bbounds[i + 1] - bbounds[i]),
+            "max_tf": int(max_tf[i]),
+            "min_norm": int(min_norm[i]),
+            "docs_bytes": docs_sliced[i],
+            "tfs_bytes": tfs_sliced[i],
+            "pos_bytes": pos_sliced[i] if pos_sliced is not None else b"",
         })
     return blocks
 

@@ -120,7 +120,97 @@ def _idf_expr(term: str) -> str:
     )
 
 
-def bm25_topk_sql(analyzer: str, spec: BooleanSpec, k: int) -> str:
+def _disjunction_core(pred: str) -> str:
+    """Shared CTEs: BM25 f32 score per (doc, matching term) for every term
+    matching ``pred`` (a SQL predicate over ``term``) — the SCORING_BOOLEAN
+    rewrite of a MultiTermQuery, one should-clause per matching term."""
+    return f"""
+qt AS (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM kept WHERE {pred} GROUP BY term
+),
+widf AS (
+    SELECT term, CAST(ln(1.0 + (st.doc_count - df + 0.5) / (df + 0.5)) AS FLOAT) AS idf
+    FROM qt, statsf st
+),
+tfq AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf FROM kept WHERE {pred} GROUP BY 1, 2
+),
+sc AS (
+    SELECT t.doc_id,
+           CAST(w.idf * CAST(t.tf::DOUBLE / (t.tf::DOUBLE + CAST(c.cache AS DOUBLE)) AS FLOAT) AS FLOAT) AS s
+    FROM tfq t JOIN widf w USING (term) JOIN cachec c USING (doc_id)
+)"""
+
+
+def multiterm_topk_sql(analyzer: str, pred: str, k: int) -> str:
+    """Prefix/wildcard/regexp/fuzzy/set top-k (MultiTermQuery rewrite)."""
+    return f"""WITH {base_ctes(analyzer)},{_disjunction_core(pred)},
+hits AS (
+    SELECT doc_id, CAST(sum(CAST(s AS DOUBLE)) AS FLOAT) AS score FROM sc GROUP BY doc_id
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score FROM hits
+) WHERE rank <= {k} ORDER BY rank"""
+
+
+def dismax_topk_sql(analyzer: str, terms: list[str], tie: float, k: int) -> str:
+    """DisjunctionMax: score = max + tie·(Σ − max), double ops, one f32 cast
+    (``DisjunctionMaxScorer#score``)."""
+    pred = "term IN (" + ", ".join(f"'{t}'" for t in terms) + ")"
+    return f"""WITH {base_ctes(analyzer)},{_disjunction_core(pred)},
+hits AS (
+    SELECT doc_id,
+           CAST(max(CAST(s AS DOUBLE))
+                + {tie!r} * (sum(CAST(s AS DOUBLE)) - max(CAST(s AS DOUBLE))) AS FLOAT) AS score
+    FROM sc GROUP BY doc_id
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score FROM hits
+) WHERE rank <= {k} ORDER BY rank"""
+
+
+def mlt_topk_sql(analyzer: str, src_doc_id: int, top_terms: int, k: int) -> str:
+    """MoreLikeThis: top tf·idf terms of the source doc (idf = ln(N/(df+1))+1,
+    classic MLT), then the BM25 disjunction excluding the source doc."""
+    return f"""WITH {base_ctes(analyzer)},
+src_tf AS (
+    SELECT term, count(*)::BIGINT AS tf FROM kept WHERE doc_id = {src_doc_id} GROUP BY term
+),
+src_df AS (
+    SELECT k.term, count(DISTINCT k.doc_id)::BIGINT AS df
+    FROM kept k JOIN src_tf USING (term) GROUP BY 1
+),
+mlt AS (
+    SELECT s.term,
+           s.tf::DOUBLE * (ln(st.doc_count::DOUBLE / (d.df + 1.0)) + 1.0) AS mlt_score
+    FROM src_tf s JOIN src_df d USING (term), statsf st
+),
+top_terms AS (
+    SELECT term FROM mlt ORDER BY mlt_score DESC, term ASC LIMIT {top_terms}
+),{_disjunction_core("term IN (SELECT term FROM top_terms)")},
+hits AS (
+    SELECT doc_id, CAST(sum(CAST(s AS DOUBLE)) AS FLOAT) AS score
+    FROM sc WHERE doc_id != {src_doc_id} GROUP BY doc_id
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score FROM hits
+) WHERE rank <= {k} ORDER BY rank"""
+
+
+def blockjoin_sql(analyzer: str, terms: list[str], n_groups: int) -> str:
+    """ToParentBlockJoin(ScoreMode.Max) by the ``source`` parent key."""
+    pred = "term IN (" + ", ".join(f"'{t}'" for t in terms) + ")"
+    return f"""WITH {base_ctes(analyzer)},{_disjunction_core(pred)},
+hits AS (
+    SELECT doc_id, CAST(sum(CAST(s AS DOUBLE)) AS FLOAT) AS score FROM sc GROUP BY doc_id
+)
+SELECT d.source, max(h.score)::FLOAT AS parent_score, count(*)::BIGINT AS n_children
+FROM hits h JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY parent_score DESC, source ASC LIMIT {n_groups}"""
+
+
+def bm25_topk_sql(analyzer: str, spec: BooleanSpec, k: int, offset: int = 0) -> str:
     """Full BM25 boolean/phrase top-k — bitwise float32 parity with the
     engine's kernels (per-clause f32 score, Σ in double, one f32 cast,
     (score desc, doc_id asc) tiebreak, minShouldMatch, MUST_NOT)."""
@@ -201,9 +291,9 @@ hits AS (
            sum(CASE WHEN is_must THEN 0 ELSE 1 END) AS n_should
     FROM clause_scores GROUP BY doc_id
 )
-SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+SELECT (rank - {offset})::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
     SELECT row_number() OVER (ORDER BY h.score DESC, h.doc_id ASC) AS rank,
            h.doc_id, h.score
     FROM hits h
     WHERE n_must = {n_must} {msm_clause} {mn_clause}
-) WHERE rank <= {k} ORDER BY rank"""
+) WHERE rank > {offset} AND rank <= {offset} + {k} ORDER BY rank"""

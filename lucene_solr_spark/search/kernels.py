@@ -78,11 +78,15 @@ def _combine(
     n_must: int,
     msm: int,
     excl_docs: np.ndarray | None,
+    combine: str = "sum",
+    tie: float = 0.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Boolean combine: MUST intersect, SHOULD sum, minShouldMatch, MUST_NOT.
 
     Float discipline: per-doc Σ in float64 over float32 clause scores, in
     clause order, single float32 cast (Disjunction/ConjunctionScorer).
+    combine='dismax': score = max + tie·(Σ − max) in float64, one f32 cast
+    (``DisjunctionMaxScorer#score``).
     """
     if not clause_docs:
         e = np.empty(0, dtype=np.int64)
@@ -95,6 +99,12 @@ def _combine(
     udocs, inv = np.unique(all_docs, return_inverse=True)
     sums = np.zeros(len(udocs), dtype=np.float64)
     np.add.at(sums, inv, all_scores)
+    if combine == "dismax":
+        maxs = np.full(len(udocs), -np.inf, dtype=np.float64)
+        np.maximum.at(maxs, inv, all_scores)
+        scores = maxs + np.float64(tie) * (sums - maxs)
+    else:
+        scores = sums
     must_cnt = np.bincount(inv, weights=is_must, minlength=len(udocs))
     should_cnt = np.bincount(inv, weights=~is_must, minlength=len(udocs))
     keep = must_cnt == n_must
@@ -102,7 +112,20 @@ def _combine(
         keep &= should_cnt >= msm
     if excl_docs is not None and excl_docs.size:
         keep &= ~np.isin(udocs, excl_docs, assume_unique=True)
-    return udocs[keep], sums[keep].astype(np.float32)
+    return udocs[keep], scores[keep].astype(np.float32)
+
+
+def _apply_after(
+    docs: np.ndarray, scores: np.ndarray, after: tuple | None
+) -> tuple[np.ndarray, np.ndarray]:
+    """searchAfter cursor (``IndexSearcher#searchAfter``): keep only hits
+    strictly after (score, doc) in (score desc, doc asc) order. The doc
+    component is SEGMENT-LOCAL (caller rebases the global cursor)."""
+    if after is None or docs.size == 0:
+        return docs, scores
+    s, d = np.float32(after[0]), np.int64(after[1])
+    keep = (scores < s) | ((scores == s) & (docs > d))
+    return docs[keep], scores[keep]
 
 
 def _topk(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -123,6 +146,7 @@ def score_segment_exact(
     norms_arr: np.ndarray,
     base: int,
     q: CompiledQuery,
+    after: tuple | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Brute force: decode and score every posting of every clause."""
     decoded: dict[str, tuple] = {}
@@ -157,7 +181,11 @@ def score_segment_exact(
         excl = np.unique(np.concatenate([
             decode_postings(term_blocks.get(t, []))[0] for t in q.must_not_terms
         ])) if any(term_blocks.get(t) for t in q.must_not_terms) else None
-    docs, scores = _combine(clause_docs, clause_scores, occurs, q.n_must, q.min_should_match, excl)
+    docs, scores = _combine(
+        clause_docs, clause_scores, occurs, q.n_must, q.min_should_match, excl,
+        getattr(q, "combine", "sum"), getattr(q, "tie", 0.0),
+    )
+    docs, scores = _apply_after(docs, scores, after)
     return _topk(docs, scores, q.k)
 
 
@@ -166,6 +194,7 @@ def score_segment_wand(
     norms_arr: np.ndarray,
     base: int,
     q: CompiledQuery,
+    after: tuple | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Interval-sweep block-max WAND (term clauses only; phrase queries take
     the exact path). Rank-identical to score_segment_exact by construction."""
@@ -270,7 +299,11 @@ def score_segment_wand(
             cocc.append(occurs[ci])
         if dead or not cds:
             continue
-        d, s = _combine(cds, css, cocc, q.n_must, q.min_should_match, excl)
+        d, s = _combine(
+            cds, css, cocc, q.n_must, q.min_should_match, excl,
+            getattr(q, "combine", "sum"), getattr(q, "tie", 0.0),
+        )
+        d, s = _apply_after(d, s, after)
         if d.size:
             pool_docs = np.concatenate([pool_docs, d])
             pool_scores = np.concatenate([pool_scores, s])

@@ -29,6 +29,9 @@ class BruteForceOracle:
         corpus = corpus.sort_values(list(key_cols), kind="mergesort").reset_index(drop=True)
         self.keys = corpus[list(key_cols)]
         frame = self.analyzer.analyze_batch(corpus[text_col])
+        # plain object strings (analyze_batch may return a dictionary-encoded
+        # Categorical; the oracle's groupbys want materialized terms)
+        frame = frame.assign(term=np.asarray(frame["term"], dtype=object))
         self.frame = frame  # doc-local 'row' == docID (dense rank in key order)
         self.doc_len = frame.attrs["doc_len"]
         self.norms = encode_lengths(self.doc_len)

@@ -36,12 +36,18 @@ class PhraseClause:
 @dataclass
 class BooleanSpec:
     """MUST ∧ SHOULD ∨ MUST_NOT ¬ with minimumNumberShouldMatch
-    (``L/search/BooleanQuery``). Empty must+should ⇒ matches nothing."""
+    (``L/search/BooleanQuery``). Empty must+should ⇒ matches nothing.
+
+    ``dismax=True`` switches the SHOULD combiner to DisjunctionMaxQuery
+    semantics: score = max(sub) + tie·(Σsub − max(sub))
+    (``L/search/DisjunctionMaxQuery`` / ``DisjunctionMaxScorer``)."""
 
     must: list = field(default_factory=list)
     should: list = field(default_factory=list)
     must_not: list = field(default_factory=list)  # TermClause only (non-scoring)
     min_should_match: int = 0
+    dismax: bool = False
+    tie: float = 0.0
 
     @property
     def scoring_clauses(self) -> list:
@@ -114,6 +120,8 @@ class CompiledQuery:
     k: int
     cache: np.ndarray         # 256-float32 per-norm-byte multiplier
     n_must: int
+    combine: str = "sum"      # 'sum' (BooleanQuery) | 'dismax' (DisjunctionMax)
+    tie: float = 0.0
 
     @property
     def needs_positions(self) -> bool:
@@ -173,4 +181,6 @@ def compile_query(
         k=k,
         cache=cache,
         n_must=n_must,
+        combine="dismax" if getattr(spec, "dismax", False) else "sum",
+        tie=float(getattr(spec, "tie", 0.0)),
     )

@@ -44,9 +44,9 @@ def _make_multi_kernel(queries: dict[str, CompiledQuery], mode: str):
             if not q.clauses:
                 continue
             fn = score_segment_exact if (mode == "exact" or q.needs_positions) else score_segment_wand
-            docs, scores = fn(term_blocks, norms_arr, base, q)
+            docs, scores = fn(term_blocks, norms_arr, 0, q)  # postings are seg-local
             qids.extend([qid] * len(docs))
-            docs_out.append(docs)
+            docs_out.append(docs + base)  # globalize at the boundary
             scores_out.append(scores)
         if not docs_out:
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
@@ -59,7 +59,7 @@ def _make_multi_kernel(queries: dict[str, CompiledQuery], mode: str):
     return kernel
 
 
-def _make_search_kernel(q: CompiledQuery, mode: str):
+def _make_search_kernel(q: CompiledQuery, mode: str, after: tuple | None = None):
     exact = mode == "exact" or q.needs_positions
 
     def kernel(posts: pd.DataFrame, norms: pd.DataFrame) -> pd.DataFrame:
@@ -72,10 +72,12 @@ def _make_search_kernel(q: CompiledQuery, mode: str):
             t: list(b) for t, b in zip(posts["term"], posts["blocks"])
         }
         fn = score_segment_exact if exact else score_segment_wand
-        docs, scores = fn(term_blocks, norms_arr, base, q)
+        # postings are seg-local; rebase the global searchAfter cursor too
+        after_local = (after[0], int(after[1]) - base) if after is not None else None
+        docs, scores = fn(term_blocks, norms_arr, 0, q, after_local)
         return pd.DataFrame({
             "seg": np.full(len(docs), seg, dtype=np.int32),
-            "doc_id": docs,
+            "doc_id": docs + base,  # globalize at the boundary
             "score": scores.astype(np.float32),
         })
 
@@ -90,7 +92,15 @@ class IndexSearcher:
         self.analyzer = ANALYZERS[self.meta.analyzer]()
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self.seg_norms = spark.read.parquet(os.path.join(index_dir, "seg_norms"))
-        self.docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+        # docs are stored with SEGMENT-LOCAL ids; expose the global view
+        # (local + segment base) via a broadcast join on the tiny bases map.
+        raw_docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+        bases = self.seg_norms.select("seg", "base")
+        self.docs = (
+            raw_docs.join(F.broadcast(bases), "seg")
+            .withColumn("doc_id", F.col("doc_local") + F.col("base"))
+            .drop("doc_local", "base")
+        )
 
     @cached_property
     def stats(self) -> CollectionStats:
@@ -130,17 +140,69 @@ class IndexSearcher:
     def parse(self, qtype: str, surface_terms: list[str], min_should: int = 0) -> BooleanSpec:
         return parse_fixture_query(self.analyzer, qtype, surface_terms, min_should)
 
+    def expand_terms(self, kind: str, pattern, max_expansions: int = 1024) -> list[str]:
+        """MultiTermQuery rewrite (``L/search/MultiTermQuery#RewriteMethod``):
+        expand a prefix/wildcard/regexp/fuzzy/set pattern against the term
+        dictionary into a sorted term list (SCORING_BOOLEAN_REWRITE).
+        Wildcards use SQL LIKE syntax (%/_) — the Spark-native analog of
+        Lucene's */? automata; fuzzy = Levenshtein distance (the edit-distance
+        semantics behind ``FuzzyQuery``'s Levenshtein automaton)."""
+        ts = self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+        if kind == "prefix":
+            cond = F.col("term").startswith(pattern)
+        elif kind == "wildcard":
+            cond = F.col("term").like(pattern)
+        elif kind == "regexp":
+            cond = F.col("term").rlike(f"^(?:{pattern})$")
+        elif kind == "fuzzy":
+            term, max_edits = pattern
+            cond = F.levenshtein(F.col("term"), F.lit(term)) <= max_edits
+        elif kind == "set":
+            cond = F.col("term").isin(list(pattern))
+        else:
+            raise ValueError(f"unknown multiterm kind {kind!r}")
+        rows = ts.filter(cond).select("term").orderBy("term").limit(max_expansions).collect()
+        return [r.term for r in rows]
+
+    def multiterm_spec(self, kind: str, pattern, max_expansions: int = 1024) -> BooleanSpec:
+        from .query import TermClause
+
+        return BooleanSpec(should=[TermClause(t) for t in self.expand_terms(kind, pattern, max_expansions)])
+
+    def more_like_this_spec(self, text: str, top_terms: int = 5) -> BooleanSpec:
+        """``lucene/queries/.../mlt/MoreLikeThis`` — rank the doc's terms by
+        classic tf·idf (idf = ln(N/(df+1)) + 1, ClassicSimilarity-style),
+        keep the top ``top_terms`` (score desc, term asc), and build the
+        interesting-terms disjunction."""
+        import math
+        from collections import Counter
+
+        from .query import TermClause
+
+        tf = Counter(t for t, _ in self.analyzer.analyze(text))
+        dfs = self.term_stats(sorted(tf))
+        n = self.stats.doc_count
+        scored = [
+            (float(c) * (math.log(n / (dfs[t] + 1.0)) + 1.0), t)
+            for t, c in tf.items() if dfs.get(t, 0) > 0
+        ]
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        return BooleanSpec(should=[TermClause(t) for _, t in scored[:top_terms]])
+
     def search(
         self,
         spec: BooleanSpec | CompiledQuery,
         k: int = 10,
         mode: str = "wand",
         with_keys: bool = False,
+        after: tuple | None = None,
     ) -> DataFrame:
         """Top-k → DataFrame(doc_id, score[, rank, key cols]).
 
         mode: 'wand' (block-max pruning; phrase clauses fall back to exact
-        automatically) or 'exact' (brute force — the distributed oracle)."""
+        automatically) or 'exact' (brute force — the distributed oracle).
+        after: (score, doc_id) cursor for searchAfter paging — returns the
+        next k hits strictly after the cursor in (score desc, doc asc)."""
         q = spec if isinstance(spec, CompiledQuery) else self.compile(spec, k)
         if not q.clauses:
             out = self.spark.createDataFrame([], "doc_id long, score float")
@@ -153,7 +215,7 @@ class IndexSearcher:
         hits = (
             posts.groupBy("seg")
             .cogroup(self.seg_norms.groupBy("seg"))
-            .applyInPandas(_make_search_kernel(q, mode), RESULT_SCHEMA)
+            .applyInPandas(_make_search_kernel(q, mode, after), RESULT_SCHEMA)
             .select("doc_id", "score")
         )
         return self._finish(hits, q.k, with_keys)

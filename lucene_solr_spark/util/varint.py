@@ -18,11 +18,11 @@ _MASK7 = np.uint64(0x7F)
 _CONT = np.uint8(0x80)
 
 
-def encode_varints(values: np.ndarray) -> bytes:
-    """Encode a 1-D array of non-negative ints to concatenated varints."""
+def _encode_core(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """→ (uint8 buffer, per-value end byte offsets)."""
     vals = np.asarray(values)
     if vals.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     if np.any(vals < 0):
         raise ValueError("varint values must be non-negative")
     vals = vals.astype(np.uint64)
@@ -42,7 +42,25 @@ def encode_varints(values: np.ndarray) -> bytes:
         b = ((vals[sel] >> np.uint64(7 * k)) & _MASK7).astype(np.uint8)
         b[(nbytes[sel] - 1) > k] |= _CONT
         out[starts[sel] + k] = b
+    return out, ends
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """Encode a 1-D array of non-negative ints to concatenated varints."""
+    out, _ = _encode_core(values)
     return out.tobytes()
+
+
+def encode_varints_sliced(values: np.ndarray, bounds: np.ndarray) -> list[bytes]:
+    """ONE vectorized encode of ``values``, returned as per-slice byte
+    strings for the value ranges ``bounds[i]:bounds[i+1]`` — the hot-path
+    replacement for calling ``encode_varints`` once per (small) block."""
+    out, ends = _encode_core(values)
+    buf = out.tobytes()
+    offs = np.zeros(len(values) + 1, dtype=np.int64)
+    if len(values):
+        offs[1:] = ends
+    return [buf[offs[bounds[i]]:offs[bounds[i + 1]]] for i in range(len(bounds) - 1)]
 
 
 def decode_varints(buf: bytes) -> np.ndarray:

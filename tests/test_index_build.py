@@ -12,6 +12,19 @@ from lucene_solr_spark.index.codec import decode_postings
 from lucene_solr_spark.util.smallfloat import encode_lengths
 
 
+def _bases(spark, index_dir) -> dict[int, int]:
+    segn = spark.read.parquet(os.path.join(index_dir, "seg_norms")).toPandas()
+    return dict(zip(segn.seg.astype(int), segn.base.astype(int)))
+
+
+def _global_docs(spark, index_dir) -> pd.DataFrame:
+    """docs table with the derived GLOBAL doc_id (local + segment base)."""
+    docs = spark.read.parquet(os.path.join(index_dir, "docs")).toPandas()
+    bases = _bases(spark, index_dir)
+    docs["doc_id"] = docs.doc_local + docs.seg.map(bases)
+    return docs
+
+
 def test_manifest_complete(small_index):
     index_dir, manifest = small_index
     assert len(manifest) == 4
@@ -22,7 +35,7 @@ def test_manifest_complete(small_index):
 
 def test_docids_dense_and_stable(spark, small_corpus, small_index):
     index_dir, _ = small_index
-    docs = spark.read.parquet(os.path.join(index_dir, "docs")).toPandas()
+    docs = _global_docs(spark, index_dir)
     assert len(docs) == len(small_corpus)
     docs = docs.sort_values("doc_id").reset_index(drop=True)
     np.testing.assert_array_equal(docs.doc_id.to_numpy(), np.arange(len(docs)))
@@ -36,7 +49,9 @@ def test_per_turn_text_equality(spark, small_corpus, small_index):
     """input_hint invariant: joining docs back to the source by key preserves
     per-turn text equality under stable ordering."""
     index_dir, _ = small_index
-    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    docs = IndexSearcher(spark, index_dir).docs
     src = spark.createDataFrame(small_corpus)
     joined = docs.join(src, ["conv_id", "turn_idx"]).orderBy("doc_id").toPandas()
     expected = small_corpus.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
@@ -45,7 +60,7 @@ def test_per_turn_text_equality(spark, small_corpus, small_index):
 
 def test_norms_match_lengths(spark, small_index, oracle):
     index_dir, _ = small_index
-    docs = spark.read.parquet(os.path.join(index_dir, "docs")).toPandas().sort_values("doc_id")
+    docs = _global_docs(spark, index_dir).sort_values("doc_id")
     np.testing.assert_array_equal(docs.length.to_numpy(), oracle.doc_len)
     np.testing.assert_array_equal(
         docs.norm.to_numpy(), encode_lengths(oracle.doc_len).astype(np.int32)
@@ -54,13 +69,14 @@ def test_norms_match_lengths(spark, small_index, oracle):
 
 def test_seg_norms_blob_matches_docs(spark, small_index):
     index_dir, _ = small_index
-    docs = spark.read.parquet(os.path.join(index_dir, "docs")).toPandas()
+    docs = _global_docs(spark, index_dir)
     segn = spark.read.parquet(os.path.join(index_dir, "seg_norms")).toPandas()
     for _, r in segn.iterrows():
         blob = np.frombuffer(r["norms"], dtype=np.uint8)
         assert len(blob) == r["n"]
         seg_docs = docs[docs.seg == r["seg"]].sort_values("doc_id")
         np.testing.assert_array_equal(blob, seg_docs.norm.to_numpy().astype(np.uint8))
+        assert (seg_docs.doc_local.to_numpy() == np.arange(r["n"])).all()
         assert (seg_docs.doc_id.to_numpy() == r["base"] + np.arange(r["n"])).all()
 
 
@@ -73,10 +89,13 @@ def test_postings_sorted_and_consistent(spark, small_index, oracle):
     for seg, grp in posts.groupby("seg"):
         terms = grp.term.tolist()
         assert terms == sorted(terms)
-    # decode every term and compare against the oracle's exploded frame
+    # decode every term (globalizing the seg-local ids) and compare against
+    # the oracle's exploded frame
+    bases = _bases(spark, index_dir)
     agg: dict[str, list] = {}
     for _, r in posts.sort_values(["term", "seg"]).iterrows():
         docs, tfs = decode_postings(list(r["blocks"]))
+        docs = docs + bases[int(r["seg"])]
         assert np.all(np.diff(docs) > 0), f"docs not strictly ascending for {r['term']}"
         agg.setdefault(r["term"], []).append((docs, tfs))
     oracle_tf = oracle._tf

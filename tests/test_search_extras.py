@@ -1,0 +1,93 @@
+"""DisjunctionMax, searchAfter paging, and MultiTermQuery expansion
+(SURVEY.md §2.C/§2.D extras)."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.search.query import BooleanSpec, TermClause
+from lucene_solr_spark.search.searcher import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, small_index):
+    index_dir, _ = small_index
+    return IndexSearcher(spark, index_dir)
+
+
+TERMS = ["error", "spark", "merg"]  # analyzed forms (merge → merg)
+
+
+def _spec(dismax=False, tie=0.0):
+    return BooleanSpec(should=[TermClause(t) for t in TERMS], dismax=dismax, tie=tie)
+
+
+@pytest.mark.parametrize("mode", ["wand", "exact"])
+def test_dismax_tie_one_equals_boolean_sum(searcher, mode):
+    """tie=1 ⇒ max + 1·(Σ−max) = Σ — must equal the boolean OR bitwise."""
+    a = searcher.search(_spec(), k=20, mode=mode).toPandas()
+    b = searcher.search(_spec(dismax=True, tie=1.0), k=20, mode=mode).toPandas()
+    np.testing.assert_array_equal(a.doc_id.to_numpy(), b.doc_id.to_numpy())
+    np.testing.assert_array_equal(
+        a.score.to_numpy().astype(np.float32), b.score.to_numpy().astype(np.float32)
+    )
+
+
+@pytest.mark.parametrize("mode", ["wand", "exact"])
+def test_dismax_tie_zero_is_max_clause(searcher, oracle, mode):
+    """tie=0 ⇒ score = max over matching clause scores (DisjunctionMaxQuery)."""
+    got = searcher.search(_spec(dismax=True, tie=0.0), k=15, mode=mode).toPandas()
+    assert len(got) > 0
+    # recompute each hit's expected max-clause score from oracle primitives
+    for _, r in got.iterrows():
+        subs = []
+        for t in TERMS:
+            docs, tfs = oracle._term_postings(t)
+            i = np.searchsorted(docs, r.doc_id)
+            if i < len(docs) and docs[i] == r.doc_id:
+                subs.append(float(oracle._clause_scores(
+                    docs[i:i + 1], tfs[i:i + 1], oracle.idf(t))[0]))
+        assert subs, f"doc {r.doc_id} matches no clause?"
+        assert np.float32(max(subs)) == np.float32(r.score)
+
+
+@pytest.mark.parametrize("mode", ["wand", "exact"])
+def test_search_after_pages_tile_the_topk(searcher, mode):
+    spec = _spec()
+    k = 7
+    full = searcher.search(spec, k=2 * k, mode=mode).toPandas()
+    assert len(full) == 2 * k
+    p1 = searcher.search(spec, k=k, mode=mode).toPandas()
+    cursor = (np.float32(p1.score.iloc[-1]), int(p1.doc_id.iloc[-1]))
+    p2 = searcher.search(spec, k=k, mode=mode, after=cursor).toPandas()
+    got = np.concatenate([p1.doc_id.to_numpy(), p2.doc_id.to_numpy()])
+    np.testing.assert_array_equal(got, full.doc_id.to_numpy())
+    np.testing.assert_array_equal(
+        np.concatenate([p1.score.to_numpy(), p2.score.to_numpy()]).astype(np.float32),
+        full.score.to_numpy().astype(np.float32),
+    )
+
+
+def test_multiterm_expansion_and_equivalence(searcher):
+    terms = searcher.expand_terms("prefix", "connect")
+    assert terms and all(t.startswith("connect") for t in terms)
+    # fuzzy: 'spark' within distance 1 finds itself
+    assert "spark" in searcher.expand_terms("fuzzy", ("spark", 1))
+    # set expansion keeps only indexed terms
+    got = searcher.expand_terms("set", ("error", "zzznotindexed"))
+    assert got == ["error"]
+    # rewrite equivalence: multiterm spec ≡ explicit OR over expanded terms
+    spec_mt = searcher.multiterm_spec("prefix", "connect")
+    spec_or = BooleanSpec(should=[TermClause(t) for t in terms])
+    a = searcher.search(spec_mt, k=10).toPandas()
+    b = searcher.search(spec_or, k=10).toPandas()
+    np.testing.assert_array_equal(a.doc_id.to_numpy(), b.doc_id.to_numpy())
+    np.testing.assert_array_equal(
+        a.score.to_numpy().astype(np.float32), b.score.to_numpy().astype(np.float32)
+    )
+
+
+def test_mlt_spec_terms_are_from_source_text(searcher):
+    spec = searcher.more_like_this_spec("error spark merge segment merge merge", top_terms=3)
+    terms = [c.term for c in spec.should]
+    assert len(terms) == 3
+    assert "merg" in terms  # tf=3 dominates tf·idf

@@ -1,0 +1,134 @@
+"""Two-parallelism scaling bench — the sandbox stand-in for the north rule's
+"N vs 4N executors with ≥0.8 throughput scaling efficiency".
+
+Runs the SAME index-build + query-set job on the SAME ~1M-turn corpus at
+local[8] and local[32] (each in a fresh subprocess/JVM), reports throughput
+at both and efficiency = (thr_32 / thr_8) / (32/8).
+
+Usage:
+  python tools/scaling_bench.py            # orchestrates both runs, writes BENCH/
+  python tools/scaling_bench.py --run 8    # single measured run (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_CONV = int(os.environ.get("LSS_SCALING_NCONV", "130000"))
+CORPUS = f"/tmp/lss_scaling_corpus_{N_CONV}"
+LEVELS = tuple(int(x) for x in os.environ.get("LSS_LEVELS", "8,32").split(","))
+
+
+def ensure_corpus() -> None:
+    marker = os.path.join(CORPUS, "_done")
+    if os.path.exists(marker):
+        return
+    from lucene_solr_spark.datagen import generate_transcripts
+
+    t0 = time.monotonic()
+    pdf = generate_transcripts(N_CONV)
+    os.makedirs(CORPUS, exist_ok=True)
+    # write with plain pyarrow (no Spark needed for generation)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(pdf)
+    # split into 64 files so any parallelism level gets balanced input splits
+    step = (n + 63) // 64
+    for i in range(0, n, step):
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[i:i + step], preserve_index=False),
+            os.path.join(CORPUS, f"part-{i // step:03d}.parquet"),
+        )
+    with open(marker, "w") as f:
+        f.write(f"{n}\n")
+    print(f"corpus: {n} turns generated in {time.monotonic() - t0:.1f}s", file=sys.stderr)
+
+
+def measured_run(cpus: int) -> None:
+    from lucene_solr_spark.session import get_spark
+    from lucene_solr_spark.datagen import generate_queries
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    spark = get_spark(f"scaling-{cpus}", cpus=cpus)
+    src = spark.read.parquet(CORPUS)
+    idx = f"/tmp/lss_scaling_idx_{cpus}"
+    shutil.rmtree(idx, ignore_errors=True)
+
+    # Segment layout is FIXED (64) across parallelism levels: the job is
+    # identical — only the number of cores varies (the N vs 4N analog).
+    t0 = time.monotonic()
+    manifest = build_index(
+        spark, src, idx,
+        key_cols=("conv_id", "turn_idx"), analyzer="lucene",
+        positions=True, n_segments=64,
+    )
+    n_turns = sum(r.n_docs for r in manifest.collect())
+    build_secs = time.monotonic() - t0
+
+    searcher = IndexSearcher(spark, idx)
+    qset = generate_queries()
+    compiled = searcher.compile_many({
+        f"q{q['query_id']}": (searcher.parse(q["qtype"], q["terms"], q["min_should"]), q["k"])
+        for q in qset
+    })
+    t0 = time.monotonic()
+    searcher.search_many(compiled, mode="wand").count()
+    query_secs = time.monotonic() - t0
+
+    print(json.dumps({
+        "cpus": cpus,
+        "n_turns": n_turns,
+        "build_secs": round(build_secs, 3),
+        "build_turns_per_sec": round(n_turns / build_secs, 1),
+        "query_secs": round(query_secs, 3),
+        "qps": round(50.0 / query_secs, 3),
+    }))
+    shutil.rmtree(idx, ignore_errors=True)
+
+
+def orchestrate() -> None:
+    ensure_corpus()
+    results = {}
+    for cpus in LEVELS:
+        print(f"=== local[{cpus}] run ===", file=sys.stderr)
+        out = subprocess.run(
+            [sys.executable, __file__, "--run", str(cpus)],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        if out.returncode != 0:
+            print(out.stderr[-4000:], file=sys.stderr)
+            raise SystemExit(f"run local[{cpus}] failed")
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(line, file=sys.stderr)
+
+    lo, hi = LEVELS
+    ratio = hi / lo
+    build_eff = (results[hi]["build_turns_per_sec"] / results[lo]["build_turns_per_sec"]) / ratio
+    query_eff = (results[hi]["qps"] / results[lo]["qps"]) / ratio
+    summary = {
+        "levels": list(LEVELS),
+        "runs": results,
+        "build_scaling_efficiency": round(build_eff, 3),
+        "query_scaling_efficiency": round(query_eff, 3),
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--run":
+        measured_run(int(sys.argv[2]))
+    else:
+        orchestrate()
