@@ -35,7 +35,6 @@ N_CONV = max(200, int(130_000 * _SF))
 def main() -> None:
     from lucene_solr_spark.session import get_spark
     from lucene_solr_spark.datagen import generate_transcripts, generate_queries
-    from lucene_solr_spark.index.build import build_index
     from lucene_solr_spark.search.searcher import IndexSearcher
     from lucene_solr_spark.engine import DocumentsEngine
 
@@ -46,18 +45,28 @@ def main() -> None:
     spark = get_spark("bench", cpus=CPUS)
     tmp = tempfile.mkdtemp(prefix="lss_bench_")
     try:
-        # --- transcripts: generate → build → query set ---
-        pdf = generate_transcripts(N_CONV)
+        # --- transcripts: generate (key-sorted files) → build → query set ---
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from lucene_solr_spark.index.build import build_index_presorted
+
+        pdf = generate_transcripts(N_CONV).sort_values(
+            ["conv_id", "turn_idx"]).reset_index(drop=True)
         n_turns = len(pdf)
-        tdf = spark.createDataFrame(pdf)
-        tdf.write.mode("overwrite").parquet(f"{tmp}/transcripts")
-        src = spark.read.parquet(f"{tmp}/transcripts")
+        os.makedirs(f"{tmp}/transcripts", exist_ok=True)
+        n_files = 2 * CPUS
+        step = (n_turns + n_files - 1) // n_files
+        for i in range(0, n_turns, step):
+            pq.write_table(
+                pa.Table.from_pandas(pdf.iloc[i:i + step], preserve_index=False),
+                f"{tmp}/transcripts/part-{i // step:04d}.parquet",
+            )
 
         t0 = time.monotonic()
-        build_index(
-            spark, src, f"{tmp}/tindex",
+        build_index_presorted(
+            spark, f"{tmp}/transcripts", f"{tmp}/tindex",
             key_cols=("conv_id", "turn_idx"), analyzer="lucene",
-            positions=True, n_segments=CPUS,
+            positions=True, files_per_segment=1,
         )
         timings["transcripts_build"] = time.monotonic() - t0
         extras["n_turns"] = float(n_turns)

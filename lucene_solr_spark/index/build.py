@@ -332,6 +332,106 @@ def build_index(
     return spark.createDataFrame(out)
 
 
+def build_index_presorted(
+    spark: SparkSession,
+    input_path: str,
+    index_dir: str,
+    *,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    text_col: str = "text",
+    analyzer: str = "lucene",
+    positions: bool = True,
+    files_per_segment: int = 1,
+) -> DataFrame:
+    """Shuffle-free build over a KEY-SORTED parquet table (the production
+    layout: an Iceberg table written with a sort order on the doc key — file
+    i's keys all precede file i+1's). Segment = group of consecutive files;
+    workers read their files directly with pyarrow (no JVM scan, no range
+    shuffle, no sampling pass). Falls back: if footer stats show overlapping
+    key ranges, raise — use ``build_index`` (which sorts) instead.
+
+    This is the 100 TB fast path: the one full pass over the corpus is the
+    invert kernel itself.
+    """
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(input_path, "*.parquet")))
+    if not files:
+        raise ValueError(f"no parquet files under {input_path}")
+    _assert_sorted_layout(files, key_cols[0])
+
+    groups = [files[i:i + files_per_segment] for i in range(0, len(files), files_per_segment)]
+    n_segments = len(groups)
+    os.makedirs(index_dir, exist_ok=True)
+    meta = IndexMeta(analyzer, tuple(key_cols), text_col, positions, n_segments)
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_path):
+        if IndexMeta.load(index_dir) != meta:
+            raise ValueError("index_dir holds an index with different parameters")
+    else:
+        meta.save(index_dir)
+
+    sample = spark.read.parquet(files[0])
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    key_types = {c: to_arrow_type(sample.schema[c].dataType) for c in key_cols}
+
+    fdf = spark.createDataFrame(
+        [(i, g) for i, g in enumerate(groups)], "seg int, paths array<string>"
+    ).repartitionByRange(n_segments, "seg")
+
+    def kernel(iterator):
+        for pdf in iterator:
+            for seg, paths in zip(pdf["seg"], pdf["paths"]):
+                seg = int(seg)
+                marker = os.path.join(index_dir, "manifest", f"seg={seg}.parquet")
+                if os.path.exists(marker):
+                    row = pq.read_table(marker).to_pandas()
+                    row["status"] = "resumed"
+                    yield row
+                    continue
+                parts = [
+                    pq.read_table(p, columns=[*key_cols, text_col]).to_pandas()
+                    for p in paths
+                ]
+                yield pd.DataFrame([
+                    _invert_partition(parts, seg, meta, index_dir, key_types)
+                ])
+
+    manifest = fdf.mapInPandas(kernel, MANIFEST_SCHEMA)
+    out = manifest.toPandas().sort_values("seg").reset_index(drop=True)
+    out["base"] = out["n_docs"].cumsum() - out["n_docs"]
+    _fixup_bases(index_dir, out)
+    _finalize(spark, index_dir)
+    return spark.createDataFrame(out)
+
+
+def _assert_sorted_layout(files: list[str], first_key: str) -> None:
+    """Cheap precondition check from parquet footer stats: per-file
+    [min,max] ranges of the leading key column must be non-overlapping and
+    ascending in file order (Iceberg sort-order layout)."""
+    prev_max = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}.get(first_key)
+        if idx is None:
+            return  # key column missing from stats — skip the check
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return
+            mins.append(st.min)
+            maxs.append(st.max)
+        lo, hi = min(mins), max(maxs)
+        if prev_max is not None and lo < prev_max:
+            raise ValueError(
+                f"input files are not globally key-sorted ({f}: min {lo!r} < "
+                f"previous max {prev_max!r}); use build_index() which sorts"
+            )
+        prev_max = hi
+
+
 def append_batch(
     spark: SparkSession,
     df: DataFrame,
