@@ -93,6 +93,13 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_blockjoin_source"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).blockjoin_by_source("or2", BLOCKJOIN_TERMS, n_groups=5)
+    # SloppyPhrase (SloppyPhraseMatcher semantics) — the greedy sequential
+    # matcher is not SQL-expressible, so this entry is rows-only for the
+    # driver; full rank+float32-score parity vs the independent oracle
+    # implementation is gated by tests/test_sloppy_phrase.py.
+    out["ft_sloppy_phrase_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).topk("phrase2", ["table", "hash"], k=10, slop=3)
     out["ft_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").docs_norms()
     out["ft_stop_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "stop").docs_norms()
     out["ft_term_stats"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").term_stats_df()

@@ -74,10 +74,11 @@ class DocumentsEngine:
         k: int = 10,
         min_should: int = 0,
         mode: str = "wand",
+        slop: int = 0,
     ) -> DataFrame:
         """Top-k → DataFrame(rank int, doc_id bigint, score float) keyed on
         the SOURCE doc_id (fetch-fields-late join back through the docs map)."""
-        spec = self.searcher.parse(qtype, surface_terms, min_should)
+        spec = self.searcher.parse(qtype, surface_terms, min_should, slop=slop)
         out = self.searcher.search(spec, k=k, mode=mode, with_keys=True)
         return out.select(
             F.col("rank").cast("int").alias("rank"),

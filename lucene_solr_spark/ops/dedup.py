@@ -1,5 +1,5 @@
 """Deduplication operators for training-data pipelines: exact hash dedup,
-n-gram (shingle) Jaccard near-dup, MinHash + LSH banding.
+n-gram (shingle) Jaccard near-dup, MinHash + LSH banding, SimHash.
 
 Scale design (the point of these ops at 100 TB):
 - **Exact**: one hash-groupBy on md5(text) — map-side combine, one shuffle.
@@ -227,6 +227,129 @@ FROM jac j JOIN cand c ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
 ORDER BY 1, 2"""
 
 
+# --- SimHash ------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_BAND_BITS = 8
+SIMHASH_MAX_HAMMING = 3  # 4 bands of 8 bits: any pair within distance 3
+                         # shares >=1 unchanged band (pigeonhole), so the
+                         # band join is a LOSSLESS candidate generator.
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp): tf-weighted 32-bit SimHash per doc.
+
+    All JVM-side built-ins, two shuffles total (both keyed on doc_id, and
+    the second reuses the first's partitioning): tokenize → tf per
+    (doc, term) → explode 32 bit positions of md5-derived term hashes →
+    signed vote per (doc, bit) folded into the same aggregation → sign →
+    fingerprint. The 32× bit explode happens AFTER tf aggregation, so it
+    multiplies the (doc, distinct-term) table, not the raw token stream.
+    """
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long"))
+    )
+    votes = (
+        tf.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+            "h",
+            "tf",
+        )
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> bit) & 1") == 1, F.col("tf")).otherwise(-F.col("tf"))
+            ).alias("s")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
+        ).alias("fp")
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= 3.
+
+    Candidates come from an equi-join on 8-bit bands (sub-quadratic: only
+    docs colliding on a band ever meet — the 10^9-doc path); the exact
+    bit_count(xor) verify runs on that small candidate set only, and is
+    lossless for the distance-3 threshold.
+    """
+    fp = simhash_fingerprints(_docs(spark, sf_dir))
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    bands = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "band_val", F.expr(f"(fp >> (band * {SIMHASH_BAND_BITS})) & 255")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "fp_a", "fp_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# Oracle is the brute-force pairwise scan — it deliberately does NOT band, so
+# an exact match also certifies the band generator lossless at threshold 3.
+DEDUP_SIMHASH_SQL = f"""
+WITH t AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf,
+           ('0x' || substr(md5(term), 1, 8))::UBIGINT::BIGINT AS h
+    FROM t GROUP BY 1, 2
+),
+votes AS (
+    SELECT doc_id, bit,
+           sum(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS s
+    FROM tf, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit)
+    GROUP BY 1, 2
+),
+fp AS (
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS fp
+    FROM votes GROUP BY 1
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fp_a, b.fp AS fp_b,
+       bit_count(xor(a.fp, b.fp))::INTEGER AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY 1, 2"""
+
+
 register("dedup_exact", dedup_exact, DEDUP_EXACT_SQL)
 register("dedup_shingle_jaccard", dedup_shingle_jaccard, DEDUP_SHINGLE_SQL)
 register("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_SQL)
+register("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL)

@@ -71,6 +71,93 @@ def _phrase_freqs(
     )
 
 
+def _sloppy_freq_one_doc(pos_lists: list[np.ndarray], slop: int) -> np.float32:
+    """Lucene's sloppy-phrase matcher over ONE doc's offset-adjusted,
+    sorted position lists (``L/search/SloppyPhraseMatcher`` / the classic
+    SloppyPhraseScorer#phraseFreq loop, no-repeats case): a min-heap of
+    per-term iterators keyed by (adjusted position, phrase offset); pop the
+    smallest, advance it, and each time the popped iterator overtakes the
+    heap top, the just-minimized matchLength = end − popped.position is a
+    candidate match; freq += 1/(matchLength+1) when matchLength ≤ slop
+    (float32 accumulation, PhraseScorer order)."""
+    import heapq
+
+    n = len(pos_lists)
+    if n == 1:  # degenerate 1-term phrase: every position matches at length 0
+        return np.float32(len(pos_lists[0]))
+    ptr = [0] * n
+    end = -1
+    heap = []
+    for t, pl in enumerate(pos_lists):
+        p = int(pl[0])
+        heap.append((p, t))
+        if p > end:
+            end = p
+    heapq.heapify(heap)
+    freq = np.float32(0.0)
+    p, t = heapq.heappop(heap)
+    match_length = end - p
+    nxt = heap[0][0]
+    while True:
+        ptr[t] += 1
+        if ptr[t] >= len(pos_lists[t]):
+            break
+        p = int(pos_lists[t][ptr[t]])
+        if p > end:
+            end = p
+        if p > nxt:
+            if match_length <= slop:
+                freq = np.float32(freq + np.float32(1.0 / (match_length + 1)))
+            heapq.heappush(heap, (p, t))
+            p, t = heapq.heappop(heap)
+            nxt = heap[0][0]
+            match_length = end - p
+        else:
+            ml2 = end - p
+            if ml2 < match_length:
+                match_length = ml2
+    if match_length <= slop:
+        freq = np.float32(freq + np.float32(1.0 / (match_length + 1)))
+    return freq
+
+
+def _sloppy_phrase_freqs(
+    docs_per_term: list[np.ndarray],
+    pos_flat_per_term: list[np.ndarray],
+    tfs_per_term: list[np.ndarray],
+    offsets: tuple[int, ...],
+    slop: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sloppy-phrase match: docs containing all terms with ≥1 window within
+    ``slop``. Returns (docs, float32 sloppy freq) with freq > 0. Same
+    two-phase shape as ``_phrase_freqs``; only the per-doc position verify
+    differs (ordered heap walk instead of offset intersection)."""
+    cand = docs_per_term[0]
+    for d in docs_per_term[1:]:
+        cand = cand[np.isin(cand, d, assume_unique=True)]
+    if cand.size == 0:
+        return cand, np.empty(0, dtype=np.float32)
+    splits = []
+    for tfs in tfs_per_term:
+        s = np.zeros(len(tfs) + 1, dtype=np.int64)
+        np.cumsum(tfs, out=s[1:])
+        splits.append(s)
+    out_docs, out_freq = [], []
+    for doc in cand:
+        pls = []
+        for t, (docs_t, pos_t, off) in enumerate(zip(docs_per_term, pos_flat_per_term, offsets)):
+            i = int(np.searchsorted(docs_t, doc))
+            pls.append(pos_t[splits[t][i]:splits[t][i + 1]] - off)
+        f = _sloppy_freq_one_doc(pls, slop)
+        if f > 0:
+            out_docs.append(doc)
+            out_freq.append(f)
+    return (
+        np.array(out_docs, dtype=np.int64),
+        np.array(out_freq, dtype=np.float32),
+    )
+
+
 def _combine(
     clause_docs: list[np.ndarray],
     clause_scores: list[np.ndarray],
@@ -165,7 +252,10 @@ def score_segment_exact(
             docs, tfs = parts[0], parts[1]
         else:
             per = [dec(t) for t in c.terms]
-            docs, tfs = _phrase_freqs(
+            matcher = _phrase_freqs if getattr(c, "slop", 0) == 0 else (
+                lambda d, p, t, o: _sloppy_phrase_freqs(d, p, t, o, c.slop)
+            )
+            docs, tfs = matcher(
                 [p[0] for p in per], [p[2] for p in per], [p[1] for p in per], c.offsets
             )
         if docs.size == 0:

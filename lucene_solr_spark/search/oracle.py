@@ -82,6 +82,72 @@ class BruteForceOracle:
                 freqs.append(acc.size)
         return np.array(docs, dtype=np.int64), np.array(freqs, dtype=np.int64)
 
+    def _sloppy_phrase_postings(self, terms, offsets, slop) -> tuple[np.ndarray, np.ndarray]:
+        """Sloppy-phrase freq per doc — an independent restatement of
+        Lucene's SloppyPhraseMatcher (no-repeats): instead of a priority
+        queue, keep the vector of current offset-adjusted positions and take
+        argmin each round (ties by phrase offset). Each time the advancing
+        minimum overtakes the min of the others, the minimized
+        matchLength = end − min contributes 1/(matchLength+1) when ≤ slop."""
+        sets, pos_by_doc = [], []
+        for t in terms:
+            sub = self.frame[self.frame.term == t]
+            if sub.empty:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+            sets.append(np.unique(sub.row.to_numpy()))
+            pos_by_doc.append(sub.groupby("row")["pos"].apply(lambda s: np.sort(s.to_numpy())))
+        cand = sets[0]
+        for s in sets[1:]:
+            cand = np.intersect1d(cand, s, assume_unique=True)
+        n = len(terms)
+        docs, freqs = [], []
+        for d in cand:
+            pls = [pos_by_doc[t].loc[d] - offsets[t] for t in range(n)]
+            if n == 1:
+                f = np.float32(len(pls[0]))
+            else:
+                it = [0] * n
+                cur = [int(pl[0]) for pl in pls]
+                end = max(cur)
+
+                def argmin_cur(exclude=None):
+                    best = None
+                    for t in range(n):
+                        if t == exclude or cur[t] is None:
+                            continue
+                        if best is None or cur[t] < cur[best]:
+                            best = t  # ties: smaller t = smaller offset wins
+                    return best
+
+                f = np.float32(0.0)
+                active = argmin_cur()
+                nxt = cur[argmin_cur(exclude=active)]
+                match_length = end - cur[active]
+                while True:
+                    it[active] += 1
+                    if it[active] >= len(pls[active]):
+                        break
+                    p = int(pls[active][it[active]])
+                    cur[active] = p
+                    if p > end:
+                        end = p
+                    if p > nxt:
+                        if match_length <= slop:
+                            f = np.float32(f + np.float32(1.0 / (match_length + 1)))
+                        active = argmin_cur()
+                        nxt = cur[argmin_cur(exclude=active)]
+                        match_length = end - cur[active]
+                    else:
+                        ml2 = end - p
+                        if ml2 < match_length:
+                            match_length = ml2
+                if match_length <= slop:
+                    f = np.float32(f + np.float32(1.0 / (match_length + 1)))
+            if f > 0:
+                docs.append(d)
+                freqs.append(f)
+        return np.array(docs, dtype=np.int64), np.array(freqs, dtype=np.float32)
+
     def _clause_scores(self, docs, tfs, weight) -> np.ndarray:
         freq = tfs.astype(np.float64)
         norm = self.cache[self.norms[docs].astype(np.int64)].astype(np.float64)
@@ -97,7 +163,10 @@ class BruteForceOracle:
         for occur, group in (("must", spec.must), ("should", spec.should)):
             for c in group:
                 if isinstance(c, PhraseClause):
-                    docs, tfs = self._phrase_postings(c.terms, c.offsets)
+                    if getattr(c, "slop", 0) > 0:
+                        docs, tfs = self._sloppy_phrase_postings(c.terms, c.offsets, c.slop)
+                    else:
+                        docs, tfs = self._phrase_postings(c.terms, c.offsets)
                     w = np.float32(c.boost) * np.float32(
                         sum(float(self.idf(t)) for t in c.terms)
                     )

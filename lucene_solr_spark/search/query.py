@@ -25,12 +25,17 @@ class TermClause:
 
 @dataclass(frozen=True)
 class PhraseClause:
-    """Exact phrase: terms at relative position offsets (stop holes preserved,
-    e.g. "merge the segment" → terms (merg, segment), offsets (0, 2))."""
+    """Phrase: terms at relative position offsets (stop holes preserved,
+    e.g. "merge the segment" → terms (merg, segment), offsets (0, 2)).
+
+    slop=0 is the exact phrase; slop>0 is Lucene's sloppy phrase
+    (``L/search/SloppyPhraseMatcher``): matches within edit-distance ``slop``
+    of the phrase shape, phrase freq = Σ 1/(matchLength+1) over matches."""
 
     terms: tuple[str, ...]
     offsets: tuple[int, ...]
     boost: float = 1.0
+    slop: int = 0
 
 
 @dataclass
@@ -65,7 +70,9 @@ class BooleanSpec:
         return any(isinstance(c, PhraseClause) for c in self.scoring_clauses)
 
 
-def parse_fixture_query(analyzer, qtype: str, surface_terms: list[str], min_should: int = 0) -> BooleanSpec:
+def parse_fixture_query(
+    analyzer, qtype: str, surface_terms: list[str], min_should: int = 0, slop: int = 0
+) -> BooleanSpec:
     """Compile one FIXTURES.md §2 query row into a BooleanSpec."""
     def toks(surface: str) -> list[str]:
         return [t for t, _ in analyzer.analyze(surface)]
@@ -90,6 +97,7 @@ def parse_fixture_query(analyzer, qtype: str, surface_terms: list[str], min_shou
             spec.must.append(PhraseClause(
                 tuple(t for t, _ in analyzed),
                 tuple(p - base for _, p in analyzed),
+                slop=slop,
             ))
     elif qtype == "and_not":
         pos, neg = surface_terms[0], surface_terms[1]
@@ -107,6 +115,7 @@ class CompiledClause:
     offsets: tuple[int, ...]  # phrase only
     weight: np.float32        # boost * idf (sum of idfs for phrase)
     occur: str                # 'must' | 'should'
+    slop: int = 0             # phrase only; 0 = exact
 
 
 @dataclass
@@ -160,7 +169,9 @@ def compile_query(
                 w = np.float32(c.boost) * np.float32(
                     sum(float(bm25_idf(term_df[t], doc_count)) for t in c.terms)
                 )
-                clauses.append(CompiledClause("phrase", c.terms, c.offsets, np.float32(w), occur))
+                clauses.append(CompiledClause(
+                    "phrase", c.terms, c.offsets, np.float32(w), occur, slop=int(c.slop)
+                ))
             else:
                 df = term_df.get(c.term, 0)
                 if df == 0:

@@ -137,8 +137,10 @@ class IndexSearcher:
             for qid, (spec, k) in specs.items()
         }
 
-    def parse(self, qtype: str, surface_terms: list[str], min_should: int = 0) -> BooleanSpec:
-        return parse_fixture_query(self.analyzer, qtype, surface_terms, min_should)
+    def parse(
+        self, qtype: str, surface_terms: list[str], min_should: int = 0, slop: int = 0
+    ) -> BooleanSpec:
+        return parse_fixture_query(self.analyzer, qtype, surface_terms, min_should, slop=slop)
 
     def expand_terms(self, kind: str, pattern, max_expansions: int = 1024) -> list[str]:
         """MultiTermQuery rewrite (``L/search/MultiTermQuery#RewriteMethod``):

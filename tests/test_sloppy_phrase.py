@@ -1,0 +1,102 @@
+"""SloppyPhrase parity gate: the engine's heap-based sloppy-phrase matcher
+(``search/kernels.py#_sloppy_freq_one_doc``, the SloppyPhraseMatcher
+algorithm) must be rank- AND float32-score-identical to the oracle's
+independent argmin-vector restatement of the same published algorithm
+(``search/oracle.py#_sloppy_phrase_postings``), plus semantic invariants:
+slop=large ⊇ slop=0 doc set, and monotone doc coverage in slop."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.search.kernels import _sloppy_freq_one_doc
+from lucene_solr_spark.search.query import BooleanSpec, PhraseClause
+from lucene_solr_spark.search.searcher import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, small_index):
+    index_dir, _ = small_index
+    return IndexSearcher(spark, index_dir)
+
+
+PHRASES = [
+    (["merge", "batch"], 1),
+    (["merge", "batch"], 3),
+    (["table", "hash"], 2),
+    (["vector", "stream"], 4),
+    (["spark", "executor"], 2),
+    (["query", "scan"], 5),
+]
+
+
+def _spec(searcher, surface, slop):
+    return searcher.parse("phrase2", surface, slop=slop)
+
+
+@pytest.mark.parametrize("surface,slop", PHRASES)
+def test_sloppy_engine_matches_oracle(searcher, oracle, surface, slop):
+    spec = _spec(searcher, surface, slop)
+    got = searcher.search(spec, k=20, mode="exact").toPandas().sort_values("rank")
+    golden = oracle.search(spec, k=20)
+    assert len(got) == len(golden), f"{surface}~{slop}"
+    if len(golden):
+        np.testing.assert_array_equal(got.doc_id.to_numpy(), golden.doc_id.to_numpy())
+        np.testing.assert_array_equal(
+            got.score.to_numpy().astype(np.float32),
+            golden.score.to_numpy().astype(np.float32),
+        )
+
+
+def test_sloppy_superset_of_exact(searcher, oracle):
+    """Every exact-phrase hit also matches with slop>0 (freq only grows)."""
+    exact = oracle.search(_spec(searcher, ["merge", "batch"], 0), k=200)
+    sloppy = oracle.search(_spec(searcher, ["merge", "batch"], 4), k=200)
+    assert set(exact.doc_id) <= set(sloppy.doc_id)
+
+
+def test_sloppy_doc_coverage_monotone_in_slop(searcher, oracle):
+    sizes = [
+        len(oracle.search(_spec(searcher, ["table", "hash"], s), k=500))
+        for s in (0, 1, 2, 4, 8)
+    ]
+    assert sizes == sorted(sizes)
+
+
+# --- unit vectors for the matcher kernel (hand-checked against the
+# SloppyPhraseScorer#phraseFreq trace) ---------------------------------------
+
+def _freq(pos_lists, slop):
+    return float(_sloppy_freq_one_doc([np.array(p, dtype=np.int64) for p in pos_lists], slop))
+
+
+def test_matcher_exact_adjacent():
+    # "a b" at positions a=[0], b=[1] → adjusted b-offset1 = [0]; length 0
+    assert _freq([[0], [0]], 0) == 1.0
+
+
+def test_matcher_one_transposition():
+    # "a b" but text "b a": a=[1], b=[0] → adjusted [1], [-1]: matchLength 2
+    assert _freq([[1], [-1]], 1) == 0.0
+    assert _freq([[1], [-1]], 2) == pytest.approx(1.0 / 3.0, abs=1e-7)
+
+
+def test_matcher_two_windows_accumulate():
+    # two adjacent occurrences: freq = 1 + 1 (both matchLength 0)
+    assert _freq([[0, 10], [0, 10]], 0) == 2.0
+
+
+def test_matcher_gap_within_slop():
+    # "a x b": a=[0], b(adj)=[1] → matchLength 1 → factor 1/2
+    assert _freq([[0], [1]], 2) == pytest.approx(0.5, abs=1e-7)
+
+
+def test_matcher_minimizes_before_scoring():
+    # a=[0, 4], b(adj)=[4]: best window is (4,4) length 0 → freq 1.0,
+    # the (0,4) candidate is minimized away, not double-counted
+    assert _freq([[0, 4], [4]], 0) == 1.0
+
+
+def test_compile_carries_slop(searcher):
+    spec = BooleanSpec(must=[PhraseClause(("merg", "batch"), (0, 1), slop=3)])
+    cq = searcher.compile(spec, k=5)
+    assert cq.clauses and cq.clauses[0].slop == 3
