@@ -94,14 +94,36 @@ def measured_run(cpus: int) -> None:
     searcher.search_many(compiled, mode="wand").count()
     query_secs = time.monotonic() - t0
 
-    print(json.dumps({
+    rec = {
         "cpus": cpus,
         "n_turns": n_turns,
         "build_secs": round(build_secs, 3),
         "build_turns_per_sec": round(n_turns / build_secs, 1),
         "query_secs": round(query_secs, 3),
         "qps": round(50.0 / query_secs, 3),
-    }))
+    }
+
+    # Rank-identity on the FULL corpus: block-max-WAND results vs the exact
+    # (brute-force decode-everything) engine path, per query, docIDs AND
+    # float32 scores. (Engine-vs-spec-oracle identity is gated separately by
+    # tests/test_rank_identity.py — pure-pandas oracles don't scale to 10^6+
+    # turns, the exact engine path does.)
+    if os.environ.get("LSS_VERIFY", "1") == "1":
+        wand = searcher.search_many(compiled, mode="wand").toPandas()
+        exact = searcher.search_many(compiled, mode="exact").toPandas()
+        ident = 0
+        for qid in compiled:
+            w = wand[wand.query_id == qid].sort_values("rank").reset_index(drop=True)
+            e = exact[exact.query_id == qid].sort_values("rank").reset_index(drop=True)
+            ident += int(
+                len(w) == len(e)
+                and (w.doc_id.values == e.doc_id.values).all()
+                and (w.score.values == e.score.values).all()
+            )
+        rec["rank_identity"] = round(ident / len(compiled), 4)
+        rec["n_queries"] = len(compiled)
+
+    print(json.dumps(rec))
     shutil.rmtree(idx, ignore_errors=True)
 
 
@@ -134,7 +156,53 @@ def orchestrate() -> None:
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling.json", "w") as f:
         json.dump(summary, f, indent=2)
+    _write_baseline_md(summary)
     print(json.dumps(summary))
+
+
+def _write_baseline_md(s: dict) -> None:
+    """BENCH/BASELINE.md — the measured-results report BASELINE.md points at:
+    throughput at both parallelism levels, scaling efficiency, rank identity."""
+    lo, hi = s["levels"]
+    rl, rh = s["runs"][lo], s["runs"][hi]
+    ident = rh.get("rank_identity", rl.get("rank_identity"))
+    nq = rh.get("n_queries", rl.get("n_queries", 50))
+    lines = [
+        "# BENCH/BASELINE.md — measured results (two-parallelism scaling evidence)",
+        "",
+        "Protocol: the IDENTICAL job (shuffle-free presorted index build over a",
+        f"key-sorted {rl['n_turns']:,}-turn transcript corpus, 64 fixed segments, then the",
+        f"{nq}-query reference set via block-max WAND) run at local[{lo}] and local[{hi}]",
+        "in fresh JVMs — the in-sandbox stand-in for N vs 4N executors (no real",
+        "cluster available; only core count varies, per driver instruction).",
+        "",
+        "| level | turns | build secs | build turns/sec | query secs | QPS |",
+        "|---|---|---|---|---|---|",
+        f"| local[{lo}] | {rl['n_turns']:,} | {rl['build_secs']} | {rl['build_turns_per_sec']:,} | {rl['query_secs']} | {rl['qps']} |",
+        f"| local[{hi}] | {rh['n_turns']:,} | {rh['build_secs']} | {rh['build_turns_per_sec']:,} | {rh['query_secs']} | {rh['qps']} |",
+        "",
+        f"- **Index-build scaling efficiency ({lo}→{hi} cores): "
+        f"{s['build_scaling_efficiency']}** (north-rule target ≥ 0.8)",
+        f"- Query scaling efficiency: {s['query_scaling_efficiency']} (query side is",
+        "  latency-bound at 50 queries; build throughput is the north-rule metric)",
+    ]
+    if ident is not None:
+        lines += [
+            f"- **BM25 top-k rank identity (WAND vs exact engine path, full corpus): "
+            f"{ident:.0%}** of {nq} queries (docIDs AND float32 scores)",
+            "- Engine-vs-spec-oracle rank identity (the BASELINE.md gate) is enforced",
+            "  at 100% by `tests/test_rank_identity.py` (wand + exact, 50 queries) and",
+            "  bitwise-float32 by the driver's DuckDB oracle comparison at sf0.01.",
+        ]
+    lines += [
+        "",
+        f"Raw numbers: `BENCH/scaling.json`. Reproduce: `LSS_SCALING_NCONV={N_CONV}",
+        f"LSS_LEVELS={lo},{hi} LSS_TRIALS={os.environ.get('LSS_TRIALS', '1')} python tools/scaling_bench.py`",
+        "(single-tenant box required — concurrent Spark jobs contaminate timings).",
+        "",
+    ]
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write("\n".join(lines))
 
 
 if __name__ == "__main__":
