@@ -234,6 +234,14 @@ SIMHASH_BAND_BITS = 8
 SIMHASH_MAX_HAMMING = 3  # 4 bands of 8 bits: any pair within distance 3
                          # shares >=1 unchanged band (pigeonhole), so the
                          # band join is a LOSSLESS candidate generator.
+# SCALE NOTE: 32-bit fingerprints / 8-bit bands are sized for the
+# oracle-checked test corpus (band domain = 256 values). At 10^9-doc scale
+# the same pipeline runs with SIMHASH_BITS=64 / SIMHASH_BAND_BITS=16 (still
+# 4 bands, still lossless at Hamming<=3, 65536-value band domain); beyond
+# that, cap per-(band, band_val) bucket sizes before the self-join exactly
+# like max_shingle_df does for shingles — a bucket holding k docs costs
+# k^2/2 candidate pairs, and near-saturated buckets are boilerplate-driven,
+# not near-dup signal (Manku et al., WWW'07 use the same drop).
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:

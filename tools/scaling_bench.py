@@ -176,6 +176,14 @@ def _write_baseline_md(s: dict) -> None:
         "in fresh JVMs — the in-sandbox stand-in for N vs 4N executors (no real",
         "cluster available; only core count varies, per driver instruction).",
         "",
+        "Levels 2 and 8 (N and 4N cores) rather than 8 and 32: this box has 32",
+        "cores total, so a local[32] run co-schedules 32 executor threads, 32",
+        "Python Arrow workers, and JVM GC on the same 32 cores — it measures",
+        "oversubscription, not scaling. At 2 and 8 the job is the only load and",
+        "each parallelism level runs unconstrained, which is the property the",
+        "N→4N executor rule actually tests (executors on a real cluster do not",
+        "share cores with 4× other executors).",
+        "",
         "| level | turns | build secs | build turns/sec | query secs | QPS |",
         "|---|---|---|---|---|---|",
         f"| local[{lo}] | {rl['n_turns']:,} | {rl['build_secs']} | {rl['build_turns_per_sec']:,} | {rl['query_secs']} | {rl['qps']} |",
