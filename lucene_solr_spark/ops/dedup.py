@@ -60,16 +60,31 @@ def shingles(docs: DataFrame, n: int = 3, max_shingle_df: int | None = None) -> 
     return sh
 
 
-def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact pairwise Jaccard over docs sharing ≥1 shingle → pairs ≥ threshold."""
+def jaccard_pairs(sh: DataFrame, threshold: float, cand: DataFrame | None = None) -> DataFrame:
+    """Exact pairwise Jaccard → pairs ≥ threshold.
+
+    Without ``cand``: over ALL doc pairs sharing ≥1 shingle (the quadratic
+    generator — only for small corpora / the SQL oracle's semantics). With
+    ``cand`` (doc_a, doc_b): intersections are computed ONLY for candidate
+    pairs — the shingle self-join is pre-restricted on both sides, so the
+    verify cost is O(candidates), not O(all co-shingled pairs). This is what
+    makes LSH sub-quadratic end-to-end at 10^9 docs."""
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if cand is None:
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        inter = (
+            cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+            .join(b, (F.col("b.doc_id") == F.col("doc_b")) & (F.col("a.shingle") == F.col("b.shingle")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (
@@ -133,40 +148,33 @@ ORDER BY doc_a, doc_b"""
 
 # --- MinHash + LSH banding --------------------------------------------------
 
-def minhash_signatures(sh: DataFrame, n_seeds: int = N_SEEDS) -> DataFrame:
-    """(doc_id, seed, mh): per-seed min over md5(seed ':' shingle)."""
-    spark = sh.sparkSession
-    seeds = spark.createDataFrame([(s,) for s in range(n_seeds)], "seed int")
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))).alias("mh"))
-    )
+def lsh_bands(sh: DataFrame, n_seeds: int = N_SEEDS, band_size: int = BAND_SIZE) -> DataFrame:
+    """(doc_id, band, band_hash) straight from the shingle table.
 
-
-def lsh_bands(mh: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
-    """(doc_id, band, band_hash): md5 over the band's seed-ordered minhashes."""
-    sig = (
-        mh.groupBy("doc_id", F.floor(F.col("seed") / band_size).cast("int").alias("band"))
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                        lambda s: s.mh,
-                    ),
-                    ":",
-                )
-            ).alias("band_hash")
-        )
+    All 16 per-seed minhashes are computed as 16 ``min`` aggregates in ONE
+    groupBy(doc_id) — map-side combine, one shuffle of one row per doc —
+    instead of a 16× row-explode (seed crossJoin) that would multiply the
+    shuffled shingle volume by the seed count. Band hashes are md5 over the
+    seed-ordered minhashes (identical bytes to the SQL oracle's
+    ``string_agg(mh, ':' ORDER BY seed)``)."""
+    sig = sh.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(n_seeds)
+    ])
+    band_hashes = [
+        F.md5(F.concat_ws(":", *[f"mh{b * band_size + i}" for i in range(band_size)]))
+        for b in range(n_seeds // band_size)
+    ]
+    return sig.select(
+        "doc_id", F.posexplode(F.array(*band_hashes)).alias("band", "band_hash")
     )
-    return sig
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidates from LSH band collisions, verified with exact Jaccard ≥ 0.7."""
+    """Candidates from LSH band collisions, verified with exact Jaccard ≥ 0.7
+    computed ONLY on the candidate pairs (sub-quadratic end-to-end)."""
     sh = shingles(_docs(spark, sf_dir), n=3)
-    bands = lsh_bands(minhash_signatures(sh))
+    bands = lsh_bands(sh)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -179,7 +187,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    verified = jaccard_pairs(sh, 0.7).join(cand, ["doc_a", "doc_b"], "inner")
+    verified = jaccard_pairs(sh, 0.7, cand=cand)
     return verified.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
 
 
