@@ -228,6 +228,55 @@ SELECT o_orderpriority, rnk::INTEGER AS rnk, o_orderkey, o_totalprice FROM (
 ) WHERE rnk <= 3 ORDER BY o_orderpriority, rnk"""
 
 
+# --- heatmap facet: 2D grid counts (FacetHeatmap / facet.heatmap) -----------
+# Reference computes a spatial grid over lat/lon; the operator is "bucket two
+# dimensions on fixed grids, count each cell, return rows of per-cell counts".
+# Fixture grid: x = event day-of-year bucket (7-day columns), y = value
+# decile rows — one hash-aggregate, then rows assembled with an ordered
+# array_agg over the (tiny) aggregated cells (counts_ints2D shape).
+
+HEATMAP_X_GAP = 7.0      # days per column
+HEATMAP_Y_GAP = 10.0     # value units per row
+
+
+def facet_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cell = (
+        ev.select(
+            F.floor(F.dayofyear("ts") / F.lit(HEATMAP_X_GAP)).cast("int").alias("gx"),
+            F.floor(F.col("value") / F.lit(HEATMAP_Y_GAP)).cast("int").alias("gy"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        cell.groupBy("gy")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("gx", "cnt"))).alias("cells"),
+        )
+        .select(
+            F.col("gy").alias("row"),
+            F.transform("cells", lambda c: c.gx).alias("grid_x"),
+            F.transform("cells", lambda c: c.cnt).alias("counts"),
+        )
+        .orderBy("row")
+    )
+
+
+FACET_HEATMAP_SQL = f"""
+WITH cell AS (
+    SELECT floor(dayofyear(ts) / {HEATMAP_X_GAP})::INTEGER AS gx,
+           floor(value / {HEATMAP_Y_GAP})::INTEGER AS gy,
+           count(*)::BIGINT AS cnt
+    FROM events GROUP BY 1, 2
+)
+SELECT gy AS row,
+       array_agg(gx ORDER BY gx) AS grid_x,
+       array_agg(cnt ORDER BY gx) AS counts
+FROM cell GROUP BY 1 ORDER BY 1"""
+
+
+register("facet_heatmap", facet_heatmap, FACET_HEATMAP_SQL)
 register("facet_terms", facet_terms, FACET_TERMS_SQL)
 register("facet_range", facet_range, FACET_RANGE_SQL)
 register("facet_query", facet_query, FACET_QUERY_SQL)
