@@ -157,12 +157,14 @@ def _invert_partition(
         if key_parts
         else pd.DataFrame({c: [] for c in key_cols})
     )
+    # NOTE: no in-file `seg` column — the hive dir (seg=N) IS the seg column
+    # on read (same convention as merge.py's partitionBy writes); duplicating
+    # it in-file would shadow the partition column and defeat seg-pruning.
     docs_tbl = pa.table({
         **{c: pa.array(keys[c], type=key_types[c]) for c in key_cols},
         "doc_local": doc_ids,
         "length": lengths,
         "norm": norms.astype(np.int32),
-        "seg": np.full(n_rows, seg, dtype=np.int32),
     })
     os.makedirs(os.path.join(index_dir, "docs", f"seg={seg}"), exist_ok=True)
     _atomic_write(docs_tbl, os.path.join(index_dir, "docs", f"seg={seg}", "part-0.parquet"))
@@ -171,7 +173,6 @@ def _invert_partition(
     # post-build once global counts are known) ---
     os.makedirs(os.path.join(index_dir, "seg_norms", f"seg={seg}"), exist_ok=True)
     norms_tbl = pa.table({
-        "seg": np.array([seg], dtype=np.int32),
         "base": np.array([-1], dtype=np.int64),
         "n": np.array([n_rows], dtype=np.int64),
         "norms": pa.array([norms.tobytes()], type=pa.binary()),
