@@ -100,3 +100,79 @@ def test_compile_carries_slop(searcher):
     spec = BooleanSpec(must=[PhraseClause(("merg", "batch"), (0, 1), slop=3)])
     cq = searcher.compile(spec, k=5)
     assert cq.clauses and cq.clauses[0].slop == 3
+
+
+# --- property: the two independent matcher implementations agree on random
+# position-list inputs (engine heap walk vs oracle argmin vector walk) -------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _pos_lists(draw):
+    n_terms = draw(st.integers(min_value=2, max_value=4))
+    lists = []
+    for t in range(n_terms):
+        ps = draw(st.lists(st.integers(min_value=0, max_value=40),
+                           min_size=1, max_size=8, unique=True))
+        # offset-adjust like the kernels do: subtract the phrase offset (=t)
+        lists.append(np.sort(np.array(ps, dtype=np.int64)) - t)
+    return lists
+
+
+def _oracle_freq(pos_lists, slop):
+    """Oracle-side matcher, isolated from pandas plumbing: same argmin-vector
+    walk as BruteForceOracle._sloppy_phrase_postings."""
+    n = len(pos_lists)
+    it = [0] * n
+    cur = [int(pl[0]) for pl in pos_lists]
+    end = max(cur)
+
+    def argmin_cur(exclude=None):
+        best = None
+        for t in range(n):
+            if t == exclude:
+                continue
+            if best is None or cur[t] < cur[best]:
+                best = t
+        return best
+
+    f = np.float32(0.0)
+    active = argmin_cur()
+    nxt = cur[argmin_cur(exclude=active)]
+    match_length = end - cur[active]
+    while True:
+        it[active] += 1
+        if it[active] >= len(pos_lists[active]):
+            break
+        p = int(pos_lists[active][it[active]])
+        cur[active] = p
+        if p > end:
+            end = p
+        if p > nxt:
+            if match_length <= slop:
+                f = np.float32(f + np.float32(1.0 / (match_length + 1)))
+            active = argmin_cur()
+            nxt = cur[argmin_cur(exclude=active)]
+            match_length = end - cur[active]
+        else:
+            ml2 = end - p
+            if ml2 < match_length:
+                match_length = ml2
+    if match_length <= slop:
+        f = np.float32(f + np.float32(1.0 / (match_length + 1)))
+    return float(f)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_pos_lists(), st.integers(min_value=0, max_value=10))
+def test_sloppy_matcher_impls_agree(pos_lists, slop):
+    assert float(_sloppy_freq_one_doc(pos_lists, slop)) == _oracle_freq(pos_lists, slop)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_pos_lists())
+def test_sloppy_freq_monotone_in_slop(pos_lists):
+    freqs = [float(_sloppy_freq_one_doc(pos_lists, s)) for s in (0, 2, 5, 40)]
+    assert all(a <= b + 1e-6 for a, b in zip(freqs, freqs[1:]))
