@@ -243,6 +243,118 @@ FROM dots, np
 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""
 
 
+# --- IVF-Flat ANN ------------------------------------------------------------
+# Inverted-file index: partition vectors into cells by nearest centroid, probe
+# only the NPROBE cells closest to the query. Centroids here are a
+# deterministic sample (vec_id < N_CENTROIDS) rather than k-means iterations —
+# the index/query structure is identical, and determinism keeps it
+# SQL-cross-checkable. At scale: centroids broadcast (tiny), assignment is one
+# narrow pass, and `cell` becomes the partition key of the IVF table so a
+# probe reads only nprobe/ncells of the data (partition pruning does the
+# "inverted file" part).
+
+N_CENTROIDS = 16
+NPROBE = 4
+
+
+def _assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cell): nearest centroid by cosine (ties → lower
+    centroid id). Cosine rounded to 9 dp before the argmax so summation-order
+    noise (~1e-15) can never flip the assignment between engines."""
+    from pyspark.sql import Window
+
+    c = F.broadcast(centroids.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    ))
+    scored = emb.crossJoin(c).select(
+        "vec_id", "embedding", "cid",
+        F.round(
+            _dot(F.col("embedding"), F.col("ce"))
+            / (_norm(F.col("embedding")) * _norm(F.col("ce"))), 9
+        ).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS)
+    assigned = _assign_cells(emb, centroids)
+    probe = _probe_vector(spark, sf_dir, PROBE_VEC_ID)
+    pv = F.array(*[F.lit(float(x)) for x in probe])
+    probe_cells = (
+        centroids.select(
+            F.col("vec_id").alias("cell"),
+            F.round(
+                _dot(F.col("embedding"), pv) / (_norm(F.col("embedding")) * _norm(pv)), 9
+            ).alias("pcos"),
+        )
+        .orderBy(F.desc("pcos"), F.asc("cell"))
+        .limit(NPROBE)
+        .select("cell")
+    )
+    return (
+        assigned.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("vec_id") != PROBE_VEC_ID)
+        .select(
+            "vec_id",
+            F.round(_dot(F.col("embedding"), pv) / (_norm(F.col("embedding")) * _norm(pv)), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH ex AS (
+    SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x::DOUBLE * x::DOUBLE)) AS nrm FROM ex GROUP BY 1),
+ccos AS (
+    SELECT v.vec_id, c.vec_id AS cid,
+           round(sum(v.x::DOUBLE * c.x::DOUBLE) / (nv.nrm * nc.nrm), 9) AS ccos
+    FROM ex v JOIN ex c USING (i)
+    JOIN norms nv ON nv.vec_id = v.vec_id JOIN norms nc ON nc.vec_id = c.vec_id
+    WHERE c.vec_id < {N_CENTROIDS}
+    GROUP BY 1, 2, nv.nrm, nc.nrm
+),
+assigned AS (
+    SELECT vec_id, cid AS cell
+    FROM (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+          FROM ccos)
+    WHERE rn = 1
+),
+probe_cells AS (
+    SELECT cid AS cell FROM ccos WHERE vec_id = {PROBE_VEC_ID}
+    ORDER BY ccos DESC, cid ASC LIMIT {NPROBE}
+),
+pe AS (
+    SELECT unnest(embedding) AS p, generate_subscripts(embedding, 1) AS i
+    FROM embeddings WHERE vec_id = {PROBE_VEC_ID}
+),
+np AS (SELECT sqrt(sum(p::DOUBLE * p::DOUBLE)) AS npv FROM pe),
+dots AS (
+    SELECT e.vec_id, sum(e.x::DOUBLE * pe.p::DOUBLE) AS dot, nv.nrm AS na
+    FROM ex e JOIN pe USING (i)
+    JOIN assigned a ON a.vec_id = e.vec_id
+    JOIN probe_cells pc ON pc.cell = a.cell
+    JOIN norms nv ON nv.vec_id = e.vec_id
+    WHERE e.vec_id != {PROBE_VEC_ID}
+    GROUP BY 1, nv.nrm
+)
+SELECT vec_id, round(dot / (na * npv), 6) AS cos_sim
+FROM dots, np
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""
+
+
 register("ann_cosine_topk", ann_cosine_topk, ANN_COSINE_SQL)
+register("ann_ivf_topk", ann_ivf_topk, ANN_IVF_SQL)
 register("embed_top_pairs", embed_top_pairs, EMBED_TOP_PAIRS_SQL)
 register("ann_lsh_topk", ann_lsh_topk, ANN_LSH_SQL)

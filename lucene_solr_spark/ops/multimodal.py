@@ -90,6 +90,60 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.withColumn("width", F.lit(width)).withColumn("height", F.lit(height))
 
 
+FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_hex string, frame_mean double"
+
+
+def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame sampling plumbing (video path): split the payload into
+    ``n_frames`` equal byte-slices ("frames" under the fake codec), keep
+    every ``every_k``-th. Same mapInPandas shape a real ffmpeg keyframe
+    sampler plugs into; one Arrow pass, no shuffle."""
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload, mime, n_frames in zip(
+                pdf["media_id"], pdf["payload"], pdf["mime"], pdf["n_frames"]
+            ):
+                arr = decode_media(bytes(payload), mime)
+                n_frames = max(int(n_frames), 1)
+                flen = arr.size // n_frames
+                for fi in range(0, n_frames, every_k):
+                    fr = arr[fi * flen:(fi + 1) * flen]
+                    rows.append({
+                        "media_id": int(mid),
+                        "frame_idx": fi,
+                        "frame_hex": fr.tobytes().hex(),
+                        "frame_mean": float(fr.sum()) / fr.size if fr.size else 0.0,
+                    })
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 2nd of 4 frames per media item (frames 0 and 2)."""
+    media = media_table(spark, sf_dir).withColumn("n_frames", F.lit(4))
+    return sample_frames(media, every_k=2).orderBy("media_id", "frame_idx")
+
+
+MULTIMODAL_FRAMES_SQL = """
+WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents),
+fr AS (
+    SELECT media_id, f AS frame_idx, substr(h, 8 * f + 1, 8) AS fhex
+    FROM m, (SELECT unnest([0, 2]) AS f)
+),
+b AS (
+    SELECT media_id, frame_idx,
+           ('0x' || substr(fhex, 2 * i + 1, 2))::INT AS byte
+    FROM fr, (SELECT unnest(generate_series(0, 3)) AS i)
+)
+SELECT fr.media_id, fr.frame_idx, fr.fhex AS frame_hex,
+       sum(b.byte)::DOUBLE / 4 AS frame_mean
+FROM fr JOIN b USING (media_id, frame_idx)
+GROUP BY 1, 2, 3 ORDER BY 1, 2"""
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media_table(spark, sf_dir)).orderBy("media_id")
 
@@ -111,3 +165,4 @@ ORDER BY media_id"""
 
 
 register("multimodal_features", multimodal_features, MULTIMODAL_FEATURES_SQL)
+register("multimodal_frames", multimodal_frames, MULTIMODAL_FRAMES_SQL)
