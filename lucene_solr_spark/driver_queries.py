@@ -65,6 +65,8 @@ MULTITERM = {
     "ft_set_topk": ("set", ("table", "join", "key"), "term IN ('table', 'join', 'key')"),
 }
 
+FILTER_TERMS = ["merge", "batch", "scan"]
+FILTER_SOURCE = "src3"
 DISMAX_TERMS = ["vector", "stream", "filter"]
 DISMAX_TIE = 0.3
 MLT_SRC_DOC = 42
@@ -93,6 +95,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_blockjoin_source"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).blockjoin_by_source("or2", BLOCKJOIN_TERMS, n_groups=5)
+    # FILTER occur (non-scoring candidate restriction before top-k)
+    out["ft_filter_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).filtered_topk("or3", FILTER_TERMS, "source", FILTER_SOURCE, k=10)
     # SloppyPhrase (SloppyPhraseMatcher semantics) — the greedy sequential
     # matcher is not SQL-expressible, so this entry is rows-only for the
     # driver; full rank+float32-score parity vs the independent oracle
@@ -116,6 +122,12 @@ def fulltext_oracles() -> dict[str, str]:
     }
     for name, (_kind, _pattern, pred) in MULTITERM.items():
         out[name] = multiterm_topk_sql("simple", pred, 10)
+    out["ft_filter_topk"] = bm25_topk_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), "or3", FILTER_TERMS, 0),
+        10,
+        filter_pred=f"source = '{FILTER_SOURCE}'",
+    )
     out["ft_dismax_topk"] = dismax_topk_sql("simple", DISMAX_TERMS, DISMAX_TIE, 10)
     out["ft_mlt_topk"] = mlt_topk_sql("simple", MLT_SRC_DOC, 5, 10)
     out["ft_page2_topk"] = bm25_topk_sql(

@@ -86,6 +86,28 @@ class DocumentsEngine:
             F.col("score").cast("float").alias("score"),
         ).orderBy("rank")
 
+    def filtered_topk(
+        self,
+        qtype: str,
+        surface_terms: list[str],
+        filter_col: str,
+        filter_val,
+        k: int = 10,
+        min_should: int = 0,
+    ) -> DataFrame:
+        """Top-k with a non-scoring FILTER clause (BooleanClause.Occur.FILTER):
+        candidates restricted to docs where ``filter_col == filter_val``
+        BEFORE ranking; BM25 scores and global stats are unchanged."""
+        spec = self.searcher.parse(qtype, surface_terms, min_should)
+        keys = (
+            self.spark.read.parquet(os.path.join(self.sf_dir, "documents.parquet"))
+            .filter(F.col(filter_col) == F.lit(filter_val))
+            .select(F.col("doc_id").alias("doc_key"))
+        )
+        fmap = self.searcher.filter_map(keys)
+        out = self.searcher.search(spec, k=k, with_keys=True, filter_by_base=fmap)
+        return self._present(out)
+
     def analyze_spec(self, qtype: str, surface_terms: list[str], min_should: int = 0) -> BooleanSpec:
         return self.searcher.parse(qtype, surface_terms, min_should)
 

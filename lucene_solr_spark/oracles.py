@@ -210,7 +210,10 @@ GROUP BY d.source
 ORDER BY parent_score DESC, source ASC LIMIT {n_groups}"""
 
 
-def bm25_topk_sql(analyzer: str, spec: BooleanSpec, k: int, offset: int = 0) -> str:
+def bm25_topk_sql(
+    analyzer: str, spec: BooleanSpec, k: int, offset: int = 0,
+    filter_pred: str | None = None,
+) -> str:
     """Full BM25 boolean/phrase top-k — bitwise float32 parity with the
     engine's kernels (per-clause f32 score, Σ in double, one f32 cast,
     (score desc, doc_id asc) tiebreak, minShouldMatch, MUST_NOT)."""
@@ -280,6 +283,11 @@ cs{ci} AS (
         mn_clause = (
             "AND NOT EXISTS (SELECT 1 FROM kept x "
             f"WHERE x.doc_id = h.doc_id AND x.term IN ({mn_terms}))"
+        )
+    if filter_pred:
+        # FILTER occur: non-scoring candidate restriction BEFORE ranking
+        mn_clause += (
+            f" AND h.doc_id IN (SELECT doc_id FROM documents WHERE {filter_pred})"
         )
 
     return f"""WITH {base_ctes(analyzer)},{','.join(clause_ctes)},

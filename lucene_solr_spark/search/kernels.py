@@ -167,6 +167,7 @@ def _combine(
     excl_docs: np.ndarray | None,
     combine: str = "sum",
     tie: float = 0.0,
+    incl_docs: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Boolean combine: MUST intersect, SHOULD sum, minShouldMatch, MUST_NOT.
 
@@ -199,6 +200,8 @@ def _combine(
         keep &= should_cnt >= msm
     if excl_docs is not None and excl_docs.size:
         keep &= ~np.isin(udocs, excl_docs, assume_unique=True)
+    if incl_docs is not None:  # FILTER occur: non-scoring candidate restriction
+        keep &= np.isin(udocs, incl_docs, assume_unique=True)
     return udocs[keep], scores[keep].astype(np.float32)
 
 
@@ -234,6 +237,7 @@ def score_segment_exact(
     base: int,
     q: CompiledQuery,
     after: tuple | None = None,
+    incl: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Brute force: decode and score every posting of every clause."""
     decoded: dict[str, tuple] = {}
@@ -273,7 +277,7 @@ def score_segment_exact(
         ])) if any(term_blocks.get(t) for t in q.must_not_terms) else None
     docs, scores = _combine(
         clause_docs, clause_scores, occurs, q.n_must, q.min_should_match, excl,
-        getattr(q, "combine", "sum"), getattr(q, "tie", 0.0),
+        getattr(q, "combine", "sum"), getattr(q, "tie", 0.0), incl,
     )
     docs, scores = _apply_after(docs, scores, after)
     return _topk(docs, scores, q.k)
@@ -285,6 +289,7 @@ def score_segment_wand(
     base: int,
     q: CompiledQuery,
     after: tuple | None = None,
+    incl: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Interval-sweep block-max WAND (term clauses only; phrase queries take
     the exact path). Rank-identical to score_segment_exact by construction."""
@@ -391,7 +396,7 @@ def score_segment_wand(
             continue
         d, s = _combine(
             cds, css, cocc, q.n_must, q.min_should_match, excl,
-            getattr(q, "combine", "sum"), getattr(q, "tie", 0.0),
+            getattr(q, "combine", "sum"), getattr(q, "tie", 0.0), incl,
         )
         d, s = _apply_after(d, s, after)
         if d.size:

@@ -131,6 +131,12 @@ class CompiledQuery:
     n_must: int
     combine: str = "sum"      # 'sum' (BooleanQuery) | 'dismax' (DisjunctionMax)
     tie: float = 0.0
+    # FILTER occur (BooleanClause.Occur.FILTER): non-scoring candidate
+    # restriction, applied BEFORE top-k. Per-segment allowed-doc sets keyed
+    # by segment base (the Spark shape of Lucene's per-leaf filter
+    # DocIdSet/BitSet); None = no filter. Segments absent from the map
+    # contribute nothing.
+    filter_by_base: dict | None = None
 
     @property
     def needs_positions(self) -> bool:

@@ -30,6 +30,7 @@ from .query import BooleanSpec, CompiledQuery, compile_query, parse_fixture_quer
 
 RESULT_SCHEMA = "seg int, doc_id long, score float"
 MULTI_SCHEMA = "query_id string, doc_id long, score float"
+_EMPTY_LOCALS = np.empty(0, dtype=np.int64)
 
 
 def _make_multi_kernel(queries: dict[str, CompiledQuery], mode: str):
@@ -44,7 +45,10 @@ def _make_multi_kernel(queries: dict[str, CompiledQuery], mode: str):
             if not q.clauses:
                 continue
             fn = score_segment_exact if (mode == "exact" or q.needs_positions) else score_segment_wand
-            docs, scores = fn(term_blocks, norms_arr, 0, q)  # postings are seg-local
+            incl = None
+            if q.filter_by_base is not None:
+                incl = q.filter_by_base.get(base, _EMPTY_LOCALS)
+            docs, scores = fn(term_blocks, norms_arr, 0, q, None, incl)  # seg-local
             qids.extend([qid] * len(docs))
             docs_out.append(docs + base)  # globalize at the boundary
             scores_out.append(scores)
@@ -74,7 +78,10 @@ def _make_search_kernel(q: CompiledQuery, mode: str, after: tuple | None = None)
         fn = score_segment_exact if exact else score_segment_wand
         # postings are seg-local; rebase the global searchAfter cursor too
         after_local = (after[0], int(after[1]) - base) if after is not None else None
-        docs, scores = fn(term_blocks, norms_arr, 0, q, after_local)
+        incl = None
+        if q.filter_by_base is not None:  # FILTER: per-segment allowed set
+            incl = q.filter_by_base.get(base, _EMPTY_LOCALS)
+        docs, scores = fn(term_blocks, norms_arr, 0, q, after_local, incl)
         return pd.DataFrame({
             "seg": np.full(len(docs), seg, dtype=np.int32),
             "doc_id": docs + base,  # globalize at the boundary
@@ -191,6 +198,27 @@ class IndexSearcher:
         scored.sort(key=lambda x: (-x[0], x[1]))
         return BooleanSpec(should=[TermClause(t) for _, t in scored[:top_terms]])
 
+    def filter_map(self, keys: DataFrame) -> dict[int, np.ndarray]:
+        """Compile a doc-key filter into per-segment allowed-local-ID sets —
+        the Spark shape of Lucene's cached per-leaf filter DocIdSet: the
+        keyword predicate is evaluated ONCE against the docs table (pruned
+        columnar scan), collected as sorted local ids keyed by segment base,
+        and broadcast to the scoring kernels inside the query closure.
+        Sized for selective filters (the useful kind — an unselective filter
+        should be a post-scan `.filter`); a high-cardinality/unselective
+        predicate at 10^12-doc scale belongs in a keyword-field posting list
+        joined segment-side instead of collected."""
+        rows = (
+            self.docs.join(F.broadcast(keys), "doc_key")
+            .select("doc_id").collect()
+        )
+        gdocs = np.sort(np.array([r.doc_id for r in rows], dtype=np.int64))
+        layout = self.seg_norms.select("base", "n").collect()
+        return {
+            int(r.base): gdocs[(gdocs >= r.base) & (gdocs < r.base + r.n)] - r.base
+            for r in layout
+        }
+
     def search(
         self,
         spec: BooleanSpec | CompiledQuery,
@@ -198,6 +226,7 @@ class IndexSearcher:
         mode: str = "wand",
         with_keys: bool = False,
         after: tuple | None = None,
+        filter_by_base: dict[int, np.ndarray] | None = None,
     ) -> DataFrame:
         """Top-k → DataFrame(doc_id, score[, rank, key cols]).
 
@@ -206,6 +235,8 @@ class IndexSearcher:
         after: (score, doc_id) cursor for searchAfter paging — returns the
         next k hits strictly after the cursor in (score desc, doc asc)."""
         q = spec if isinstance(spec, CompiledQuery) else self.compile(spec, k)
+        if filter_by_base is not None:
+            q.filter_by_base = filter_by_base
         if not q.clauses:
             out = self.spark.createDataFrame([], "doc_id long, score float")
             return self._finish(out, q.k, with_keys)
