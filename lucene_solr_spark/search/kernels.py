@@ -238,16 +238,23 @@ def score_segment_exact(
     q: CompiledQuery,
     after: tuple | None = None,
     incl: np.ndarray | None = None,
+    decode_cache: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Brute force: decode and score every posting of every clause."""
-    decoded: dict[str, tuple] = {}
+    """Brute force: decode and score every posting of every clause.
+
+    ``decode_cache`` (optional, shared across queries in a batch): decoded
+    postings keyed by (term, with_positions) — queries sharing terms decode
+    each posting list once per segment instead of once per query."""
+    decoded = decode_cache if decode_cache is not None else {}
     need_pos = q.needs_positions
 
     def dec(term):
-        if term not in decoded:
+        # namespaced: the shared cache also holds WAND's ("blk", term, i)
+        key = ("post", term, need_pos)
+        if key not in decoded:
             blocks = term_blocks.get(term, [])
-            decoded[term] = decode_postings(blocks, with_positions=need_pos)
-        return decoded[term]
+            decoded[key] = decode_postings(blocks, with_positions=need_pos)
+        return decoded[key]
 
     clause_docs, clause_scores, occurs = [], [], []
     for c in q.clauses:
@@ -273,7 +280,7 @@ def score_segment_exact(
     excl = None
     if q.must_not_terms:
         excl = np.unique(np.concatenate([
-            decode_postings(term_blocks.get(t, []))[0] for t in q.must_not_terms
+            dec(t)[0] for t in q.must_not_terms
         ])) if any(term_blocks.get(t) for t in q.must_not_terms) else None
     docs, scores = _combine(
         clause_docs, clause_scores, occurs, q.n_must, q.min_should_match, excl,
@@ -290,9 +297,15 @@ def score_segment_wand(
     q: CompiledQuery,
     after: tuple | None = None,
     incl: np.ndarray | None = None,
+    decode_cache: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Interval-sweep block-max WAND (term clauses only; phrase queries take
-    the exact path). Rank-identical to score_segment_exact by construction."""
+    the exact path). Rank-identical to score_segment_exact by construction.
+
+    ``decode_cache`` (optional, shared across a query batch): raw block
+    decodes keyed by (term, block_idx) — scores stay per-clause (weight-
+    dependent), but the varint decode, the expensive part, is done once per
+    block per segment for the whole batch."""
     from .bm25 import block_max_score
 
     clause_terms = [c.terms[0] for c in q.clauses]
@@ -354,17 +367,21 @@ def score_segment_wand(
             excl = np.unique(np.concatenate(arrs))
 
     # --- sweep intervals in descending bound order ---
-    dec_cache: dict[tuple[int, int], tuple] = {}   # (clause, block) → (docs, scores32)
+    raw_cache = decode_cache if decode_cache is not None else {}
+    score_cache: dict[tuple[int, int], tuple] = {}  # (clause, block) → (docs, scores32)
 
     def block_scored(ci: int, bi: int):
         key = (ci, bi)
-        if key not in dec_cache:
-            docs, tfs = decode_block(blocks_per_clause[ci][bi])
+        if key not in score_cache:
+            rkey = ("blk", clause_terms[ci], bi)
+            if rkey not in raw_cache:
+                raw_cache[rkey] = decode_block(blocks_per_clause[ci][bi])
+            docs, tfs = raw_cache[rkey]
             scores = score_postings(
                 tfs, _norm_lookup(norms_arr, base, docs), weights[ci], q.cache
             )
-            dec_cache[key] = (docs, scores)
-        return dec_cache[key]
+            score_cache[key] = (docs, scores)
+        return score_cache[key]
 
     pool_docs = np.empty(0, dtype=np.int64)
     pool_scores = np.empty(0, dtype=np.float32)

@@ -41,6 +41,7 @@ def _make_multi_kernel(queries: dict[str, CompiledQuery], mode: str):
         norms_arr = np.frombuffer(norms["norms"].iloc[0], dtype=np.uint8)
         term_blocks = {t: list(b) for t, b in zip(posts["term"], posts["blocks"])}
         qids, docs_out, scores_out = [], [], []
+        shared_decode: dict = {}  # queries sharing terms decode blocks once
         for qid, q in queries.items():
             if not q.clauses:
                 continue
@@ -48,7 +49,7 @@ def _make_multi_kernel(queries: dict[str, CompiledQuery], mode: str):
             incl = None
             if q.filter_by_base is not None:
                 incl = q.filter_by_base.get(base, _EMPTY_LOCALS)
-            docs, scores = fn(term_blocks, norms_arr, 0, q, None, incl)  # seg-local
+            docs, scores = fn(term_blocks, norms_arr, 0, q, None, incl, shared_decode)
             qids.extend([qid] * len(docs))
             docs_out.append(docs + base)  # globalize at the boundary
             scores_out.append(scores)
