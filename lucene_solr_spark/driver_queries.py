@@ -19,6 +19,7 @@ from .index.build import ANALYZERS
 from .oracles import (
     blockjoin_sql,
     bm25_topk_sql,
+    explain_sql,
     collection_stats_sql,
     dismax_topk_sql,
     docs_norms_sql,
@@ -65,6 +66,8 @@ MULTITERM = {
     "ft_set_topk": ("set", ("table", "join", "key"), "term IN ('table', 'join', 'key')"),
 }
 
+EXPLAIN_TERMS = ["merge", "batch", "stream"]
+EXPLAIN_DOC = 42
 FILTER_TERMS = ["merge", "batch", "scan"]
 FILTER_SOURCE = "src3"
 DISMAX_TERMS = ["vector", "stream", "filter"]
@@ -95,6 +98,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_blockjoin_source"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).blockjoin_by_source("or2", BLOCKJOIN_TERMS, n_groups=5)
+    # explain / debugQuery (per-term BM25 breakdown for one doc)
+    out["ft_explain"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).explain("or3", EXPLAIN_TERMS, EXPLAIN_DOC)
     # FILTER occur (non-scoring candidate restriction before top-k)
     out["ft_filter_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -122,6 +129,11 @@ def fulltext_oracles() -> dict[str, str]:
     }
     for name, (_kind, _pattern, pred) in MULTITERM.items():
         out[name] = multiterm_topk_sql("simple", pred, 10)
+    out["ft_explain"] = explain_sql(
+        "simple",
+        [t for t, _ in ANALYZERS["simple"]().analyze(" ".join(EXPLAIN_TERMS))],
+        EXPLAIN_DOC,
+    )
     out["ft_filter_topk"] = bm25_topk_sql(
         "simple",
         parse_fixture_query(ANALYZERS["simple"](), "or3", FILTER_TERMS, 0),

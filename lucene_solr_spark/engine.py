@@ -108,6 +108,19 @@ class DocumentsEngine:
         out = self.searcher.search(spec, k=k, with_keys=True, filter_by_base=fmap)
         return self._present(out)
 
+    def explain(self, qtype: str, surface_terms: list[str], src_doc_id: int) -> DataFrame:
+        """``IndexSearcher#explain`` / Solr debugQuery: per-term BM25 score
+        breakdown for one (query, doc) — keyed on the SOURCE doc_id."""
+        spec = self.searcher.parse(qtype, surface_terms, 0)
+        gid = int(
+            self.searcher.docs.filter(F.col("doc_key") == src_doc_id)
+            .select("doc_id").collect()[0].doc_id
+        )
+        pdf = self.searcher.explain(spec, gid)
+        return self.spark.createDataFrame(
+            pdf, "term string, df long, idf float, tf long, doc_len long, clause_score float"
+        )
+
     def analyze_spec(self, qtype: str, surface_terms: list[str], min_should: int = 0) -> BooleanSpec:
         return self.searcher.parse(qtype, surface_terms, min_should)
 

@@ -210,6 +210,28 @@ GROUP BY d.source
 ORDER BY parent_score DESC, source ASC LIMIT {n_groups}"""
 
 
+def explain_sql(analyzer: str, terms: list[str], doc_id: int) -> str:
+    """``IndexSearcher#explain`` oracle: per-term BM25 breakdown for one doc
+    — df, float32 idf, tf, doc length, clause score (kernel float32 op
+    order). Terms with df=0 are dropped (compile_query drops those clauses)."""
+    per_term = " UNION ALL ".join(f"""
+SELECT '{t}' AS term,
+       (SELECT count(DISTINCT doc_id) FROM kept WHERE term = '{t}')::BIGINT AS df,
+       CAST({_idf_expr(t)} AS FLOAT) AS idf,
+       (SELECT count(*) FROM kept WHERE term = '{t}' AND doc_id = {doc_id})::BIGINT AS tf
+FROM statsf st""" for t in terms)
+    return f"""WITH {base_ctes(analyzer)},
+per_term AS ({per_term})
+SELECT p.term, p.df, p.idf, p.tf,
+       dl.length::BIGINT AS doc_len,
+       CASE WHEN p.tf > 0 THEN
+           CAST(p.idf * CAST(p.tf::DOUBLE / (p.tf::DOUBLE + CAST(c.cache AS DOUBLE)) AS FLOAT) AS FLOAT)
+       ELSE CAST(0.0 AS FLOAT) END AS clause_score
+FROM per_term p, doclen dl, cachec c
+WHERE dl.doc_id = {doc_id} AND c.doc_id = {doc_id} AND p.df > 0
+ORDER BY p.term"""
+
+
 def bm25_topk_sql(
     analyzer: str, spec: BooleanSpec, k: int, offset: int = 0,
     filter_pred: str | None = None,

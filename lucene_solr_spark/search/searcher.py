@@ -199,6 +199,62 @@ class IndexSearcher:
         scored.sort(key=lambda x: (-x[0], x[1]))
         return BooleanSpec(should=[TermClause(t) for _, t in scored[:top_terms]])
 
+    def explain(self, spec: BooleanSpec, global_doc_id: int) -> pd.DataFrame:
+        """``IndexSearcher#explain`` / Solr debugQuery analog: the per-clause
+        BM25 breakdown for ONE (query, doc) — term, docFreq, idf, termFreq,
+        doc length, and the clause score, using the exact float32 op order
+        the kernels use. Reads only the doc's segment (partition-pruned) and
+        only the query's terms (term-pruned scan)."""
+        from ..index.codec import decode_postings
+        from .bm25 import score_postings
+
+        q = self.compile(spec, k=1)
+        layout = sorted(
+            (int(r.seg), int(r.base), int(r.n))
+            for r in self.seg_norms.select("seg", "base", "n").collect()
+        )
+        seg = base = None
+        for s, b, n in layout:
+            if b <= global_doc_id < b + n:
+                seg, base = s, b
+                break
+        if seg is None:
+            raise ValueError(f"doc {global_doc_id} out of range")
+        local = global_doc_id - base
+        drow = (
+            self.docs.filter(F.col("doc_id") == global_doc_id)
+            .select("length", "norm").collect()[0]
+        )
+        terms = q.scoring_terms
+        posts = (
+            self.postings.filter((F.col("seg") == seg) & (F.col("term").isin(terms)))
+            .select("term", "blocks").collect()
+        )
+        blocks_by_term = {r.term: list(r.blocks) for r in posts}
+        df_map = self.term_stats(terms)
+        rows = []
+        for c in q.clauses:
+            if c.kind != "term":
+                continue  # explain covers term clauses (Lucene per-leaf TermQuery)
+            t = c.terms[0]
+            docs_t, tfs_t = decode_postings(blocks_by_term.get(t, []))[:2]
+            i = np.searchsorted(docs_t, local)
+            tf = int(tfs_t[i]) if i < len(docs_t) and docs_t[i] == local else 0
+            score = (
+                float(score_postings(
+                    np.array([tf]), np.array([drow.norm]), c.weight, q.cache
+                )[0]) if tf > 0 else 0.0
+            )
+            rows.append({
+                "term": t,
+                "df": int(df_map.get(t, 0)),
+                "idf": float(np.float32(c.weight)),  # boost=1 ⇒ weight == idf
+                "tf": tf,
+                "doc_len": int(drow.length),
+                "clause_score": np.float32(score),
+            })
+        return pd.DataFrame(sorted(rows, key=lambda r: r["term"]))
+
     def filter_map(self, keys: DataFrame) -> dict[int, np.ndarray]:
         """Compile a doc-key filter into per-segment allowed-local-ID sets —
         the Spark shape of Lucene's cached per-leaf filter DocIdSet: the
