@@ -66,6 +66,7 @@ MULTITERM = {
     "ft_set_topk": ("set", ("table", "join", "key"), "term IN ('table', 'join', 'key')"),
 }
 
+BOOST_TERMS = [("vector", 2.5), ("stream", 1.0), ("filter", 0.5)]
 EXPLAIN_TERMS = ["merge", "batch", "stream"]
 EXPLAIN_DOC = 42
 FILTER_TERMS = ["merge", "batch", "scan"]
@@ -98,6 +99,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_blockjoin_source"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).blockjoin_by_source("or2", BLOCKJOIN_TERMS, n_groups=5)
+    # BoostQuery (per-clause boosts folded into weights)
+    out["ft_boost_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).boosted_topk(BOOST_TERMS, k=10)
     # explain / debugQuery (per-term BM25 breakdown for one doc)
     out["ft_explain"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -129,6 +134,16 @@ def fulltext_oracles() -> dict[str, str]:
     }
     for name, (_kind, _pattern, pred) in MULTITERM.items():
         out[name] = multiterm_topk_sql("simple", pred, 10)
+    from .search.query import BooleanSpec, TermClause
+
+    an = ANALYZERS["simple"]()
+    out["ft_boost_topk"] = bm25_topk_sql(
+        "simple",
+        BooleanSpec(should=[
+            TermClause(t, b) for s, b in BOOST_TERMS for t, _ in an.analyze(s)
+        ]),
+        10,
+    )
     out["ft_explain"] = explain_sql(
         "simple",
         [t for t, _ in ANALYZERS["simple"]().analyze(" ".join(EXPLAIN_TERMS))],

@@ -108,6 +108,18 @@ class DocumentsEngine:
         out = self.searcher.search(spec, k=k, with_keys=True, filter_by_base=fmap)
         return self._present(out)
 
+    def boosted_topk(self, term_boosts: list[tuple[str, float]], k: int = 10) -> DataFrame:
+        """Disjunction with per-clause boosts (``Query#setBoost`` era /
+        ``BoostQuery``): weight = f32(boost) · f32(idf)."""
+        from .search.query import TermClause
+
+        spec = BooleanSpec(should=[
+            TermClause(t, boost)
+            for surface, boost in term_boosts
+            for t, _ in self.searcher.analyzer.analyze(surface)
+        ])
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
     def explain(self, qtype: str, surface_terms: list[str], src_doc_id: int) -> DataFrame:
         """``IndexSearcher#explain`` / Solr debugQuery: per-term BM25 score
         breakdown for one (query, doc) — keyed on the SOURCE doc_id."""

@@ -277,10 +277,16 @@ cs{ci} AS (
 )""")
             else:
                 t = c.term
+                # weight = f32(boost) * f32(idf), each op rounding to f32
+                # (TermClause.boost; engine: np.float32(boost) * bm25_idf)
+                boost = float(getattr(c, "boost", 1.0))
+                w_expr = _idf_expr(t) if boost == 1.0 else (
+                    f"(CAST({boost!r} AS FLOAT) * {_idf_expr(t)})"
+                )
                 clause_ctes.append(f"""
 cs{ci} AS (
     SELECT k.doc_id,
-           CAST({_idf_expr(t)}
+           CAST({w_expr}
                 * CAST(count(*)::DOUBLE / (count(*)::DOUBLE + CAST(any_value(c.cache) AS DOUBLE)) AS FLOAT)
             AS FLOAT) AS s,
            {is_must} AS is_must
