@@ -34,7 +34,21 @@ _SF = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else 0.1
 N_CONV = max(200, int(680_000 * _SF))
 
 
+def _memory_hygiene() -> None:
+    """Best-effort page-cache drop + compaction (no-op without root):
+    fragmentation from prior jobs degrades high-core Arrow-UDF throughput up
+    to 2x, making run-to-run numbers incomparable (see tools/scaling_bench)."""
+    os.sync()
+    for knob in ("drop_caches", "compact_memory"):
+        try:
+            with open(f"/proc/sys/vm/{knob}", "w") as f:
+                f.write("1")
+        except OSError:
+            pass
+
+
 def main() -> None:
+    _memory_hygiene()
     from lucene_solr_spark.session import get_spark
     from lucene_solr_spark.datagen import generate_transcripts, generate_queries
     from lucene_solr_spark.search.searcher import IndexSearcher
