@@ -283,3 +283,132 @@ register("stream_complement", stream_complement, STREAM_COMPLEMENT_SQL)
 register("stream_cartesian", stream_cartesian, STREAM_CARTESIAN_SQL)
 register("stream_select_eval", stream_select_eval, STREAM_SELECT_EVAL_SQL)
 register("stream_timeseries", stream_timeseries, STREAM_TIMESERIES_SQL)
+
+
+# --- significantTerms (SignificantTermsStream: distinctive-terms mining) ----
+
+SIGTERMS_FG_SOURCE = "src1"
+SIGTERMS_MIN_BG_DF = 5
+SIGTERMS_K = 15
+
+
+def stream_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms over-represented in a foreground doc set vs the whole corpus
+    (``SJ/io/stream/SignificantTermsStream``): score = lift of the term's
+    foreground doc-rate over its (+1-smoothed) background doc-rate.
+
+    One tokenize pass → distinct (doc, term) → two hash-aggregates and a
+    broadcast-joined ratio; everything stays map-side-combinable, so at
+    10^12 docs the cost is the token scan plus one term-keyed shuffle."""
+    from .textmetrics import TOKEN_RE
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dt = docs.select(
+        "doc_id", "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("term"),
+    ).distinct()
+    counts = dt.groupBy("term").agg(
+        F.count(F.lit(1)).alias("bg_df"),
+        F.sum((F.col("source") == SIGTERMS_FG_SOURCE).cast("long")).alias("fg_df"),
+    )
+    totals = docs.agg(
+        F.count(F.lit(1)).alias("n_bg"),
+        F.sum((F.col("source") == SIGTERMS_FG_SOURCE).cast("long")).alias("n_fg"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .filter((F.col("bg_df") >= SIGTERMS_MIN_BG_DF) & (F.col("fg_df") > 0))
+        .select(
+            "term", "fg_df", "bg_df",
+            ((F.col("fg_df").cast("double") / F.col("n_fg"))
+             / ((F.col("bg_df").cast("double") + 1.0) / F.col("n_bg"))).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(SIGTERMS_K)
+    )
+
+
+def _sigterms_sql() -> str:
+    from .textmetrics import TOKEN_RE_SQL
+
+    return f"""
+WITH dt AS (
+    SELECT DISTINCT doc_id, source,
+           unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS term
+    FROM documents
+),
+counts AS (
+    SELECT term, count(*)::BIGINT AS bg_df,
+           sum(CASE WHEN source = '{SIGTERMS_FG_SOURCE}' THEN 1 ELSE 0 END)::BIGINT AS fg_df
+    FROM dt GROUP BY 1
+),
+totals AS (
+    SELECT count(*)::BIGINT AS n_bg,
+           sum(CASE WHEN source = '{SIGTERMS_FG_SOURCE}' THEN 1 ELSE 0 END)::BIGINT AS n_fg
+    FROM documents
+)
+SELECT term, fg_df, bg_df,
+       (fg_df::DOUBLE / n_fg) / ((bg_df::DOUBLE + 1.0) / n_bg) AS score
+FROM counts, totals
+WHERE bg_df >= {SIGTERMS_MIN_BG_DF} AND fg_df > 0
+ORDER BY score DESC, term ASC LIMIT {SIGTERMS_K}"""
+
+
+# --- reduce (ReducerStream: generic grouped reduce) --------------------------
+
+def stream_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer imperative reduce over date-sorted orders
+    (``SJ/io/stream/ReducerStream``): order count, exact total, and the
+    maximum day-gap between consecutive orders — an applyInPandas grouped
+    kernel (the generic escape hatch when the reduce isn't expressible as
+    an aggregate), shuffled once on the group key."""
+    import numpy as np
+    import pandas as pd
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", F.col("o_totalprice").cast("decimal(18,2)").alias("p")
+    )
+
+    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("o_orderdate")
+        d = pd.to_datetime(pdf["o_orderdate"]).to_numpy()
+        gaps = np.diff(d).astype("timedelta64[D]").astype(np.int64)
+        return pd.DataFrame({
+            "c_custkey": [int(pdf["o_custkey"].iloc[0])],
+            "n_orders": [len(pdf)],
+            "total_price": [float(pdf["p"].sum())],
+            "max_gap_days": [int(gaps.max()) if len(gaps) else -1],
+        })
+
+    out = (
+        orders.groupBy("o_custkey")
+        .applyInPandas(reduce_group,
+                       "c_custkey long, n_orders long, total_price double, max_gap_days long")
+        .filter(F.col("n_orders") >= 2)
+        .orderBy("c_custkey")
+    )
+    return out
+
+
+STREAM_REDUCE_SQL = """
+WITH g AS (
+    SELECT o_custkey AS c_custkey,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           max(gap)::BIGINT AS max_gap_days
+    FROM (
+        SELECT o_custkey, o_totalprice,
+               date_diff('day',
+                         lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate),
+                         o_orderdate) AS gap
+        FROM orders
+    )
+    GROUP BY 1
+)
+SELECT * FROM g WHERE n_orders >= 2 ORDER BY c_custkey"""
+
+
+register("stream_significant_terms", stream_significant_terms, _sigterms_sql())
+register("stream_reduce", stream_reduce, STREAM_REDUCE_SQL)
