@@ -276,6 +276,35 @@ SELECT gy AS row,
 FROM cell GROUP BY 1 ORDER BY 1"""
 
 
+# --- percentile facet (PercentileAgg) ----------------------------------------
+# Exact interpolated percentiles per bucket (Spark `percentile` ≡ DuckDB
+# `quantile_cont`, both rank = p·(n−1) linear interpolation). Solr's
+# PercentileAgg uses t-digest sketches for the distributed case — Spark's
+# sketch analog is `percentile_approx`; at 10^12 rows use that (one pass,
+# mergeable state); the exact form here is the verification baseline.
+
+def facet_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("bucket"))
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("bucket")
+    )
+
+
+FACET_PERCENTILE_SQL = """
+SELECT o_orderpriority AS bucket,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY 1 ORDER BY 1"""
+
+
+register("facet_percentile", facet_percentile, FACET_PERCENTILE_SQL)
 register("facet_heatmap", facet_heatmap, FACET_HEATMAP_SQL)
 register("facet_terms", facet_terms, FACET_TERMS_SQL)
 register("facet_range", facet_range, FACET_RANGE_SQL)
