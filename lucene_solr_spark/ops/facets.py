@@ -304,6 +304,49 @@ SELECT o_orderpriority AS bucket,
 FROM orders GROUP BY 1 ORDER BY 1"""
 
 
+# --- nested subfacets (FacetModule bucket trees) ------------------------------
+# JSON Facet API nesting: outer terms facet, and inside every bucket an inner
+# terms subfacet with its own metrics + top-N. One hash-aggregate on the
+# composite key + a per-bucket window rank — never a per-bucket re-query
+# (Solr refines each bucket with follow-up shard requests; Spark gets the
+# whole tree from one shuffle).
+
+def facet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order-priority bucket: top-2 order statuses by count with
+    revenue — (bucket, sub_bucket, cnt, sum_price, sub_rank)."""
+    orders = _t(spark, sf_dir, "orders")
+    cells = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("bucket"),
+            F.col("o_orderstatus").alias("sub_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("cnt"), F.asc("sub_bucket"))
+    return (
+        cells.withColumn("sub_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sub_rank") <= 2)
+        .orderBy("bucket", "sub_rank")
+    )
+
+
+FACET_NESTED_SQL = """
+WITH cells AS (
+    SELECT o_orderpriority AS bucket, o_orderstatus AS sub_bucket,
+           count(*)::BIGINT AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY 1, 2
+)
+SELECT bucket, sub_bucket, cnt, sum_price, sub_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY cnt DESC, sub_bucket ASC)::INTEGER AS sub_rank
+    FROM cells
+) WHERE sub_rank <= 2 ORDER BY bucket, sub_rank"""
+
+
+register("facet_nested", facet_nested, FACET_NESTED_SQL)
 register("facet_percentile", facet_percentile, FACET_PERCENTILE_SQL)
 register("facet_heatmap", facet_heatmap, FACET_HEATMAP_SQL)
 register("facet_terms", facet_terms, FACET_TERMS_SQL)
