@@ -25,6 +25,7 @@ from .oracles import (
     docs_norms_sql,
     mlt_topk_sql,
     multiterm_topk_sql,
+    sloppy_phrase_topk_sql,
     term_stats_sql,
 )
 from .search.query import parse_fixture_query
@@ -111,9 +112,9 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_filter_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).filtered_topk("or3", FILTER_TERMS, "source", FILTER_SOURCE, k=10)
-    # SloppyPhrase (SloppyPhraseMatcher semantics) — the greedy sequential
-    # matcher is not SQL-expressible, so this entry is rows-only for the
-    # driver; full rank+float32-score parity vs the independent oracle
+    # SloppyPhrase (SloppyPhraseMatcher semantics) — driver-checked against a
+    # WITH RECURSIVE DuckDB emulation of the 2-term greedy heap walk
+    # (oracles.sloppy_phrase_topk_sql); n>2 parity vs the independent oracle
     # implementation is gated by tests/test_sloppy_phrase.py.
     out["ft_sloppy_phrase_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -164,6 +165,13 @@ def fulltext_oracles() -> dict[str, str]:
         offset=10,
     )
     out["ft_blockjoin_source"] = blockjoin_sql("simple", BLOCKJOIN_TERMS, 5)
+    sloppy_spec = parse_fixture_query(
+        ANALYZERS["simple"](), "phrase2", ["table", "hash"], 0, slop=3
+    )
+    ph = sloppy_spec.must[0]
+    out["ft_sloppy_phrase_topk"] = sloppy_phrase_topk_sql(
+        "simple", ph.terms, ph.offsets, 3, 10
+    )
     out["ft_docs_norms"] = docs_norms_sql("simple")
     out["ft_stop_docs_norms"] = docs_norms_sql("stop")
     out["ft_term_stats"] = term_stats_sql("simple")

@@ -186,6 +186,44 @@ SELECT event_type, count(DISTINCT user_id)::BIGINT AS uniq_users, count(*)::BIGI
 FROM events GROUP BY 1 ORDER BY 1"""
 
 
+# --- unique agg, sketch form: HLL approx count-distinct (HLLAgg) ------------
+# Solr's `hll` agg (S/search/facet/HLLAgg) is the distributed-scale default
+# for cardinality; Spark's analog is `approx_count_distinct` (HyperLogLog++,
+# mergeable partial state — one pass, no shuffle of raw values). The sketch
+# estimate is engine-specific, so the driver-checked contract is the useful
+# invariant: the estimate must sit within the configured relative error of
+# the exact count. We emit (bucket, uniq_exact, hll_ok) where hll_ok asserts
+# |hll − exact| ≤ 5·rsd·exact; the oracle computes the exact count and
+# hll_ok=TRUE. A failing sketch turns the row red.
+
+HLL_RSD = 0.02
+
+
+def facet_unique_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("uniq_exact"),
+            F.approx_count_distinct("user_id", HLL_RSD).alias("hll"),
+        )
+        .select(
+            "event_type",
+            "uniq_exact",
+            (
+                F.abs(F.col("hll") - F.col("uniq_exact"))
+                <= F.lit(5 * HLL_RSD) * F.col("uniq_exact")
+            ).alias("hll_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+FACET_UNIQUE_HLL_SQL = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS uniq_exact, TRUE AS hll_ok
+FROM events GROUP BY 1 ORDER BY 1"""
+
+
 # --- grouping / collapse: best row per group (CollapsingQParserPlugin) ------
 
 def collapse_best_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,6 +243,40 @@ SELECT o_custkey, o_orderkey, o_totalprice FROM (
            row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
     FROM orders
 ) WHERE rn = 1 ORDER BY o_custkey"""
+
+
+# --- expand component (CollapsingQParserPlugin's expand side) ---------------
+# Collapse hides all but the best doc per group; ExpandComponent fetches the
+# top-N *hidden* members of each collapsed group so the client can show
+# "more like this group". Same single window shuffle as collapse — the rank
+# that picked the head also identifies the expanded members (rn 2..N+1);
+# never a per-group re-query.
+
+EXPAND_N = 2
+
+
+def collapse_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    ranked = orders.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.filter((F.col("rn") >= 2) & (F.col("rn") <= 1 + EXPAND_N))
+        .select(
+            "o_custkey",
+            F.col("rn").cast("int").alias("expand_rank"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .orderBy("o_custkey", "expand_rank")
+    )
+
+
+COLLAPSE_EXPAND_SQL = f"""
+SELECT o_custkey, rn::INTEGER AS expand_rank, o_orderkey, o_totalprice FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+    FROM orders
+) WHERE rn BETWEEN 2 AND {1 + EXPAND_N} ORDER BY o_custkey, expand_rank"""
 
 
 # --- grouping: top-k docs per group (lucene/grouping) -----------------------
@@ -232,8 +304,10 @@ SELECT o_orderpriority, rnk::INTEGER AS rnk, o_orderkey, o_totalprice FROM (
 # Reference computes a spatial grid over lat/lon; the operator is "bucket two
 # dimensions on fixed grids, count each cell, return rows of per-cell counts".
 # Fixture grid: x = event day-of-year bucket (7-day columns), y = value
-# decile rows — one hash-aggregate, then rows assembled with an ordered
-# array_agg over the (tiny) aggregated cells (counts_ints2D shape).
+# decile rows — one hash-aggregate. Emitted as EXPLODED scalar cells
+# (row, gx, cnt) — the same information as counts_ints2D, one cell per
+# output row, so the driver canonicalizer (pandas sort_values) can hash it;
+# reassembling the 2D array shape is a trivial driver-side collect_list.
 
 HEATMAP_X_GAP = 7.0      # days per column
 HEATMAP_Y_GAP = 10.0     # value units per row
@@ -241,39 +315,23 @@ HEATMAP_Y_GAP = 10.0     # value units per row
 
 def facet_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    cell = (
+    return (
         ev.select(
             F.floor(F.dayofyear("ts") / F.lit(HEATMAP_X_GAP)).cast("int").alias("gx"),
             F.floor(F.col("value") / F.lit(HEATMAP_Y_GAP)).cast("int").alias("gy"),
         )
-        .groupBy("gx", "gy")
+        .groupBy("gy", "gx")
         .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    return (
-        cell.groupBy("gy")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("gx", "cnt"))).alias("cells"),
-        )
-        .select(
-            F.col("gy").alias("row"),
-            F.transform("cells", lambda c: c.gx).alias("grid_x"),
-            F.transform("cells", lambda c: c.cnt).alias("counts"),
-        )
-        .orderBy("row")
+        .select(F.col("gy").alias("row"), "gx", "cnt")
+        .orderBy("row", "gx")
     )
 
 
 FACET_HEATMAP_SQL = f"""
-WITH cell AS (
-    SELECT floor(dayofyear(ts) / {HEATMAP_X_GAP})::INTEGER AS gx,
-           floor(value / {HEATMAP_Y_GAP})::INTEGER AS gy,
-           count(*)::BIGINT AS cnt
-    FROM events GROUP BY 1, 2
-)
-SELECT gy AS row,
-       array_agg(gx ORDER BY gx) AS grid_x,
-       array_agg(cnt ORDER BY gx) AS counts
-FROM cell GROUP BY 1 ORDER BY 1"""
+SELECT floor(value / {HEATMAP_Y_GAP})::INTEGER AS row,
+       floor(dayofyear(ts) / {HEATMAP_X_GAP})::INTEGER AS gx,
+       count(*)::BIGINT AS cnt
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
 # --- percentile facet (PercentileAgg) ----------------------------------------
@@ -355,5 +413,7 @@ register("facet_query", facet_query, FACET_QUERY_SQL)
 register("facet_metrics_q1", facet_metrics_q1, FACET_METRICS_Q1_SQL)
 register("stats_component", stats_component, STATS_COMPONENT_SQL)
 register("facet_unique", facet_unique, FACET_UNIQUE_SQL)
+register("facet_unique_hll", facet_unique_hll, FACET_UNIQUE_HLL_SQL)
 register("collapse_best_order", collapse_best_order, COLLAPSE_SQL)
+register("collapse_expand", collapse_expand, COLLAPSE_EXPAND_SQL)
 register("group_topk", group_topk, GROUP_TOPK_SQL)

@@ -232,6 +232,99 @@ WHERE dl.doc_id = {doc_id} AND c.doc_id = {doc_id} AND p.df > 0
 ORDER BY p.term"""
 
 
+def sloppy_phrase_topk_sql(
+    analyzer: str, terms: tuple[str, ...], offsets: tuple[int, ...], slop: int, k: int
+) -> str:
+    """Sloppy-phrase top-k oracle: a DuckDB ``WITH RECURSIVE`` emulation of
+    Lucene's greedy sloppy matcher (``L/search/SloppyPhraseMatcher`` /
+    classic SloppyPhraseScorer#phraseFreq, no-repeats case) for the TWO-term
+    phrase — exactly the heap walk in ``kernels._sloppy_freq_one_doc``.
+
+    With two iterators the heap degenerates: after each overtake the new
+    current element is always the old heap head and the just-advanced
+    position becomes the new head, so one recursion step per loop iteration
+    carries the full state (i0, i1, t, p, nxt, end, matchLength, freq).
+    Float discipline: freq accumulates in FLOAT (DuckDB FLOAT ops round per
+    op to float32, matching np.float32 accumulation); scoring reuses the
+    phrase-clause op order (weight = f32(Σ f64 of f32 idfs), ratio f32 from
+    f64 division, one final f32 multiply).
+
+    n>2 phrases would need a real heap in SQL; they are covered by the
+    independent-implementation + hypothesis parity suite instead
+    (tests/test_sloppy_phrase.py).
+    """
+    if len(terms) != 2:
+        raise ValueError("SQL sloppy oracle implemented for 2-term phrases")
+    t0, t1 = terms
+    off0, off1 = offsets
+    idf_sum = " + ".join(f"CAST({_idf_expr(t)} AS DOUBLE)" for t in terms)
+    exists = " AND ".join(
+        f"EXISTS (SELECT 1 FROM kept WHERE term = '{t}')" for t in terms
+    )
+    return f"""WITH RECURSIVE {base_ctes(analyzer)},
+pl0 AS (
+    SELECT doc_id, list(pos - {off0} ORDER BY pos) AS pl
+    FROM kept WHERE term = '{t0}' GROUP BY doc_id
+),
+pl1 AS (
+    SELECT doc_id, list(pos - {off1} ORDER BY pos) AS pl
+    FROM kept WHERE term = '{t1}' GROUP BY doc_id
+),
+init AS (
+    SELECT a.doc_id, a.pl AS la, b.pl AS lb,
+           a.pl[1] AS pa, b.pl[1] AS pb
+    FROM pl0 a JOIN pl1 b USING (doc_id)
+),
+walk AS (
+    SELECT doc_id, la, lb,
+           1::BIGINT AS i0, 1::BIGINT AS i1,
+           CASE WHEN pa <= pb THEN 0 ELSE 1 END AS t,
+           least(pa, pb) AS p,
+           greatest(pa, pb) AS nxt,
+           greatest(pa, pb) AS endp,
+           (greatest(pa, pb) - least(pa, pb))::BIGINT AS ml,
+           CAST(0.0 AS FLOAT) AS freq,
+           FALSE AS done
+    FROM init
+    UNION ALL
+    SELECT doc_id, la, lb, ni0 AS i0, ni1 AS i1,
+           CASE WHEN fin THEN t WHEN pn > nxt THEN 1 - t ELSE t END AS t,
+           CASE WHEN fin THEN p WHEN pn > nxt THEN nxt ELSE pn END AS p,
+           CASE WHEN fin THEN nxt WHEN pn > nxt THEN pn ELSE nxt END AS nxt,
+           CASE WHEN fin THEN endp ELSE greatest(endp, pn) END AS endp,
+           CASE WHEN fin THEN ml
+                WHEN pn > nxt THEN greatest(endp, pn) - nxt
+                ELSE least(ml, greatest(endp, pn) - pn) END AS ml,
+           CASE WHEN (fin OR pn > nxt) AND ml <= {slop}
+                THEN freq + CAST(1.0 / (ml + 1.0) AS FLOAT)
+                ELSE freq END AS freq,
+           fin AS done
+    FROM (
+        SELECT w.*,
+               CASE WHEN t = 0 THEN i0 + 1 ELSE i0 END AS ni0,
+               CASE WHEN t = 1 THEN i1 + 1 ELSE i1 END AS ni1,
+               CASE WHEN t = 0 THEN i0 + 1 > len(la)
+                    ELSE i1 + 1 > len(lb) END AS fin,
+               CASE WHEN t = 0 THEN la[(i0 + 1)::INTEGER]
+                    ELSE lb[(i1 + 1)::INTEGER] END AS pn
+        FROM walk w WHERE NOT done
+    ) s
+),
+sloppy_tf AS (SELECT doc_id, freq FROM walk WHERE done AND freq > 0),
+hits AS (
+    SELECT f.doc_id,
+           CAST(CAST({idf_sum} AS FLOAT)
+                * CAST(CAST(f.freq AS DOUBLE)
+                       / (CAST(f.freq AS DOUBLE) + CAST(c.cache AS DOUBLE)) AS FLOAT)
+            AS FLOAT) AS score
+    FROM sloppy_tf f JOIN cachec c USING (doc_id), statsf st
+    WHERE {exists}
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score FROM hits
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def bm25_topk_sql(
     analyzer: str, spec: BooleanSpec, k: int, offset: int = 0,
     filter_pred: str | None = None,
