@@ -36,6 +36,7 @@ class DocumentsEngine:
         analyzer: str = "simple",
         *,
         n_segments: int = 8,
+        variant: str = "",
     ) -> None:
         self.spark = spark
         self.sf_dir = sf_dir
@@ -44,7 +45,7 @@ class DocumentsEngine:
         # bump the version token whenever the on-disk index format changes
         # (cache dirs are content-addressed; a stale format must not resume)
         tag = hashlib.md5(
-            f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{analyzer}|{n_segments}|v3".encode()
+            f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{analyzer}|{n_segments}|{variant}|v4".encode()
         ).hexdigest()[:16]
         self.index_dir = os.path.join(
             tempfile.gettempdir(), "lucene_solr_spark_idx", f"docs-{analyzer}-{tag}"
@@ -155,19 +156,22 @@ class DocumentsEngine:
 
     def mlt_topk(self, src_doc_id: int, top_terms: int = 5, k: int = 10) -> DataFrame:
         """MoreLikeThis: interesting-terms disjunction of doc ``src_doc_id``,
-        excluding the source doc itself."""
-        import pyarrow.parquet as pq
-
-        t = pq.read_table(
-            os.path.join(self.sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-        ).to_pandas()
-        text = t.loc[t.doc_id == src_doc_id, "text"].iloc[0]
+        excluding the source doc itself. The source text is fetched with a
+        PRUNED Spark read (predicate pushdown to the parquet scan — one row,
+        one column crosses to the driver; never a full-table read)."""
+        text = (
+            self.spark.read.parquet(os.path.join(self.sf_dir, "documents.parquet"))
+            .filter(F.col("doc_id") == F.lit(src_doc_id))
+            .select("text")
+            .head()
+            .text
+        )
         spec = self.searcher.more_like_this_spec(text, top_terms)
         out = self.searcher.search(spec, k=k + 1, with_keys=True)
         out = out.filter(F.col("doc_key") != src_doc_id).limit(k)
         from pyspark.sql import Window
 
-        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
         return self._present(out.withColumn("rank", F.row_number().over(w)))
 
     def search_after_page(
@@ -188,7 +192,13 @@ class DocumentsEngine:
         parent ``source`` group; parent score = max child score
         (ScoreMode.Max), plus the child hit count."""
         spec = self.searcher.parse(qtype, surface_terms, 0)
-        hits = self.searcher.search(spec, k=1 << 30, mode="exact", with_keys=True)
+        # roll-up needs EVERY child hit but no total order: aggregate the
+        # unranked per-segment hits directly (searcher.hits) — no global
+        # TakeOrdered/limit pass before the group-by (k bounds only the
+        # per-segment emit, which a roll-up must not truncate)
+        hits = self.searcher.hits(self.searcher.compile(spec, k=1 << 30), mode="exact")
+        keys = self.searcher.docs.select("doc_id", *self.searcher.meta.key_cols)
+        hits = hits.join(keys, "doc_id", "left")
         src = self.spark.read.parquet(os.path.join(self.sf_dir, "documents.parquet")).select(
             F.col("doc_id").alias("doc_key"), "source"
         )
@@ -201,6 +211,20 @@ class DocumentsEngine:
             )
             .orderBy(F.desc("parent_score"), F.asc("source"))
             .limit(n_groups)
+        )
+
+    def total_hits(
+        self, qtype: str, surface_terms: list[str], threshold: int = 1000,
+        min_should: int = 0,
+    ) -> DataFrame:
+        """``TotalHits`` (value, relation) — numFound for the query: exact
+        count up to ``threshold`` (relation EQ), the threshold as a lower
+        bound beyond it (GTE) — ``L/search/TotalHits`` semantics made
+        deterministic."""
+        spec = self.searcher.parse(qtype, surface_terms, min_should)
+        value, relation = self.searcher.total_hits(spec, threshold)
+        return self.spark.createDataFrame(
+            [(value, relation)], "value long, relation string"
         )
 
     def docs_norms(self) -> DataFrame:
@@ -238,3 +262,50 @@ def get_engine(spark: SparkSession, sf_dir: str, analyzer: str = "simple") -> Do
         eng = DocumentsEngine(spark, sf_dir, analyzer)
         _ENGINES[key] = eng
     return eng
+
+
+# --- delete + re-add fixture (S/update/DirectUpdateHandler2#addDoc) ---------
+
+UPDATE_MOD = 97                      # docs with doc_id % MOD == 0 are updated
+UPDATE_SUFFIX = " vector update refresh"
+
+
+class UpdatedDocumentsEngine(DocumentsEngine):
+    """The base documents index, then an in-place UPDATE of every doc with
+    ``doc_id % UPDATE_MOD == 0`` (new text = old text + UPDATE_SUFFIX) via
+    tombstone + re-add (index/updates.update_docs). Searches see the live
+    corpus only; stats are refreshed so scores equal a fresh build over the
+    post-update corpus. Re-added docs take internal ids AFTER all original
+    docs (key-ordered within the appended batch) — the tiebreak order the
+    DuckDB oracle reproduces."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, analyzer: str = "simple") -> None:
+        super().__init__(spark, sf_dir, analyzer, variant=f"upd{UPDATE_MOD}")
+        marker = os.path.join(self.index_dir, "updates_done")
+        if not os.path.exists(marker):
+            from .index.updates import update_docs
+
+            src = os.path.join(sf_dir, "documents.parquet")
+            upd = (
+                spark.read.parquet(src)
+                .filter(F.col("doc_id") % UPDATE_MOD == 0)
+                .select(
+                    F.col("doc_id").alias("doc_key"),
+                    F.concat(F.col("text"), F.lit(UPDATE_SUFFIX)).alias("text"),
+                )
+            )
+            update_docs(spark, upd, self.index_dir, n_segments=4)
+            with open(marker, "w") as f:
+                f.write("done")
+        self.searcher = IndexSearcher(spark, self.index_dir)  # rebind post-update
+
+
+def get_updated_engine(
+    spark: SparkSession, sf_dir: str, analyzer: str = "simple"
+) -> UpdatedDocumentsEngine:
+    key = (os.path.abspath(sf_dir), analyzer + "+upd")
+    eng = _ENGINES.get(key)
+    if eng is None:
+        eng = UpdatedDocumentsEngine(spark, sf_dir, analyzer)
+        _ENGINES[key] = eng
+    return eng  # type: ignore[return-value]

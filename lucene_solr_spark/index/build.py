@@ -443,8 +443,9 @@ def append_batch(
     """Append a new batch of docs as fresh segments (NRT soft-commit /
     ``TopicStream`` incremental-pull analog, SURVEY.md §2.H): new segments
     get ids after the existing ones, global stats and bases are recomputed
-    (= reopening the NRT reader rebinds collection stats). Append-only —
-    update/delete tombstones are out of scope (v2)."""
+    (= reopening the NRT reader rebinds collection stats). Deletes/updates:
+    see index/updates.py (tombstones + delete-and-re-add on the doc key;
+    _finalize subtracts tombstoned docs from the refreshed stats)."""
     meta = IndexMeta.load(index_dir)
     if n_segments is None:
         n_segments = spark.sparkContext.defaultParallelism
@@ -483,28 +484,63 @@ def append_batch(
 
 def _fixup_bases(index_dir: str, manifest: pd.DataFrame) -> None:
     """Write the derived global base into each (tiny) seg_norms file.
-    Idempotent — bases are a pure function of the manifest row counts."""
+    Idempotent — bases are a pure function of the manifest row counts.
+    Segment files are discovered by glob (build writes ``part-0.parquet``,
+    ``merge_segments`` may leave differently named files)."""
+    import glob as _glob
+
     for seg, base in manifest[["seg", "base"]].itertuples(index=False):
-        path = os.path.join(index_dir, "seg_norms", f"seg={seg}", "part-0.parquet")
-        t = pq.read_table(path)
-        if t.column("base")[0].as_py() == int(base):
+        seg_dir = os.path.join(index_dir, "seg_norms", f"seg={seg}")
+        paths = sorted(_glob.glob(os.path.join(seg_dir, "*.parquet")))
+        if not paths:
+            raise FileNotFoundError(f"no seg_norms file for seg={seg} under {seg_dir}")
+        t = pa.concat_tables([pq.read_table(p) for p in paths])
+        if len(t) == 1 and t.column("base")[0].as_py() == int(base):
             continue
         cols = {name: t.column(name) for name in t.column_names}
-        cols["base"] = pa.array([int(base)], type=pa.int64())
-        _atomic_write(pa.table(cols), path)
+        cols["base"] = pa.array([int(base)] * len(t), type=pa.int64())
+        _atomic_write(pa.table(cols), paths[0])
+        for p in paths[1:]:
+            os.remove(p)
 
 
 def _finalize(spark: SparkSession, index_dir: str) -> None:
     """Global stats — computed BEFORE scoring, as global aggregates
-    (north rule; reference: TermStates#build summing per-leaf stats)."""
+    (north rule; reference: TermStates#build summing per-leaf stats).
+
+    Tombstone-aware: when ``tombstones/`` exists (see index/updates.py),
+    doc stats exclude deleted docs (broadcast anti-join) and term_stats
+    subtracts each deleted doc's df/ttf contribution (one seg-pruned pass
+    over the affected segments) — so post-update scores equal a fresh build
+    over the live corpus."""
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
     term_stats = (
         postings.groupBy("term")
         .agg(F.sum("df_part").alias("df"), F.sum("ttf_part").alias("ttf"))
     )
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+
+    from .updates import load_tombstones, term_stats_removals
+
+    tomb = load_tombstones(spark, index_dir)
+    if tomb:
+        rm = term_stats_removals(spark, index_dir, tomb)
+        term_stats = (
+            term_stats.join(rm, "term", "left")
+            .select(
+                "term",
+                (F.col("df") - F.coalesce(F.col("df_rm"), F.lit(0))).alias("df"),
+                (F.col("ttf") - F.coalesce(F.col("ttf_rm"), F.lit(0))).alias("ttf"),
+            )
+            .filter(F.col("df") > 0)
+        )
+        tomb_rows = [(int(s), int(l)) for s, arr in tomb.items() for l in arr]
+        tomb_df = spark.createDataFrame(tomb_rows, "seg int, doc_local long")
+        docs = docs.join(
+            F.broadcast(tomb_df), ["seg", "doc_local"], "left_anti"
+        )
     term_stats.write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
 
-    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
     stats = docs.agg(
         F.count(F.lit(1)).alias("max_doc"),
         F.sum((F.col("length") > 0).cast("long")).alias("doc_count"),

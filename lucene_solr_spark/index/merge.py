@@ -31,6 +31,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -194,28 +195,110 @@ def merge_segments(
     )
     docs.write.mode("overwrite").partitionBy("seg").parquet(os.path.join(dst_dir, "docs"))
 
-    # --- seg_norms: concat byte arrays per output segment ---
+    # --- seg_norms: concat byte arrays per output segment. Written from
+    # inside the task as seg=N/part-0.parquet (same layout+naming as the
+    # build kernel) so _fixup_bases/append_batch can operate on a merged
+    # index exactly like a built one. ---
     def norms_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+
+        from .build import _atomic_write
+
         (out_seg,) = key
         pdf = pdf.sort_values("base")
-        return pd.DataFrame([{
-            "seg": int(out_seg),
-            "base": int(pdf["base"].iloc[0]),
-            "n": int(pdf["n"].sum()),
-            "norms": b"".join(pdf["norms"]),
-        }])
+        seg, base, n = int(out_seg), int(pdf["base"].iloc[0]), int(pdf["n"].sum())
+        seg_dir = os.path.join(dst_dir, "seg_norms", f"seg={seg}")
+        os.makedirs(seg_dir, exist_ok=True)
+        _atomic_write(
+            pa.table({
+                "base": np.array([base], dtype=np.int64),
+                "n": np.array([n], dtype=np.int64),
+                "norms": pa.array([b"".join(pdf["norms"])], type=pa.binary()),
+            }),
+            os.path.join(seg_dir, "part-0.parquet"),
+        )
+        return pd.DataFrame([{"seg": seg, "base": base, "n": n}])
 
     sn = (
         spark.read.parquet(os.path.join(src_dir, "seg_norms"))
         .withColumnRenamed("seg", "in_seg")
         .join(map_df.select("in_seg", "out_seg"), "in_seg")
     )
-    (
+    out_layout = (
         sn.groupBy("out_seg")
-        .applyInPandas(norms_kernel, "seg int, base bigint, n bigint, norms binary")
-        .write.mode("overwrite").partitionBy("seg")
-        .parquet(os.path.join(dst_dir, "seg_norms"))
+        .applyInPandas(norms_kernel, "seg int, base bigint, n bigint")
+        .toPandas()
+        .sort_values("seg")
+        .reset_index(drop=True)
     )
+
+    # --- manifest: per-output-segment rows (SegmentInfos commit point) so a
+    # merged index supports append_batch/resume exactly like a built one.
+    # Lineage fields are the sums over the source group; content_hash chains
+    # the source hashes in base order. ---
+    src_manifest = pd.concat(
+        [
+            pq.read_table(os.path.join(src_dir, "manifest", f)).to_pandas()
+            for f in sorted(os.listdir(os.path.join(src_dir, "manifest")))
+            if f.startswith("seg=")
+        ],
+        ignore_index=True,
+    ) if os.path.isdir(os.path.join(src_dir, "manifest")) else pd.DataFrame()
+    os.makedirs(os.path.join(dst_dir, "manifest"), exist_ok=True)
+    import hashlib
+
+    import pyarrow as pa
+
+    from .build import _atomic_write
+
+    for row in out_layout.itertuples(index=False):
+        if len(src_manifest):
+            grp = src_manifest[
+                src_manifest["seg"].map(lambda s: out_seg_of.get(int(s))) == int(row.seg)
+            ].sort_values("seg")
+            agg = {
+                "doc_count": int(grp["doc_count"].sum()),
+                "n_terms": int(grp["n_terms"].sum()),  # upper bound (pre-dedup)
+                "n_postings": int(grp["n_postings"].sum()),
+                "sum_len": int(grp["sum_len"].sum()),
+                "content_hash": hashlib.md5(
+                    "".join(grp["content_hash"]).encode()
+                ).hexdigest(),
+                "build_secs": float(grp["build_secs"].sum()),
+            }
+        else:
+            agg = {
+                "doc_count": -1, "n_terms": -1, "n_postings": -1, "sum_len": -1,
+                "content_hash": "", "build_secs": 0.0,
+            }
+        _atomic_write(
+            pa.table({
+                "seg": [int(row.seg)], "base": [int(row.base)],
+                "n_docs": [int(row.n)], "doc_count": [agg["doc_count"]],
+                "n_terms": [agg["n_terms"]], "n_postings": [agg["n_postings"]],
+                "sum_len": [agg["sum_len"]], "content_hash": [agg["content_hash"]],
+                "status": ["merged"], "build_secs": [agg["build_secs"]],
+            }),
+            os.path.join(dst_dir, "manifest", f"seg={int(row.seg)}.parquet"),
+        )
+
+    # --- tombstones: carried over, translated (seg, local) → (out_seg,
+    # local + in_base − out_base). Merge does NOT reclaim deletes — global
+    # docIDs are dense ranks, so expunging would renumber every later doc;
+    # the live-docs filter keeps working and stats are already
+    # tombstone-refreshed (index/updates.py). ---
+    from .updates import load_tombstones, tombstones_path
+
+    tomb = load_tombstones(spark, src_dir)
+    if tomb:
+        rows = []
+        for in_seg, arr in tomb.items():
+            o = out_seg_of[int(in_seg)]
+            shift = in_bases[int(in_seg)] - out_bases[o]
+            rows.extend((int(o), int(l + shift)) for l in arr)
+        spark.createDataFrame(rows, "seg int, doc_local long").write.mode(
+            "overwrite"
+        ).parquet(tombstones_path(dst_dir))
 
     # --- global stats & meta are merge-invariant: copy through ---
     for tbl in ("stats", "term_stats"):

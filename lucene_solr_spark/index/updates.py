@@ -1,0 +1,153 @@
+"""Deletes and updates — tombstone bitsets + delete-and-re-add on the doc key.
+
+Reference semantics: ``L/index/PendingDeletes`` (per-segment live-docs bitset
+consulted by every scorer), ``S/update/DirectUpdateHandler2#addDoc`` (an
+update on the uniqueKey is delete + re-add; the re-added doc lands in a new
+segment with a new internal id). Spark shape:
+
+- ``tombstones/`` under the index dir holds (seg, doc_local) rows — the
+  segment-local ids of deleted docs, identified by the STABLE (seg, local)
+  pair (immune to base renumbering on append). Written distributed
+  (``df.write.mode("append")``), read once per searcher and broadcast to the
+  scoring kernels, which exclude them before top-k (kernels._merge_excl).
+- ``delete_docs`` resolves doc keys → (seg, doc_local) with one broadcast
+  join against the docs table (seg-pruned columnar scan), appends the
+  tombstone delta, and refreshes global stats.
+- ``update_docs`` = delete_docs(keys) + append_batch(new rows): re-added
+  docs get fresh internal ids after all existing segments (Lucene's
+  monotone docID discipline), so (conv_id, turn_idx)-keyed text equality is
+  preserved for the LIVE copy only.
+- Stats refresh (unlike classic Lucene, which keeps stale df until merge):
+  ``refresh_stats`` recomputes docCount/sumTTF/avgdl excluding tombstones
+  (anti-join) and subtracts each deleted doc's df/ttf contribution from
+  term_stats via ONE seg-pruned pass over the affected segments' postings —
+  so BM25 scores after an update equal a fresh build over the post-update
+  corpus (the driver-checked invariant in ``ft_after_update_topk``).
+
+Scale notes: the tombstone table is O(deleted docs) rows; the stats-delta
+scan touches only segments containing deletes (hive seg= pruning) and only
+decodes doc-id streams (no positions, no scores). At 10^12 docs with heavy
+churn you would run ``merge_segments`` periodically and rewrite the lagging
+segments; the delta refresh here is the between-merges path.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .build import IndexMeta, _finalize
+from .codec import decode_postings
+
+TOMBSTONE_SCHEMA = "seg int, doc_local long"
+
+
+def tombstones_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "tombstones")
+
+
+def load_tombstones(spark: SparkSession, index_dir: str) -> dict[int, np.ndarray]:
+    """{seg: sorted unique local ids} — the per-leaf live-docs complement.
+    Empty dict when the index has no deletes. Collected to the driver and
+    broadcast into query closures (1 entry per deleted doc — the same
+    memory class as Lucene's in-heap PendingDeletes bitsets)."""
+    path = tombstones_path(index_dir)
+    if not glob.glob(os.path.join(path, "*.parquet")) and not glob.glob(
+        os.path.join(path, "*", "*.parquet")
+    ):
+        return {}
+    pdf = spark.read.parquet(path).toPandas()
+    return {
+        int(seg): np.unique(g["doc_local"].to_numpy(dtype=np.int64))
+        for seg, g in pdf.groupby("seg")
+    }
+
+
+def delete_docs(
+    spark: SparkSession,
+    index_dir: str,
+    keys: DataFrame,
+    *,
+    refresh: bool = True,
+) -> int:
+    """Tombstone every doc whose key appears in ``keys`` (columns =
+    meta.key_cols). Returns the number of newly tombstoned docs. Docs
+    already deleted are de-duplicated at read time (np.unique in
+    load_tombstones / DISTINCT in refresh_stats)."""
+    meta = IndexMeta.load(index_dir)
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    hit = (
+        docs.join(F.broadcast(keys.select(*meta.key_cols)), list(meta.key_cols))
+        .select(F.col("seg").cast("int").alias("seg"), F.col("doc_local").cast("long").alias("doc_local"))
+    )
+    n = hit.count()
+    if n:
+        hit.write.mode("append").parquet(tombstones_path(index_dir))
+        if refresh:
+            refresh_stats(spark, index_dir)
+    return int(n)
+
+
+def update_docs(
+    spark: SparkSession,
+    df: DataFrame,
+    index_dir: str,
+    *,
+    n_segments: int | None = None,
+) -> DataFrame:
+    """Delete + re-add on the doc key (DirectUpdateHandler2#addDoc): rows in
+    ``df`` replace any existing docs with the same key. Returns the updated
+    manifest. Stats are refreshed once, after the append (append_batch's
+    _finalize is tombstone-aware)."""
+    from .build import append_batch
+
+    delete_docs(spark, index_dir, df, refresh=False)
+    return append_batch(spark, df, index_dir, n_segments=n_segments)
+
+
+def refresh_stats(spark: SparkSession, index_dir: str) -> None:
+    _finalize(spark, index_dir)
+
+
+def term_stats_removals(
+    spark: SparkSession, index_dir: str, tomb: dict[int, np.ndarray]
+) -> DataFrame:
+    """Per-term (df_rm, ttf_rm) contributed by tombstoned docs — ONE pass
+    over the affected segments' postings (seg-partition-pruned scan), doc-id
+    streams only. Used by build._finalize to keep term_stats equal to a
+    fresh build over the live corpus."""
+    segs = sorted(tomb)
+    tomb_b = spark.sparkContext.broadcast({s: a for s, a in tomb.items()})
+
+    def kernel(iterator):
+        t = tomb_b.value
+        for pdf in iterator:
+            terms, dfr, ttfr = [], [], []
+            for seg, term, blocks in zip(pdf["seg"], pdf["term"], pdf["blocks"]):
+                dele = t.get(int(seg))
+                if dele is None or not len(blocks):
+                    continue
+                docs, tfs = decode_postings(list(blocks))[:2]
+                hitmask = np.isin(docs, dele, assume_unique=True)
+                k = int(hitmask.sum())
+                if k:
+                    terms.append(term)
+                    dfr.append(k)
+                    ttfr.append(int(tfs[hitmask].sum()))
+            yield pd.DataFrame({"term": terms, "df_rm": dfr, "ttf_rm": ttfr})
+
+    posts = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .filter(F.col("seg").isin(segs))
+        .select("seg", "term", "blocks")
+    )
+    return (
+        posts.mapInPandas(kernel, "term string, df_rm long, ttf_rm long")
+        .groupBy("term")
+        .agg(F.sum("df_rm").alias("df_rm"), F.sum("ttf_rm").alias("ttf_rm"))
+    )

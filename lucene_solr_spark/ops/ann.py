@@ -74,11 +74,16 @@ def cosine_topk(emb: DataFrame, probe: list[float], k: int, exclude_id: int | No
 
 
 def _probe_vector(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas()
-    return [float(x) for x in df.loc[df.vec_id == vec_id, "embedding"].iloc[0]]
+    """One probe vector — a PRUNED Spark read (vec_id predicate pushed to the
+    parquet scan, embedding column only): exactly one row crosses to the
+    driver regardless of table size."""
+    row = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") == F.lit(vec_id))
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row.embedding]
 
 
 # --- brute-force knn --------------------------------------------------------
@@ -106,18 +111,35 @@ FROM dots, np
 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""
 
 
-# --- all-pairs top similarity (embedding near-dup scan) ---------------------
+# --- embedding-cosine near-dup: top similar pairs over LSH candidates -------
 
 def embed_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 most-similar embedding pairs — the verify stage of
-    embedding-cosine near-dup (here over all pairs; at scale only over
-    LSH-bucket candidates)."""
+    """Top-20 most-similar embedding pairs among LSH band-bucket candidates —
+    embedding-cosine near-dup with the SCALE-PATH generator registered: only
+    pairs colliding on ≥1 random-hyperplane band are ever scored (an
+    equi-join on (band, bits) — same banding discipline as MinHash dedup),
+    never the all-pairs crossJoin. The exact cosine verify runs on that
+    candidate set only. The oracle reproduces the identical
+    generator+verify, so the driver certifies both stages."""
+    banded = lsh_bands_df(_emb(spark, sf_dir))
+    a = banded.select("vec_id", "band", "bits").alias("a")
+    b = banded.select("vec_id", "band", "bits").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+        .distinct()
+    )
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
-    pairs = a.join(b, F.col("va") < F.col("vb"))
+    ea = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
     return (
-        pairs.select(
+        cand.join(ea, "va").join(eb, "vb")
+        .select(
             "va", "vb",
             F.round(
                 _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6
@@ -128,15 +150,33 @@ def embed_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMBED_TOP_PAIRS_SQL = """
-WITH ex AS (
+def _embed_top_pairs_sql() -> str:
+    return f"""
+WITH hp(j, i, v) AS (VALUES {_hp_sql_rows()}),
+ex AS (
     SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
     FROM embeddings
 ),
+proj AS (
+    SELECT e.vec_id, h.j, sum(e.x::DOUBLE * h.v) AS p
+    FROM ex e JOIN hp h USING (i) GROUP BY 1, 2
+),
+bits AS (
+    SELECT vec_id, (j // {BAND_BITS})::INTEGER AS band,
+           sum(CASE WHEN p >= 0 THEN (2 ** (j % {BAND_BITS}))::INTEGER ELSE 0 END)::INTEGER AS bits
+    FROM proj GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+    FROM bits a JOIN bits b
+      ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id
+),
 norms AS (SELECT vec_id, sqrt(sum(x::DOUBLE * x::DOUBLE)) AS nrm FROM ex GROUP BY 1),
 dots AS (
-    SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.x::DOUBLE * b.x::DOUBLE) AS dot
-    FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+    SELECT c.va, c.vb, sum(a.x::DOUBLE * b.x::DOUBLE) AS dot
+    FROM cand c
+    JOIN ex a ON a.vec_id = c.va
+    JOIN ex b ON b.vec_id = c.vb AND b.i = a.i
     GROUP BY 1, 2
 )
 SELECT va, vb, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
@@ -356,5 +396,5 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""
 
 register("ann_cosine_topk", ann_cosine_topk, ANN_COSINE_SQL)
 register("ann_ivf_topk", ann_ivf_topk, ANN_IVF_SQL)
-register("embed_top_pairs", embed_top_pairs, EMBED_TOP_PAIRS_SQL)
+register("embed_top_pairs", embed_top_pairs, _embed_top_pairs_sql())
 register("ann_lsh_topk", ann_lsh_topk, ANN_LSH_SQL)

@@ -115,8 +115,19 @@ FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1"""
 
 # --- shingle jaccard near-dup ----------------------------------------------
 
+SHINGLE_MAX_DF = 50  # boilerplate guard: a shingle in >50 docs carries no
+                     # near-dup signal and costs O(df^2) candidate pairs in
+                     # the co-shingle join — dropping it bounds every
+                     # shingle's join fan-out (the skew fix that makes the
+                     # generator survive hot boilerplate at scale)
+
+
 def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingles(_docs(spark, sf_dir), n=3)
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.8 with the hot-shingle
+    guard APPLIED (max_shingle_df): candidate pairs come from the co-shingle
+    equi-join over the filtered shingle table, so per-shingle fan-out is
+    bounded by SHINGLE_MAX_DF². The oracle applies the identical filter."""
+    sh = shingles(_docs(spark, sf_dir), n=3, max_shingle_df=SHINGLE_MAX_DF)
     return jaccard_pairs(sh, 0.8).orderBy("doc_a", "doc_b")
 
 
@@ -127,12 +138,16 @@ WITH tl AS (
 t AS (
     SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl
 ),
-sh AS (
+sh0 AS (
     SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
     FROM t a
     JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
     JOIN t c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
 ),
+hot AS (
+    SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) > {SHINGLE_MAX_DF}
+),
+sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
 sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
 pairs AS (
     SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*)::BIGINT AS inter

@@ -232,6 +232,54 @@ WHERE dl.doc_id = {doc_id} AND c.doc_id = {doc_id} AND p.df > 0
 ORDER BY p.term"""
 
 
+def total_hits_sql(analyzer: str, terms: list[str], threshold: int) -> str:
+    """``L/search/TotalHits`` oracle — exact disjunction match count, clamped
+    to the threshold with the EQ/GTE relation."""
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""WITH {base_ctes(analyzer)},
+m AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM kept WHERE term IN ({inlist}))
+SELECT least(n, {threshold})::BIGINT AS value,
+       CASE WHEN n <= {threshold} THEN 'EQ' ELSE 'GTE' END AS relation
+FROM m"""
+
+
+def after_update_topk_sql(
+    analyzer: str, terms: list[str], k: int, mod: int, suffix: str
+) -> str:
+    """Top-k oracle for the delete-and-re-add fixture: BM25 over the
+    POST-UPDATE corpus (every doc with ``doc_id % mod == 0`` gets ``suffix``
+    appended), with the ENGINE's internal-id tiebreak reproduced exactly:
+    original docs keep internal id == doc_id (dense key-ordered build);
+    re-added docs take ids N, N+1, ... in key order (appended segments come
+    after every original segment — ``S/update/DirectUpdateHandler2#addDoc``
+    delete+re-add discipline)."""
+    esc = suffix.replace("'", "''")
+    body = base_ctes(analyzer).replace("FROM documents", "FROM docs_eff")
+    pred = "term IN (" + ", ".join(f"'{t}'" for t in terms) + ")"
+    return f"""WITH docs_eff AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {mod} = 0 THEN text || '{esc}' ELSE text END AS text
+    FROM documents
+),{body},{_disjunction_core(pred)},
+hits AS (
+    SELECT doc_id, CAST(sum(CAST(s AS DOUBLE)) AS FLOAT) AS score FROM sc GROUP BY doc_id
+),
+upd_rank AS (
+    SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS urn
+    FROM documents WHERE doc_id % {mod} = 0
+),
+tb AS (
+    SELECT h.doc_id, h.score,
+           CASE WHEN u.urn IS NOT NULL
+                THEN (SELECT count(*) FROM documents) + u.urn
+                ELSE h.doc_id END AS internal
+    FROM hits h LEFT JOIN upd_rank u USING (doc_id)
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, internal ASC) AS rank, doc_id, score FROM tb
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def sloppy_phrase_topk_sql(
     analyzer: str, terms: tuple[str, ...], offsets: tuple[int, ...], slop: int, k: int
 ) -> str:

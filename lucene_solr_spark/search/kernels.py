@@ -205,6 +205,17 @@ def _combine(
     return udocs[keep], scores[keep].astype(np.float32)
 
 
+def _merge_excl(excl: np.ndarray | None, deleted: np.ndarray | None) -> np.ndarray | None:
+    """Union the MUST_NOT exclusion set with the segment's tombstoned
+    local ids (``L/index/PendingDeletes`` live-docs analog: deleted docs are
+    invisible to search while stats stay as-committed until refresh)."""
+    if deleted is None or deleted.size == 0:
+        return excl
+    if excl is None or excl.size == 0:
+        return deleted
+    return np.union1d(excl, deleted)
+
+
 def _apply_after(
     docs: np.ndarray, scores: np.ndarray, after: tuple | None
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -239,6 +250,7 @@ def score_segment_exact(
     after: tuple | None = None,
     incl: np.ndarray | None = None,
     decode_cache: dict | None = None,
+    deleted: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Brute force: decode and score every posting of every clause.
 
@@ -282,12 +294,61 @@ def score_segment_exact(
         excl = np.unique(np.concatenate([
             dec(t)[0] for t in q.must_not_terms
         ])) if any(term_blocks.get(t) for t in q.must_not_terms) else None
+    excl = _merge_excl(excl, deleted)
     docs, scores = _combine(
         clause_docs, clause_scores, occurs, q.n_must, q.min_should_match, excl,
         getattr(q, "combine", "sum"), getattr(q, "tie", 0.0), incl,
     )
     docs, scores = _apply_after(docs, scores, after)
     return _topk(docs, scores, q.k)
+
+
+def count_segment_matches(
+    term_blocks: dict[str, list],
+    q: CompiledQuery,
+    incl: np.ndarray | None = None,
+    deleted: np.ndarray | None = None,
+) -> int:
+    """Doc-level match COUNT for one segment — the ``TotalHitCountCollector``
+    analog: no scoring, no norms, no top-k; just the boolean/phrase document
+    predicate. Decodes doc ids (and positions only for phrase clauses) and
+    applies the same MUST/SHOULD/minShouldMatch/MUST_NOT/FILTER semantics as
+    the scoring kernels via ``_combine`` with zero scores."""
+    decoded: dict = {}
+    need_pos = q.needs_positions
+
+    def dec(term):
+        if term not in decoded:
+            decoded[term] = decode_postings(term_blocks.get(term, []), with_positions=need_pos)
+        return decoded[term]
+
+    clause_docs, occurs = [], []
+    for c in q.clauses:
+        if c.kind == "term":
+            docs = dec(c.terms[0])[0]
+        else:
+            per = [dec(t) for t in c.terms]
+            matcher = _phrase_freqs if getattr(c, "slop", 0) == 0 else (
+                lambda d, p, t, o: _sloppy_phrase_freqs(d, p, t, o, c.slop)
+            )
+            docs, _ = matcher(
+                [p[0] for p in per], [p[2] for p in per], [p[1] for p in per], c.offsets
+            )
+        if docs.size == 0:
+            if c.occur == "must":
+                return 0
+            continue
+        clause_docs.append(docs)
+        occurs.append(c.occur)
+    excl = None
+    if q.must_not_terms and any(term_blocks.get(t) for t in q.must_not_terms):
+        excl = np.unique(np.concatenate([dec(t)[0] for t in q.must_not_terms]))
+    excl = _merge_excl(excl, deleted)
+    docs, _ = _combine(
+        clause_docs, [np.zeros(len(d), dtype=np.float32) for d in clause_docs],
+        occurs, q.n_must, q.min_should_match, excl, "sum", 0.0, incl,
+    )
+    return int(docs.size)
 
 
 def score_segment_wand(
@@ -298,6 +359,7 @@ def score_segment_wand(
     after: tuple | None = None,
     incl: np.ndarray | None = None,
     decode_cache: dict | None = None,
+    deleted: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Interval-sweep block-max WAND (term clauses only; phrase queries take
     the exact path). Rank-identical to score_segment_exact by construction.
@@ -365,6 +427,7 @@ def score_segment_wand(
                 if term_blocks.get(t)]
         if arrs:
             excl = np.unique(np.concatenate(arrs))
+    excl = _merge_excl(excl, deleted)
 
     # --- sweep intervals in descending bound order ---
     raw_cache = decode_cache if decode_cache is not None else {}

@@ -33,13 +33,18 @@ MULTI_SCHEMA = "query_id string, doc_id long, score float"
 _EMPTY_LOCALS = np.empty(0, dtype=np.int64)
 
 
-def _make_multi_kernel(queries: dict[str, CompiledQuery], mode: str):
+def _make_multi_kernel(
+    queries: dict[str, CompiledQuery], mode: str,
+    deleted_by_seg: dict[int, np.ndarray] | None = None,
+):
     def kernel(posts: pd.DataFrame, norms: pd.DataFrame) -> pd.DataFrame:
         if len(norms) == 0 or len(posts) == 0:
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+        seg = int(norms["seg"].iloc[0])
         base = int(norms["base"].iloc[0])
         norms_arr = np.frombuffer(norms["norms"].iloc[0], dtype=np.uint8)
         term_blocks = {t: list(b) for t, b in zip(posts["term"], posts["blocks"])}
+        dele = deleted_by_seg.get(seg) if deleted_by_seg else None
         qids, docs_out, scores_out = [], [], []
         shared_decode: dict = {}  # queries sharing terms decode blocks once
         for qid, q in queries.items():
@@ -49,7 +54,7 @@ def _make_multi_kernel(queries: dict[str, CompiledQuery], mode: str):
             incl = None
             if q.filter_by_base is not None:
                 incl = q.filter_by_base.get(base, _EMPTY_LOCALS)
-            docs, scores = fn(term_blocks, norms_arr, 0, q, None, incl, shared_decode)
+            docs, scores = fn(term_blocks, norms_arr, 0, q, None, incl, shared_decode, dele)
             qids.extend([qid] * len(docs))
             docs_out.append(docs + base)  # globalize at the boundary
             scores_out.append(scores)
@@ -64,7 +69,10 @@ def _make_multi_kernel(queries: dict[str, CompiledQuery], mode: str):
     return kernel
 
 
-def _make_search_kernel(q: CompiledQuery, mode: str, after: tuple | None = None):
+def _make_search_kernel(
+    q: CompiledQuery, mode: str, after: tuple | None = None,
+    deleted_by_seg: dict[int, np.ndarray] | None = None,
+):
     exact = mode == "exact" or q.needs_positions
 
     def kernel(posts: pd.DataFrame, norms: pd.DataFrame) -> pd.DataFrame:
@@ -82,7 +90,8 @@ def _make_search_kernel(q: CompiledQuery, mode: str, after: tuple | None = None)
         incl = None
         if q.filter_by_base is not None:  # FILTER: per-segment allowed set
             incl = q.filter_by_base.get(base, _EMPTY_LOCALS)
-        docs, scores = fn(term_blocks, norms_arr, 0, q, after_local, incl)
+        dele = deleted_by_seg.get(seg) if deleted_by_seg else None
+        docs, scores = fn(term_blocks, norms_arr, 0, q, after_local, incl, None, dele)
         return pd.DataFrame({
             "seg": np.full(len(docs), seg, dtype=np.int32),
             "doc_id": docs + base,  # globalize at the boundary
@@ -118,6 +127,15 @@ class IndexSearcher:
     @cached_property
     def cache(self) -> np.ndarray:
         return norm_cache(self.stats.avgdl)
+
+    @cached_property
+    def deleted_by_seg(self) -> dict[int, np.ndarray]:
+        """Per-segment tombstoned local ids (PendingDeletes live-docs
+        analog) — empty when the index has no deletes. Loaded once per
+        searcher; shipped inside the kernel closure."""
+        from ..index.updates import load_tombstones
+
+        return load_tombstones(self.spark, self.index_dir)
 
     def term_stats(self, terms: list[str]) -> dict[str, int]:
         """Global docFreq for the query's terms (TermStates#build analog) —
@@ -266,7 +284,7 @@ class IndexSearcher:
         predicate at 10^12-doc scale belongs in a keyword-field posting list
         joined segment-side instead of collected."""
         rows = (
-            self.docs.join(F.broadcast(keys), "doc_key")
+            self.docs.join(F.broadcast(keys), list(keys.columns))
             .select("doc_id").collect()
         )
         gdocs = np.sort(np.array([r.doc_id for r in rows], dtype=np.int64))
@@ -293,22 +311,83 @@ class IndexSearcher:
         next k hits strictly after the cursor in (score desc, doc asc)."""
         q = spec if isinstance(spec, CompiledQuery) else self.compile(spec, k)
         if filter_by_base is not None:
-            q.filter_by_base = filter_by_base
+            # never mutate a caller-supplied CompiledQuery (it may be shared
+            # across searches via compile_many) — bind the filter on a copy
+            import dataclasses
+
+            q = dataclasses.replace(q, filter_by_base=filter_by_base)
+        return self._finish(self.hits(q, mode=mode, after=after), q.k, with_keys)
+
+    def hits(
+        self,
+        q: CompiledQuery,
+        mode: str = "wand",
+        after: tuple | None = None,
+    ) -> DataFrame:
+        """ALL matching hits as an UNRANKED DataFrame(doc_id, score) — no
+        global sort. The building block for roll-ups (block join, grouping)
+        that aggregate hits without needing a total order; ``search`` adds
+        the TakeOrdered top-k on top."""
         if not q.clauses:
-            out = self.spark.createDataFrame([], "doc_id long, score float")
-            return self._finish(out, q.k, with_keys)
+            return self.spark.createDataFrame([], "doc_id long, score float")
         posts = (
             self.postings
             .filter(F.col("term").isin(q.scoring_terms + list(q.must_not_terms)))
             .select("seg", "term", "blocks")
         )
-        hits = (
+        return (
             posts.groupBy("seg")
             .cogroup(self.seg_norms.groupBy("seg"))
-            .applyInPandas(_make_search_kernel(q, mode, after), RESULT_SCHEMA)
+            .applyInPandas(
+                _make_search_kernel(q, mode, after, self.deleted_by_seg or None),
+                RESULT_SCHEMA,
+            )
             .select("doc_id", "score")
         )
-        return self._finish(hits, q.k, with_keys)
+
+    def total_hits(self, spec: BooleanSpec | CompiledQuery, threshold: int = 1000) -> tuple[int, str]:
+        """``TotalHits`` — (value, relation). Counts matching docs with the
+        non-scoring count kernel (TotalHitCountCollector analog: per-segment
+        doc-level counts, summed — one narrow term-pruned job, no norms, no
+        top-k). Lucene reports an exact count up to a threshold and a lower
+        bound beyond it (``TotalHits.Relation.GREATER_THAN_OR_EQUAL_TO``);
+        deterministically: value = min(exact, threshold), relation = 'EQ' |
+        'GTE'."""
+        from .kernels import count_segment_matches
+
+        q = spec if isinstance(spec, CompiledQuery) else self.compile(spec, 1)
+        if not q.clauses:
+            return 0, "EQ"
+        dele = self.deleted_by_seg or None
+
+        def kernel(posts: pd.DataFrame, norms: pd.DataFrame) -> pd.DataFrame:
+            if len(norms) == 0 or len(posts) == 0:
+                return pd.DataFrame({"seg": [], "cnt": []})
+            seg = int(norms["seg"].iloc[0])
+            base = int(norms["base"].iloc[0])
+            term_blocks = {t: list(b) for t, b in zip(posts["term"], posts["blocks"])}
+            incl = None
+            if q.filter_by_base is not None:
+                incl = q.filter_by_base.get(base, _EMPTY_LOCALS)
+            d = dele.get(seg) if dele else None
+            cnt = count_segment_matches(term_blocks, q, incl, d)
+            return pd.DataFrame({"seg": [seg], "cnt": [cnt]})
+
+        posts = (
+            self.postings
+            .filter(F.col("term").isin(q.scoring_terms + list(q.must_not_terms)))
+            .select("seg", "term", "blocks")
+        )
+        total = (
+            posts.groupBy("seg")
+            .cogroup(self.seg_norms.groupBy("seg"))
+            .applyInPandas(kernel, "seg int, cnt long")
+            .agg(F.sum("cnt").alias("n")).collect()[0].n
+        )
+        total = int(total or 0)
+        if total <= threshold:
+            return total, "EQ"
+        return threshold, "GTE"
 
     def search_many(
         self, compiled: dict[str, CompiledQuery], mode: str = "wand"
@@ -331,7 +410,10 @@ class IndexSearcher:
         hits = (
             posts.groupBy("seg")
             .cogroup(self.seg_norms.groupBy("seg"))
-            .applyInPandas(_make_multi_kernel(compiled, mode), MULTI_SCHEMA)
+            .applyInPandas(
+                _make_multi_kernel(compiled, mode, self.deleted_by_seg or None),
+                MULTI_SCHEMA,
+            )
         )
         ks = {qid: q.k for qid, q in compiled.items()}
         k_df = self.spark.createDataFrame(
@@ -351,5 +433,9 @@ class IndexSearcher:
         if with_keys:
             top = top.join(self.docs.select(*self.meta.key_cols, "doc_id"), "doc_id", "left")
         from pyspark.sql import Window
-        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+
+        # rank runs AFTER limit(k) — k rows only; partition on a literal so
+        # the (correct, tiny) single-partition window doesn't trip Spark's
+        # unpartitioned-WindowExec warning in every log
+        w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
         return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")

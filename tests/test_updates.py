@@ -1,0 +1,180 @@
+"""Deletes/updates (tombstone + delete-and-re-add; PendingDeletes /
+DirectUpdateHandler2#addDoc semantics) and the append-after-merge lifecycle.
+
+The core invariant: after ``update_docs``, every search result (keys AND
+float32 scores) equals a FRESH build over the post-update corpus — stats are
+refreshed excluding tombstones, re-added docs land in appended segments.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_solr_spark.datagen import generate_queries, generate_transcripts
+from lucene_solr_spark.index.build import append_batch, build_index
+from lucene_solr_spark.index.merge import merge_segments
+from lucene_solr_spark.index.updates import delete_docs, load_tombstones, update_docs
+from lucene_solr_spark.search.searcher import IndexSearcher
+
+
+def _result_sets(spark, index_dir, n_queries=12):
+    # k large enough to return EVERY hit: internal docID order (the score
+    # tiebreak) differs between an updated and a fresh index, so boundary
+    # ties would legitimately pick different docs at small k; with all hits
+    # returned, key+score multisets must match exactly.
+    s = IndexSearcher(spark, index_dir)
+    qs = generate_queries()[:n_queries]
+    compiled = s.compile_many({
+        f"q{q['query_id']:02d}": (s.parse(q["qtype"], q["terms"], q["min_should"]), 100000)
+        for q in qs
+    })
+    out = s.search_many(compiled, mode="wand")
+    return (
+        out.join(s.docs.select("doc_id", "conv_id", "turn_idx"), "doc_id")
+        .toPandas()[["query_id", "conv_id", "turn_idx", "score"]]
+        .sort_values(["query_id", "conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_transcripts(100)
+
+
+def test_update_equals_fresh_build(spark, corpus, tmp_path):
+    """update_docs(changed rows) ≡ fresh build over the post-update corpus
+    (same keys, same float32 scores) for the WAND query suite."""
+    upd_dir = str(tmp_path / "upd")
+    fresh_dir = str(tmp_path / "fresh")
+
+    build_index(spark, spark.createDataFrame(corpus), upd_dir, n_segments=4)
+
+    changed = corpus[corpus.turn_idx == 0].copy()
+    changed["text"] = changed["text"] + " merge merge vector refresh"
+    post = corpus.copy()
+    mask = post.turn_idx == 0
+    post.loc[mask, "text"] = post.loc[mask, "text"] + " merge merge vector refresh"
+
+    update_docs(spark, spark.createDataFrame(changed), upd_dir, n_segments=2)
+    build_index(spark, spark.createDataFrame(post), fresh_dir, n_segments=4)
+
+    a = _result_sets(spark, upd_dir)
+    b = _result_sets(spark, fresh_dir)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_delete_hides_docs_and_refreshes_stats(spark, corpus, tmp_path):
+    idx = str(tmp_path / "del")
+    build_index(spark, spark.createDataFrame(corpus), idx, n_segments=4)
+    s0 = IndexSearcher(spark, idx)
+    n0 = s0.stats.doc_count
+
+    victims = corpus[corpus.turn_idx == 1][["conv_id", "turn_idx"]]
+    n_del = delete_docs(spark, idx, spark.createDataFrame(victims))
+    assert n_del == len(victims)
+
+    tomb = load_tombstones(spark, idx)
+    assert sum(len(a) for a in tomb.values()) == n_del
+
+    s1 = IndexSearcher(spark, idx)
+    assert s1.stats.doc_count == n0 - n_del
+
+    # no deleted doc ever surfaces
+    qs = generate_queries()[:10]
+    compiled = s1.compile_many({
+        str(i): (s1.parse(q["qtype"], q["terms"], q["min_should"]), 50)
+        for i, q in enumerate(qs)
+    })
+    hits = (
+        s1.search_many(compiled, mode="wand")
+        .join(s1.docs.select("doc_id", "turn_idx"), "doc_id")
+        .toPandas()
+    )
+    assert (hits.turn_idx != 1).all()
+
+
+def test_total_hits_relation(spark, corpus, tmp_path):
+    idx = str(tmp_path / "th")
+    build_index(spark, spark.createDataFrame(corpus), idx, n_segments=3)
+    s = IndexSearcher(spark, idx)
+    spec = s.parse("or3", ["merge", "batch", "stream"], 0)
+
+    # independent count: docs matching >=1 analyzed term
+    terms = {t for c in spec.should for t in [c.term]}
+    an = s.analyzer
+    match = corpus.text.map(
+        lambda txt: any(t in {tok for tok, _ in an.analyze(txt)} for t in terms)
+    )
+    exact = int(match.sum())
+
+    v, rel = s.total_hits(spec, threshold=10**9)
+    assert (v, rel) == (exact, "EQ")
+    v2, rel2 = s.total_hits(spec, threshold=5)
+    assert (v2, rel2) == ((exact, "EQ") if exact <= 5 else (5, "GTE"))
+
+
+def test_append_after_merge(spark, corpus, tmp_path):
+    """ADVICE item: merged indexes must accept further appends (background
+    merge + continued NRT appends) — manifest rows and seg_norms naming are
+    preserved by merge_segments."""
+    convs = sorted(corpus.conv_id.unique())
+    half = set(convs[: len(convs) // 2])
+    first, second = corpus[corpus.conv_id.isin(half)], corpus[~corpus.conv_id.isin(half)]
+
+    src = str(tmp_path / "src")
+    merged = str(tmp_path / "merged")
+    one = str(tmp_path / "one")
+
+    build_index(spark, spark.createDataFrame(first), src, n_segments=4)
+    merge_segments(spark, src, merged, n_out=2, salt=2)
+    append_batch(spark, spark.createDataFrame(second), merged, n_segments=2)
+
+    build_index(spark, spark.createDataFrame(corpus), one, n_segments=4)
+    a = _result_sets(spark, merged)
+    b = _result_sets(spark, one)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_merge_carries_tombstones(spark, corpus, tmp_path):
+    src = str(tmp_path / "src2")
+    merged = str(tmp_path / "m2")
+    build_index(spark, spark.createDataFrame(corpus), src, n_segments=4)
+    victims = corpus[corpus.turn_idx == 2][["conv_id", "turn_idx"]]
+    delete_docs(spark, src, spark.createDataFrame(victims))
+
+    merge_segments(spark, src, merged, n_out=2, salt=2)
+    s = IndexSearcher(spark, merged)
+    assert sum(len(a) for a in s.deleted_by_seg.values()) == len(victims)
+    qs = generate_queries()[:6]
+    compiled = s.compile_many({
+        str(i): (s.parse(q["qtype"], q["terms"], q["min_should"]), 50)
+        for i, q in enumerate(qs)
+    })
+    hits = (
+        s.search_many(compiled, mode="wand")
+        .join(s.docs.select("doc_id", "turn_idx"), "doc_id")
+        .toPandas()
+    )
+    assert (hits.turn_idx != 2).all()
+
+
+def test_search_does_not_mutate_compiled_query(spark, corpus, tmp_path):
+    """ADVICE item: a CompiledQuery searched with a filter must not keep the
+    filter on later searches."""
+    idx = str(tmp_path / "nomut")
+    build_index(spark, spark.createDataFrame(corpus), idx, n_segments=3)
+    s = IndexSearcher(spark, idx)
+    q = s.compile(s.parse("or3", ["merge", "batch", "stream"], 0), k=20)
+
+    unfiltered_before = s.search(q, k=20).toPandas()
+    some_keys = s.docs.select("conv_id", "turn_idx").limit(5)
+    fmap = s.filter_map(some_keys)
+    filtered = s.search(q, k=20, filter_by_base=fmap).toPandas()
+    unfiltered_after = s.search(q, k=20).toPandas()
+
+    assert q.filter_by_base is None
+    pd.testing.assert_frame_equal(unfiltered_before, unfiltered_after)
+    assert len(filtered) <= 5
