@@ -109,17 +109,24 @@ class _BaseAnalyzer:
             out = self._analyze_batch_arrow(texts, n_rows)
             if out is not None:
                 return out
+        if not joined.isascii():
+            # Non-ASCII batches take the per-row reference path: RE2
+            # (count_substring_regex) vs Python `re`, and utf8_lower vs
+            # str.lower, can disagree on unicode input in ways that keep the
+            # TOTAL match count equal while shifting tokens across row
+            # boundaries — a divergence the count-sum guard below cannot
+            # see. The batch fast path is only provably row-aligned for
+            # ASCII (where both engines implement identical char-class
+            # semantics and lowercasing is 1:1); per-row is the semantic
+            # reference, just slower.
+            return self._analyze_batch_slow(texts)
         if self.lowercase:
-            lowered = joined.lower()
-            if len(lowered) != len(joined):
-                # rare unicode case-folds change length (e.g. 'İ' → 'i̇') and
-                # would desync the per-row counts — take the per-row path.
-                return self._analyze_batch_slow(texts)
-            joined = lowered
+            joined = joined.lower()  # ASCII ⇒ 1:1, length-preserving
 
         # token strings: ONE C-level findall over the whole batch;
-        # per-row counts: vectorized RE2 match count (same char-class
-        # pattern ⇒ identical non-overlapping match semantics — asserted).
+        # per-row counts: vectorized RE2 match count. ASCII-only here (see
+        # guard above) ⇒ re and RE2 provably agree per row; the count-sum
+        # check below is a belt-and-suspenders invariant, not the only guard.
         import pyarrow as pa
         import pyarrow.compute as pc
 

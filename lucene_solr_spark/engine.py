@@ -45,13 +45,13 @@ class DocumentsEngine:
         # bump the version token whenever the on-disk index format changes
         # (cache dirs are content-addressed; a stale format must not resume)
         tag = hashlib.md5(
-            f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{analyzer}|{n_segments}|{variant}|v4".encode()
+            f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{analyzer}|{n_segments}|{variant}|v5".encode()
         ).hexdigest()[:16]
         self.index_dir = os.path.join(
             tempfile.gettempdir(), "lucene_solr_spark_idx", f"docs-{analyzer}-{tag}"
         )
         docs = spark.read.parquet(src).select(
-            F.col("doc_id").alias("doc_key"), "text"
+            F.col("doc_id").alias("doc_key"), "source", "lang", "text"
         )
         self.manifest = build_index(
             spark,
@@ -63,6 +63,7 @@ class DocumentsEngine:
             positions=True,
             n_segments=n_segments,
             resume=True,
+            keyword_cols=("source", "lang"),
         )
         self.searcher = IndexSearcher(spark, self.index_dir)
 
@@ -98,15 +99,20 @@ class DocumentsEngine:
     ) -> DataFrame:
         """Top-k with a non-scoring FILTER clause (BooleanClause.Occur.FILTER):
         candidates restricted to docs where ``filter_col == filter_val``
-        BEFORE ranking; BM25 scores and global stats are unchanged."""
+        BEFORE ranking; BM25 scores and global stats are unchanged.
+
+        Executes as a keyword-field posting intersection (the field is
+        indexed as `\\x01col:value` terms — index/build.keyword_term): the
+        filter is one more posting list in the segment kernels, weight 0 —
+        fully distributed, nothing collected to the driver. For predicates
+        over NON-indexed fields, ``IndexSearcher.filter_map`` remains the
+        (selective-filter-only) fallback."""
+        from .index.build import keyword_term
+        from .search.query import TermClause
+
         spec = self.searcher.parse(qtype, surface_terms, min_should)
-        keys = (
-            self.spark.read.parquet(os.path.join(self.sf_dir, "documents.parquet"))
-            .filter(F.col(filter_col) == F.lit(filter_val))
-            .select(F.col("doc_id").alias("doc_key"))
-        )
-        fmap = self.searcher.filter_map(keys)
-        out = self.searcher.search(spec, k=k, with_keys=True, filter_by_base=fmap)
+        spec.filter.append(TermClause(keyword_term(filter_col, filter_val)))
+        out = self.searcher.search(spec, k=k, with_keys=True)
         return self._present(out)
 
     def boosted_topk(self, term_boosts: list[tuple[str, float]], k: int = 10) -> DataFrame:
@@ -239,10 +245,15 @@ class DocumentsEngine:
         )
 
     def term_stats_df(self, min_df: int = 1) -> DataFrame:
-        """Global (term, df, ttf) — TermStates#build as a table."""
+        """Global (term, df, ttf) — TermStates#build as a table. Synthetic
+        keyword-field terms (`\\x01col:value`) are internal and excluded."""
+        from .index.build import KEYWORD_PREFIX
+
         ts = self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
         return (
-            ts.filter(F.col("df") >= min_df)
+            ts.filter(
+                (F.col("df") >= min_df) & ~F.col("term").startswith(KEYWORD_PREFIX)
+            )
             .select("term", F.col("df").cast("long"), F.col("ttf").cast("long"))
         )
 
@@ -291,6 +302,8 @@ class UpdatedDocumentsEngine(DocumentsEngine):
                 .filter(F.col("doc_id") % UPDATE_MOD == 0)
                 .select(
                     F.col("doc_id").alias("doc_key"),
+                    "source",
+                    "lang",
                     F.concat(F.col("text"), F.lit(UPDATE_SUFFIX)).alias("text"),
                 )
             )

@@ -62,8 +62,12 @@ ANALYZERS = {
 MANIFEST_SCHEMA = (
     "seg int, base long, n_docs long, doc_count long, n_terms long, "
     "n_postings long, sum_len long, content_hash string, status string, "
-    "build_secs double"
+    "build_secs double, key_min string, key_max string"
 )
+
+
+def _key_repr(pdf: pd.DataFrame, key_cols: list[str], row: int) -> str:
+    return "\x1f".join(str(pdf[c].iloc[row]) for c in key_cols)
 
 _BLOCK_PA_TYPE = pa.list_(pa.struct([
     ("first_doc", pa.int64()),
@@ -77,6 +81,16 @@ _BLOCK_PA_TYPE = pa.list_(pa.struct([
 ]))
 
 
+KEYWORD_PREFIX = "\x01"  # synthetic keyword-field terms sort before all text
+
+
+def keyword_term(col: str, value) -> str:
+    """The synthetic posting-list term for a keyword field value — the Spark
+    shape of Lucene's StringField/keyword-field terms: filters become
+    posting-list intersections (FILTER occur), never driver-side id sets."""
+    return f"{KEYWORD_PREFIX}{col}:{value}"
+
+
 @dataclass(frozen=True)
 class IndexMeta:
     analyzer: str
@@ -85,16 +99,25 @@ class IndexMeta:
     positions: bool
     n_segments: int
     version: str = "1"
+    # keyword (StringField-analog) columns indexed as one untokenized term
+    # per doc (`\x01col:value`): tf=1, no effect on doc length/norms/BM25 —
+    # they exist so FILTER clauses run as posting intersections at scale
+    keyword_cols: tuple[str, ...] = ()
 
     def save(self, index_dir: str) -> None:
         with open(os.path.join(index_dir, "meta.json"), "w") as f:
-            json.dump({**self.__dict__, "key_cols": list(self.key_cols)}, f)
+            json.dump({
+                **self.__dict__,
+                "key_cols": list(self.key_cols),
+                "keyword_cols": list(self.keyword_cols),
+            }, f)
 
     @staticmethod
     def load(index_dir: str) -> "IndexMeta":
         with open(os.path.join(index_dir, "meta.json")) as f:
             d = json.load(f)
         d["key_cols"] = tuple(d["key_cols"])
+        d["keyword_cols"] = tuple(d.get("keyword_cols", ()))
         return IndexMeta(**d)
 
 
@@ -123,6 +146,7 @@ def _invert_partition(
     t0 = time.monotonic()
     analyzer = ANALYZERS[meta.analyzer]()
     key_cols = list(meta.key_cols)
+    carry_cols = [*key_cols, *meta.keyword_cols]
 
     code_parts: list[np.ndarray] = []   # per-batch term codes
     cat_parts: list[np.ndarray] = []    # per-batch category vocabularies
@@ -144,7 +168,7 @@ def _invert_partition(
         doc_parts.append(frame["row"].to_numpy() + n_rows)  # doc-local index
         pos_parts.append(frame["pos"].to_numpy().astype(np.int64))
         len_parts.append(frame.attrs["doc_len"])
-        key_parts.append(pdf[key_cols])
+        key_parts.append(pdf[carry_cols])
         n_rows += len(pdf)
 
     lengths = np.concatenate(len_parts) if len_parts else np.empty(0, dtype=np.int64)
@@ -155,13 +179,15 @@ def _invert_partition(
     keys = (
         pd.concat(key_parts, ignore_index=True)
         if key_parts
-        else pd.DataFrame({c: [] for c in key_cols})
+        else pd.DataFrame({c: [] for c in carry_cols})
     )
     # NOTE: no in-file `seg` column — the hive dir (seg=N) IS the seg column
     # on read (same convention as merge.py's partitionBy writes); duplicating
     # it in-file would shadow the partition column and defeat seg-pruning.
     docs_tbl = pa.table({
         **{c: pa.array(keys[c], type=key_types[c]) for c in key_cols},
+        # keyword (StringField) columns are stored fields too (fetch/roll-up)
+        **{c: pa.array(keys[c].astype(str)) for c in meta.keyword_cols},
         "doc_local": doc_ids,
         "length": lengths,
         "norm": norms.astype(np.int32),
@@ -223,6 +249,32 @@ def _invert_partition(
         n_postings += len(udocs)
         term_rows.append((str(uniques[ti]), len(udocs), int(tfs.sum()), blocks))
 
+    # --- keyword-field postings (StringField analog): one `\x01col:value`
+    # term per doc, tf=1, positions 0 — so FILTER clauses execute as posting
+    # intersections. Doc lengths/norms/collection stats are text-only and
+    # untouched (keyword terms never contribute BM25 weight). ---
+    for kcol in meta.keyword_cols:
+        vals = keys[kcol].astype(str).to_numpy() if n_rows else np.empty(0, dtype=object)
+        uniq_v, codes_v = (
+            np.unique(vals, return_inverse=True) if n_rows
+            else (np.empty(0, dtype=object), np.empty(0, dtype=np.int64))
+        )
+        order_v = np.argsort(codes_v, kind="stable")
+        sc = codes_v[order_v]
+        bounds_v = np.append(np.flatnonzero(np.diff(sc, prepend=-1)), len(sc))
+        for vi in range(len(uniq_v)):
+            d = np.sort(order_v[bounds_v[vi]:bounds_v[vi + 1]])
+            tfs_k = np.ones(len(d), dtype=np.int64)
+            blocks = encode_posting_blocks(
+                d.astype(np.int64), tfs_k, norms[d].astype(np.int64),
+                np.zeros(len(d), dtype=np.int64) if meta.positions else None,
+            )
+            for blk in blocks:
+                hasher.update(blk["docs_bytes"])
+            n_postings += len(d)
+            term_rows.append((keyword_term(kcol, uniq_v[vi]), len(d), len(d), blocks))
+    term_rows.sort(key=lambda r: r[0])  # keep the file term-sorted (pruning)
+
     post_tbl = pa.table({
         "term": pa.array([r[0] for r in term_rows], type=pa.string()),
         "df_part": pa.array([r[1] for r in term_rows], type=pa.int64()),
@@ -243,6 +295,10 @@ def _invert_partition(
         "content_hash": hasher.hexdigest(),
         "status": "built",
         "build_secs": time.monotonic() - t0,
+        # the segment's key range (rows arrive key-sorted) — resume uses it
+        # to verify the re-run's partitioning reproduced the same boundaries
+        "key_min": _key_repr(keys, key_cols, 0) if n_rows else "",
+        "key_max": _key_repr(keys, key_cols, -1) if n_rows else "",
     }
     # manifest row file is the commit marker — written LAST, atomically
     os.makedirs(os.path.join(index_dir, "manifest"), exist_ok=True)
@@ -265,7 +321,39 @@ def _make_kernel(
         marker = os.path.join(index_dir, "manifest", f"seg={seg}.parquet")
         if os.path.exists(marker):  # resume: segment already committed
             row = pq.read_table(marker).to_pandas()
+            # committed-segment skip is only sound if THIS run's range
+            # partitioning reproduced the committed boundaries — a resume on
+            # different parallelism/input splits can shift repartitionByRange
+            # boundaries and silently drop/duplicate rows at the committed/
+            # rebuilt seam. Verify the partition's (first, last) key against
+            # the recorded range; refuse to resume on mismatch. (Costs one
+            # deserialize pass of this partition — no analysis, no writes.
+            # The presorted path is immune: segments are fixed file groups.)
+            if "key_min" in row.columns and len(row):
+                key_cols = list(meta.key_cols)
+                first = last = None
+                n_here = 0
+                for pdf in iterator:
+                    if len(pdf):
+                        if first is None:
+                            first = _key_repr(pdf, key_cols, 0)
+                        last = _key_repr(pdf, key_cols, -1)
+                        n_here += len(pdf)
+                want_min = row["key_min"].iloc[0]
+                want_max = row["key_max"].iloc[0]
+                got_min, got_max = first or "", last or ""
+                if (got_min, got_max, n_here) != (want_min, want_max, int(row["n_docs"].iloc[0])):
+                    raise RuntimeError(
+                        f"resume refused for seg={seg}: committed key range "
+                        f"[{want_min!r}, {want_max!r}] ({int(row['n_docs'].iloc[0])} rows) "
+                        f"!= this run's partition [{got_min!r}, {got_max!r}] "
+                        f"({n_here} rows) — range boundaries shifted between "
+                        "runs; rebuild into a fresh index_dir"
+                    )
             row["status"] = "resumed"
+            for c in ("key_min", "key_max"):  # pre-v2 markers lack the range
+                if c not in row.columns:
+                    row[c] = ""
             yield row
             return
         pdfs = list(iterator)
@@ -286,6 +374,7 @@ def build_index(
     positions: bool = True,
     n_segments: int | None = None,
     resume: bool = True,
+    keyword_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Build (or resume) the full index under ``index_dir``.
 
@@ -298,7 +387,10 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
 
     meta_path = os.path.join(index_dir, "meta.json")
-    meta = IndexMeta(analyzer, tuple(key_cols), text_col, positions, n_segments)
+    meta = IndexMeta(
+        analyzer, tuple(key_cols), text_col, positions, n_segments,
+        keyword_cols=tuple(keyword_cols),
+    )
     if os.path.exists(meta_path):
         existing = IndexMeta.load(index_dir)
         if not resume or existing != meta:
@@ -310,7 +402,7 @@ def build_index(
     else:
         meta.save(index_dir)
 
-    cols = [*key_cols, text_col]
+    cols = [*key_cols, *meta.keyword_cols, text_col]
     # ONE range-shuffle keyed on the stable doc key = segment assignment +
     # within-segment order, consumed directly by the invert kernel. DocIDs
     # are segment-local, so no persist/count prepass is needed — bases are
@@ -343,6 +435,7 @@ def build_index_presorted(
     analyzer: str = "lucene",
     positions: bool = True,
     files_per_segment: int = 1,
+    keyword_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Shuffle-free build over a KEY-SORTED parquet table (the production
     layout: an Iceberg table written with a sort order on the doc key — file
@@ -364,7 +457,10 @@ def build_index_presorted(
     groups = [files[i:i + files_per_segment] for i in range(0, len(files), files_per_segment)]
     n_segments = len(groups)
     os.makedirs(index_dir, exist_ok=True)
-    meta = IndexMeta(analyzer, tuple(key_cols), text_col, positions, n_segments)
+    meta = IndexMeta(
+        analyzer, tuple(key_cols), text_col, positions, n_segments,
+        keyword_cols=tuple(keyword_cols),
+    )
     meta_path = os.path.join(index_dir, "meta.json")
     if os.path.exists(meta_path):
         if IndexMeta.load(index_dir) != meta:
@@ -387,12 +483,19 @@ def build_index_presorted(
                 seg = int(seg)
                 marker = os.path.join(index_dir, "manifest", f"seg={seg}.parquet")
                 if os.path.exists(marker):
+                    # no range check needed: presorted segments are FIXED
+                    # file groups, immune to partitioning drift by design
                     row = pq.read_table(marker).to_pandas()
                     row["status"] = "resumed"
+                    for c in ("key_min", "key_max"):
+                        if c not in row.columns:
+                            row[c] = ""
                     yield row
                     continue
                 parts = [
-                    pq.read_table(p, columns=[*key_cols, text_col]).to_pandas()
+                    pq.read_table(
+                        p, columns=[*key_cols, *meta.keyword_cols, text_col]
+                    ).to_pandas()
                     for p in paths
                 ]
                 yield pd.DataFrame([
@@ -460,7 +563,7 @@ def append_batch(
 
     key_cols = list(meta.key_cols)
     dfp = (
-        df.select(*key_cols, meta.text_col)
+        df.select(*key_cols, *meta.keyword_cols, meta.text_col)
         .repartitionByRange(n_segments, *key_cols)
         .sortWithinPartitions(*key_cols)
     )

@@ -412,3 +412,61 @@ SELECT * FROM g WHERE n_orders >= 2 ORDER BY c_custkey"""
 
 register("stream_significant_terms", stream_significant_terms, _sigterms_sql())
 register("stream_reduce", stream_reduce, STREAM_REDUCE_SQL)
+
+
+# --- jdbc source (SJ/io/stream/JDBCStream.java) ------------------------------
+
+JDBC_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"  # ships in Spark's jars
+
+
+def jdbc_read(spark: SparkSession, url: str, table: str) -> DataFrame:
+    """``JDBCStream`` analog: stream a relational table through Spark's JDBC
+    source (partitionable reads, predicate pushdown into the remote SQL).
+    At scale pass ``partitionColumn/lowerBound/upperBound/numPartitions`` so
+    executors read disjoint key ranges in parallel instead of one cursor."""
+    return spark.read.jdbc(url, table, properties={"driver": JDBC_DRIVER})
+
+
+def stream_jdbc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip fixture certifying the JDBC source end-to-end: the nation
+    table is loaded ONCE into an embedded Derby database (content-addressed
+    under /tmp; Derby's embedded JDBC driver is bundled with Spark), then
+    read back via ``spark.read.jdbc`` and aggregated. The oracle runs the
+    identical aggregation on the parquet table — equal results prove the
+    JDBC path returns exactly the relational contents."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "nation.parquet")
+    tag = hashlib.md5(
+        f"{os.path.abspath(src)}|{os.path.getmtime(src)}|v1".encode()
+    ).hexdigest()[:12]
+    db = os.path.join(tempfile.gettempdir(), f"lss_derby_{tag}")
+    url = f"jdbc:derby:{db};create=true"
+    marker = db + "_loaded"
+    if not os.path.exists(marker):
+        spark.read.parquet(src).write.mode("overwrite").jdbc(
+            url, "nation", properties={"driver": JDBC_DRIVER}
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    n = jdbc_read(spark, url, "nation")
+    return (
+        n.groupBy(F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+            F.max("n_name").alias("last_name"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+STREAM_JDBC_SQL = """
+SELECT n_regionkey::BIGINT AS n_regionkey, count(*)::BIGINT AS n_nations,
+       min(n_name) AS first_name, max(n_name) AS last_name
+FROM nation GROUP BY 1 ORDER BY 1"""
+
+
+register("stream_jdbc_source", stream_jdbc_source, STREAM_JDBC_SQL)

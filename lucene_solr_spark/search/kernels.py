@@ -28,6 +28,23 @@ from .bm25 import score_postings
 from .query import CompiledQuery
 
 
+_POS_SHIFT = 21          # (candidate_idx << 21) | adjusted_position key packing
+_POS_MARGIN = 64         # headroom so (pos − offset + MARGIN) ≥ 0
+_POS_LIMIT = (1 << _POS_SHIFT) - _POS_MARGIN
+
+
+def _gather_ranges(arr: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenate ``arr[starts[i] : starts[i]+lens[i]]`` for all i with no
+    per-range Python loop (cumsum index trick). Requires lens >= 1."""
+    n = int(lens.sum())
+    step = np.ones(n, dtype=np.int64)
+    step[0] = starts[0]
+    if len(starts) > 1:
+        heads = np.cumsum(lens[:-1])
+        step[heads] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+    return arr[np.cumsum(step)]
+
+
 def _phrase_freqs(
     docs_per_term: list[np.ndarray],
     pos_flat_per_term: list[np.ndarray],
@@ -38,23 +55,55 @@ def _phrase_freqs(
 
     Two-phase (``L/search/TwoPhaseIterator``): doc-level intersection first
     (cheap sorted-array intersect), positions verified only on survivors.
-    Returns (docs, phrase_freq) with freq >= 1.
+    The verify is VECTORIZED over all candidate docs at once: each term's
+    candidate position slices are gathered into one flat array of packed
+    (candidate_idx << 21 | offset-shifted position) keys — sorted and unique
+    by construction — and the phrase windows are the running sorted-set
+    intersection across terms (one ``np.intersect1d`` per term, not per
+    doc). Per-candidate phrase freq = bincount of surviving keys' candidate
+    index. Returns (docs, phrase_freq) with freq >= 1.
     """
     cand = docs_per_term[0]
     for d in docs_per_term[1:]:
         cand = cand[np.isin(cand, d, assume_unique=True)]
     if cand.size == 0:
         return cand, np.empty(0, dtype=np.int64)
-    # per-term position lookups for candidate docs
     splits = []
     for tfs in tfs_per_term:
         s = np.zeros(len(tfs) + 1, dtype=np.int64)
         np.cumsum(tfs, out=s[1:])
         splits.append(s)
-    out_docs = []
-    out_freq = []
+    acc: np.ndarray | None = None
+    for t, (docs_t, pos_t, off) in enumerate(zip(docs_per_term, pos_flat_per_term, offsets)):
+        i = np.searchsorted(docs_t, cand)
+        starts = splits[t][i]
+        lens = splits[t][i + 1] - starts
+        ci = np.repeat(np.arange(len(cand), dtype=np.int64), lens)
+        p = _gather_ranges(pos_t, starts, lens).astype(np.int64) - off
+        if off > _POS_MARGIN or (p.size and int(p.max()) >= _POS_LIMIT):
+            return _phrase_freqs_slow(
+                docs_per_term, pos_flat_per_term, splits, offsets, cand
+            )
+        keys = (ci << _POS_SHIFT) | (p + _POS_MARGIN)
+        acc = keys if acc is None else np.intersect1d(acc, keys, assume_unique=True)
+        if acc.size == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    freqs = np.bincount(acc >> _POS_SHIFT, minlength=len(cand))
+    keep = freqs > 0
+    return cand[keep], freqs[keep].astype(np.int64)
+
+
+def _phrase_freqs_slow(
+    docs_per_term: list[np.ndarray],
+    pos_flat_per_term: list[np.ndarray],
+    splits: list[np.ndarray],
+    offsets: tuple[int, ...],
+    cand: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-candidate fallback for pathological inputs (positions beyond the
+    packed-key range or offsets > 64) — same semantics, per-doc loop."""
+    out_docs, out_freq = [], []
     for doc in cand:
-        # normalize to first-term-relative positions and intersect
         acc = None
         for t, (docs_t, pos_t, off) in enumerate(zip(docs_per_term, pos_flat_per_term, offsets)):
             i = int(np.searchsorted(docs_t, doc))
@@ -65,10 +114,7 @@ def _phrase_freqs(
         if acc is not None and acc.size:
             out_docs.append(doc)
             out_freq.append(acc.size)
-    return (
-        np.array(out_docs, dtype=np.int64),
-        np.array(out_freq, dtype=np.int64),
-    )
+    return np.array(out_docs, dtype=np.int64), np.array(out_freq, dtype=np.int64)
 
 
 def _sloppy_freq_one_doc(pos_lists: list[np.ndarray], slop: int) -> np.float32:

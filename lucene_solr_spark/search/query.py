@@ -50,6 +50,11 @@ class BooleanSpec:
     must: list = field(default_factory=list)
     should: list = field(default_factory=list)
     must_not: list = field(default_factory=list)  # TermClause only (non-scoring)
+    # FILTER occur (BooleanClause.Occur.FILTER): required for matching,
+    # contributes NOTHING to the score. Compiled as weight-0 MUST clauses —
+    # at scale this is how keyword filters run as posting intersections
+    # (index/build.keyword_term) instead of driver-collected id sets.
+    filter: list = field(default_factory=list)  # TermClause only
     min_should_match: int = 0
     dismax: bool = False
     tie: float = 0.0
@@ -63,6 +68,7 @@ class BooleanSpec:
         for c in self.scoring_clauses:
             out.extend(c.terms if isinstance(c, PhraseClause) else [c.term])
         out.extend(c.term for c in self.must_not)
+        out.extend(c.term for c in self.filter)
         return sorted(set(out))
 
     @property
@@ -166,6 +172,17 @@ def compile_query(
     """
     clauses: list[CompiledClause] = []
     impossible = False
+    n_filter = 0
+    for c in spec.filter:
+        # FILTER occur: required, non-scoring — a weight-0 MUST clause (the
+        # zero weight zeroes the clause score exactly in f32, and zeroes its
+        # WAND block bound, so scores and pruning are untouched)
+        df = term_df.get(c.term, 0)
+        if df == 0:
+            impossible = True
+            continue
+        n_filter += 1
+        clauses.append(CompiledClause("term", (c.term,), (), np.float32(0.0), "must"))
     for occur, group in (("must", spec.must), ("should", spec.should)):
         for c in group:
             if isinstance(c, PhraseClause):
@@ -189,8 +206,11 @@ def compile_query(
         clauses = []
     n_must = sum(1 for c in clauses if c.occur == "must")
     msm = spec.min_should_match
-    if n_must == 0 and msm < 1 and clauses:
-        msm = 1  # pure disjunction requires ≥1 should match
+    if n_must - n_filter == 0 and msm < 1 and any(c.occur == "should" for c in clauses):
+        # pure disjunction requires ≥1 should match; FILTER clauses don't
+        # count as scoring MUSTs (Solr q+fq: the main query must still hit —
+        # filter-only docs are not results)
+        msm = 1
     return CompiledQuery(
         clauses=clauses,
         must_not_terms=tuple(sorted({c.term for c in spec.must_not})),

@@ -175,7 +175,12 @@ class IndexSearcher:
         Wildcards use SQL LIKE syntax (%/_) — the Spark-native analog of
         Lucene's */? automata; fuzzy = Levenshtein distance (the edit-distance
         semantics behind ``FuzzyQuery``'s Levenshtein automaton)."""
-        ts = self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+        from ..index.build import KEYWORD_PREFIX
+
+        ts = (
+            self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+            .filter(~F.col("term").startswith(KEYWORD_PREFIX))  # internal terms
+        )
         if kind == "prefix":
             cond = F.col("term").startswith(pattern)
         elif kind == "wildcard":

@@ -23,7 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_CONV = int(os.environ.get("LSS_SCALING_NCONV", "130000"))
 CORPUS = f"/tmp/lss_scaling_corpus_{N_CONV}"
-LEVELS = tuple(int(x) for x in os.environ.get("LSS_LEVELS", "8,32").split(","))
+# Default 2,8: on this 32-core box the only parallelism pair where BOTH
+# levels run unconstrained (a local[32] run co-schedules executor threads,
+# Python workers and GC on every core — it measures oversubscription, not
+# scaling). Override with LSS_LEVELS=8,32 etc.; the report's justification
+# paragraph is generated from the levels actually run.
+LEVELS = tuple(int(x) for x in os.environ.get("LSS_LEVELS", "2,8").split(","))
+N_CPUS = os.cpu_count() or 32
 
 
 def ensure_corpus() -> None:
@@ -196,6 +202,10 @@ def orchestrate() -> None:
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling.json", "w") as f:
         json.dump(summary, f, indent=2)
+    # keep every level pair ever measured (protocol-change transparency:
+    # BASELINE.md reports secondary pairs alongside the primary)
+    with open(f"BENCH/scaling_{lo}_{hi}.json", "w") as f:
+        json.dump(summary, f, indent=2)
     _write_baseline_md(summary)
     print(json.dumps(summary))
 
@@ -216,14 +226,28 @@ def _write_baseline_md(s: dict) -> None:
         "in fresh JVMs — the in-sandbox stand-in for N vs 4N executors (no real",
         "cluster available; only core count varies, per driver instruction).",
         "",
-        "Levels 2 and 8 (N and 4N cores) rather than 8 and 32: this box has 32",
-        "cores total, so a local[32] run co-schedules 32 executor threads, 32",
-        "Python Arrow workers, and JVM GC on the same 32 cores — it measures",
-        "oversubscription, not scaling. At 2 and 8 the job is the only load and",
-        "each parallelism level runs unconstrained, which is the property the",
-        "N→4N executor rule actually tests (executors on a real cluster do not",
-        "share cores with 4× other executors).",
-        "",
+        *(
+            [
+                f"Levels {lo} and {hi} (N and 4N cores) rather than {N_CPUS // 4} and {N_CPUS}:",
+                f"this box has {N_CPUS} cores total, so a local[{N_CPUS}] run co-schedules",
+                f"{N_CPUS} executor threads, {N_CPUS} Python Arrow workers, and JVM GC on the",
+                f"same {N_CPUS} cores — it measures oversubscription, not scaling. At {lo} and",
+                f"{hi} the job is the only load and each parallelism level runs",
+                "unconstrained, which is the property the N→4N executor rule actually",
+                "tests (executors on a real cluster do not share cores with 4× other",
+                "executors). The oversubscribed pair is still measured and reported",
+                "below for transparency.",
+                "",
+            ]
+            if hi < N_CPUS
+            else [
+                f"Levels {lo} and {hi}: the top level equals the box's {N_CPUS} cores, so the",
+                f"high level co-schedules executor threads, Python workers and GC on",
+                "every core — treat its efficiency as a LOWER bound (oversubscription",
+                "tax included); an unconstrained pair is reported below if measured.",
+                "",
+            ]
+        ),
         "| level | turns | build secs | build turns/sec | merge secs | merge turns/sec | query secs | QPS |",
         "|---|---|---|---|---|---|---|---|",
         f"| local[{lo}] | {rl['n_turns']:,} | {rl['build_secs']} | {rl['build_turns_per_sec']:,} | {rl['merge_secs']} | {rl['merge_turns_per_sec']:,} | {rl['query_secs']} | {rl['qps']} |",
@@ -243,6 +267,26 @@ def _write_baseline_md(s: dict) -> None:
             "- Engine-vs-spec-oracle rank identity (the BASELINE.md gate) is enforced",
             "  at 100% by `tests/test_rank_identity.py` (wand + exact, 50 queries) and",
             "  bitwise-float32 by the driver's DuckDB oracle comparison at sf0.01.",
+        ]
+    # secondary level pairs measured in other runs (protocol transparency)
+    import glob as _glob
+
+    for path in sorted(_glob.glob("BENCH/scaling_*_*.json")):
+        try:
+            o = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            continue
+        olo, ohi = o["levels"]
+        if [olo, ohi] == [lo, hi]:
+            continue
+        orl, orh = o["runs"][str(olo)] if str(olo) in o["runs"] else o["runs"][olo], \
+            o["runs"][str(ohi)] if str(ohi) in o["runs"] else o["runs"][ohi]
+        lines += [
+            "",
+            f"Secondary pair local[{olo}]→local[{ohi}] (same corpus/protocol, from {path}):",
+            f"build eff {o['build_scaling_efficiency']}, merge eff "
+            f"{o['merge_scaling_efficiency']}, query eff {o['query_scaling_efficiency']} "
+            f"(build {orl['build_turns_per_sec']:,} → {orh['build_turns_per_sec']:,} turns/s).",
         ]
     lines += [
         "",
