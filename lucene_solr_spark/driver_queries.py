@@ -28,6 +28,7 @@ from .oracles import (
     multiterm_topk_sql,
     sloppy_phrase_topk_sql,
     term_stats_sql,
+    tfidf_topk_sql,
     total_hits_sql,
 )
 from .search.query import parse_fixture_query
@@ -132,6 +133,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_after_update_topk"] = lambda spark, sf_dir: get_updated_engine(
         spark, sf_dir, "simple"
     ).topk("or3", AFTER_UPDATE_TERMS, k=10)
+    # ClassicSimilarity (TF-IDF) — pluggable similarity over the same index
+    out["ft_tfidf_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).tfidf_topk("or3", ["vector", "stream", "filter"], k=10)
     out["ft_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").docs_norms()
     out["ft_stop_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "stop").docs_norms()
     out["ft_term_stats"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").term_stats_df()
@@ -186,6 +191,11 @@ def fulltext_oracles() -> dict[str, str]:
         "simple", ph.terms, ph.offsets, 3, 10
     )
     an_s = ANALYZERS["simple"]()
+    out["ft_tfidf_topk"] = tfidf_topk_sql(
+        "simple",
+        [t for s in ["vector", "stream", "filter"] for t, _ in an_s.analyze(s)],
+        10,
+    )
     out["ft_total_hits"] = total_hits_sql(
         "simple",
         [t for s in TOTAL_HITS_TERMS for t, _ in an_s.analyze(s)],
@@ -218,10 +228,10 @@ PRIORITY_ORDER = [
     # fulltext: one slot per operator, not per fixture
     "ft_term_topk", "ft_and2_topk", "ft_or_minshould_topk", "ft_andnot_topk",
     "ft_phrase_topk", "ft_stop_phrase_hole_topk", "ft_sloppy_phrase_topk",
-    "ft_wildcard_topk", "ft_fuzzy_topk", "ft_set_topk", "ft_dismax_topk",
+    "ft_wildcard_topk", "ft_set_topk", "ft_dismax_topk",
     "ft_boost_topk", "ft_filter_topk", "ft_mlt_topk", "ft_page2_topk",
     "ft_blockjoin_source", "ft_docs_norms", "ft_total_hits",
-    "ft_after_update_topk",
+    "ft_after_update_topk", "ft_tfidf_topk",
     # facets / stats / grouping
     "facet_terms", "facet_range", "facet_query", "facet_nested",
     "facet_percentile", "facet_heatmap", "facet_unique_hll",

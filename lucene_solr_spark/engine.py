@@ -219,6 +219,16 @@ class DocumentsEngine:
             .limit(n_groups)
         )
 
+    def tfidf_topk(
+        self, qtype: str, surface_terms: list[str], k: int = 10, min_should: int = 0
+    ) -> DataFrame:
+        """Top-k under ClassicSimilarity (pre-Lucene-8 TF-IDF) — the same
+        index and norm bytes, a different pluggable similarity
+        (``L/search/similarities/ClassicSimilarity``)."""
+        spec = self.searcher.parse(qtype, surface_terms, min_should)
+        q = self.searcher.compile(spec, k=k, similarity="classic")
+        return self._present(self.searcher.search(q, with_keys=True))
+
     def total_hits(
         self, qtype: str, surface_terms: list[str], threshold: int = 1000,
         min_should: int = 0,

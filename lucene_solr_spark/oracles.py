@@ -232,6 +232,37 @@ WHERE dl.doc_id = {doc_id} AND c.doc_id = {doc_id} AND p.df > 0
 ORDER BY p.term"""
 
 
+def tfidf_topk_sql(analyzer: str, terms: list[str], k: int) -> str:
+    """ClassicSimilarity (TF-IDF) disjunction top-k — float32 op order of
+    ``TFIDFSimScorer#score``: idf = f32(1 + ln(N/(df+1))), tf = f32(sqrt(freq)),
+    lengthNorm = f32(1/sqrt(decoded norm length)), score = f32(f32(tf·w)·norm),
+    boolean Σ in double with one f32 cast."""
+    clause_selects = []
+    for t in terms:
+        w = (
+            "CAST(1.0 + ln(st.doc_count::DOUBLE / ("
+            f"(SELECT count(DISTINCT doc_id) FROM kept WHERE term = '{t}')"
+            " + 1.0)) AS FLOAT)"
+        )
+        clause_selects.append(f"""
+SELECT k.doc_id,
+       CAST(CAST(CAST(sqrt(count(*)::DOUBLE) AS FLOAT) * {w} AS FLOAT)
+            * CAST(1.0 / sqrt(any_value(n.decoded)::DOUBLE) AS FLOAT)
+        AS FLOAT) AS s
+FROM kept k JOIN norms n USING (doc_id), statsf st
+WHERE k.term = '{t}'
+GROUP BY k.doc_id, st.doc_count""")
+    return f"""WITH {base_ctes(analyzer)},
+clause_scores AS ({' UNION ALL '.join(clause_selects)}),
+hits AS (
+    SELECT doc_id, CAST(sum(CAST(s AS DOUBLE)) AS FLOAT) AS score
+    FROM clause_scores GROUP BY doc_id
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score FROM hits
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def total_hits_sql(analyzer: str, terms: list[str], threshold: int) -> str:
     """``L/search/TotalHits`` oracle — exact disjunction match count, clamped
     to the threshold with the EQ/GTE relation."""

@@ -84,6 +84,55 @@ def block_max_score(max_tf: int, min_norm: int, weight: np.float32, cache: np.nd
     return np.float32(np.float32(weight) * np.float32(freq / (freq + norm)))
 
 
+# --- ClassicSimilarity (pre-8 default TF-IDF; L/search/similarities/
+# TFIDFSimilarity + ClassicSimilarity) -----------------------------------
+# Lucene 7+ stores the SAME norm bytes for every similarity (SmallFloat
+# intToByte4 of the doc length), so Classic runs on an index built for BM25:
+#   idf    = (float)(1 + ln(docCount / (docFreq + 1)))
+#   tf     = (float)sqrt(freq)
+#   norm   = (float)(1 / sqrt(LENGTH_TABLE[normByte]))   (lengthNorm)
+#   score  = f32(f32(tf * weight) * norm)   (TFIDFSimScorer#score op order)
+# queryNorm/coord were removed in Lucene 7 (LUCENE-7347).
+
+
+def classic_idf(doc_freq: int, doc_count: int) -> np.float32:
+    return np.float32(1.0 + math.log(doc_count / (doc_freq + 1.0)))
+
+
+def classic_norm_cache() -> np.ndarray:
+    """256-entry lengthNorm table: f32(1/sqrt(decoded length)); the
+    length-0 byte never appears in postings (docs with no terms have no
+    postings) so its slot is 0."""
+    table = LENGTH_TABLE.astype(np.float64)
+    out = np.zeros(256, dtype=np.float32)
+    nz = table > 0
+    out[nz] = (1.0 / np.sqrt(table[nz])).astype(np.float32)
+    return out
+
+
+def score_postings_classic(
+    tfs: np.ndarray,
+    norm_bytes: np.ndarray,
+    weight: np.float32,
+    cache: np.ndarray,
+) -> np.ndarray:
+    """Vectorized TFIDFSimScorer#score: f32(f32(sqrt(tf)·weight)·lengthNorm)."""
+    tf = np.sqrt(tfs.astype(np.float64)).astype(np.float32)
+    raw = (tf * np.float32(weight)).astype(np.float32)
+    norm = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF].astype(np.float32)
+    return (raw * norm).astype(np.float32)
+
+
+def block_max_score_classic(
+    max_tf: int, min_norm: int, weight: np.float32, cache: np.ndarray
+) -> np.float32:
+    """Block upper bound for Classic: tf is monotone in freq and lengthNorm
+    monotone in −length, so (max_tf, min_norm byte) bounds every posting."""
+    tf = np.float32(math.sqrt(float(max_tf)))
+    raw = np.float32(tf * np.float32(weight))
+    return np.float32(raw * cache[min_norm & 0xFF])
+
+
 def sum_scores_f32(per_clause: list[np.ndarray]) -> np.ndarray:
     """Σ in float64, one float32 cast (Disjunction/ConjunctionScorer)."""
     acc = np.zeros(per_clause[0].shape, dtype=np.float64)

@@ -24,8 +24,20 @@ from __future__ import annotations
 import numpy as np
 
 from ..index.codec import decode_block, decode_postings
-from .bm25 import score_postings
+from .bm25 import (
+    block_max_score,
+    block_max_score_classic,
+    score_postings,
+    score_postings_classic,
+)
 from .query import CompiledQuery
+
+
+def _sim_fns(q: CompiledQuery):
+    """(score_postings, block_max) pair for the query's similarity."""
+    if getattr(q, "sim", "bm25") == "classic":
+        return score_postings_classic, block_max_score_classic
+    return score_postings, block_max_score
 
 
 _POS_SHIFT = 21          # (candidate_idx << 21) | adjusted_position key packing
@@ -331,7 +343,7 @@ def score_segment_exact(
             if c.occur == "must":
                 return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
             continue
-        scores = score_postings(tfs, _norm_lookup(norms_arr, base, docs), c.weight, q.cache)
+        scores = _sim_fns(q)[0](tfs, _norm_lookup(norms_arr, base, docs), c.weight, q.cache)
         clause_docs.append(docs)
         clause_scores.append(scores)
         occurs.append(c.occur)
@@ -414,7 +426,7 @@ def score_segment_wand(
     decodes keyed by (term, block_idx) — scores stay per-clause (weight-
     dependent), but the varint decode, the expensive part, is done once per
     block per segment for the whole batch."""
-    from .bm25 import block_max_score
+    score_fn, bound_fn = _sim_fns(q)
 
     clause_terms = [c.terms[0] for c in q.clauses]
     weights = [c.weight for c in q.clauses]
@@ -451,7 +463,7 @@ def score_segment_wand(
         cover[ci, ok] = idx[ok]
         if ok.any():
             bmax = np.array([
-                float(block_max_score(
+                float(bound_fn(
                     int(_bf(b, "max_tf")), int(_bf(b, "min_norm")), weights[ci], q.cache
                 )) for b in bl
             ])
@@ -486,7 +498,7 @@ def score_segment_wand(
             if rkey not in raw_cache:
                 raw_cache[rkey] = decode_block(blocks_per_clause[ci][bi])
             docs, tfs = raw_cache[rkey]
-            scores = score_postings(
+            scores = score_fn(
                 tfs, _norm_lookup(norms_arr, base, docs), weights[ci], q.cache
             )
             score_cache[key] = (docs, scores)

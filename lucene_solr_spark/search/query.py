@@ -137,6 +137,10 @@ class CompiledQuery:
     n_must: int
     combine: str = "sum"      # 'sum' (BooleanQuery) | 'dismax' (DisjunctionMax)
     tie: float = 0.0
+    # similarity: 'bm25' (BM25Similarity, Lucene-8 default) or 'classic'
+    # (ClassicSimilarity TF-IDF) — both run on the same norm bytes
+    # (Lucene 7+ stores the doc length for every similarity)
+    sim: str = "bm25"
     # FILTER occur (BooleanClause.Occur.FILTER): non-scoring candidate
     # restriction, applied BEFORE top-k. Per-segment allowed-doc sets keyed
     # by segment base (the Spark shape of Lucene's per-leaf filter
@@ -162,6 +166,7 @@ def compile_query(
     doc_count: int,
     cache: np.ndarray,
     k: int,
+    similarity: str = "bm25",
 ) -> CompiledQuery:
     """Bind global stats into weights (createWeight analog).
 
@@ -183,6 +188,12 @@ def compile_query(
             continue
         n_filter += 1
         clauses.append(CompiledClause("term", (c.term,), (), np.float32(0.0), "must"))
+    if similarity == "bm25":
+        idf_fn = bm25_idf
+    elif similarity == "classic":
+        from .bm25 import classic_idf as idf_fn
+    else:
+        raise ValueError(f"unknown similarity {similarity!r}")
     for occur, group in (("must", spec.must), ("should", spec.should)):
         for c in group:
             if isinstance(c, PhraseClause):
@@ -190,7 +201,7 @@ def compile_query(
                     impossible |= occur == "must"
                     continue
                 w = np.float32(c.boost) * np.float32(
-                    sum(float(bm25_idf(term_df[t], doc_count)) for t in c.terms)
+                    sum(float(idf_fn(term_df[t], doc_count)) for t in c.terms)
                 )
                 clauses.append(CompiledClause(
                     "phrase", c.terms, c.offsets, np.float32(w), occur, slop=int(c.slop)
@@ -200,7 +211,7 @@ def compile_query(
                 if df == 0:
                     impossible |= occur == "must"
                     continue
-                w = np.float32(c.boost) * bm25_idf(df, doc_count)
+                w = np.float32(c.boost) * idf_fn(df, doc_count)
                 clauses.append(CompiledClause("term", (c.term,), (), np.float32(w), occur))
     if impossible:
         clauses = []
@@ -220,4 +231,5 @@ def compile_query(
         n_must=n_must,
         combine="dismax" if getattr(spec, "dismax", False) else "sum",
         tie=float(getattr(spec, "tie", 0.0)),
+        sim=similarity,
     )

@@ -129,6 +129,12 @@ class IndexSearcher:
         return norm_cache(self.stats.avgdl)
 
     @cached_property
+    def classic_cache(self) -> np.ndarray:
+        from .bm25 import classic_norm_cache
+
+        return classic_norm_cache()
+
+    @cached_property
     def deleted_by_seg(self) -> dict[int, np.ndarray]:
         """Per-segment tombstoned local ids (PendingDeletes live-docs
         analog) — empty when the index has no deletes. Loaded once per
@@ -149,8 +155,14 @@ class IndexSearcher:
         )
         return {r.term: int(r.df) for r in rows}
 
-    def compile(self, spec: BooleanSpec, k: int = 10) -> CompiledQuery:
-        return compile_query(spec, self.term_stats(spec.all_terms()), self.stats.doc_count, self.cache, k)
+    def compile(
+        self, spec: BooleanSpec, k: int = 10, similarity: str = "bm25"
+    ) -> CompiledQuery:
+        cache = self.cache if similarity == "bm25" else self.classic_cache
+        return compile_query(
+            spec, self.term_stats(spec.all_terms()), self.stats.doc_count,
+            cache, k, similarity=similarity,
+        )
 
     def compile_many(self, specs: dict[str, tuple[BooleanSpec, int]]) -> dict[str, CompiledQuery]:
         """Compile a whole query set with ONE stats lookup job (TermStates

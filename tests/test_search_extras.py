@@ -91,3 +91,29 @@ def test_mlt_spec_terms_are_from_source_text(searcher):
     terms = [c.term for c in spec.should]
     assert len(terms) == 3
     assert "merg" in terms  # tf=3 dominates tf·idf
+
+
+def test_classic_similarity_wand_equals_exact(searcher):
+    """ClassicSimilarity (TF-IDF): the block-max bound (sqrt(max_tf),
+    min-norm lengthNorm) must keep WAND rank+score identical to brute
+    force, same as BM25."""
+    import pandas as pd
+
+    spec = searcher.parse("or3", ["merge", "batch", "stream"], 0)
+    q = searcher.compile(spec, k=20, similarity="classic")
+    a = searcher.search(q, k=20, mode="wand").toPandas()
+    b = searcher.search(q, k=20, mode="exact").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.score.to_numpy() > 0).all()
+
+
+def test_classic_and_bm25_rank_differently_but_share_index(searcher):
+    """Same index, two similarities: both return k hits; scores differ
+    (different formulas), proving the pluggable dispatch is live."""
+    spec = searcher.parse("term", ["merge"], 0)
+    bm = searcher.search(searcher.compile(spec, k=10), k=10).toPandas()
+    cl = searcher.search(
+        searcher.compile(spec, k=10, similarity="classic"), k=10
+    ).toPandas()
+    assert len(bm) == len(cl) == 10
+    assert not (bm.score.to_numpy() == cl.score.to_numpy()).all()
