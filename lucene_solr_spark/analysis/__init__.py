@@ -1,17 +1,25 @@
 from .porter import porter_stem
 from .analyzer import (
     ENGLISH_STOP_WORDS,
+    SYNONYMS,
+    EdgeNGramAnalyzer,
     LuceneChainAnalyzer,
+    ShingleAnalyzer,
     SimpleAnalyzer,
     StopChainAnalyzer,
+    SynonymAnalyzer,
     analyze_frame,
 )
 
 __all__ = [
     "porter_stem",
     "ENGLISH_STOP_WORDS",
+    "SYNONYMS",
+    "EdgeNGramAnalyzer",
     "LuceneChainAnalyzer",
+    "ShingleAnalyzer",
     "SimpleAnalyzer",
     "StopChainAnalyzer",
+    "SynonymAnalyzer",
     "analyze_frame",
 ]

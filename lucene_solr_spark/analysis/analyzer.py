@@ -54,6 +54,22 @@ class _BaseAnalyzer:
 
     def analyze(self, text: str) -> list[tuple[str, int]]:
         """text → [(term, position)]; positions 0-based with stop holes."""
+        return self.postprocess_tokens(self._analyze_base(text))
+
+    def postprocess_tokens(self, toks: list[tuple[str, int]]) -> list[tuple[str, int]]:
+        """Token-graph stage hook (synonym/shingle/edge-ngram chains).
+        Identity in the base chains. Emitted extra tokens share the position
+        of their source token (posIncrement=0) and are NOT counted in the
+        norm length (Lucene ``discountOverlaps``, the 8.x default)."""
+        return toks
+
+    def postprocess_frame(self, frame: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized twin of ``postprocess_tokens`` for the batch path.
+        MUST keep ``frame.attrs['doc_len']`` as the BASE token counts
+        (discountOverlaps: overlapping emissions don't change norms)."""
+        return frame
+
+    def _analyze_base(self, text: str) -> list[tuple[str, int]]:
         out: list[tuple[str, int]] = []
         for pos, raw in enumerate(_TOKEN_RE.findall(text)):
             tok = raw.lower() if self.lowercase else raw
@@ -74,6 +90,11 @@ class _BaseAnalyzer:
     # -- batched path (build/search kernels) ---------------------------------
 
     def analyze_batch(self, texts: pd.Series) -> pd.DataFrame:
+        """Vectorized analysis of a batch of documents: base chain
+        (tokenize/lower/stop/stem) then the subclass token-graph stage."""
+        return self.postprocess_frame(self._analyze_batch_base(texts))
+
+    def _analyze_batch_base(self, texts: pd.Series) -> pd.DataFrame:
         """Vectorized analysis of a batch of documents.
 
         Returns an exploded DataFrame with columns:
@@ -241,7 +262,7 @@ class _BaseAnalyzer:
         poss: list[int] = []
         doc_len = np.zeros(len(texts), dtype=np.int64)
         for i, text in enumerate(texts):
-            analyzed = self.analyze(text)
+            analyzed = self._analyze_base(text)
             doc_len[i] = len(analyzed)
             for t, p in analyzed:
                 rows.append(i)
@@ -285,6 +306,126 @@ class StopChainAnalyzer(_BaseAnalyzer):
     lowercase = True
     stop_words = ENGLISH_STOP_WORDS
     stem = False
+
+
+# --- token-graph chains (synonym / shingle / edge-ngram) ---------------------
+
+# Single-token synonym map (``LA/synonym/SynonymGraphFilter`` in its
+# replace-with-canonical configuration — multi-word graph output is out of
+# scope and documented): variants collapse to one canonical term at BOTH
+# index and query time, so "row" and "line" become one merged posting list.
+SYNONYMS = {"row": "line", "tuple": "line"}
+
+EDGE_MIN, EDGE_MAX = 2, 4
+
+
+def _edge_grams(t: str) -> list[str]:
+    """Leading-edge grams of lengths EDGE_MIN..EDGE_MAX (capped at the token
+    length); tokens shorter than EDGE_MIN pass through unchanged —
+    ``LA/ngram/EdgeNGramTokenFilter`` (index-time autocomplete setup, all
+    grams at the source token's position)."""
+    if len(t) < EDGE_MIN:
+        return [t]
+    return [t[:g] for g in range(EDGE_MIN, min(EDGE_MAX, len(t)) + 1)]
+
+
+def _term_values(frame: pd.DataFrame) -> np.ndarray:
+    t = frame["term"]
+    if isinstance(t.dtype, pd.CategoricalDtype):
+        return t.astype(object).to_numpy()
+    return t.to_numpy()
+
+
+class SynonymAnalyzer(_BaseAnalyzer):
+    """Standard → LowerCase → Synonym(replace): 1:1 token mapping, so
+    positions and norm lengths are untouched."""
+
+    lowercase = True
+    synonyms = SYNONYMS
+
+    def postprocess_tokens(self, toks):
+        return [(self.synonyms.get(t, t), p) for t, p in toks]
+
+    def postprocess_frame(self, frame: pd.DataFrame) -> pd.DataFrame:
+        if not len(frame):
+            return frame
+        codes, uniq = pd.factorize(_term_values(frame))
+        mapped = np.array([self.synonyms.get(u, u) for u in uniq], dtype=object)
+        frame["term"] = pd.Categorical(mapped[codes])
+        return frame
+
+
+class ShingleAnalyzer(_BaseAnalyzer):
+    """Standard → LowerCase → Shingle(2, outputUnigrams=true)
+    (``LA/shingle/ShingleFilter``): adjacent-token 2-grams emitted at the
+    first token's position (posIncrement 0 ⇒ discounted from norms)."""
+
+    lowercase = True
+
+    def postprocess_tokens(self, toks):
+        out = list(toks)
+        for i in range(len(toks) - 1):
+            if toks[i + 1][1] == toks[i][1] + 1:
+                out.append((f"{toks[i][0]} {toks[i + 1][0]}", toks[i][1]))
+        return out
+
+    def postprocess_frame(self, frame: pd.DataFrame) -> pd.DataFrame:
+        if len(frame) < 2:
+            return frame
+        row = frame["row"].to_numpy()
+        pos = frame["pos"].to_numpy()
+        vals = _term_values(frame)
+        adj = np.flatnonzero((row[1:] == row[:-1]) & (pos[1:] == pos[:-1] + 1))
+        if not adj.size:
+            return frame
+        codes, uniq = pd.factorize(vals)
+        v = len(uniq)
+        pairc = codes[adj].astype(np.int64) * v + codes[adj + 1]
+        up, inv = np.unique(pairc, return_inverse=True)
+        pair_str = np.array(
+            [f"{uniq[p // v]} {uniq[p % v]}" for p in up], dtype=object
+        )
+        out = pd.DataFrame({
+            "row": np.concatenate([row, row[adj]]),
+            "term": np.concatenate([vals, pair_str[inv]]),
+            "pos": np.concatenate([pos, pos[adj]]).astype(np.int32),
+        })
+        out.attrs["doc_len"] = frame.attrs["doc_len"]  # discountOverlaps
+        return out
+
+
+class EdgeNGramAnalyzer(_BaseAnalyzer):
+    """Standard → LowerCase → EdgeNGram(2, 4): each token replaced by its
+    leading-edge grams, all at the token's position (one position increment
+    per source token ⇒ norms count source tokens)."""
+
+    lowercase = True
+
+    def postprocess_tokens(self, toks):
+        return [(g, p) for t, p in toks for g in _edge_grams(t)]
+
+    def postprocess_frame(self, frame: pd.DataFrame) -> pd.DataFrame:
+        if not len(frame):
+            return frame
+        row = frame["row"].to_numpy()
+        pos = frame["pos"].to_numpy()
+        codes, uniq = pd.factorize(_term_values(frame))
+        gram_lists = [np.array(_edge_grams(u), dtype=object) for u in uniq]
+        counts_u = np.array([len(g) for g in gram_lists], dtype=np.int64)
+        flat_u = (
+            np.concatenate(gram_lists) if gram_lists else np.empty(0, dtype=object)
+        )
+        offs_u = np.cumsum(counts_u) - counts_u
+        cnt = counts_u[codes]
+        starts = np.cumsum(cnt) - cnt
+        within = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(starts, cnt)
+        out = pd.DataFrame({
+            "row": np.repeat(row, cnt),
+            "term": flat_u[np.repeat(offs_u[codes], cnt) + within],
+            "pos": np.repeat(pos, cnt).astype(np.int32),
+        })
+        out.attrs["doc_len"] = frame.attrs["doc_len"]  # 1 increment per source
+        return out
 
 
 def analyze_frame(texts: pd.Series, analyzer: _BaseAnalyzer | None = None) -> pd.DataFrame:

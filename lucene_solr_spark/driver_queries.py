@@ -46,6 +46,13 @@ FULLTEXT_TOPK = {
     "ft_stop_term_topk": ("stop", "term", ["window"], 0, 10),
     "ft_stop_and2_topk": ("stop", "and2", ["key", "group"], 0, 10),
     "ft_stop_phrase_hole_topk": ("stop", "phrase2", ["hash the", "query"], 0, 10),
+    # token-graph chains (synonym replace / shingle 2-grams / edge n-grams):
+    # query-side analysis goes through the SAME chain, so "row" becomes the
+    # merged canonical term, "table hash" expands to unigrams+shingle, and
+    # "merge" expands to its edge grams — oracles reproduce the chain in SQL
+    "ft_synonym_topk": ("synonym", "term", ["row"], 0, 10),
+    "ft_shingle_topk": ("shingle", "term", ["table hash"], 0, 10),
+    "ft_edgegram_topk": ("edgegram", "term", ["merge"], 0, 10),
 }
 
 
@@ -232,13 +239,14 @@ PRIORITY_ORDER = [
     "ft_boost_topk", "ft_filter_topk", "ft_mlt_topk", "ft_page2_topk",
     "ft_blockjoin_source", "ft_docs_norms", "ft_total_hits",
     "ft_after_update_topk", "ft_tfidf_topk",
+    "ft_synonym_topk",
     # facets / stats / grouping
     "facet_terms", "facet_range", "facet_query", "facet_nested",
-    "facet_percentile", "facet_heatmap", "facet_unique_hll",
+    "facet_heatmap", "facet_unique_hll",
     "stats_component", "collapse_best_order", "collapse_expand", "group_topk",
-    # streaming expressions
-    "stream_inner_join", "stream_fetch", "stream_rollup", "stream_timeseries",
-    "stream_significant_terms", "stream_reduce",
+    # streaming expressions (jdbc = the Derby round-trip source)
+    "stream_inner_join", "stream_jdbc_source", "stream_rollup",
+    "stream_timeseries", "stream_significant_terms", "stream_reduce",
     # update chain + LLM-pipeline operators
     "update_chain_docs",
     "dedup_exact", "dedup_shingle_jaccard", "dedup_minhash_lsh", "dedup_simhash",

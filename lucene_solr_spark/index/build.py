@@ -49,7 +49,14 @@ import pyarrow.parquet as pq
 from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..analysis import LuceneChainAnalyzer, SimpleAnalyzer, StopChainAnalyzer
+from ..analysis import (
+    EdgeNGramAnalyzer,
+    LuceneChainAnalyzer,
+    ShingleAnalyzer,
+    SimpleAnalyzer,
+    StopChainAnalyzer,
+    SynonymAnalyzer,
+)
 from ..util.smallfloat import encode_lengths
 from .codec import encode_posting_blocks
 
@@ -57,6 +64,9 @@ ANALYZERS = {
     "lucene": LuceneChainAnalyzer,
     "simple": SimpleAnalyzer,
     "stop": StopChainAnalyzer,
+    "synonym": SynonymAnalyzer,
+    "shingle": ShingleAnalyzer,
+    "edgegram": EdgeNGramAnalyzer,
 }
 
 MANIFEST_SCHEMA = (

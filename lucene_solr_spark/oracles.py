@@ -34,11 +34,53 @@ _SF_ROWS = ", ".join(f"({b}, {int(LENGTH_TABLE[b])})" for b in range(256))
 _MAX_DL = 1 << 62
 
 
-def _kept_filter(analyzer: str) -> str:
+def _kept_ctes(analyzer: str) -> tuple[str, str]:
+    """(kept-CTE SQL, primary-token source name) for one analyzer chain.
+
+    ``kept`` is the full emitted token stream (what postings index);
+    ``primary`` is the stream whose count is the norm length
+    (discountOverlaps: shingles/edge-grams emitted at a source token's
+    position don't lengthen the doc)."""
     if analyzer == "simple":
-        return ""
+        return "kept AS (SELECT * FROM raw_toks)", "kept"
     if analyzer == "stop":
-        return f" WHERE term NOT IN ({_STOP_LIST_SQL})"
+        return (
+            f"kept AS (SELECT * FROM raw_toks WHERE term NOT IN ({_STOP_LIST_SQL}))",
+            "kept",
+        )
+    if analyzer == "synonym":
+        from .analysis.analyzer import SYNONYMS
+
+        whens = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in sorted(SYNONYMS.items()))
+        return (
+            "kept AS (SELECT doc_id, "
+            f"CASE term {whens} ELSE term END AS term, pos FROM raw_toks)",
+            "kept",
+        )
+    if analyzer == "shingle":
+        return (
+            """kept AS (
+    SELECT * FROM raw_toks
+    UNION ALL
+    SELECT a.doc_id, a.term || ' ' || b.term AS term, a.pos
+    FROM raw_toks a JOIN raw_toks b
+      ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+)""",
+            "raw_toks",
+        )
+    if analyzer == "edgegram":
+        from .analysis.analyzer import EDGE_MAX, EDGE_MIN
+
+        return (
+            f"""kept AS (
+    SELECT doc_id, substr(term, 1, g) AS term, pos
+    FROM raw_toks, (SELECT unnest(generate_series({EDGE_MIN}, {EDGE_MAX})) AS g)
+    WHERE g <= length(term)
+    UNION ALL
+    SELECT doc_id, term, pos FROM raw_toks WHERE length(term) < {EDGE_MIN}
+)""",
+            "raw_toks",
+        )
     raise ValueError(f"no SQL oracle for analyzer {analyzer!r} (porter not in DuckDB)")
 
 
@@ -48,6 +90,7 @@ def base_ctes(analyzer: str) -> str:
     Positions are assigned BEFORE the stop filter (0-based), preserving stop
     holes exactly like FilteringTokenFilter's position increments.
     """
+    kept_sql, primary = _kept_ctes(analyzer)
     return f"""
 tl AS (
     SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE_SQL}') AS toks FROM documents
@@ -57,10 +100,10 @@ raw_toks AS (
            generate_subscripts(toks, 1) - 1 AS pos
     FROM tl
 ),
-kept AS (SELECT * FROM raw_toks{_kept_filter(analyzer)}),
+{kept_sql},
 doclen AS (
     SELECT d.doc_id, count(k.term)::BIGINT AS length
-    FROM documents d LEFT JOIN kept k USING (doc_id)
+    FROM documents d LEFT JOIN {primary} k USING (doc_id)
     GROUP BY d.doc_id
 ),
 stats AS (

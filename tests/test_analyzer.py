@@ -62,3 +62,68 @@ def test_batch_all_empty():
 def test_apostrophe_kept_in_token():
     a = SimpleAnalyzer()
     assert a.analyze("don't stop")[0][0] == "don't"
+
+
+# --- token-graph chains (synonym / shingle / edge-ngram) --------------------
+
+def test_synonym_analyzer_merges_variants():
+    from lucene_solr_spark.analysis import SynonymAnalyzer
+
+    a = SynonymAnalyzer()
+    assert a.analyze("Row tuple line") == [("line", 0), ("line", 1), ("line", 2)]
+    import pandas as pd
+    f = a.analyze_batch(pd.Series(["Row tuple line", "no map here"]))
+    assert list(f[f.row == 0].term) == ["line", "line", "line"]
+    assert list(f.attrs["doc_len"]) == [3, 3]
+
+
+def test_shingle_analyzer_unigrams_plus_bigrams_discounted():
+    from lucene_solr_spark.analysis import ShingleAnalyzer
+
+    a = ShingleAnalyzer()
+    toks = a.analyze("table hash join")
+    assert ("table", 0) in toks and ("hash", 1) in toks and ("join", 2) in toks
+    assert ("table hash", 0) in toks and ("hash join", 1) in toks
+    import pandas as pd
+    f = a.analyze_batch(pd.Series(["table hash join", "solo"]))
+    # norms count unigrams only (discountOverlaps)
+    assert list(f.attrs["doc_len"]) == [3, 1]
+    r0 = f[f.row == 0]
+    assert sorted(r0.term) == sorted(
+        ["table", "hash", "join", "table hash", "hash join"]
+    )
+    # shingles share the first token's position
+    assert set(r0[r0.term == "table hash"].pos) == {0}
+
+
+def test_edgegram_analyzer_grams_and_short_tokens():
+    from lucene_solr_spark.analysis import EdgeNGramAnalyzer
+
+    a = EdgeNGramAnalyzer()
+    assert a.analyze("merge") == [("me", 0), ("mer", 0), ("merg", 0)]
+    assert a.analyze("a") == [("a", 0)]
+    import pandas as pd
+    f = a.analyze_batch(pd.Series(["merge a", "hash"]))
+    assert list(f.attrs["doc_len"]) == [2, 1]
+    assert sorted(f[f.row == 0].term) == sorted(["me", "mer", "merg", "a"])
+    assert sorted(f[f.row == 1].term) == sorted(["ha", "has", "hash"])
+
+
+def test_tokengraph_batch_matches_perrow():
+    """Vectorized postprocess_frame ≡ per-token postprocess_tokens."""
+    import pandas as pd
+    from lucene_solr_spark.analysis import (
+        EdgeNGramAnalyzer, ShingleAnalyzer, SynonymAnalyzer,
+    )
+
+    texts = pd.Series([
+        "Table hash JOIN row", "tuple row tuple", "", "a b", "merge batch scan",
+    ])
+    for cls in (SynonymAnalyzer, ShingleAnalyzer, EdgeNGramAnalyzer):
+        a = cls()
+        f = a.analyze_batch(texts)
+        got = sorted(zip(f.row, f.term, f.pos))
+        want = sorted(
+            (i, t, p) for i, txt in enumerate(texts) for t, p in a.analyze(txt)
+        )
+        assert got == want, cls.__name__
