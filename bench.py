@@ -125,6 +125,20 @@ def main() -> None:
             t0 = time.monotonic()
             eng.topk(qt, terms, k=k, min_should=msm).collect()
             timings[name] = time.monotonic() - t0
+        # round-2 operators: sloppy phrase, keyword-posting FILTER,
+        # TotalHits count kernel, ClassicSimilarity
+        t0 = time.monotonic()
+        eng.topk("phrase2", ["table", "hash"], k=10, slop=3).collect()
+        timings["q_sloppy"] = time.monotonic() - t0
+        t0 = time.monotonic()
+        eng.filtered_topk("or3", ["merge", "batch", "scan"], "source", "src3", k=10).collect()
+        timings["q_filter"] = time.monotonic() - t0
+        t0 = time.monotonic()
+        eng.total_hits("or3", ["vector", "stream", "filter"], threshold=250).collect()
+        timings["q_total_hits"] = time.monotonic() - t0
+        t0 = time.monotonic()
+        eng.tfidf_topk("or3", ["vector", "stream", "filter"], k=10).collect()
+        timings["q_tfidf"] = time.monotonic() - t0
 
         # --- training-pipeline ops ---
         from lucene_solr_spark.ops.dedup import dedup_minhash_lsh

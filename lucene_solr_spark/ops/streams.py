@@ -438,6 +438,9 @@ def stream_jdbc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    # derby.log goes to derby.system.home; pin it to /tmp so the engine
+    # works regardless of the driver process's (possibly read-only) cwd
+    spark._jvm.System.setProperty("derby.system.home", tempfile.gettempdir())
     src = os.path.join(sf_dir, "nation.parquet")
     tag = hashlib.md5(
         f"{os.path.abspath(src)}|{os.path.getmtime(src)}|v1".encode()
@@ -470,3 +473,110 @@ FROM nation GROUP BY 1 ORDER BY 1"""
 
 
 register("stream_jdbc_source", stream_jdbc_source, STREAM_JDBC_SQL)
+
+
+# --- loaders (S/handler/loader/*: CSV/JSON ingest) ---------------------------
+# The driver tables are parquet; these fixtures materialize a CSV and a
+# JSON-lines copy ONCE (content-addressed under /tmp), read them back with
+# spark.read.csv / spark.read.json (schema pinned — never inferSchema at
+# scale), and aggregate. Oracles run on the parquet `nation` view, so equal
+# results certify the loader path end-to-end (parse + types), not just "it
+# didn't crash".
+
+
+def _loader_fixture_dir(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "nation.parquet")
+    tag = hashlib.md5(
+        f"{os.path.abspath(src)}|{os.path.getmtime(src)}|v1".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"lss_loader_{tag}")
+
+
+def _ensure_loader_fixtures(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    base = _loader_fixture_dir(sf_dir)
+    marker = os.path.join(base, "_done")
+    if not os.path.exists(marker):
+        n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+        n.coalesce(1).write.mode("overwrite").option("header", True).csv(
+            os.path.join(base, "csv")
+        )
+        n.coalesce(1).write.mode("overwrite").json(os.path.join(base, "json"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return base
+
+
+_NATION_DDL = "n_nationkey bigint, n_name string, n_regionkey bigint, n_comment string"
+
+
+def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSVLoader analog (`S/handler/loader/CSVLoader`)."""
+    import os
+
+    base = _ensure_loader_fixtures(spark, sf_dir)
+    df = spark.read.schema(_NATION_DDL).option("header", True).csv(
+        os.path.join(base, "csv")
+    )
+    return (
+        df.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"), F.min("n_nationkey").alias("min_key"))
+        .orderBy("n_regionkey")
+    )
+
+
+def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON loader analog (`S/handler/loader/JsonLoader`), JSON-lines form."""
+    import os
+
+    base = _ensure_loader_fixtures(spark, sf_dir)
+    df = spark.read.schema(_NATION_DDL).json(os.path.join(base, "json"))
+    return (
+        df.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"), F.max("n_nationkey").alias("max_key"))
+        .orderBy("n_regionkey")
+    )
+
+
+SOURCE_CSV_SQL = """
+SELECT n_regionkey, count(*)::BIGINT AS n_nations, min(n_nationkey) AS min_key
+FROM nation GROUP BY 1 ORDER BY 1"""
+
+SOURCE_JSON_SQL = """
+SELECT n_regionkey, count(*)::BIGINT AS n_nations, max(n_nationkey) AS max_key
+FROM nation GROUP BY 1 ORDER BY 1"""
+
+
+# --- Solr SQL (Calcite) analog: spark.sql over registered views --------------
+
+def sql_over_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr Parallel SQL (`SJ/io/sql` / Calcite over collections): the ANSI
+    SQL surface. Catalyst replaces Calcite — views registered, one SQL string
+    planned/optimized/distributed by Spark itself."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("v_orders")
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView("v_customer")
+    return spark.sql("""
+        SELECT c.c_mktsegment AS segment,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY segment
+    """)
+
+
+SQL_OVER_TABLES_SQL = """
+SELECT c.c_mktsegment AS segment, count(*)::BIGINT AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY 1"""
+
+
+register("source_csv", source_csv, SOURCE_CSV_SQL)
+register("source_json", source_json, SOURCE_JSON_SQL)
+register("sql_over_tables", sql_over_tables, SQL_OVER_TABLES_SQL)
