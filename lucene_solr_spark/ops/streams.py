@@ -440,7 +440,10 @@ def stream_jdbc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # derby.log goes to derby.system.home; pin it to /tmp so the engine
     # works regardless of the driver process's (possibly read-only) cwd
-    spark._jvm.System.setProperty("derby.system.home", tempfile.gettempdir())
+    try:
+        spark._jvm.System.setProperty("derby.system.home", tempfile.gettempdir())
+    except AttributeError:  # Spark Connect session: no JVM gateway — Derby
+        pass                # then falls back to derby.log in cwd
     src = os.path.join(sf_dir, "nation.parquet")
     tag = hashlib.md5(
         f"{os.path.abspath(src)}|{os.path.getmtime(src)}|v1".encode()

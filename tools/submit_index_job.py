@@ -32,7 +32,13 @@ def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="transcripts table path (parquet)")
     ap.add_argument("--index", required=True, help="output index directory")
-    ap.add_argument("--analyzer", default="lucene", choices=["lucene", "simple", "stop"])
+    ap.add_argument(
+        "--analyzer", default="lucene",
+        choices=["lucene", "simple", "stop", "synonym", "shingle", "edgegram"],
+    )
+    ap.add_argument("--keyword-cols", default="",
+                    help="comma-separated keyword (StringField) columns to "
+                         "index as filterable posting lists")
     ap.add_argument("--segments", type=int, default=0,
                     help="segment count (0 = one per shuffle partition)")
     ap.add_argument("--key-cols", default="conv_id,turn_idx")
@@ -59,12 +65,14 @@ def main(argv: list[str] | None = None) -> None:
     from lucene_solr_spark.index.build import build_index, build_index_presorted
 
     key_cols = tuple(args.key_cols.split(","))
+    keyword_cols = tuple(c for c in args.keyword_cols.split(",") if c)
     t0 = time.monotonic()
     if args.presorted:
         manifest = build_index_presorted(
             spark, args.input, args.index,
             key_cols=key_cols, text_col=args.text_col,
             analyzer=args.analyzer, positions=not args.no_positions,
+            keyword_cols=keyword_cols,
         )
     else:
         src = spark.read.parquet(args.input)
@@ -74,6 +82,7 @@ def main(argv: list[str] | None = None) -> None:
             key_cols=key_cols, text_col=args.text_col,
             analyzer=args.analyzer, positions=not args.no_positions,
             n_segments=n_segments, resume=args.resume,
+            keyword_cols=keyword_cols,
         )
     rows = manifest.collect()
     secs = time.monotonic() - t0
