@@ -140,6 +140,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_after_update_topk"] = lambda spark, sf_dir: get_updated_engine(
         spark, sf_dir, "simple"
     ).topk("or3", AFTER_UPDATE_TERMS, k=10)
+    # ValueSource function query as the ranking function (termfreq sort)
+    out["ft_function_query"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).function_query_topk("merge", k=10)
     # ClassicSimilarity (TF-IDF) — pluggable similarity over the same index
     out["ft_tfidf_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -198,6 +202,16 @@ def fulltext_oracles() -> dict[str, str]:
         "simple", ph.terms, ph.offsets, 3, 10
     )
     an_s = ANALYZERS["simple"]()
+    from .oracles import base_ctes
+
+    fq_term = an_s.analyze("merge")[0][0]
+    out["ft_function_query"] = f"""WITH {base_ctes("simple")},
+tfq AS (
+    SELECT doc_id, count(*)::BIGINT AS tf FROM kept WHERE term = '{fq_term}' GROUP BY 1
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, tf FROM (
+    SELECT row_number() OVER (ORDER BY tf DESC, doc_id ASC) AS rank, doc_id, tf FROM tfq
+) WHERE rank <= 10 ORDER BY rank"""
     out["ft_tfidf_topk"] = tfidf_topk_sql(
         "simple",
         [t for s in ["vector", "stream", "filter"] for t, _ in an_s.analyze(s)],

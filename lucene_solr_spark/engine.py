@@ -229,6 +229,22 @@ class DocumentsEngine:
         q = self.searcher.compile(spec, k=k, similarity="classic")
         return self._present(self.searcher.search(q, with_keys=True))
 
+    def function_query_topk(self, surface_term: str, k: int = 10) -> DataFrame:
+        """Rank by the ``termfreq(text, term)`` ValueSource (function query
+        as sort) — (rank, doc_id, tf) keyed on the source doc id."""
+        term = self.searcher.analyzer.analyze(surface_term)[0][0]
+        out = self.searcher.termfreq_topk(term, k)
+        keys = self.searcher.docs.select("doc_id", *self.searcher.meta.key_cols)
+        return (
+            out.join(keys, "doc_id", "left")
+            .select(
+                F.col("rank").cast("int").alias("rank"),
+                F.col("doc_key").cast("long").alias("doc_id"),
+                F.col("tf").cast("long").alias("tf"),
+            )
+            .orderBy("rank")
+        )
+
     def total_hits(
         self, qtype: str, surface_terms: list[str], threshold: int = 1000,
         min_should: int = 0,

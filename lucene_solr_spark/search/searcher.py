@@ -290,6 +290,48 @@ class IndexSearcher:
             })
         return pd.DataFrame(sorted(rows, key=lambda r: r["term"]))
 
+    def termfreq_topk(self, term: str, k: int = 10) -> DataFrame:
+        """Function query as THE ranking function (``S/search/
+        ValueSourceParser`` / ``lucene/queries/function`` — here
+        ``termfreq(field, term)``): docs ordered by raw term frequency
+        instead of BM25. One term-pruned postings scan, decode-only kernel
+        (no norms, no weights), global TakeOrdered — the same sublinear
+        shape as a scored search. Tombstoned docs are excluded."""
+        from ..index.codec import decode_postings
+
+        bases = {
+            int(r.seg): int(r.base)
+            for r in self.seg_norms.select("seg", "base").collect()
+        }
+        dele = self.deleted_by_seg or None
+
+        def kern(iterator):
+            for pdf in iterator:
+                for seg, blocks in zip(pdf["seg"], pdf["blocks"]):
+                    docs, tfs = decode_postings(list(blocks))[:2]
+                    if dele:
+                        d = dele.get(int(seg))
+                        if d is not None and d.size:
+                            keep = ~np.isin(docs, d, assume_unique=True)
+                            docs, tfs = docs[keep], tfs[keep]
+                    yield pd.DataFrame({
+                        "doc_id": docs + bases[int(seg)], "tf": tfs
+                    })
+
+        posts = (
+            self.postings.filter(F.col("term") == F.lit(term))
+            .select("seg", "blocks")
+        )
+        top = (
+            posts.mapInPandas(kern, "doc_id long, tf long")
+            .orderBy(F.desc("tf"), F.asc("doc_id"))
+            .limit(k)
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.lit(0)).orderBy(F.desc("tf"), F.asc("doc_id"))
+        return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+
     def filter_map(self, keys: DataFrame) -> dict[int, np.ndarray]:
         """Compile a doc-key filter into per-segment allowed-local-ID sets —
         the Spark shape of Lucene's cached per-leaf filter DocIdSet: the
