@@ -321,6 +321,94 @@ def _assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def kmeans_centroids(emb: DataFrame, n_centroids: int = N_CENTROIDS, iters: int = 2) -> DataFrame:
+    """Deterministic Lloyd iterations, DataFrame-only: init = the sample
+    centroids (vec_id < n), assign by rounded cosine (broadcast centroids,
+    one narrow pass), new centroid = per-cell per-dimension mean
+    (posexplode → one hash-agg → collect_list re-assembly, all JVM-side).
+    Returns (vec_id=cell id, embedding=centroid vector). Deterministic:
+    init is data-derived, assignment ties break on cell id, means are
+    order-independent up to float summation noise (assignments use 9-dp
+    rounded cosine, far above that noise floor).
+
+    Scale shape: per iteration = one crossJoin vs n broadcast centroids
+    (linear in N·n), one shuffle keyed on (cell, dim). n_centroids at 10^9+
+    vectors would be ~sqrt(N) with a sampled training subset — same plan,
+    sampled input."""
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")
+    )
+    for _ in range(iters):
+        assigned = _assign_cells(emb, cents.select(
+            F.col("cell").alias("vec_id"), F.col("ce").alias("embedding")
+        ))
+        dims = assigned.select(
+            "cell", F.posexplode("embedding").alias("dim", "x")
+        )
+        means = (
+            dims.groupBy("cell", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                "cell",
+                F.transform("dm", lambda s: s.m.cast("float")).alias("ce"),
+            )
+        )
+        # empty cells keep their previous centroid
+        cents = (
+            cents.alias("old")
+            .join(means.alias("new"), "cell", "left")
+            .select(
+                "cell",
+                F.coalesce(F.col("new.ce"), F.col("old.ce")).alias("ce"),
+            )
+        )
+    return cents.select(F.col("cell").alias("vec_id"), F.col("ce").alias("embedding"))
+
+
+def ivf_topk_with_centroids(
+    spark: SparkSession, sf_dir: str, centroids: DataFrame, k: int = 10
+) -> DataFrame:
+    """IVF query path against an arbitrary centroid set (shared by the
+    sample-centroid oracle entry and the k-means-trained variant)."""
+    emb = _emb(spark, sf_dir)
+    assigned = _assign_cells(emb, centroids)
+    probe = _probe_vector(spark, sf_dir, PROBE_VEC_ID)
+    pv = F.array(*[F.lit(float(x)) for x in probe])
+    probe_cells = (
+        centroids.select(
+            F.col("vec_id").alias("cell"),
+            F.round(
+                _dot(F.col("embedding"), pv) / (_norm(F.col("embedding")) * _norm(pv)), 9
+            ).alias("pcos"),
+        )
+        .orderBy(F.desc("pcos"), F.asc("cell"))
+        .limit(NPROBE)
+        .select("cell")
+    )
+    return (
+        assigned.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("vec_id") != PROBE_VEC_ID)
+        .select(
+            "vec_id",
+            F.round(_dot(F.col("embedding"), pv) / (_norm(F.col("embedding")) * _norm(pv)), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """IVF with k-means-trained cells (2 Lloyd iterations from the sample
+    init). Pytest-gated (tests/test_ann_ivf.py: determinism + recall ≥ the
+    sample-centroid variant); the driver-oracled entry stays the
+    deterministic-sample one, whose SQL oracle has no iterative float
+    accumulation to chase."""
+    emb = _emb(spark, sf_dir)
+    return ivf_topk_with_centroids(spark, sf_dir, kmeans_centroids(emb), k)
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     centroids = emb.filter(F.col("vec_id") < N_CENTROIDS)
