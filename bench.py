@@ -47,6 +47,18 @@ def _memory_hygiene() -> None:
             pass
 
 
+def _best_of(fn, n: int = 2) -> float:
+    """Best (min) wall time of n runs — host co-tenancy on this box swings
+    identical queries up to 10x run-to-run (measured); peak is the stable
+    statistic (same protocol as the build timings / scaling_bench)."""
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.monotonic()
+        fn()
+        best = min(best, time.monotonic() - t0)
+    return best
+
+
 def main() -> None:
     _memory_hygiene()
     from lucene_solr_spark.session import get_spark
@@ -122,38 +134,30 @@ def main() -> None:
             "q_or3": ("or3", ["vector", "stream", "filter"], 0, 10),
             "q_phrase": ("phrase2", ["table", "hash"], 0, 10),
         }.items():
-            t0 = time.monotonic()
-            eng.topk(qt, terms, k=k, min_should=msm).collect()
-            timings[name] = time.monotonic() - t0
+            timings[name] = _best_of(lambda qt=qt, terms=terms, msm=msm, k=k:
+                                     eng.topk(qt, terms, k=k, min_should=msm).collect())
         # round-2 operators: sloppy phrase, keyword-posting FILTER,
         # TotalHits count kernel, ClassicSimilarity
-        t0 = time.monotonic()
-        eng.topk("phrase2", ["table", "hash"], k=10, slop=3).collect()
-        timings["q_sloppy"] = time.monotonic() - t0
-        t0 = time.monotonic()
-        eng.filtered_topk("or3", ["merge", "batch", "scan"], "source", "src3", k=10).collect()
-        timings["q_filter"] = time.monotonic() - t0
-        t0 = time.monotonic()
-        eng.total_hits("or3", ["vector", "stream", "filter"], threshold=250).collect()
-        timings["q_total_hits"] = time.monotonic() - t0
-        t0 = time.monotonic()
-        eng.tfidf_topk("or3", ["vector", "stream", "filter"], k=10).collect()
-        timings["q_tfidf"] = time.monotonic() - t0
+        timings["q_sloppy"] = _best_of(
+            lambda: eng.topk("phrase2", ["table", "hash"], k=10, slop=3).collect())
+        timings["q_filter"] = _best_of(
+            lambda: eng.filtered_topk("or3", ["merge", "batch", "scan"],
+                                      "source", "src3", k=10).collect())
+        timings["q_total_hits"] = _best_of(
+            lambda: eng.total_hits("or3", ["vector", "stream", "filter"],
+                                   threshold=250).collect())
+        timings["q_tfidf"] = _best_of(
+            lambda: eng.tfidf_topk("or3", ["vector", "stream", "filter"], k=10).collect())
 
         # --- training-pipeline ops ---
         from lucene_solr_spark.ops.dedup import dedup_minhash_lsh
         from lucene_solr_spark.ops.ann import ann_cosine_topk
         from lucene_solr_spark.ops.facets import facet_metrics_q1
 
-        t0 = time.monotonic()
-        dedup_minhash_lsh(spark, SF_DIR).count()
-        timings["dedup_minhash"] = time.monotonic() - t0
-        t0 = time.monotonic()
-        ann_cosine_topk(spark, SF_DIR).collect()
-        timings["ann_cosine"] = time.monotonic() - t0
-        t0 = time.monotonic()
-        facet_metrics_q1(spark, SF_DIR).collect()
-        timings["facet_q1"] = time.monotonic() - t0
+        timings["dedup_minhash"] = _best_of(
+            lambda: dedup_minhash_lsh(spark, SF_DIR).count())
+        timings["ann_cosine"] = _best_of(lambda: ann_cosine_topk(spark, SF_DIR).collect())
+        timings["facet_q1"] = _best_of(lambda: facet_metrics_q1(spark, SF_DIR).collect())
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
