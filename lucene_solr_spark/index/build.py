@@ -647,11 +647,21 @@ def _finalize(spark: SparkSession, index_dir: str) -> None:
             )
             .filter(F.col("df") > 0)
         )
-        tomb_rows = [(int(s), int(l)) for s, arr in tomb.items() for l in arr]
-        tomb_df = spark.createDataFrame(tomb_rows, "seg int, doc_local long")
-        docs = docs.join(
-            F.broadcast(tomb_df), ["seg", "doc_local"], "left_anti"
+        # anti-join straight against the tombstone table (distributed read —
+        # no driver materialization beyond the per-seg arrays the kernels
+        # need anyway); broadcast while deletes are broadcast-sized, which
+        # AQE decides from the actual table size
+        from .updates import tombstones_path
+
+        tomb_df = (
+            spark.read.parquet(tombstones_path(index_dir))
+            .select(
+                F.col("seg").cast("int").alias("seg"),
+                F.col("doc_local").cast("long").alias("doc_local"),
+            )
+            .distinct()
         )
+        docs = docs.join(tomb_df, ["seg", "doc_local"], "left_anti")
     term_stats.write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
 
     stats = docs.agg(

@@ -87,3 +87,21 @@ def test_keyword_terms_hidden_from_term_api(spark, kw_index):
     s = IndexSearcher(spark, idx)
     # multiterm expansion never surfaces internal keyword terms
     assert all(not t.startswith("\x01") for t in s.expand_terms("wildcard", "%"))
+
+
+def test_keyword_filter_survives_merge(spark, kw_index, tmp_path):
+    """Merging segments must preserve keyword posting lists (incl. their
+    zero-position streams): filtered results identical pre/post merge."""
+    from lucene_solr_spark.index.merge import merge_segments
+
+    idx, _ = kw_index
+    merged = str(tmp_path / "kwmerged")
+    merge_segments(spark, idx, merged, n_out=1, salt=2)
+
+    s0 = IndexSearcher(spark, idx)
+    s1 = IndexSearcher(spark, merged)
+    spec0 = _spec_with_filter(s0, "assistant")
+    spec1 = _spec_with_filter(s1, "assistant")
+    a = s0.search(spec0, k=25).toPandas()
+    b = s1.search(spec1, k=25).toPandas()
+    pd.testing.assert_frame_equal(a, b)
