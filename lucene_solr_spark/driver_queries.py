@@ -148,6 +148,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_tfidf_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).tfidf_topk("or3", ["vector", "stream", "filter"], k=10)
+    # BooleanSimilarity — constant-score matching (third similarity)
+    out["ft_boolean_sim_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).boolean_sim_topk("or3", ["vector", "stream", "filter"], k=10)
     out["ft_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").docs_norms()
     out["ft_stop_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "stop").docs_norms()
     out["ft_term_stats"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").term_stats_df()
@@ -211,6 +215,16 @@ tfq AS (
 )
 SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, tf FROM (
     SELECT row_number() OVER (ORDER BY tf DESC, doc_id ASC) AS rank, doc_id, tf FROM tfq
+) WHERE rank <= 10 ORDER BY rank"""
+    bool_terms = [t for s in ["vector", "stream", "filter"] for t, _ in an_s.analyze(s)]
+    bool_inlist = ", ".join(f"'{t}'" for t in bool_terms)
+    out["ft_boolean_sim_topk"] = f"""WITH {base_ctes("simple")},
+hits AS (
+    SELECT doc_id, CAST(count(DISTINCT term) AS FLOAT) AS score
+    FROM kept WHERE term IN ({bool_inlist}) GROUP BY doc_id
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score FROM hits
 ) WHERE rank <= 10 ORDER BY rank"""
     out["ft_tfidf_topk"] = tfidf_topk_sql(
         "simple",

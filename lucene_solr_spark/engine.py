@@ -229,6 +229,16 @@ class DocumentsEngine:
         q = self.searcher.compile(spec, k=k, similarity="classic")
         return self._present(self.searcher.search(q, with_keys=True))
 
+    def boolean_sim_topk(
+        self, qtype: str, surface_terms: list[str], k: int = 10, min_should: int = 0
+    ) -> DataFrame:
+        """Top-k under BooleanSimilarity (constant-score: clause score =
+        boost, so a disjunction ranks by how many query terms match,
+        docID-tiebroken) — ``L/search/similarities/BooleanSimilarity``."""
+        spec = self.searcher.parse(qtype, surface_terms, min_should)
+        q = self.searcher.compile(spec, k=k, similarity="boolean")
+        return self._present(self.searcher.search(q, with_keys=True))
+
     def function_query_topk(self, surface_term: str, k: int = 10) -> DataFrame:
         """Rank by the ``termfreq(text, term)`` ValueSource (function query
         as sort) — (rank, doc_id, tf) keyed on the source doc id."""

@@ -362,6 +362,53 @@ SELECT o_orderpriority AS bucket,
 FROM orders GROUP BY 1 ORDER BY 1"""
 
 
+# --- percentile facet, sketch form (PercentileAgg's t-digest path) -----------
+# Solr's PercentileAgg runs on t-digest sketches in the distributed case;
+# Spark's analog is `percentile_approx` (KLL-like quantile summary with a
+# rank-accuracy parameter, mergeable partial state — one pass, no sort).
+# Sketch values are engine-specific, so (same discipline as facet_unique_hll)
+# the driver-checked contract is the accuracy invariant: the estimate must
+# land within the exact quantile values at p ± eps, where eps = 1/accuracy
+# is the documented rank-error bound. The oracle computes the exact bounds
+# and ok=TRUE; a sketch outside its own error bound turns the row red.
+
+PCT_APPROX_ACCURACY = 100   # rank error eps = 1/accuracy = 1%
+
+
+def facet_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    eps = 1.0 / PCT_APPROX_ACCURACY
+    aggs = []
+    for p in (0.5, 0.95):
+        tag = str(int(p * 100))
+        aggs += [
+            F.expr(
+                f"percentile_approx(o_totalprice, {p}, {PCT_APPROX_ACCURACY})"
+            ).alias(f"a{tag}"),
+            F.expr(f"percentile(o_totalprice, {max(p - eps, 0.0)})").alias(f"lo{tag}"),
+            F.expr(f"percentile(o_totalprice, {min(p + eps, 1.0)})").alias(f"hi{tag}"),
+        ]
+    out = orders.groupBy(F.col("o_orderpriority").alias("bucket")).agg(*aggs)
+    cols = [F.col("bucket")]
+    for p in (0.5, 0.95):
+        tag = str(int(p * 100))
+        cols.append(
+            (
+                (F.col(f"a{tag}") >= F.col(f"lo{tag}"))
+                & (F.col(f"a{tag}") <= F.col(f"hi{tag}"))
+            ).alias(f"p{tag}_ok")
+        )
+    return out.select(*cols).orderBy("bucket")
+
+
+def _pct_approx_sql() -> str:
+    eps = 1.0 / PCT_APPROX_ACCURACY
+    return f"""
+SELECT o_orderpriority AS bucket, TRUE AS p50_ok, TRUE AS p95_ok
+FROM orders GROUP BY 1 ORDER BY 1
+-- invariant certified: approx within exact quantiles at p ± {eps}"""
+
+
 # --- nested subfacets (FacetModule bucket trees) ------------------------------
 # JSON Facet API nesting: outer terms facet, and inside every bucket an inner
 # terms subfacet with its own metrics + top-N. One hash-aggregate on the
@@ -406,6 +453,7 @@ SELECT bucket, sub_bucket, cnt, sum_price, sub_rank FROM (
 
 register("facet_nested", facet_nested, FACET_NESTED_SQL)
 register("facet_percentile", facet_percentile, FACET_PERCENTILE_SQL)
+register("facet_percentile_approx", facet_percentile_approx, _pct_approx_sql())
 register("facet_heatmap", facet_heatmap, FACET_HEATMAP_SQL)
 register("facet_terms", facet_terms, FACET_TERMS_SQL)
 register("facet_range", facet_range, FACET_RANGE_SQL)

@@ -133,6 +133,32 @@ def block_max_score_classic(
     return np.float32(raw * cache[min_norm & 0xFF])
 
 
+# --- BooleanSimilarity (L/search/similarities/BooleanSimilarity) --------
+# score = query boost, independent of tf/norms/stats — "matching is the
+# score" (constant-score ranking; useful for pure filter-style retrieval
+# where the tiebreak order is the docID). Norm bytes are read but ignored.
+
+
+def boolean_idf(doc_freq: int, doc_count: int) -> np.float32:
+    """BooleanSimilarity binds no idf: the clause weight is the boost."""
+    return np.float32(1.0)
+
+
+def score_postings_boolean(
+    tfs: np.ndarray,
+    norm_bytes: np.ndarray,
+    weight: np.float32,
+    cache: np.ndarray,
+) -> np.ndarray:
+    return np.full(len(tfs), np.float32(weight), dtype=np.float32)
+
+
+def block_max_score_boolean(
+    max_tf: int, min_norm: int, weight: np.float32, cache: np.ndarray
+) -> np.float32:
+    return np.float32(weight)
+
+
 def sum_scores_f32(per_clause: list[np.ndarray]) -> np.ndarray:
     """Σ in float64, one float32 cast (Disjunction/ConjunctionScorer)."""
     acc = np.zeros(per_clause[0].shape, dtype=np.float64)

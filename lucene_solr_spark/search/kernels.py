@@ -26,8 +26,10 @@ import numpy as np
 from ..index.codec import decode_block, decode_postings
 from .bm25 import (
     block_max_score,
+    block_max_score_boolean,
     block_max_score_classic,
     score_postings,
+    score_postings_boolean,
     score_postings_classic,
 )
 from .query import CompiledQuery
@@ -35,8 +37,11 @@ from .query import CompiledQuery
 
 def _sim_fns(q: CompiledQuery):
     """(score_postings, block_max) pair for the query's similarity."""
-    if getattr(q, "sim", "bm25") == "classic":
+    sim = getattr(q, "sim", "bm25")
+    if sim == "classic":
         return score_postings_classic, block_max_score_classic
+    if sim == "boolean":
+        return score_postings_boolean, block_max_score_boolean
     return score_postings, block_max_score
 
 

@@ -192,6 +192,8 @@ def compile_query(
         idf_fn = bm25_idf
     elif similarity == "classic":
         from .bm25 import classic_idf as idf_fn
+    elif similarity == "boolean":
+        from .bm25 import boolean_idf as idf_fn
     else:
         raise ValueError(f"unknown similarity {similarity!r}")
     for occur, group in (("must", spec.must), ("should", spec.should)):

@@ -117,3 +117,17 @@ def test_classic_and_bm25_rank_differently_but_share_index(searcher):
     ).toPandas()
     assert len(bm) == len(cl) == 10
     assert not (bm.score.to_numpy() == cl.score.to_numpy()).all()
+
+
+def test_boolean_similarity_scores_are_match_counts(searcher):
+    """BooleanSimilarity: disjunction score == float(#matching clauses);
+    WAND ≡ exact (constant block bounds)."""
+    import numpy as np
+    import pandas as pd
+
+    spec = searcher.parse("or3", ["merge", "batch", "stream"], 0)
+    q = searcher.compile(spec, k=30, similarity="boolean")
+    a = searcher.search(q, k=30, mode="wand").toPandas()
+    b = searcher.search(q, k=30, mode="exact").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert set(np.unique(a.score)) <= {1.0, 2.0, 3.0}
