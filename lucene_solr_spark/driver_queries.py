@@ -152,6 +152,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_boolean_sim_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).boolean_sim_topk("or3", ["vector", "stream", "filter"], k=10)
+    # LMDirichletSimilarity — language-model ranking (fourth similarity)
+    out["ft_lm_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).lm_topk("or3", ["vector", "stream", "filter"], k=10)
     out["ft_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").docs_norms()
     out["ft_stop_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "stop").docs_norms()
     out["ft_term_stats"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").term_stats_df()
@@ -226,6 +230,9 @@ hits AS (
 SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
     SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score FROM hits
 ) WHERE rank <= 10 ORDER BY rank"""
+    from .oracles import lm_topk_sql
+
+    out["ft_lm_topk"] = lm_topk_sql("simple", bool_terms, 10)
     out["ft_tfidf_topk"] = tfidf_topk_sql(
         "simple",
         [t for s in ["vector", "stream", "filter"] for t, _ in an_s.analyze(s)],

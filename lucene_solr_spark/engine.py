@@ -229,6 +229,16 @@ class DocumentsEngine:
         q = self.searcher.compile(spec, k=k, similarity="classic")
         return self._present(self.searcher.search(q, with_keys=True))
 
+    def lm_topk(
+        self, qtype: str, surface_terms: list[str], k: int = 10, min_should: int = 0
+    ) -> DataFrame:
+        """Top-k under LMDirichletSimilarity (mu=2000) — language-model
+        ranking over the same index/norms
+        (``L/search/similarities/LMDirichletSimilarity``)."""
+        spec = self.searcher.parse(qtype, surface_terms, min_should)
+        q = self.searcher.compile(spec, k=k, similarity="lm")
+        return self._present(self.searcher.search(q, with_keys=True))
+
     def boolean_sim_topk(
         self, qtype: str, surface_terms: list[str], k: int = 10, min_should: int = 0
     ) -> DataFrame:

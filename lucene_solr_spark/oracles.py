@@ -306,6 +306,38 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def lm_topk_sql(analyzer: str, terms: list[str], k: int, mu: float = 2000.0) -> str:
+    """LMDirichlet disjunction top-k — exact float discipline of
+    ``LMDirichletSimilarity``/``SimilarityBase``: collectionProbability in
+    FLOAT ops (DefaultCollectionModel), the score itself in double
+    (ln(1+freq/(mu·cp)) + ln(mu/(dl+mu))), clamped at 0, one f32 cast."""
+    clause_selects = []
+    for t in terms:
+        cp = (
+            f"(( (SELECT count(*) FROM kept WHERE term = '{t}')::FLOAT"
+            " + CAST(1.0 AS FLOAT) )"
+            " / ( st.sum_ttf::FLOAT + CAST(1.0 AS FLOAT) ))"
+        )
+        aux = f"({mu!r} * CAST({cp} AS DOUBLE))"
+        clause_selects.append(f"""
+SELECT k.doc_id,
+       CAST(greatest(
+            ln(1.0 + count(*)::DOUBLE / {aux})
+            + ln({mu!r} / (any_value(n.decoded)::DOUBLE + {mu!r})), 0.0) AS FLOAT) AS s
+FROM kept k JOIN norms n USING (doc_id), statsf st
+WHERE k.term = '{t}'
+GROUP BY k.doc_id, st.sum_ttf""")
+    return f"""WITH {base_ctes(analyzer)},
+clause_scores AS ({' UNION ALL '.join(clause_selects)}),
+hits AS (
+    SELECT doc_id, CAST(sum(CAST(s AS DOUBLE)) AS FLOAT) AS score
+    FROM clause_scores GROUP BY doc_id
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score FROM hits
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def total_hits_sql(analyzer: str, terms: list[str], threshold: int) -> str:
     """``L/search/TotalHits`` oracle — exact disjunction match count, clamped
     to the threshold with the EQ/GTE relation."""

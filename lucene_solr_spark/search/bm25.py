@@ -64,6 +64,7 @@ def score_postings(
     norm_bytes: np.ndarray,
     weight: np.float32,
     cache: np.ndarray,
+    aux: float = 0.0,
 ) -> np.ndarray:
     """Vectorized BM25Scorer#score over one term's postings.
 
@@ -76,7 +77,9 @@ def score_postings(
     return (np.float32(weight) * ratio).astype(np.float32)
 
 
-def block_max_score(max_tf: int, min_norm: int, weight: np.float32, cache: np.ndarray) -> np.float32:
+def block_max_score(
+    max_tf: int, min_norm: int, weight: np.float32, cache: np.ndarray, aux: float = 0.0
+) -> np.float32:
     """Upper bound on any score in a block — the impact bound used by
     block-max WAND (``L/search/ImpactsDISI#getMaxScore`` analog)."""
     freq = float(max_tf)
@@ -115,6 +118,7 @@ def score_postings_classic(
     norm_bytes: np.ndarray,
     weight: np.float32,
     cache: np.ndarray,
+    aux: float = 0.0,
 ) -> np.ndarray:
     """Vectorized TFIDFSimScorer#score: f32(f32(sqrt(tf)·weight)·lengthNorm)."""
     tf = np.sqrt(tfs.astype(np.float64)).astype(np.float32)
@@ -124,7 +128,7 @@ def score_postings_classic(
 
 
 def block_max_score_classic(
-    max_tf: int, min_norm: int, weight: np.float32, cache: np.ndarray
+    max_tf: int, min_norm: int, weight: np.float32, cache: np.ndarray, aux: float = 0.0
 ) -> np.float32:
     """Block upper bound for Classic: tf is monotone in freq and lengthNorm
     monotone in −length, so (max_tf, min_norm byte) bounds every posting."""
@@ -149,14 +153,62 @@ def score_postings_boolean(
     norm_bytes: np.ndarray,
     weight: np.float32,
     cache: np.ndarray,
+    aux: float = 0.0,
 ) -> np.ndarray:
     return np.full(len(tfs), np.float32(weight), dtype=np.float32)
 
 
 def block_max_score_boolean(
-    max_tf: int, min_norm: int, weight: np.float32, cache: np.ndarray
+    max_tf: int, min_norm: int, weight: np.float32, cache: np.ndarray, aux: float = 0.0
 ) -> np.float32:
     return np.float32(weight)
+
+
+# --- LMDirichletSimilarity (L/search/similarities/LMDirichletSimilarity,
+# SimilarityBase subclass; default mu=2000) ------------------------------
+#   cp     = float((ttf + 1f) / (sumTotalTermFreq + 1f))      (FLOAT ops —
+#            LMSimilarity.DefaultCollectionModel#computeProbability)
+#   score  = boost · (ln(1 + freq/(mu·cp)) + ln(mu/(dl + mu)))  (double),
+#            clamped at 0, one float cast (SimilarityBase#BasicSimScorer)
+# dl = decoded norm length. The dl-dependent part is term-independent, so it
+# precomputes into a 256-entry per-norm-byte table; the term-dependent
+# mu·cp rides on the clause as `aux`.
+
+LM_MU = 2000.0
+
+
+def lm_collection_probability(ttf: int, sum_ttf: int) -> np.float32:
+    return np.float32(
+        (np.float32(ttf) + np.float32(1.0)) / (np.float32(sum_ttf) + np.float32(1.0))
+    )
+
+
+def lm_norm_cache(mu: float = LM_MU) -> np.ndarray:
+    """256-entry double table: ln(mu / (LENGTH_TABLE[j] + mu))."""
+    dl = LENGTH_TABLE.astype(np.float64)
+    return np.log(mu / (dl + mu))
+
+
+def score_postings_lm(
+    tfs: np.ndarray,
+    norm_bytes: np.ndarray,
+    weight: np.float32,
+    cache: np.ndarray,
+    aux: float = 0.0,
+) -> np.ndarray:
+    """aux = mu·cp (double). weight = boost (f32)."""
+    freq = tfs.astype(np.float64)
+    lenpart = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+    s = np.float64(weight) * (np.log(1.0 + freq / aux) + lenpart)
+    return np.maximum(s, 0.0).astype(np.float32)
+
+
+def block_max_score_lm(
+    max_tf: int, min_norm: int, weight: np.float32, cache: np.ndarray, aux: float = 0.0
+) -> np.float32:
+    """Monotone ↑freq and ↓dl ⇒ (max_tf, min_norm byte) bounds the block."""
+    s = np.float64(weight) * (np.log(1.0 + float(max_tf) / aux) + cache[min_norm & 0xFF])
+    return np.float32(max(s, 0.0))
 
 
 def sum_scores_f32(per_clause: list[np.ndarray]) -> np.ndarray:

@@ -28,20 +28,25 @@ from .bm25 import (
     block_max_score,
     block_max_score_boolean,
     block_max_score_classic,
+    block_max_score_lm,
     score_postings,
     score_postings_boolean,
     score_postings_classic,
+    score_postings_lm,
 )
 from .query import CompiledQuery
 
 
 def _sim_fns(q: CompiledQuery):
-    """(score_postings, block_max) pair for the query's similarity."""
+    """(score_postings, block_max) pair for the query's similarity. Both
+    take a per-clause ``aux`` (LMDirichlet's mu·cp; unused elsewhere)."""
     sim = getattr(q, "sim", "bm25")
     if sim == "classic":
         return score_postings_classic, block_max_score_classic
     if sim == "boolean":
         return score_postings_boolean, block_max_score_boolean
+    if sim == "lm":
+        return score_postings_lm, block_max_score_lm
     return score_postings, block_max_score
 
 
@@ -348,7 +353,10 @@ def score_segment_exact(
             if c.occur == "must":
                 return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
             continue
-        scores = _sim_fns(q)[0](tfs, _norm_lookup(norms_arr, base, docs), c.weight, q.cache)
+        scores = _sim_fns(q)[0](
+            tfs, _norm_lookup(norms_arr, base, docs), c.weight, q.cache,
+            getattr(c, "aux", 0.0),
+        )
         clause_docs.append(docs)
         clause_scores.append(scores)
         occurs.append(c.occur)
@@ -435,6 +443,7 @@ def score_segment_wand(
 
     clause_terms = [c.terms[0] for c in q.clauses]
     weights = [c.weight for c in q.clauses]
+    auxs = [getattr(c, "aux", 0.0) for c in q.clauses]
     occurs = [c.occur for c in q.clauses]
     blocks_per_clause = [term_blocks.get(t, []) for t in clause_terms]
     if q.n_must > 0 and any(
@@ -469,7 +478,8 @@ def score_segment_wand(
         if ok.any():
             bmax = np.array([
                 float(bound_fn(
-                    int(_bf(b, "max_tf")), int(_bf(b, "min_norm")), weights[ci], q.cache
+                    int(_bf(b, "max_tf")), int(_bf(b, "min_norm")), weights[ci],
+                    q.cache, auxs[ci],
                 )) for b in bl
             ])
             bounds[ci, ok] = bmax[idx[ok]]
@@ -504,7 +514,8 @@ def score_segment_wand(
                 raw_cache[rkey] = decode_block(blocks_per_clause[ci][bi])
             docs, tfs = raw_cache[rkey]
             scores = score_fn(
-                tfs, _norm_lookup(norms_arr, base, docs), weights[ci], q.cache
+                tfs, _norm_lookup(norms_arr, base, docs), weights[ci], q.cache,
+                auxs[ci],
             )
             score_cache[key] = (docs, scores)
         return score_cache[key]

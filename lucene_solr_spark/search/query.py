@@ -122,6 +122,8 @@ class CompiledClause:
     weight: np.float32        # boost * idf (sum of idfs for phrase)
     occur: str                # 'must' | 'should'
     slop: int = 0             # phrase only; 0 = exact
+    aux: float = 0.0          # similarity-specific clause stat
+                              # (LMDirichlet: mu · collectionProbability)
 
 
 @dataclass
@@ -167,6 +169,8 @@ def compile_query(
     cache: np.ndarray,
     k: int,
     similarity: str = "bm25",
+    term_ttf: dict[str, int] | None = None,
+    sum_ttf: int = 0,
 ) -> CompiledQuery:
     """Bind global stats into weights (createWeight analog).
 
@@ -194,11 +198,20 @@ def compile_query(
         from .bm25 import classic_idf as idf_fn
     elif similarity == "boolean":
         from .bm25 import boolean_idf as idf_fn
+    elif similarity == "lm":
+        # LMDirichlet binds no idf (weight = boost); the per-term stat is
+        # mu·collectionProbability, carried on the clause as `aux`
+        idf_fn = lambda df, n: np.float32(1.0)  # noqa: E731
     else:
         raise ValueError(f"unknown similarity {similarity!r}")
     for occur, group in (("must", spec.must), ("should", spec.should)):
         for c in group:
             if isinstance(c, PhraseClause):
+                if similarity == "lm":
+                    raise ValueError(
+                        "LMDirichlet phrase scoring not implemented (needs "
+                        "pseudo-term collection stats); use bm25/classic"
+                    )
                 if any(term_df.get(t, 0) == 0 for t in c.terms):
                     impossible |= occur == "must"
                     continue
@@ -214,7 +227,16 @@ def compile_query(
                     impossible |= occur == "must"
                     continue
                 w = np.float32(c.boost) * idf_fn(df, doc_count)
-                clauses.append(CompiledClause("term", (c.term,), (), np.float32(w), occur))
+                aux = 0.0
+                if similarity == "lm":
+                    from .bm25 import LM_MU, lm_collection_probability
+
+                    aux = LM_MU * float(
+                        lm_collection_probability((term_ttf or {}).get(c.term, 0), sum_ttf)
+                    )
+                clauses.append(
+                    CompiledClause("term", (c.term,), (), np.float32(w), occur, aux=aux)
+                )
     if impossible:
         clauses = []
     n_must = sum(1 for c in clauses if c.occur == "must")

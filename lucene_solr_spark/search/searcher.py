@@ -135,6 +135,12 @@ class IndexSearcher:
         return classic_norm_cache()
 
     @cached_property
+    def lm_cache(self) -> np.ndarray:
+        from .bm25 import lm_norm_cache
+
+        return lm_norm_cache()
+
+    @cached_property
     def deleted_by_seg(self) -> dict[int, np.ndarray]:
         """Per-segment tombstoned local ids (PendingDeletes live-docs
         analog) — empty when the index has no deletes. Loaded once per
@@ -143,25 +149,40 @@ class IndexSearcher:
 
         return load_tombstones(self.spark, self.index_dir)
 
-    def term_stats(self, terms: list[str]) -> dict[str, int]:
-        """Global docFreq for the query's terms (TermStates#build analog) —
-        a term-pruned scan of the small term_stats table, collected."""
+    def term_stats_rows(self, terms: list[str]) -> tuple[dict[str, int], dict[str, int]]:
+        """({term: df}, {term: ttf}) for the query's terms (TermStates#build
+        analog) — ONE term-pruned scan of the small term_stats table."""
         if not terms:
-            return {}
+            return {}, {}
         rows = (
             self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
             .filter(F.col("term").isin(list(terms)))
             .collect()
         )
-        return {r.term: int(r.df) for r in rows}
+        return (
+            {r.term: int(r.df) for r in rows},
+            {r.term: int(r.ttf) for r in rows},
+        )
+
+    def term_stats(self, terms: list[str]) -> dict[str, int]:
+        """Global docFreq for the query's terms."""
+        return self.term_stats_rows(terms)[0]
 
     def compile(
         self, spec: BooleanSpec, k: int = 10, similarity: str = "bm25"
     ) -> CompiledQuery:
-        cache = self.cache if similarity == "bm25" else self.classic_cache
+        if similarity == "bm25":
+            cache = self.cache
+        elif similarity == "lm":
+            cache = self.lm_cache
+        else:
+            cache = self.classic_cache
+        df_map, ttf_map = self.term_stats_rows(spec.all_terms())
         return compile_query(
-            spec, self.term_stats(spec.all_terms()), self.stats.doc_count,
-            cache, k, similarity=similarity,
+            spec, df_map, self.stats.doc_count, cache, k,
+            similarity=similarity,
+            term_ttf=ttf_map if similarity == "lm" else None,
+            sum_ttf=self.stats.sum_total_term_freq,
         )
 
     def compile_many(self, specs: dict[str, tuple[BooleanSpec, int]]) -> dict[str, CompiledQuery]:

@@ -131,3 +131,16 @@ def test_boolean_similarity_scores_are_match_counts(searcher):
     b = searcher.search(q, k=30, mode="exact").toPandas()
     pd.testing.assert_frame_equal(a, b)
     assert set(np.unique(a.score)) <= {1.0, 2.0, 3.0}
+
+
+def test_lm_dirichlet_wand_equals_exact(searcher):
+    """LMDirichlet: the clamped block bound (max_tf, min_norm) must keep
+    WAND rank+score identical to brute force."""
+    import pandas as pd
+
+    spec = searcher.parse("or3", ["merge", "batch", "stream"], 0)
+    q = searcher.compile(spec, k=25, similarity="lm")
+    a = searcher.search(q, k=25, mode="wand").toPandas()
+    b = searcher.search(q, k=25, mode="exact").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.score.to_numpy() >= 0).all()
