@@ -144,3 +144,11 @@ def test_lm_dirichlet_wand_equals_exact(searcher):
     b = searcher.search(q, k=25, mode="exact").toPandas()
     pd.testing.assert_frame_equal(a, b)
     assert (a.score.to_numpy() >= 0).all()
+
+
+def test_lm_phrase_unsupported_is_loud(searcher):
+    import pytest as _pytest
+
+    spec = searcher.parse("phrase2", ["table", "hash"], 0)
+    with _pytest.raises(ValueError, match="LMDirichlet phrase"):
+        searcher.compile(spec, k=10, similarity="lm")
