@@ -256,12 +256,21 @@ def merge_segments(
             grp = src_manifest[
                 src_manifest["seg"].map(lambda s: out_seg_of.get(int(s))) == int(row.seg)
             ].sort_values("seg")
+            # A -1 in any source row means that source's lineage was unknown
+            # (it came from a manifest-less merge): summing would fold the
+            # sentinel into the aggregate, so the whole group degrades to
+            # unknown (-1 / empty hash) instead of a negative-biased sum.
+            unknown = bool(
+                (grp[["doc_count", "n_terms", "n_postings", "sum_len"]] < 0)
+                .any()
+                .any()
+            ) or bool((grp["content_hash"] == "").any())
             agg = {
-                "doc_count": int(grp["doc_count"].sum()),
-                "n_terms": int(grp["n_terms"].sum()),  # upper bound (pre-dedup)
-                "n_postings": int(grp["n_postings"].sum()),
-                "sum_len": int(grp["sum_len"].sum()),
-                "content_hash": hashlib.md5(
+                "doc_count": -1 if unknown else int(grp["doc_count"].sum()),
+                "n_terms": -1 if unknown else int(grp["n_terms"].sum()),  # upper bound (pre-dedup)
+                "n_postings": -1 if unknown else int(grp["n_postings"].sum()),
+                "sum_len": -1 if unknown else int(grp["sum_len"].sum()),
+                "content_hash": "" if unknown else hashlib.md5(
                     "".join(grp["content_hash"]).encode()
                 ).hexdigest(),
                 "build_secs": float(grp["build_secs"].sum()),

@@ -85,11 +85,21 @@ def delete_docs(
         docs.join(F.broadcast(keys.select(*meta.key_cols)), list(meta.key_cols))
         .select(F.col("seg").cast("int").alias("seg"), F.col("doc_local").cast("long").alias("doc_local"))
     )
+    # Anti-join out docs already tombstoned so the return value means NEWLY
+    # deleted and the table stays O(distinct deleted docs) under repeated
+    # deletes of the same keys (IndexWriter#deleteDocuments is idempotent).
+    if glob.glob(os.path.join(tombstones_path(index_dir), "*.parquet")) or glob.glob(
+        os.path.join(tombstones_path(index_dir), "*", "*.parquet")
+    ):
+        existing = spark.read.parquet(tombstones_path(index_dir))
+        hit = hit.join(existing, ["seg", "doc_local"], "left_anti")
+    hit = hit.distinct().cache()
     n = hit.count()
     if n:
         hit.write.mode("append").parquet(tombstones_path(index_dir))
         if refresh:
             refresh_stats(spark, index_dir)
+    hit.unpersist()
     return int(n)
 
 

@@ -385,8 +385,14 @@ def facet_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"percentile_approx(o_totalprice, {p}, {PCT_APPROX_ACCURACY})"
             ).alias(f"a{tag}"),
-            F.expr(f"percentile(o_totalprice, {max(p - eps, 0.0)})").alias(f"lo{tag}"),
-            F.expr(f"percentile(o_totalprice, {min(p + eps, 1.0)})").alias(f"hi{tag}"),
+            # Bounds at p ± 2eps, not p ± eps: percentile_approx returns an
+            # ACTUAL element with rank error ≤ eps·N, while percentile()
+            # interpolates between elements — an element sitting exactly at
+            # the ±eps boundary rank can fall strictly outside the
+            # interpolated value. Doubling eps absorbs the discrete-vs-
+            # interpolated gap whenever eps·N ≥ 1 (always true here).
+            F.expr(f"percentile(o_totalprice, {max(p - 2 * eps, 0.0)})").alias(f"lo{tag}"),
+            F.expr(f"percentile(o_totalprice, {min(p + 2 * eps, 1.0)})").alias(f"hi{tag}"),
         ]
     out = orders.groupBy(F.col("o_orderpriority").alias("bucket")).agg(*aggs)
     cols = [F.col("bucket")]
@@ -406,7 +412,8 @@ def _pct_approx_sql() -> str:
     return f"""
 SELECT o_orderpriority AS bucket, TRUE AS p50_ok, TRUE AS p95_ok
 FROM orders GROUP BY 1 ORDER BY 1
--- invariant certified: approx within exact quantiles at p ± {eps}"""
+-- invariant certified: approx within exact quantiles at p ± {2 * eps}
+-- (2eps: discrete sketch element vs interpolated exact bound)"""
 
 
 # --- nested subfacets (FacetModule bucket trees) ------------------------------

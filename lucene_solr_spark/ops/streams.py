@@ -362,8 +362,11 @@ def stream_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer imperative reduce over date-sorted orders
     (``SJ/io/stream/ReducerStream``): order count, exact total, and the
     maximum day-gap between consecutive orders — an applyInPandas grouped
-    kernel (the generic escape hatch when the reduce isn't expressible as
-    an aggregate), shuffled once on the group key."""
+    kernel demonstrating the ReducerStream escape hatch. (THIS reduce is
+    also expressible natively — lag() window + aggregate, which is exactly
+    what the oracle SQL does; the applyInPandas form is kept deliberately
+    as the registered example of the generic per-group imperative path.)
+    Shuffled once on the group key."""
     import numpy as np
     import pandas as pd
 

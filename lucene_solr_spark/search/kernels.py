@@ -189,6 +189,83 @@ def _sloppy_freq_one_doc(pos_lists: list[np.ndarray], slop: int) -> np.float32:
     return freq
 
 
+def _sloppy_freqs_2term_vec(
+    docs_per_term: list[np.ndarray],
+    pos_flat_per_term: list[np.ndarray],
+    splits: list[np.ndarray],
+    offsets: tuple[int, ...],
+    cand: np.ndarray,
+    slop: int,
+) -> np.ndarray:
+    """Vectorized 2-iterator sloppy-phrase verify over ALL candidate docs at
+    once — bitwise-identical to ``_sloppy_freq_one_doc`` (property-tested in
+    tests/test_sloppy_phrase.py). The 2-iterator heap walk degenerates to a
+    closed form: emissions are exactly the cross-list ADJACENT pairs of the
+    merged (offset-adjusted) position sequence, ml = position gap, freq +=
+    f32(1/(ml+1)) in merged order. Ties across lists (exact phrase hits,
+    ml=0) order history-dependently: within a run of consecutive tied pairs
+    the leading list alternates, starting from the owner of the nearest
+    preceding un-tied element (list 0 at candidate start) — because the
+    running iterator advances through ``p == nxt`` inclusively, absorbing
+    the tied element into its run. Returns float32 freqs aligned to
+    ``cand`` (0 where no window ≤ slop)."""
+    ci_parts, p_parts, t_parts = [], [], []
+    for t in (0, 1):
+        i = np.searchsorted(docs_per_term[t], cand)
+        starts = splits[t][i]
+        lens = splits[t][i + 1] - starts
+        ci_parts.append(np.repeat(np.arange(len(cand), dtype=np.int64), lens))
+        p_parts.append(
+            _gather_ranges(pos_flat_per_term[t], starts, lens).astype(np.int64)
+            - offsets[t]
+        )
+        t_parts.append(np.full(int(lens.sum()), t, dtype=np.int8))
+    ci = np.concatenate(ci_parts)
+    p = np.concatenate(p_parts)
+    tt = np.concatenate(t_parts)
+    order = np.lexsort((tt, p, ci))
+    ci, p, tt = ci[order], p[order], tt[order]
+    n = len(ci)
+    idx = np.arange(n, dtype=np.int64)
+    same_cand = np.zeros(n, dtype=bool)
+    same_cand[1:] = ci[1:] == ci[:-1]
+    # tied cross-list pairs appear as (list0, list1) after the (p, t) sort;
+    # within-list positions are unique, so ties are exactly pairs
+    pair_start = np.zeros(n, dtype=bool)
+    pair_start[:-1] = same_cand[1:] & (p[1:] == p[:-1])
+    in_pair = pair_start.copy()
+    in_pair[1:] |= pair_start[:-1]
+    solo = ~in_pair
+    # nearest preceding solo element / candidate start (segment-scan resets)
+    cand_first = np.maximum.accumulate(np.where(~same_cand, idx, -1))
+    last_solo = np.maximum.accumulate(np.where(solo, idx, np.int64(-1)))
+    reset = np.maximum(last_solo, cand_first)
+    prev_owner = np.where(
+        last_solo >= cand_first, tt[np.maximum(last_solo, 0)], np.int8(0)
+    ).astype(np.int64)
+    # tie-pair ordinal since the reset point → leading list alternates.
+    # cum_excl[i] = pairs with index < i; pairs in [reset, i) participate in
+    # the alternation (a candidate-start tie pair counts itself as pair 0)
+    cum_excl = np.cumsum(pair_start) - pair_start
+    n_between = np.where(pair_start, cum_excl - cum_excl[np.maximum(reset, 0)], 0)
+    swap = pair_start & (((prev_owner + n_between) & 1) == 1)
+    if swap.any():
+        # swapping a tied pair's order == swapping the two t tags (same p, ci)
+        tt = tt.copy()
+        si = idx[swap]
+        tt[si], tt[si + 1] = tt[si + 1], tt[si]
+    cross = np.zeros(max(n - 1, 0), dtype=bool)
+    if n > 1:
+        cross = (ci[1:] == ci[:-1]) & (tt[1:] != tt[:-1])
+    ml = p[1:] - p[:-1] if n > 1 else np.zeros(0, dtype=np.int64)
+    sel = cross & (ml <= slop)
+    freqs = np.zeros(len(cand), dtype=np.float32)
+    # np.add.at applies additions sequentially in index order — the same
+    # per-emission float32 rounding/order as the heap walk
+    np.add.at(freqs, ci[1:][sel], (1.0 / (ml[sel] + 1.0)).astype(np.float32))
+    return freqs
+
+
 def _sloppy_phrase_freqs(
     docs_per_term: list[np.ndarray],
     pos_flat_per_term: list[np.ndarray],
@@ -199,7 +276,9 @@ def _sloppy_phrase_freqs(
     """Sloppy-phrase match: docs containing all terms with ≥1 window within
     ``slop``. Returns (docs, float32 sloppy freq) with freq > 0. Same
     two-phase shape as ``_phrase_freqs``; only the per-doc position verify
-    differs (ordered heap walk instead of offset intersection)."""
+    differs (ordered heap walk instead of offset intersection). The common
+    2-term case runs fully vectorized (``_sloppy_freqs_2term_vec``); n>2
+    phrases fall back to the per-doc heap walk."""
     cand = docs_per_term[0]
     for d in docs_per_term[1:]:
         cand = cand[np.isin(cand, d, assume_unique=True)]
@@ -210,6 +289,12 @@ def _sloppy_phrase_freqs(
         s = np.zeros(len(tfs) + 1, dtype=np.int64)
         np.cumsum(tfs, out=s[1:])
         splits.append(s)
+    if len(docs_per_term) == 2:
+        freqs = _sloppy_freqs_2term_vec(
+            docs_per_term, pos_flat_per_term, splits, offsets, cand, slop
+        )
+        keep = freqs > 0
+        return cand[keep], freqs[keep]
     out_docs, out_freq = [], []
     for doc in cand:
         pls = []

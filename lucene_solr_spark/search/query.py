@@ -191,7 +191,12 @@ def compile_query(
             impossible = True
             continue
         n_filter += 1
-        clauses.append(CompiledClause("term", (c.term,), (), np.float32(0.0), "must"))
+        # aux=1.0 (not 0.0): the LM scorer divides by aux — any positive
+        # value is exact here because weight=0 zeroes the clause score and
+        # bound, but aux=0 would poison the f64 sum with 0·inf = NaN
+        clauses.append(
+            CompiledClause("term", (c.term,), (), np.float32(0.0), "must", aux=1.0)
+        )
     if similarity == "bm25":
         idf_fn = bm25_idf
     elif similarity == "classic":
@@ -215,9 +220,15 @@ def compile_query(
                 if any(term_df.get(t, 0) == 0 for t in c.terms):
                     impossible |= occur == "must"
                     continue
-                w = np.float32(c.boost) * np.float32(
-                    sum(float(idf_fn(term_df[t], doc_count)) for t in c.terms)
-                )
+                if similarity == "boolean":
+                    # BooleanSimilarity's SimScorer returns the boost for ANY
+                    # query type (L/search/similarities/BooleanSimilarity):
+                    # a phrase scores boost, not n_terms·boost
+                    w = np.float32(c.boost)
+                else:
+                    w = np.float32(c.boost) * np.float32(
+                        sum(float(idf_fn(term_df[t], doc_count)) for t in c.terms)
+                    )
                 clauses.append(CompiledClause(
                     "phrase", c.terms, c.offsets, np.float32(w), occur, slop=int(c.slop)
                 ))

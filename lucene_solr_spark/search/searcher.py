@@ -512,10 +512,13 @@ class IndexSearcher:
         top = hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         if with_keys:
             top = top.join(self.docs.select(*self.meta.key_cols, "doc_id"), "doc_id", "left")
-        from pyspark.sql import Window
-
-        # rank runs AFTER limit(k) — k rows only; partition on a literal so
-        # the (correct, tiny) single-partition window doesn't trip Spark's
-        # unpartitioned-WindowExec warning in every log
-        w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
-        return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+        # rank runs AFTER limit(k) — k rows only. coalesce(1) + in-partition
+        # sort + monotonically_increasing_id (partition 0 ⇒ ids 0..k−1 in
+        # row order) gives row_number without a WindowExec, so no
+        # unpartitioned-window warning and no extra shuffle on k rows
+        return (
+            top.coalesce(1)
+            .sortWithinPartitions(F.desc("score"), F.asc("doc_id"))
+            .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+            .orderBy("rank")
+        )

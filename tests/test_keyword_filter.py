@@ -105,3 +105,33 @@ def test_keyword_filter_survives_merge(spark, kw_index, tmp_path):
     a = s0.search(spec0, k=25).toPandas()
     b = s1.search(spec1, k=25).toPandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_keyword_filter_under_lm_similarity(spark, kw_index):
+    """FILTER clauses carry aux=1.0 so the LMDirichlet scorer (which divides
+    by aux) never sees 0·inf = NaN and WAND bounds never divide by zero —
+    scores must be finite and bit-equal to the unfiltered LM query
+    restricted post-hoc (non-scoring invariant, any similarity)."""
+    idx, pdf = kw_index
+    s = IndexSearcher(spark, idx)
+    base = s.parse("or3", ["merge", "batch", "stream"], 0)
+    q_nofilter = s.compile(base, k=10**6, similarity="lm")
+    all_hits = (
+        s.search(q_nofilter, k=10**6, mode="exact")
+        .join(s.docs.select("doc_id", "role"), "doc_id")
+        .toPandas()
+    )
+    want = (
+        all_hits[all_hits.role == "user"]
+        .sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        .head(10)[["doc_id", "score"]]
+        .reset_index(drop=True)
+    )
+    spec = _spec_with_filter(s, "user")
+    for mode in ("exact", "wand"):
+        got = (
+            s.search(s.compile(spec, k=10, similarity="lm"), k=10, mode=mode)
+            .toPandas()[["doc_id", "score"]]
+        )
+        assert np.isfinite(got.score.to_numpy()).all()
+        pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))

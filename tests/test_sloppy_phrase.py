@@ -176,3 +176,57 @@ def test_sloppy_matcher_impls_agree(pos_lists, slop):
 def test_sloppy_freq_monotone_in_slop(pos_lists):
     freqs = [float(_sloppy_freq_one_doc(pos_lists, s)) for s in (0, 2, 5, 40)]
     assert all(a <= b + 1e-6 for a, b in zip(freqs, freqs[1:]))
+
+
+# --- vectorized 2-term verify parity ----------------------------------------
+# The production 2-term path (_sloppy_freqs_2term_vec) replaces the per-doc
+# Python heap walk with a merged-order adjacency scan; it must be BITWISE
+# float32-identical to _sloppy_freq_one_doc on every doc, including the
+# history-dependent tie ordering (exact-match positions across the two lists).
+
+from lucene_solr_spark.search.kernels import _sloppy_phrase_freqs  # noqa: E402
+
+
+@st.composite
+def _corpus_2term(draw):
+    n_docs = draw(st.integers(min_value=1, max_value=6))
+    off1 = draw(st.integers(min_value=0, max_value=3))
+    docs = []
+    for d in range(n_docs):
+        a = draw(st.lists(st.integers(min_value=0, max_value=24),
+                          min_size=0, max_size=7, unique=True))
+        b = draw(st.lists(st.integers(min_value=0, max_value=24),
+                          min_size=0, max_size=7, unique=True))
+        docs.append((sorted(a), sorted(b)))
+    return docs, (0, off1)
+
+
+@settings(max_examples=400, deadline=None)
+@given(_corpus_2term(), st.integers(min_value=0, max_value=12))
+def test_sloppy_2term_vectorized_parity(corpus, slop):
+    docs, offsets = corpus
+    docs_per_term, pos_flat, tfs = [], [], []
+    for t in range(2):
+        ids = np.array([d for d, (a, b) in enumerate(docs) if (a, b)[t]],
+                       dtype=np.int64)
+        docs_per_term.append(ids)
+        pos_flat.append(np.concatenate(
+            [np.array((a, b)[t], dtype=np.int64) for (a, b) in
+             (docs[i] for i in ids)] or [np.empty(0, dtype=np.int64)]))
+        tfs.append(np.array([len((a, b)[t]) for (a, b) in
+                             (docs[i] for i in ids)], dtype=np.int64))
+    got_docs, got_freq = _sloppy_phrase_freqs(
+        docs_per_term, pos_flat, tfs, offsets, slop)
+    # reference: per-doc heap walk over offset-adjusted lists
+    exp = {}
+    for d, (a, b) in enumerate(docs):
+        if not a or not b:
+            continue
+        pls = [np.array(a, dtype=np.int64) - offsets[0],
+               np.array(b, dtype=np.int64) - offsets[1]]
+        f = _sloppy_freq_one_doc(pls, slop)
+        if f > 0:
+            exp[d] = np.float32(f)
+    assert list(got_docs) == sorted(exp)
+    for d, f in zip(got_docs, got_freq):
+        assert np.float32(f) == exp[int(d)], (docs, offsets, slop, d)

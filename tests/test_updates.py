@@ -178,3 +178,30 @@ def test_search_does_not_mutate_compiled_query(spark, corpus, tmp_path):
     assert q.filter_by_base is None
     pd.testing.assert_frame_equal(unfiltered_before, unfiltered_after)
     assert len(filtered) <= 5
+
+
+def test_delete_twice_is_idempotent(spark, corpus, tmp_path):
+    """Deleting the same keys twice: the second call reports 0 newly
+    tombstoned docs and the tombstone table does not grow (anti-join
+    against the existing tombstones — IndexWriter#deleteDocuments is
+    idempotent)."""
+    import glob as _glob
+
+    idx = str(tmp_path / "del2")
+    build_index(spark, spark.createDataFrame(corpus), idx, n_segments=3)
+    victims = spark.createDataFrame(
+        corpus[corpus.turn_idx == 1][["conv_id", "turn_idx"]]
+    )
+    n1 = delete_docs(spark, idx, victims, refresh=False)
+    assert n1 > 0
+    rows_after_first = sum(
+        len(pd.read_parquet(f))
+        for f in _glob.glob(os.path.join(idx, "tombstones", "*.parquet"))
+    )
+    n2 = delete_docs(spark, idx, victims, refresh=False)
+    assert n2 == 0
+    rows_after_second = sum(
+        len(pd.read_parquet(f))
+        for f in _glob.glob(os.path.join(idx, "tombstones", "*.parquet"))
+    )
+    assert rows_after_second == rows_after_first == n1
