@@ -39,6 +39,18 @@ ENGLISH_STOP_WORDS = frozenset(
 # to mirror StandardTokenizer#maxTokenLength.
 _TOKEN_RE = re.compile(r"[0-9A-Za-z_](?:['’]?[0-9A-Za-z_]){0,254}")
 
+# Byte LUTs for the zero-regex ASCII fast path (_analyze_batch_arrow):
+# lowercase is a 256-entry gather (A-Z += 32), token-character membership a
+# boolean gather — one linear pass each over the batch's UTF-8 buffer, no
+# regex engine and no per-row work (the RE2 split this replaces was ~70% of
+# the analyzer's wall time and the dominant memory-bandwidth consumer).
+_LOWER_LUT = np.arange(256, dtype=np.uint8)
+_LOWER_LUT[ord("A"):ord("Z") + 1] += 32
+_ISTOK_LUT = np.zeros(256, dtype=bool)
+_ISTOK_LUT[[ord(c) for c in "0123456789_"]] = True
+_ISTOK_LUT[ord("a"):ord("z") + 1] = True
+_ISTOK_LUT[ord("A"):ord("Z") + 1] = True
+
 
 class _BaseAnalyzer:
     """Shared vectorized tokenize machinery. Subclasses set the filters."""
@@ -117,20 +129,23 @@ class _BaseAnalyzer:
         """
         texts = texts.fillna("").astype(str).reset_index(drop=True)
         n_rows = len(texts)
-        # '\n' can never appear inside a token, so joining preserves matches.
-        joined = "\n".join(texts)
-        if (
-            joined.isascii()
-            and "'" not in joined
-            and "’" not in joined
-        ):
+        # ASCII / apostrophe dispatch on the raw UTF-8 bytes (one linear
+        # scan — no '\n'-join, no Python-string allocation for the check)
+        import pyarrow as pa
+
+        col = pa.array(texts, type=pa.string())
+        _off = np.frombuffer(col.buffers()[1], dtype=np.int32)
+        _off = _off[col.offset:col.offset + n_rows + 1]
+        _data = np.frombuffer(col.buffers()[2], dtype=np.uint8)[_off[0]:_off[-1]]
+        is_ascii = _data.size == 0 or int(_data.max()) < 128
+        if is_ascii and not (_data == 0x27).any():
             # ASCII + no apostrophes ⇒ tokenize-then-lower ≡ lower-then-split
             # on non-token chars, and the pure-Arrow path applies (no Python
             # string objects at all — dictionary-encoded terms).
-            out = self._analyze_batch_arrow(texts, n_rows)
+            out = self._analyze_batch_arrow(texts, n_rows, col=col)
             if out is not None:
                 return out
-        if not joined.isascii():
+        if not is_ascii:
             # Non-ASCII batches take the per-row reference path: RE2
             # (count_substring_regex) vs Python `re`, and utf8_lower vs
             # str.lower, can disagree on unicode input in ways that keep the
@@ -141,6 +156,9 @@ class _BaseAnalyzer:
             # semantics and lowercasing is 1:1); per-row is the semantic
             # reference, just slower.
             return self._analyze_batch_slow(texts)
+        # apostrophe-bearing ASCII batches: regex path ('\n' can never
+        # appear inside a token, so joining preserves matches)
+        joined = "\n".join(texts)
         if self.lowercase:
             joined = joined.lower()  # ASCII ⇒ 1:1, length-preserving
 
@@ -184,74 +202,114 @@ class _BaseAnalyzer:
         frame.attrs["doc_len"] = doc_len
         return frame
 
-    def _analyze_batch_arrow(self, texts: pd.Series, n_rows: int) -> pd.DataFrame | None:
+    def _analyze_batch_arrow(
+        self, texts: pd.Series, n_rows: int, col=None
+    ) -> pd.DataFrame | None:
         """Zero-Python-string fast path (ASCII, apostrophe-free batches):
-        Arrow-side lower + split-on-non-token-chars + dictionary encoding;
-        stop/stem run on the (small) dictionary only; the term column is a
-        pandas Categorical sharing that dictionary. Returns None when a
-        guard fails (token >255 chars) — caller falls back to the regex
-        path, which defines the semantics."""
+        byte-LUT tokenizer over the Arrow UTF-8 value buffer + dictionary
+        encoding; stop/stem run on the (small) dictionary only; the term
+        column is a pandas Categorical sharing that dictionary. Returns
+        None when a guard fails (token >255 chars) — caller falls back to
+        the regex path, which defines the semantics.
+
+        Bandwidth discipline (the build's N→4N scaling is memory-bound):
+        lowercase = one 256-LUT gather; token runs = edges of a boolean
+        membership mask (forced to break at row boundaries, since adjacent
+        rows are contiguous in the buffer); token bytes gathered once into
+        a compact buffer backing a new Arrow StringArray; all index arrays
+        int32; stop filtering is a per-code LUT gather (no isin sort); used
+        codes via bincount (no unique sort). No regex engine, no per-row
+        Python, no Python token strings."""
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        col = pa.array(texts, type=pa.string())
-        if self.lowercase:
-            col = pc.utf8_lower(col)
-        # split on runs of non-token chars; '+'-quantified ⇒ no internal
-        # empties, only leading/trailing per row
-        toks = pc.split_pattern_regex(col, "[^0-9a-zA-Z_]+")
-        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
-        flat = toks.values
-        counts_all = np.diff(toks.offsets.to_numpy(zero_copy_only=False)).astype(np.int64)
+        if col is None:
+            col = pa.array(texts, type=pa.string())
+        off_all = np.frombuffer(col.buffers()[1], dtype=np.int32)
+        off = off_all[col.offset:col.offset + n_rows + 1].astype(np.int64)
+        base = off[0]
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)[base:off[-1]]
+        off = off - base
+        low = _LOWER_LUT[data] if self.lowercase else data
+        m = _ISTOK_LUT[low]
+        start_mask = m.copy()
+        start_mask[1:] &= ~m[:-1]
+        end_mask = m.copy()
+        end_mask[:-1] &= ~m[1:]
+        rb = off[1:-1]  # interior row-start byte offsets: forced breaks
+        if rb.size:
+            start_mask[rb[rb < len(m)]] = m[rb[rb < len(m)]]
+            rbp = rb[rb > 0] - 1
+            end_mask[rbp] = m[rbp]
+        tok_starts = np.flatnonzero(start_mask).astype(np.int32)
+        n_tok = len(tok_starts)
+        lens = (np.flatnonzero(end_mask).astype(np.int32) + 1) - tok_starts
+        if n_tok and int(lens.max()) > 255:
+            return None  # maxTokenLength splitting — regex path handles it
+        if n_tok:
+            # gather all token bytes in one pass (cumsum-step index trick;
+            # int32 throughout — np.repeat over 3.5M variable counts costs
+            # one tiny memcpy per token, the cumsum is a single linear pass)
+            out_off = np.zeros(n_tok + 1, dtype=np.int32)
+            np.cumsum(lens, out=out_off[1:])
+            step = np.ones(int(out_off[-1]), dtype=np.int32)
+            step[0] = tok_starts[0]
+            if n_tok > 1:
+                step[out_off[1:-1]] = tok_starts[1:] - (tok_starts[:-1] + lens[:-1] - 1)
+            idx = np.cumsum(step, dtype=np.int32)
+            tok_bytes = low[idx]
+            flat = pa.Array.from_buffers(
+                pa.utf8(), n_tok,
+                [None, pa.py_buffer(out_off.tobytes()),
+                 pa.py_buffer(tok_bytes.tobytes())],
+            )
+        else:
+            flat = pa.array([], type=pa.utf8())
 
         dict_arr = pc.dictionary_encode(flat)
-        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int32)
         vocab = dict_arr.dictionary.to_pylist()  # small: unique tokens only
-        vlen = np.array([len(v) for v in vocab], dtype=np.int64)
-        if len(vlen) and vlen.max() > 255:
-            return None  # maxTokenLength splitting — regex path handles it
+        n_vocab = len(vocab)
 
-        row = np.repeat(np.arange(n_rows, dtype=np.int64), counts_all)
-        starts = np.zeros(n_rows + 1, dtype=np.int64)
+        # per-row token counts: tokens whose start byte falls in the row's
+        # byte range (forced breaks make spans row-aligned)
+        counts_all = np.diff(
+            np.searchsorted(tok_starts, off.astype(np.int32))
+        ).astype(np.int32)
+        row = np.repeat(np.arange(n_rows, dtype=np.int32), counts_all)
+        starts = np.zeros(n_rows + 1, dtype=np.int32)
         np.cumsum(counts_all, out=starts[1:])
-        pos = np.arange(len(row), dtype=np.int64) - np.repeat(starts[:-1], counts_all)
+        pos = np.arange(len(row), dtype=np.int32) - np.repeat(starts[:-1], counts_all)
 
-        # drop the empty-string tokens produced by leading/trailing
-        # separators, then re-base positions to the non-empty sequence
-        empty_ids = np.flatnonzero(vlen == 0)
-        keep = ~np.isin(codes, empty_ids) if empty_ids.size else None
-        if keep is not None:
-            codes, row, pos = codes[keep], row[keep], pos[keep]
-            counts_ne = np.bincount(row, minlength=n_rows)
-            starts_ne = np.zeros(n_rows + 1, dtype=np.int64)
-            np.cumsum(counts_ne, out=starts_ne[1:])
-            pos = np.arange(len(row), dtype=np.int64) - np.repeat(starts_ne[:-1], counts_ne)
-
-        if self.stop_words:
-            stop_ids = np.flatnonzero(np.array([v in self.stop_words for v in vocab]))
-            if stop_ids.size:
-                kmask = ~np.isin(codes, stop_ids)
+        if self.stop_words and n_vocab:
+            keep_lut = np.array([v not in self.stop_words for v in vocab])
+            if not keep_lut.all():
+                kmask = keep_lut[codes]
                 codes, row, pos = codes[kmask], row[kmask], pos[kmask]
         if self.stem:
             memo = self._stem_memo
             vocab = [memo.get(v) or memo.setdefault(v, porter_stem(v)) for v in vocab]
 
         # re-map to a sorted-unique category set (stemming can collapse
-        # several raw tokens into one term; unused codes are dropped)
+        # several raw tokens into one term; unused codes are dropped).
+        # bincount>0 finds used codes without sorting the token stream.
         vocab_arr = np.array(vocab, dtype=object)
-        used = np.unique(codes) if len(codes) else np.empty(0, dtype=np.int64)
+        used = (
+            np.flatnonzero(np.bincount(codes, minlength=n_vocab))
+            if len(codes) else np.empty(0, dtype=np.int64)
+        )
         uniq_vals, inv_u = (
             np.unique(vocab_arr[used], return_inverse=True)
             if used.size else (np.empty(0, dtype=object), np.empty(0, dtype=np.int64))
         )
-        lut = np.full(len(vocab_arr), -1, dtype=np.int64)
+        lut = np.full(n_vocab, -1, dtype=np.int32)
         lut[used] = inv_u
         term = pd.Categorical.from_codes(
             lut[codes] if len(codes) else codes, categories=uniq_vals
         )
 
         doc_len = np.bincount(row, minlength=n_rows).astype(np.int64)
-        frame = pd.DataFrame({"row": row, "term": term, "pos": pos.astype(np.int32)})
+        frame = pd.DataFrame({"row": row, "term": term, "pos": pos})
         frame.attrs["doc_len"] = doc_len
         return frame
 

@@ -169,14 +169,18 @@ def _invert_partition(
         frame = analyzer.analyze_batch(pdf[meta.text_col])
         tcol = frame["term"]
         if isinstance(tcol.dtype, pd.CategoricalDtype):
-            code_parts.append(tcol.cat.codes.to_numpy().astype(np.int64))
+            code_parts.append(tcol.cat.codes.to_numpy().astype(np.int32, copy=False))
             cat_parts.append(tcol.cat.categories.to_numpy())
         else:  # fallback analyzer paths return plain object strings
             c, u = pd.factorize(tcol.to_numpy(), sort=True)
-            code_parts.append(c.astype(np.int64))
+            code_parts.append(c.astype(np.int32))
             cat_parts.append(np.asarray(u, dtype=object))
-        doc_parts.append(frame["row"].to_numpy() + n_rows)  # doc-local index
-        pos_parts.append(frame["pos"].to_numpy().astype(np.int64))
+        # int32 postings streams: halves the sort/concat memory traffic (the
+        # 8-core build leg is bandwidth-bound); segment-local ids < 2^31
+        doc_parts.append(
+            frame["row"].to_numpy().astype(np.int32, copy=False) + np.int32(n_rows)
+        )
+        pos_parts.append(frame["pos"].to_numpy().astype(np.int32, copy=False))
         len_parts.append(frame.attrs["doc_len"])
         key_parts.append(pdf[carry_cols])
         n_rows += len(pdf)
@@ -222,19 +226,33 @@ def _invert_partition(
         uniques = np.unique(np.concatenate(cat_parts))
         remapped = []
         for c, cats in zip(code_parts, cat_parts):
-            lut = np.searchsorted(uniques, cats)
+            lut = np.searchsorted(uniques, cats).astype(np.int32)
             remapped.append(lut[c])
         codes = np.concatenate(remapped)
         docs_l = np.concatenate(doc_parts)
         poss = np.concatenate(pos_parts)
     else:
-        codes = np.empty(0, dtype=np.int64)
+        codes = np.empty(0, dtype=np.int32)
         uniques = np.empty(0, dtype=object)
-        docs_l = np.empty(0, dtype=np.int64)
-        poss = np.empty(0, dtype=np.int64)
+        docs_l = np.empty(0, dtype=np.int32)
+        poss = np.empty(0, dtype=np.int32)
 
-    order = np.lexsort((poss, docs_l, codes))
-    codes, docs_l, poss = codes[order], docs_l[order], poss[order]
+    # The analyzer emits tokens in (doc asc, pos asc) order and batches are
+    # concatenated in doc order, so when that invariant holds (it does for
+    # every base-chain analyzer; token-graph postprocessors may reorder) a
+    # SINGLE stable argsort on the term code yields (term, doc, pos) order —
+    # one radix pass instead of lexsort's three.
+    if len(codes):
+        dd = np.diff(docs_l)
+        presorted = bool((dd >= 0).all()) and bool(
+            ((dd > 0) | (np.diff(poss) > 0)).all()
+        )
+        order = (
+            np.argsort(codes, kind="stable")
+            if presorted
+            else np.lexsort((poss, docs_l, codes))
+        )
+        codes, docs_l, poss = codes[order], docs_l[order], poss[order]
 
     term_bounds = np.flatnonzero(np.diff(codes, prepend=-1))  # start of each term run
     term_rows: list[tuple] = []
