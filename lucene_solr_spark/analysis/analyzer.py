@@ -101,12 +101,16 @@ class _BaseAnalyzer:
 
     # -- batched path (build/search kernels) ---------------------------------
 
-    def analyze_batch(self, texts: pd.Series) -> pd.DataFrame:
+    def analyze_batch(self, texts) -> pd.DataFrame:
         """Vectorized analysis of a batch of documents: base chain
-        (tokenize/lower/stop/stem) then the subclass token-graph stage."""
+        (tokenize/lower/stop/stem) then the subclass token-graph stage.
+
+        ``texts`` may be a pandas Series OR a pyarrow Array/ChunkedArray —
+        the Arrow form is the zero-copy fast path (the build kernel feeds
+        parquet columns straight in; no Python string materialization)."""
         return self.postprocess_frame(self._analyze_batch_base(texts))
 
-    def _analyze_batch_base(self, texts: pd.Series) -> pd.DataFrame:
+    def _analyze_batch_base(self, texts) -> pd.DataFrame:
         """Vectorized analysis of a batch of documents.
 
         Returns an exploded DataFrame with columns:
@@ -127,13 +131,25 @@ class _BaseAnalyzer:
         naive pandas version — matters for memory-bandwidth scaling with
         32 concurrent workers.)
         """
-        texts = texts.fillna("").astype(str).reset_index(drop=True)
-        n_rows = len(texts)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            # Arrow input: no pandas round trip, no Python strings
+            col = pc.fill_null(texts, "")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if col.type != pa.string():
+                col = col.cast(pa.string())
+            n_rows = len(col)
+            pd_texts = None  # materialized lazily, fallback paths only
+        else:
+            texts = texts.fillna("").astype(str).reset_index(drop=True)
+            col = pa.array(texts, type=pa.string())
+            n_rows = len(texts)
+            pd_texts = texts
         # ASCII / apostrophe dispatch on the raw UTF-8 bytes (one linear
         # scan — no '\n'-join, no Python-string allocation for the check)
-        import pyarrow as pa
-
-        col = pa.array(texts, type=pa.string())
         _off = np.frombuffer(col.buffers()[1], dtype=np.int32)
         _off = _off[col.offset:col.offset + n_rows + 1]
         _data = np.frombuffer(col.buffers()[2], dtype=np.uint8)[_off[0]:_off[-1]]
@@ -142,9 +158,11 @@ class _BaseAnalyzer:
             # ASCII + no apostrophes ⇒ tokenize-then-lower ≡ lower-then-split
             # on non-token chars, and the pure-Arrow path applies (no Python
             # string objects at all — dictionary-encoded terms).
-            out = self._analyze_batch_arrow(texts, n_rows, col=col)
+            out = self._analyze_batch_arrow(None, n_rows, col=col)
             if out is not None:
                 return out
+        if pd_texts is None:
+            texts = col.to_pandas().astype(str)
         if not is_ascii:
             # Non-ASCII batches take the per-row reference path: RE2
             # (count_substring_regex) vs Python `re`, and utf8_lower vs

@@ -14,7 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .engine import get_engine, get_updated_engine
+from .engine import get_atomic_engine, get_engine, get_updated_engine
 from .index.build import ANALYZERS
 from .oracles import (
     after_update_topk_sql,
@@ -90,6 +90,7 @@ PAGE2_QUERY = ("and2", ["merge", "batch"])
 TOTAL_HITS_TERMS = ["vector", "stream", "filter"]
 TOTAL_HITS_THRESHOLD = 250
 AFTER_UPDATE_TERMS = ["vector", "stream", "refresh"]
+HIGHLIGHT_TERMS = ["merge", "batch"]
 
 
 def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -140,6 +141,11 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_after_update_topk"] = lambda spark, sf_dir: get_updated_engine(
         spark, sf_dir, "simple"
     ).topk("or3", AFTER_UPDATE_TERMS, k=10)
+    # atomic partial update (AtomicUpdateDocumentMerger): field-level `add`
+    # op resolved against the live doc, then the same tombstone+re-add path
+    out["ft_after_atomic_update_topk"] = lambda spark, sf_dir: get_atomic_engine(
+        spark, sf_dir, "simple"
+    ).topk("or3", AFTER_UPDATE_TERMS, k=10)
     # ValueSource function query as the ranking function (termfreq sort)
     out["ft_function_query"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -156,6 +162,30 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_lm_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).lm_topk("or3", ["vector", "stream", "filter"], k=10)
+    # DFR / IB / LMJelinekMercer — the remaining SimilarityBase family
+    # (similarities five through seven over the same index and norm bytes)
+    out["ft_dfr_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).sim_topk("dfr", "or3", ["vector", "stream", "filter"], k=10)
+    out["ft_ib_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).sim_topk("ib", "or3", ["vector", "stream", "filter"], k=10)
+    out["ft_lmjm_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).sim_topk("lmjm", "or3", ["vector", "stream", "filter"], k=10)
+    # Highlighting (UnifiedHighlighter analog): top-k + best-window snippet,
+    # fetch-fields-late (snippet extraction touches the k hit rows only)
+    out["ft_highlight_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).highlight_topk("and2", HIGHLIGHT_TERMS, k=10)
+    # Suggest / spellcheck (Lookup / SpellCheckComponent): term-dictionary
+    # candidates ranked by docFreq
+    out["ft_suggest"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).suggest("prefix", "s", k=10)
+    out["ft_spellcheck"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).suggest("fuzzy", ("batc", 1), k=10)
     out["ft_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").docs_norms()
     out["ft_stop_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "stop").docs_norms()
     out["ft_term_stats"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").term_stats_df()
@@ -209,6 +239,13 @@ def fulltext_oracles() -> dict[str, str]:
     out["ft_sloppy_phrase_topk"] = sloppy_phrase_topk_sql(
         "simple", ph.terms, ph.offsets, 3, 10
     )
+    from .oracles import highlight_topk_sql
+
+    out["ft_highlight_topk"] = highlight_topk_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), "and2", HIGHLIGHT_TERMS, 0),
+        10,
+    )
     an_s = ANALYZERS["simple"]()
     from .oracles import base_ctes
 
@@ -233,6 +270,15 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     from .oracles import lm_topk_sql
 
     out["ft_lm_topk"] = lm_topk_sql("simple", bool_terms, 10)
+    from .oracles import dfr_topk_sql, ib_topk_sql, lmjm_topk_sql, suggest_sql
+
+    out["ft_dfr_topk"] = dfr_topk_sql("simple", bool_terms, 10)
+    out["ft_ib_topk"] = ib_topk_sql("simple", bool_terms, 10)
+    out["ft_lmjm_topk"] = lmjm_topk_sql("simple", bool_terms, 10)
+    out["ft_suggest"] = suggest_sql("simple", "term LIKE 's%'", 10)
+    out["ft_spellcheck"] = suggest_sql(
+        "simple", "levenshtein(term, 'batc') <= 1", 10
+    )
     out["ft_tfidf_topk"] = tfidf_topk_sql(
         "simple",
         [t for s in ["vector", "stream", "filter"] for t, _ in an_s.analyze(s)],
@@ -252,6 +298,17 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
         UPDATE_MOD,
         UPDATE_SUFFIX,
     )
+    from .engine import ATOMIC_MOD, ATOMIC_OPERAND
+
+    # atomic `add` on text ≡ appending " " + operand to the live doc — the
+    # post-merge corpus oracle is the same delete-and-re-add shape
+    out["ft_after_atomic_update_topk"] = after_update_topk_sql(
+        "simple",
+        [t for s in AFTER_UPDATE_TERMS for t, _ in an_s.analyze(s)],
+        10,
+        ATOMIC_MOD,
+        " " + ATOMIC_OPERAND,
+    )
     out["ft_docs_norms"] = docs_norms_sql("simple")
     out["ft_stop_docs_norms"] = docs_norms_sql("stop")
     out["ft_term_stats"] = term_stats_sql("simple")
@@ -270,11 +327,15 @@ PRIORITY_ORDER = [
     # fulltext: one slot per operator, not per fixture
     "ft_term_topk", "ft_and2_topk", "ft_or_minshould_topk", "ft_andnot_topk",
     "ft_phrase_topk", "ft_stop_phrase_hole_topk", "ft_sloppy_phrase_topk",
-    "ft_wildcard_topk", "ft_set_topk", "ft_dismax_topk",
+    # ft_set_topk rotated out for ft_dfr_topk in r3 (TermInSet stays
+    # pass-local-gated; DFR certifies the SimilarityBase dispatch family)
+    "ft_wildcard_topk", "ft_dfr_topk", "ft_dismax_topk",
     "ft_boost_topk", "ft_filter_topk", "ft_mlt_topk", "ft_page2_topk",
     "ft_blockjoin_source", "ft_docs_norms", "ft_total_hits",
     "ft_after_update_topk", "ft_tfidf_topk",
-    "ft_synonym_topk",
+    # highlighting replaced ft_synonym_topk in the scored window in r3 (the
+    # token-graph analyzer family stays covered by the pass-local gates)
+    "ft_highlight_topk",
     # facets / stats / grouping
     "facet_terms", "facet_range", "facet_query", "facet_nested",
     "facet_heatmap", "facet_unique_hll",

@@ -175,10 +175,88 @@ class DocumentsEngine:
         spec = self.searcher.more_like_this_spec(text, top_terms)
         out = self.searcher.search(spec, k=k + 1, with_keys=True)
         out = out.filter(F.col("doc_key") != src_doc_id).limit(k)
-        from pyspark.sql import Window
+        # re-rank the ≤k surviving rows without a WindowExec (same
+        # single-partition row_number trick as IndexSearcher._finish)
+        out = (
+            out.drop("rank")
+            .coalesce(1)
+            .sortWithinPartitions(F.desc("score"), F.asc("doc_id"))
+            .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+        )
+        return self._present(out)
 
-        w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
-        return self._present(out.withColumn("rank", F.row_number().over(w)))
+    def highlight_topk(
+        self,
+        qtype: str,
+        surface_terms: list[str],
+        k: int = 10,
+        min_should: int = 0,
+        window: int = 8,
+    ) -> DataFrame:
+        """Top-k with a best-window snippet per hit — the
+        ``UnifiedHighlighter`` analog (``lucene/highlighter/.../uhighlight/
+        UnifiedHighlighter.java``; Solr ``S/handler/component/
+        HighlightComponent.java``).
+
+        Passage selection (deterministic, oracle-reproducible): tokenize the
+        SOURCE text with the index token pattern; candidate windows start at
+        a matched query-term position and span ``window`` raw-token
+        positions; the best window maximizes the count of query-term
+        occurrences inside it (tie → leftmost). The snippet is the raw
+        (original-case) tokens of that window joined by single spaces —
+        a token-normalized rendering, the SQL-checkable stand-in for
+        offset-sliced passages.
+
+        Scale shape: snippet extraction is fetch-fields-late — it runs on
+        the k result rows ONLY (source text joined via a broadcast of the
+        k-row hit set), never on the corpus."""
+        import pandas as pd
+
+        from .analysis.analyzer import _TOKEN_RE
+
+        spec = self.searcher.parse(qtype, surface_terms, min_should)
+        from .search.query import PhraseClause
+
+        qset = {
+            t
+            for c in spec.scoring_clauses
+            for t in (c.terms if isinstance(c, PhraseClause) else (c.term,))
+        }
+        hits = self.searcher.search(spec, k=k, with_keys=True)
+        src = self.spark.read.parquet(
+            os.path.join(self.sf_dir, "documents.parquet")
+        ).select(F.col("doc_id").alias("doc_key"), "text")
+        joined = src.join(F.broadcast(hits), "doc_key")
+        W = int(window)
+
+        @F.pandas_udf("string")
+        def _snippet(texts: pd.Series) -> pd.Series:
+            import bisect
+
+            out = []
+            for txt in texts:
+                toks = _TOKEN_RE.findall(txt or "")
+                mpos = [i for i, t in enumerate(toks) if t.lower() in qset]
+                if not mpos:
+                    out.append("")
+                    continue
+                best_s, best_c = mpos[0], -1
+                for s in mpos:
+                    c = bisect.bisect_right(mpos, s + W - 1) - bisect.bisect_left(mpos, s)
+                    if c > best_c:
+                        best_c, best_s = c, s
+                out.append(" ".join(toks[best_s:best_s + W]))
+            return pd.Series(out)
+
+        return (
+            joined.select(
+                F.col("rank").cast("int").alias("rank"),
+                F.col("doc_key").cast("long").alias("doc_id"),
+                F.col("score").cast("float").alias("score"),
+                _snippet(F.col("text")).alias("snippet"),
+            )
+            .orderBy("rank")
+        )
 
     def search_after_page(
         self, qtype: str, surface_terms: list[str], k: int = 10, min_should: int = 0
@@ -248,6 +326,55 @@ class DocumentsEngine:
         spec = self.searcher.parse(qtype, surface_terms, min_should)
         q = self.searcher.compile(spec, k=k, similarity="boolean")
         return self._present(self.searcher.search(q, with_keys=True))
+
+    def sim_topk(
+        self,
+        similarity: str,
+        qtype: str,
+        surface_terms: list[str],
+        k: int = 10,
+        min_should: int = 0,
+    ) -> DataFrame:
+        """Top-k under any pluggable similarity over the same index/norms:
+        'dfr' (DFRSimilarity IN/L/H2), 'ib' (IBSimilarity LL/DF/H2), 'lmjm'
+        (LMJelinekMercerSimilarity λ=0.7) — plus the four the dedicated
+        helpers expose (``L/search/similarities/*``)."""
+        spec = self.searcher.parse(qtype, surface_terms, min_should)
+        q = self.searcher.compile(spec, k=k, similarity=similarity)
+        return self._present(self.searcher.search(q, with_keys=True))
+
+    def suggest(self, kind: str, pattern, k: int = 10) -> DataFrame:
+        """Suggester / spellcheck (``lucene/suggest/.../Lookup.java``,
+        ``S/handler/component/SpellCheckComponent.java``): candidate terms
+        from the term dictionary ranked by docFreq (popularity weight), term
+        asc tiebreak — (rank, term, df).
+
+        kind='prefix' is the type-ahead Lookup; kind='fuzzy' with
+        (term, max_edits) is DirectSpellChecker-style correction candidates
+        (Levenshtein expansion against the live term dictionary). Both run
+        as a pruned scan of the small term_stats table — no posting decode,
+        no driver-side dictionary."""
+        from .index.build import KEYWORD_PREFIX
+
+        ts = (
+            self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+            .filter(~F.col("term").startswith(KEYWORD_PREFIX))
+        )
+        if kind == "prefix":
+            cond = F.col("term").startswith(pattern)
+        elif kind == "fuzzy":
+            term, max_edits = pattern
+            cond = F.levenshtein(F.col("term"), F.lit(term)) <= max_edits
+        else:
+            raise ValueError(f"unknown suggest kind {kind!r}")
+        top = ts.filter(cond).orderBy(F.desc("df"), F.asc("term")).limit(k)
+        return (
+            top.coalesce(1)
+            .sortWithinPartitions(F.desc("df"), F.asc("term"))
+            .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+            .select("rank", "term", F.col("df").cast("long").alias("df"))
+            .orderBy("rank")
+        )
 
     def function_query_topk(self, surface_term: str, k: int = 10) -> DataFrame:
         """Rank by the ``termfreq(text, term)`` ValueSource (function query
@@ -366,5 +493,50 @@ def get_updated_engine(
     eng = _ENGINES.get(key)
     if eng is None:
         eng = UpdatedDocumentsEngine(spark, sf_dir, analyzer)
+        _ENGINES[key] = eng
+    return eng  # type: ignore[return-value]
+
+
+ATOMIC_MOD = 89                      # docs with doc_id % MOD == 0 get the op
+ATOMIC_OPERAND = "atomic vector refresh"
+
+
+class AtomicUpdatedDocumentsEngine(DocumentsEngine):
+    """The base documents index, then an ATOMIC partial update (field-level
+    ``add`` op appending to ``text``) on every doc with
+    ``doc_id % ATOMIC_MOD == 0`` — the ``AtomicUpdateDocumentMerger``
+    analog: the engine resolves the op against the live doc itself
+    (distributed join with the source-of-record table), the caller supplies
+    only (key, operand). Downstream mechanics (tombstone + re-add, stats
+    refresh, internal-id ordering) are shared with UpdatedDocumentsEngine."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, analyzer: str = "simple") -> None:
+        super().__init__(spark, sf_dir, analyzer, variant=f"atom{ATOMIC_MOD}")
+        marker = os.path.join(self.index_dir, "updates_done")
+        if not os.path.exists(marker):
+            from .index.updates import atomic_update_docs
+
+            src = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+                F.col("doc_id").alias("doc_key"), "source", "lang", "text"
+            )
+            ops = (
+                src.filter(F.col("doc_key") % ATOMIC_MOD == 0)
+                .select("doc_key", F.lit(ATOMIC_OPERAND).alias("text"))
+            )
+            atomic_update_docs(
+                spark, self.index_dir, ops, {"text": "add"}, src, n_segments=4
+            )
+            with open(marker, "w") as f:
+                f.write("done")
+        self.searcher = IndexSearcher(spark, self.index_dir)  # rebind post-update
+
+
+def get_atomic_engine(
+    spark: SparkSession, sf_dir: str, analyzer: str = "simple"
+) -> AtomicUpdatedDocumentsEngine:
+    key = (os.path.abspath(sf_dir), analyzer + "+atom")
+    eng = _ENGINES.get(key)
+    if eng is None:
+        eng = AtomicUpdatedDocumentsEngine(spark, sf_dir, analyzer)
         _ENGINES[key] = eng
     return eng  # type: ignore[return-value]

@@ -79,6 +79,10 @@ MANIFEST_SCHEMA = (
 def _key_repr(pdf: pd.DataFrame, key_cols: list[str], row: int) -> str:
     return "\x1f".join(str(pdf[c].iloc[row]) for c in key_cols)
 
+
+def _key_repr_tbl(tbl: pa.Table, key_cols: list[str], row: int) -> str:
+    return "\x1f".join(str(tbl[c][row].as_py()) for c in key_cols)
+
 _BLOCK_PA_TYPE = pa.list_(pa.struct([
     ("first_doc", pa.int64()),
     ("last_doc", pa.int64()),
@@ -138,13 +142,18 @@ def _atomic_write(table: pa.Table, path: str) -> None:
 
 
 def _invert_partition(
-    pdfs: list[pd.DataFrame],
+    parts: list,
     seg: int,
     meta: IndexMeta,
     index_dir: str,
     key_types: dict[str, pa.DataType],
 ) -> dict:
     """Invert one segment's rows (already in key order) and write its files.
+
+    ``parts``: pyarrow Tables (the zero-copy fast path — parquet columns
+    feed the analyzer with no pandas conversion and no Python strings) or
+    pandas DataFrames (the shuffled mapInPandas path; normalized to Arrow
+    here).
 
     DocIDs are SEGMENT-LOCAL (0..n-1 in key order). Global IDs are
     ``local + segment base`` where bases are the cumulative per-segment row
@@ -157,16 +166,23 @@ def _invert_partition(
     analyzer = ANALYZERS[meta.analyzer]()
     key_cols = list(meta.key_cols)
     carry_cols = [*key_cols, *meta.keyword_cols]
+    tables = [
+        p if isinstance(p, pa.Table)
+        else pa.Table.from_pandas(
+            p[[*carry_cols, meta.text_col]], preserve_index=False
+        )
+        for p in parts
+    ]
 
     code_parts: list[np.ndarray] = []   # per-batch term codes
     cat_parts: list[np.ndarray] = []    # per-batch category vocabularies
     doc_parts: list[np.ndarray] = []
     pos_parts: list[np.ndarray] = []
     len_parts: list[np.ndarray] = []
-    key_parts: list[pd.DataFrame] = []
+    key_parts: list[pa.Table] = []
     n_rows = 0
-    for pdf in pdfs:
-        frame = analyzer.analyze_batch(pdf[meta.text_col])
+    for tbl in tables:
+        frame = analyzer.analyze_batch(tbl[meta.text_col])
         tcol = frame["term"]
         if isinstance(tcol.dtype, pd.CategoricalDtype):
             code_parts.append(tcol.cat.codes.to_numpy().astype(np.int32, copy=False))
@@ -182,8 +198,8 @@ def _invert_partition(
         )
         pos_parts.append(frame["pos"].to_numpy().astype(np.int32, copy=False))
         len_parts.append(frame.attrs["doc_len"])
-        key_parts.append(pdf[carry_cols])
-        n_rows += len(pdf)
+        key_parts.append(tbl.select(carry_cols))
+        n_rows += len(tbl)
 
     lengths = np.concatenate(len_parts) if len_parts else np.empty(0, dtype=np.int64)
     norms = encode_lengths(lengths)
@@ -191,17 +207,17 @@ def _invert_partition(
 
     # --- docs table (docID map + norms) ---
     keys = (
-        pd.concat(key_parts, ignore_index=True)
+        pa.concat_tables(key_parts)
         if key_parts
-        else pd.DataFrame({c: [] for c in carry_cols})
+        else pa.table({c: pa.array([], type=pa.string()) for c in carry_cols})
     )
     # NOTE: no in-file `seg` column — the hive dir (seg=N) IS the seg column
     # on read (same convention as merge.py's partitionBy writes); duplicating
     # it in-file would shadow the partition column and defeat seg-pruning.
     docs_tbl = pa.table({
-        **{c: pa.array(keys[c], type=key_types[c]) for c in key_cols},
+        **{c: keys[c].combine_chunks().cast(key_types[c]) for c in key_cols},
         # keyword (StringField) columns are stored fields too (fetch/roll-up)
-        **{c: pa.array(keys[c].astype(str)) for c in meta.keyword_cols},
+        **{c: keys[c].combine_chunks().cast(pa.string()) for c in meta.keyword_cols},
         "doc_local": doc_ids,
         "length": lengths,
         "norm": norms.astype(np.int32),
@@ -282,11 +298,19 @@ def _invert_partition(
     # intersections. Doc lengths/norms/collection stats are text-only and
     # untouched (keyword terms never contribute BM25 weight). ---
     for kcol in meta.keyword_cols:
-        vals = keys[kcol].astype(str).to_numpy() if n_rows else np.empty(0, dtype=object)
-        uniq_v, codes_v = (
-            np.unique(vals, return_inverse=True) if n_rows
-            else (np.empty(0, dtype=object), np.empty(0, dtype=np.int64))
-        )
+        if n_rows:
+            import pyarrow.compute as pc
+
+            dk = pc.dictionary_encode(keys[kcol].combine_chunks().cast(pa.string()))
+            codes_raw = dk.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab_raw = np.asarray(dk.dictionary.to_pylist(), dtype=object)
+            # keep sorted-vocab iteration (deterministic content hash)
+            sorter = np.argsort(vocab_raw)
+            inv = np.empty(len(sorter), dtype=np.int64)
+            inv[sorter] = np.arange(len(sorter))
+            uniq_v, codes_v = vocab_raw[sorter], inv[codes_raw]
+        else:
+            uniq_v, codes_v = np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
         order_v = np.argsort(codes_v, kind="stable")
         sc = codes_v[order_v]
         bounds_v = np.append(np.flatnonzero(np.diff(sc, prepend=-1)), len(sc))
@@ -325,8 +349,8 @@ def _invert_partition(
         "build_secs": time.monotonic() - t0,
         # the segment's key range (rows arrive key-sorted) — resume uses it
         # to verify the re-run's partitioning reproduced the same boundaries
-        "key_min": _key_repr(keys, key_cols, 0) if n_rows else "",
-        "key_max": _key_repr(keys, key_cols, -1) if n_rows else "",
+        "key_min": _key_repr_tbl(keys, key_cols, 0) if n_rows else "",
+        "key_max": _key_repr_tbl(keys, key_cols, -1) if n_rows else "",
     }
     # manifest row file is the commit marker — written LAST, atomically
     os.makedirs(os.path.join(index_dir, "manifest"), exist_ok=True)
@@ -520,10 +544,12 @@ def build_index_presorted(
                             row[c] = ""
                     yield row
                     continue
+                # Arrow tables straight into the kernel — NO to_pandas():
+                # the text column never materializes as Python strings
                 parts = [
                     pq.read_table(
                         p, columns=[*key_cols, *meta.keyword_cols, text_col]
-                    ).to_pandas()
+                    )
                     for p in paths
                 ]
                 yield pd.DataFrame([

@@ -161,3 +161,46 @@ def term_stats_removals(
         .groupBy("term")
         .agg(F.sum("df_rm").alias("df_rm"), F.sum("ttf_rm").alias("ttf_rm"))
     )
+
+
+def atomic_update_docs(
+    spark: SparkSession,
+    index_dir: str,
+    ops: DataFrame,
+    field_ops: dict[str, str],
+    source: DataFrame,
+    *,
+    n_segments: int | None = None,
+) -> DataFrame:
+    """Atomic partial updates — the ``S/update/processor/
+    AtomicUpdateDocumentMerger.java`` analog: resolve field-level
+    ``set`` / ``add`` / ``inc`` operations against the LIVE document, then
+    replace it via the existing tombstone + re-add path (``update_docs``).
+
+    ``ops``: key columns + one operand column per updated field.
+    ``field_ops``: {field: 'set' | 'add' | 'inc'} — set replaces, inc adds
+    numerically, add appends (the text-field shape of multiValued add).
+    ``source``: the system-of-record table holding the current full docs
+    (Solr requires stored fields for atomic updates; Spark-idiomatically
+    the source table IS the stored-fields store). Resolution is a
+    DISTRIBUTED inner join on the doc key — no driver materialization, so
+    a million-doc atomic batch scales like any join."""
+    meta = IndexMeta.load(index_dir)
+    key_cols = list(meta.key_cols)
+    operand = ops.select(
+        *key_cols, *[F.col(f).alias(f"__op_{f}") for f in field_ops]
+    )
+    merged = source.join(operand, key_cols)  # inner: only docs being updated
+    for f, op in field_ops.items():
+        opc = F.col(f"__op_{f}")
+        if op == "set":
+            new = opc
+        elif op == "inc":
+            new = F.col(f) + opc
+        elif op == "add":
+            new = F.concat(F.col(f), F.lit(" "), opc)
+        else:
+            raise ValueError(f"unknown atomic op {op!r} for field {f!r}")
+        merged = merged.withColumn(f, new)
+    merged = merged.drop(*[f"__op_{f}" for f in field_ops])
+    return update_docs(spark, merged, index_dir, n_segments=n_segments)

@@ -580,3 +580,143 @@ SELECT (rank - {offset})::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOA
     FROM hits h
     WHERE n_must = {n_must} {msm_clause} {mn_clause}
 ) WHERE rank > {offset} AND rank <= {offset} + {k} ORDER BY rank"""
+
+
+def highlight_topk_sql(analyzer: str, spec: BooleanSpec, k: int, window: int = 8) -> str:
+    """Top-k + best-window snippet (UnifiedHighlighter analog,
+    ``lucene/highlighter/.../uhighlight/UnifiedHighlighter.java``).
+
+    Window spec (mirrors DocumentsEngine.highlight_topk exactly): candidate
+    windows start at a matched query-term raw-token position, span
+    ``window`` positions; best = max query-term occurrences inside, tie →
+    leftmost; snippet = the original-case raw tokens of the window joined
+    by single spaces."""
+    qterms = sorted({
+        t
+        for c in [*spec.must, *spec.should]
+        for t in (c.terms if isinstance(c, PhraseClause) else (c.term,))
+    })
+    terms_in = ", ".join(f"'{t}'" for t in qterms)
+    inner = bm25_topk_sql(analyzer, spec, k)
+    return f"""WITH topk AS ({inner}),
+htl AS (
+    SELECT d.doc_id, regexp_extract_all(d.text, '{TOKEN_RE_SQL}') AS toks
+    FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM topk)
+),
+hrt AS (
+    SELECT doc_id, lower(unnest(toks)) AS term,
+           generate_subscripts(toks, 1) - 1 AS pos
+    FROM htl
+),
+mpos AS (SELECT doc_id, pos FROM hrt WHERE term IN ({terms_in})),
+wins AS (
+    SELECT a.doc_id, a.pos AS s, count(*)::BIGINT AS cnt
+    FROM mpos a JOIN mpos b
+      ON b.doc_id = a.doc_id AND b.pos BETWEEN a.pos AND a.pos + {window - 1}
+    GROUP BY a.doc_id, a.pos
+),
+best AS (
+    SELECT doc_id, s FROM (
+        SELECT doc_id, s,
+               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, s ASC) AS rn
+        FROM wins
+    ) WHERE rn = 1
+)
+SELECT t.rank::INTEGER AS rank, t.doc_id::BIGINT AS doc_id, t.score::FLOAT AS score,
+       array_to_string(h.toks[b.s + 1 : b.s + {window}], ' ') AS snippet
+FROM topk t JOIN best b USING (doc_id) JOIN htl h USING (doc_id)
+ORDER BY rank"""
+
+
+def _sim_family_topk_sql(analyzer: str, clause_selects: list[str], k: int) -> str:
+    return f"""WITH {base_ctes(analyzer)},
+clause_scores AS ({' UNION ALL '.join(clause_selects)}),
+hits AS (
+    SELECT doc_id, CAST(sum(CAST(s AS DOUBLE)) AS FLOAT) AS score
+    FROM clause_scores GROUP BY doc_id
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score FROM hits
+) WHERE rank <= {k} ORDER BY rank"""
+
+
+def dfr_topk_sql(analyzer: str, terms: list[str], k: int, c: float = 1.0) -> str:
+    """DFRSimilarity (BasicModelIN + AfterEffectL + NormalizationH2)
+    disjunction top-k — exact float discipline of the engine's
+    ``score_postings_dfr``: tfn = tf · log2(1 + c·avgdl/dl) (avgdl FLOAT,
+    then double ops), score = boost · log2((N+1)/(df+0.5)) · tfn/(1+tfn),
+    clamped at 0, one f32 cast per clause, Σ double, one f32 cast."""
+    clause_selects = []
+    for t in terms:
+        aux = (
+            f"log2(( st.doc_count::DOUBLE + 1.0 )"
+            f" / ( (SELECT count(DISTINCT doc_id) FROM kept WHERE term = '{t}')::DOUBLE + 0.5 ))"
+        )
+        tfn = (
+            f"(count(*)::DOUBLE * log2(1.0 + ({c!r} * CAST(any_value(st2.avgdl) AS DOUBLE))"
+            " / any_value(n.decoded)::DOUBLE))"
+        )
+        clause_selects.append(f"""
+SELECT k.doc_id,
+       CAST(greatest({aux} * ({tfn} / (1.0 + {tfn})), 0.0) AS FLOAT) AS s
+FROM kept k JOIN norms n USING (doc_id), statsf st, statsf st2
+WHERE k.term = '{t}'
+GROUP BY k.doc_id, st.doc_count""")
+    return _sim_family_topk_sql(analyzer, clause_selects, k)
+
+
+def ib_topk_sql(analyzer: str, terms: list[str], k: int, c: float = 1.0) -> str:
+    """IBSimilarity (DistributionLL + LambdaDF + NormalizationH2) top-k —
+    λw = (df+1)/(N+1), tfn as DFR-H2, score = boost · ln((tfn+λw)/λw),
+    clamped, one f32 cast per clause."""
+    clause_selects = []
+    for t in terms:
+        lam = (
+            f"(( (SELECT count(DISTINCT doc_id) FROM kept WHERE term = '{t}')::DOUBLE + 1.0 )"
+            " / ( st.doc_count::DOUBLE + 1.0 ))"
+        )
+        tfn = (
+            f"(count(*)::DOUBLE * log2(1.0 + ({c!r} * CAST(any_value(st2.avgdl) AS DOUBLE))"
+            " / any_value(n.decoded)::DOUBLE))"
+        )
+        clause_selects.append(f"""
+SELECT k.doc_id,
+       CAST(greatest(ln(({tfn} + {lam}) / {lam}), 0.0) AS FLOAT) AS s
+FROM kept k JOIN norms n USING (doc_id), statsf st, statsf st2
+WHERE k.term = '{t}'
+GROUP BY k.doc_id, st.doc_count""")
+    return _sim_family_topk_sql(analyzer, clause_selects, k)
+
+
+def lmjm_topk_sql(analyzer: str, terms: list[str], k: int, lam: float = 0.7) -> str:
+    """LMJelinekMercerSimilarity (λ=0.7) top-k — cp in FLOAT ops
+    (DefaultCollectionModel), score = ln(1 + ((1−λ)·tf/dl)/(λ·cp)) in
+    double, clamped at 0, one f32 cast per clause."""
+    clause_selects = []
+    for t in terms:
+        cp = (
+            f"(( (SELECT count(*) FROM kept WHERE term = '{t}')::FLOAT"
+            " + CAST(1.0 AS FLOAT) )"
+            " / ( st.sum_ttf::FLOAT + CAST(1.0 AS FLOAT) ))"
+        )
+        aux = f"({lam!r} * CAST({cp} AS DOUBLE))"
+        clause_selects.append(f"""
+SELECT k.doc_id,
+       CAST(greatest(
+            ln(1.0 + (({1.0 - lam!r} * count(*)::DOUBLE) / any_value(n.decoded)::DOUBLE)
+                     / {aux}), 0.0) AS FLOAT) AS s
+FROM kept k JOIN norms n USING (doc_id), statsf st
+WHERE k.term = '{t}'
+GROUP BY k.doc_id, st.sum_ttf""")
+    return _sim_family_topk_sql(analyzer, clause_selects, k)
+
+
+def suggest_sql(analyzer: str, pred: str, k: int) -> str:
+    """Suggester/spellcheck oracle (``lucene/suggest`` Lookup): term
+    dictionary filtered by ``pred``, ranked by docFreq desc, term asc."""
+    return f"""WITH {base_ctes(analyzer)},
+tsx AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM kept GROUP BY term)
+SELECT rank::INTEGER AS rank, term, df FROM (
+    SELECT row_number() OVER (ORDER BY df DESC, term ASC) AS rank, term, df
+    FROM tsx WHERE {pred}
+) WHERE rank <= {k} ORDER BY rank"""

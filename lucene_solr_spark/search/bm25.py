@@ -217,3 +217,119 @@ def sum_scores_f32(per_clause: list[np.ndarray]) -> np.ndarray:
     for s in per_clause:
         acc += s.astype(np.float64)
     return acc.astype(np.float32)
+
+
+# --- DFRSimilarity (L/search/similarities/DFRSimilarity with BasicModelIN +
+# AfterEffectL + NormalizationH2, the divergence-from-randomness family's
+# canonical Lucene-8 configuration) ------------------------------------------
+#   tfn   = freq · log2(1 + c·avgdl/dl)            (NormalizationH2, c = 1)
+#   score = boost · log2((N+1)/(df+0.5)) · tfn/(1+tfn)
+#           (BasicModelIN × AfterEffectL; SimilarityBase: double math,
+#            clamped at 0, one float cast)
+# The dl-dependent factor precomputes into a 256-entry per-norm-byte double
+# table (log2(1 + c·avgdl/dl)); the per-clause log2((N+1)/(df+0.5)) rides
+# ``aux``; weight = boost. avgdl enters as float32 (matches the oracle's
+# FLOAT statsf.avgdl), then double ops — op order mirrored bitwise in
+# oracles.dfr_topk_sql.
+
+DFR_C = 1.0
+
+
+def dfr_h2_cache(avgdl: float, c: float = DFR_C) -> np.ndarray:
+    """256-entry double table: log2(1 + c·avgdl/dl); the dl=0 byte never
+    appears in postings (empty docs emit no postings), slot left 0."""
+    dl = LENGTH_TABLE.astype(np.float64)
+    out = np.zeros(256, dtype=np.float64)
+    nz = dl > 0
+    out[nz] = np.log2(1.0 + (c * np.float64(np.float32(avgdl))) / dl[nz])
+    return out
+
+
+def score_postings_dfr(
+    tfs: np.ndarray,
+    norm_bytes: np.ndarray,
+    weight: np.float32,
+    cache: np.ndarray,
+    aux: float = 0.0,
+) -> np.ndarray:
+    """aux = log2((N+1)/(df+0.5)) (double). weight = boost (f32)."""
+    tfn = tfs.astype(np.float64) * cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+    s = np.float64(weight) * aux * (tfn / (1.0 + tfn))
+    return np.maximum(s, 0.0).astype(np.float32)
+
+
+def block_max_score_dfr(
+    max_tf: int, min_norm: int, weight: np.float32, cache: np.ndarray, aux: float = 0.0
+) -> np.float32:
+    """tfn ↑freq, ↓dl; tfn/(1+tfn) ↑tfn ⇒ (max_tf, min_norm) bounds."""
+    tfn = np.float64(max_tf) * cache[min_norm & 0xFF]
+    return np.float32(max(np.float64(weight) * aux * (tfn / (1.0 + tfn)), 0.0))
+
+
+# --- IBSimilarity (L/search/similarities/IBSimilarity with DistributionLL +
+# LambdaDF + NormalizationH2) -------------------------------------------------
+#   λw    = (df+1)/(N+1)                            (LambdaDF, double)
+#   tfn   = freq · log2(1 + c·avgdl/dl)             (same H2 table as DFR)
+#   score = boost · ln((tfn + λw)/λw)               (DistributionLL:
+#           −ln(λ/(tfn+λ)); double math, clamped at 0, one float cast)
+
+
+def score_postings_ib(
+    tfs: np.ndarray,
+    norm_bytes: np.ndarray,
+    weight: np.float32,
+    cache: np.ndarray,
+    aux: float = 0.0,
+) -> np.ndarray:
+    """aux = λw = (df+1)/(N+1) (double). weight = boost (f32)."""
+    tfn = tfs.astype(np.float64) * cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+    s = np.float64(weight) * np.log((tfn + aux) / aux)
+    return np.maximum(s, 0.0).astype(np.float32)
+
+
+def block_max_score_ib(
+    max_tf: int, min_norm: int, weight: np.float32, cache: np.ndarray, aux: float = 0.0
+) -> np.float32:
+    tfn = np.float64(max_tf) * cache[min_norm & 0xFF]
+    return np.float32(max(np.float64(weight) * np.log((tfn + aux) / aux), 0.0))
+
+
+# --- LMJelinekMercerSimilarity (L/search/similarities/
+# LMJelinekMercerSimilarity, λ = 0.7 — Solr's long-query default) -------------
+#   cp    = float((ttf+1)/(sumTtf+1))               (DefaultCollectionModel)
+#   score = boost · ln(1 + ((1−λ)·freq/dl) / (λ·cp))
+#           (double math, clamped at 0, one float cast)
+# dl = decoded norm length; the per-clause λ·cp rides ``aux``; the cache is
+# the decoded-length table itself.
+
+LMJM_LAMBDA = 0.7
+
+
+def lmjm_norm_cache() -> np.ndarray:
+    """256-entry double table: the decoded doc length per norm byte."""
+    return LENGTH_TABLE.astype(np.float64)
+
+
+def score_postings_lmjm(
+    tfs: np.ndarray,
+    norm_bytes: np.ndarray,
+    weight: np.float32,
+    cache: np.ndarray,
+    aux: float = 0.0,
+) -> np.ndarray:
+    """aux = λ·cp (double, cp float32). weight = boost (f32)."""
+    dl = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+    s = np.float64(weight) * np.log(
+        1.0 + ((1.0 - LMJM_LAMBDA) * tfs.astype(np.float64) / dl) / aux
+    )
+    return np.maximum(s, 0.0).astype(np.float32)
+
+
+def block_max_score_lmjm(
+    max_tf: int, min_norm: int, weight: np.float32, cache: np.ndarray, aux: float = 0.0
+) -> np.float32:
+    """Monotone ↑freq and ↓dl ⇒ (max_tf, min_norm byte) bounds the block."""
+    s = np.float64(weight) * np.log(
+        1.0 + ((1.0 - LMJM_LAMBDA) * np.float64(max_tf) / cache[min_norm & 0xFF]) / aux
+    )
+    return np.float32(max(s, 0.0))

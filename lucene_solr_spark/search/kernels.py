@@ -47,6 +47,18 @@ def _sim_fns(q: CompiledQuery):
         return score_postings_boolean, block_max_score_boolean
     if sim == "lm":
         return score_postings_lm, block_max_score_lm
+    if sim == "dfr":
+        from .bm25 import block_max_score_dfr, score_postings_dfr
+
+        return score_postings_dfr, block_max_score_dfr
+    if sim == "ib":
+        from .bm25 import block_max_score_ib, score_postings_ib
+
+        return score_postings_ib, block_max_score_ib
+    if sim == "lmjm":
+        from .bm25 import block_max_score_lmjm, score_postings_lmjm
+
+        return score_postings_lmjm, block_max_score_lmjm
     return score_postings, block_max_score
 
 

@@ -203,18 +203,22 @@ def compile_query(
         from .bm25 import classic_idf as idf_fn
     elif similarity == "boolean":
         from .bm25 import boolean_idf as idf_fn
-    elif similarity == "lm":
-        # LMDirichlet binds no idf (weight = boost); the per-term stat is
-        # mu·collectionProbability, carried on the clause as `aux`
+    elif similarity in ("lm", "lmjm", "dfr", "ib"):
+        # SimilarityBase family: no idf in the weight (weight = boost); the
+        # per-term collection stat rides the clause as `aux` —
+        #   lm:   mu · collectionProbability
+        #   lmjm: λ · collectionProbability
+        #   dfr:  log2((N+1)/(df+0.5))      (BasicModelIN)
+        #   ib:   (df+1)/(N+1)              (LambdaDF)
         idf_fn = lambda df, n: np.float32(1.0)  # noqa: E731
     else:
         raise ValueError(f"unknown similarity {similarity!r}")
     for occur, group in (("must", spec.must), ("should", spec.should)):
         for c in group:
             if isinstance(c, PhraseClause):
-                if similarity == "lm":
+                if similarity in ("lm", "lmjm", "dfr", "ib"):
                     raise ValueError(
-                        "LMDirichlet phrase scoring not implemented (needs "
+                        f"{similarity} phrase scoring not implemented (needs "
                         "pseudo-term collection stats); use bm25/classic"
                     )
                 if any(term_df.get(t, 0) == 0 for t in c.terms):
@@ -245,6 +249,16 @@ def compile_query(
                     aux = LM_MU * float(
                         lm_collection_probability((term_ttf or {}).get(c.term, 0), sum_ttf)
                     )
+                elif similarity == "lmjm":
+                    from .bm25 import LMJM_LAMBDA, lm_collection_probability
+
+                    aux = LMJM_LAMBDA * float(
+                        lm_collection_probability((term_ttf or {}).get(c.term, 0), sum_ttf)
+                    )
+                elif similarity == "dfr":
+                    aux = float(np.log2((doc_count + 1.0) / (df + 0.5)))
+                elif similarity == "ib":
+                    aux = (df + 1.0) / (doc_count + 1.0)
                 clauses.append(
                     CompiledClause("term", (c.term,), (), np.float32(w), occur, aux=aux)
                 )

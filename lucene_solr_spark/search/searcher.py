@@ -141,6 +141,18 @@ class IndexSearcher:
         return lm_norm_cache()
 
     @cached_property
+    def dfr_cache(self) -> np.ndarray:
+        from .bm25 import dfr_h2_cache
+
+        return dfr_h2_cache(self.stats.avgdl)
+
+    @cached_property
+    def lmjm_cache(self) -> np.ndarray:
+        from .bm25 import lmjm_norm_cache
+
+        return lmjm_norm_cache()
+
+    @cached_property
     def deleted_by_seg(self) -> dict[int, np.ndarray]:
         """Per-segment tombstoned local ids (PendingDeletes live-docs
         analog) — empty when the index has no deletes. Loaded once per
@@ -175,13 +187,17 @@ class IndexSearcher:
             cache = self.cache
         elif similarity == "lm":
             cache = self.lm_cache
+        elif similarity in ("dfr", "ib"):
+            cache = self.dfr_cache
+        elif similarity == "lmjm":
+            cache = self.lmjm_cache
         else:
             cache = self.classic_cache
         df_map, ttf_map = self.term_stats_rows(spec.all_terms())
         return compile_query(
             spec, df_map, self.stats.doc_count, cache, k,
             similarity=similarity,
-            term_ttf=ttf_map if similarity == "lm" else None,
+            term_ttf=ttf_map if similarity in ("lm", "lmjm") else None,
             sum_ttf=self.stats.sum_total_term_freq,
         )
 
