@@ -162,3 +162,52 @@ def test_tokengraph_batch_matches_perrow_hypothesis():
             assert list(f.attrs["doc_len"]) == want_len, cls.__name__
 
     check()
+
+
+# --- unicode goldens: the per-row reference path's MEASURED behavior ---------
+# The tokenizer is the ASCII class [0-9A-Za-z_] (with embedded apostrophes),
+# NOT UAX#29: non-ASCII letters are token BREAKS. This is a documented
+# deviation from StandardTokenizer for multilingual corpora (SURVEY §7 risk
+# 5) — these goldens certify the behavior is at least deterministic, batch
+# == per-row consistent, and position-correct, so downstream phrase/norm
+# semantics stay exact on mixed corpora.
+
+import pandas as pd  # noqa: E402
+import pytest  # noqa: E402
+
+
+UNICODE_GOLDENS = [
+    # (input, [(term, pos), ...]) — SimpleAnalyzer (lower, no stop/stem)
+    ("café naïve", [("caf", 0), ("na", 1), ("ve", 2)]),
+    ("Übung straße", [("bung", 0), ("stra", 1), ("e", 2)]),
+    ("日本語 テスト", []),          # CJK: no ASCII runs
+    ("mixed ascii café end", [("mixed", 0), ("ascii", 1), ("caf", 2), ("end", 3)]),
+    ("Москва test", [("test", 0)]),
+    ("étude", [("e", 0), ("tude", 1)]),               # NFD combining acute splits
+    ("don’t stop", [("don’t", 0), ("stop", 1)]),  # embedded curly apostrophe kept
+]
+
+
+@pytest.mark.parametrize("text,want", UNICODE_GOLDENS)
+def test_unicode_reference_path_goldens(text, want):
+    from lucene_solr_spark.analysis.analyzer import SimpleAnalyzer
+
+    assert SimpleAnalyzer().analyze(text) == want
+
+
+def test_unicode_batch_equals_per_row():
+    """A batch containing ANY non-ASCII routes through the per-row reference
+    path — mixed batches must produce identical rows/terms/positions to
+    per-row analysis (no token shifting across row boundaries)."""
+    from lucene_solr_spark.analysis.analyzer import LuceneChainAnalyzer
+
+    texts = pd.Series([t for t, _ in UNICODE_GOLDENS] + ["plain ascii merge batch"])
+    a = LuceneChainAnalyzer()
+    frame = a.analyze_batch(texts)
+    rows, terms, poss = [], [], []
+    for i, t in enumerate(texts):
+        for term, p in a.analyze(t):
+            rows.append(i), terms.append(term), poss.append(p)
+    assert frame["row"].tolist() == rows
+    assert frame["term"].astype(str).tolist() == terms
+    assert frame["pos"].tolist() == poss

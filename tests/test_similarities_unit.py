@@ -1,0 +1,104 @@
+"""Unit gates for the SimilarityBase family (DFR IN/L/H2, IB LL/DF/H2,
+LMJelinekMercer λ=0.7): hand-computed reference scores, monotonicity, WAND
+block-bound dominance, and clamp-at-zero — mirroring the published formulas
+(``L/search/similarities/DFRSimilarity.java``, ``IBSimilarity.java``,
+``LMJelinekMercerSimilarity.java``; SimilarityBase double-math discipline)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.search.bm25 import (
+    LMJM_LAMBDA,
+    block_max_score_dfr,
+    block_max_score_ib,
+    block_max_score_lmjm,
+    dfr_h2_cache,
+    lmjm_norm_cache,
+    score_postings_dfr,
+    score_postings_ib,
+    score_postings_lmjm,
+)
+from lucene_solr_spark.util.smallfloat import LENGTH_TABLE
+
+AVGDL = 11.37
+N_DOCS = 1000
+
+
+def _tfn(tf, b, c=1.0):
+    dl = float(LENGTH_TABLE[b])
+    return float(tf) * math.log2(1.0 + (c * float(np.float32(AVGDL))) / dl)
+
+
+def test_dfr_hand_computed():
+    cache = dfr_h2_cache(AVGDL)
+    df = 37
+    aux = math.log2((N_DOCS + 1.0) / (df + 0.5))
+    for tf, b in [(1, 40), (3, 100), (17, 200)]:
+        tfn = _tfn(tf, b)
+        want = np.float32(max(1.0 * aux * (tfn / (1.0 + tfn)), 0.0))
+        got = score_postings_dfr(
+            np.array([tf]), np.array([b]), np.float32(1.0), cache, aux
+        )[0]
+        assert got == want
+
+
+def test_ib_hand_computed():
+    cache = dfr_h2_cache(AVGDL)
+    df = 37
+    lam = (df + 1.0) / (N_DOCS + 1.0)
+    for tf, b in [(1, 40), (3, 100), (17, 200)]:
+        tfn = _tfn(tf, b)
+        want = np.float32(max(1.0 * math.log((tfn + lam) / lam), 0.0))
+        got = score_postings_ib(
+            np.array([tf]), np.array([b]), np.float32(1.0), cache, lam
+        )[0]
+        assert got == want
+
+
+def test_lmjm_hand_computed():
+    cache = lmjm_norm_cache()
+    cp = np.float32((123.0 + 1.0) / (50_000.0 + 1.0))
+    aux = LMJM_LAMBDA * float(cp)
+    for tf, b in [(1, 40), (3, 100), (17, 200)]:
+        dl = float(LENGTH_TABLE[b])
+        want = np.float32(
+            max(1.0 * math.log(1.0 + ((1.0 - LMJM_LAMBDA) * tf / dl) / aux), 0.0)
+        )
+        got = score_postings_lmjm(
+            np.array([tf]), np.array([b]), np.float32(1.0), cache, aux
+        )[0]
+        assert got == want
+
+
+@pytest.mark.parametrize(
+    "score_fn,bound_fn,cache_fn,aux",
+    [
+        (score_postings_dfr, block_max_score_dfr, lambda: dfr_h2_cache(AVGDL), 3.1),
+        (score_postings_ib, block_max_score_ib, lambda: dfr_h2_cache(AVGDL), 0.038),
+        (score_postings_lmjm, block_max_score_lmjm, lmjm_norm_cache, 0.7 * 0.002),
+    ],
+)
+def test_block_bound_dominates(score_fn, bound_fn, cache_fn, aux):
+    """The (max_tf, min_norm) block bound must upper-bound EVERY (tf, norm)
+    combination in the block — the WAND safety invariant."""
+    rng = np.random.default_rng(7)
+    cache = cache_fn()
+    for _ in range(50):
+        tfs = rng.integers(1, 30, size=16)
+        bs = rng.integers(1, 255, size=16)
+        scores = score_fn(tfs, bs, np.float32(1.0), cache, aux)
+        bound = bound_fn(int(tfs.max()), int(bs.min()), np.float32(1.0), cache, aux)
+        assert (scores <= bound + np.float32(0)).all(), (tfs, bs)
+
+
+def test_monotone_in_tf_and_doclen():
+    cache = dfr_h2_cache(AVGDL)
+    aux = 2.0
+    s1 = score_postings_dfr(np.array([1, 2, 5, 20]), np.array([50] * 4), np.float32(1.0), cache, aux)
+    assert (np.diff(s1) > 0).all()
+    s2 = score_postings_dfr(np.array([3] * 3), np.array([40, 120, 250]), np.float32(1.0), cache, aux)
+    assert (np.diff(s2) < 0).all()
+    s3 = score_postings_lmjm(np.array([3] * 3), np.array([40, 120, 250]), np.float32(1.0), lmjm_norm_cache(), 0.001)
+    assert (np.diff(s3) < 0).all()
