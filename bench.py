@@ -148,6 +148,13 @@ def main() -> None:
                                    threshold=250).collect())
         timings["q_tfidf"] = _best_of(
             lambda: eng.tfidf_topk("or3", ["vector", "stream", "filter"], k=10).collect())
+        # round-3 operators: DFR similarity, highlighting, suggest
+        timings["q_dfr"] = _best_of(
+            lambda: eng.sim_topk("dfr", "or3", ["vector", "stream", "filter"], k=10).collect())
+        timings["q_highlight"] = _best_of(
+            lambda: eng.highlight_topk("and2", ["merge", "batch"], k=10).collect())
+        timings["q_suggest"] = _best_of(
+            lambda: eng.suggest("prefix", "s", k=10).collect())
 
         # --- training-pipeline ops ---
         from lucene_solr_spark.ops.dedup import dedup_minhash_lsh

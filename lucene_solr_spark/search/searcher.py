@@ -32,6 +32,27 @@ RESULT_SCHEMA = "seg int, doc_id long, score float"
 MULTI_SCHEMA = "query_id string, doc_id long, score float"
 _EMPTY_LOCALS = np.empty(0, dtype=np.int64)
 
+# Above this many tombstones the driver-collect + closure-broadcast path is
+# replaced by a DISTRIBUTED per-segment join (the tombstone array rides the
+# seg_norms cogroup side): driver memory stays O(1) and each task ships only
+# its own segment's deletes — the 10^12-docs-with-churn shape.
+TOMB_DRIVER_BUDGET = 200_000
+
+
+def _seg_dele(
+    norms: pd.DataFrame, seg: int, deleted_by_seg: dict | None
+) -> np.ndarray | None:
+    """Per-segment deleted local ids from either delivery path: the
+    driver-broadcast map (small delete sets) or the ``tomb`` column joined
+    onto the norms cogroup side (large sets, distributed)."""
+    if deleted_by_seg:
+        return deleted_by_seg.get(seg)
+    if "tomb" in norms.columns:
+        t = norms["tomb"].iloc[0]
+        if t is not None and len(t):
+            return np.asarray(t, dtype=np.int64)
+    return None
+
 
 def _make_multi_kernel(
     queries: dict[str, CompiledQuery], mode: str,
@@ -44,7 +65,7 @@ def _make_multi_kernel(
         base = int(norms["base"].iloc[0])
         norms_arr = np.frombuffer(norms["norms"].iloc[0], dtype=np.uint8)
         term_blocks = {t: list(b) for t, b in zip(posts["term"], posts["blocks"])}
-        dele = deleted_by_seg.get(seg) if deleted_by_seg else None
+        dele = _seg_dele(norms, seg, deleted_by_seg)
         qids, docs_out, scores_out = [], [], []
         shared_decode: dict = {}  # queries sharing terms decode blocks once
         for qid, q in queries.items():
@@ -90,7 +111,7 @@ def _make_search_kernel(
         incl = None
         if q.filter_by_base is not None:  # FILTER: per-segment allowed set
             incl = q.filter_by_base.get(base, _EMPTY_LOCALS)
-        dele = deleted_by_seg.get(seg) if deleted_by_seg else None
+        dele = _seg_dele(norms, seg, deleted_by_seg)
         docs, scores = fn(term_blocks, norms_arr, 0, q, after_local, incl, None, dele)
         return pd.DataFrame({
             "seg": np.full(len(docs), seg, dtype=np.int32),
@@ -153,13 +174,51 @@ class IndexSearcher:
         return lmjm_norm_cache()
 
     @cached_property
+    def _tomb_df(self) -> DataFrame | None:
+        import glob as _glob
+
+        from ..index.updates import tombstones_path
+
+        p = tombstones_path(self.index_dir)
+        if not _glob.glob(os.path.join(p, "*.parquet")) and not _glob.glob(
+            os.path.join(p, "*", "*.parquet")
+        ):
+            return None
+        return self.spark.read.parquet(p)
+
+    @cached_property
+    def _tomb_count(self) -> int:
+        return 0 if self._tomb_df is None else int(self._tomb_df.count())
+
+    @cached_property
     def deleted_by_seg(self) -> dict[int, np.ndarray]:
         """Per-segment tombstoned local ids (PendingDeletes live-docs
         analog) — empty when the index has no deletes. Loaded once per
-        searcher; shipped inside the kernel closure."""
+        searcher; shipped inside the kernel closure — ONLY while the delete
+        set fits the driver budget. Beyond TOMB_DRIVER_BUDGET this map stays
+        empty and tombstones ride the norms cogroup side instead
+        (``norms_side``), fully distributed."""
+        if self._tomb_df is None or self._tomb_count > TOMB_DRIVER_BUDGET:
+            return {}
         from ..index.updates import load_tombstones
 
         return load_tombstones(self.spark, self.index_dir)
+
+    @cached_property
+    def norms_side(self) -> DataFrame:
+        """The norms cogroup input: seg_norms, plus a per-segment sorted
+        ``tomb`` array column when the delete set exceeds the driver budget
+        — each scoring task then receives exactly its own segment's deletes
+        through the cogroup shuffle (O(per-segment deletes) per task, O(1)
+        driver memory; the Spark shape of per-leaf PendingDeletes)."""
+        if self._tomb_df is None or self._tomb_count <= TOMB_DRIVER_BUDGET:
+            return self.seg_norms
+        agg = self._tomb_df.groupBy("seg").agg(
+            F.sort_array(
+                F.collect_set(F.col("doc_local").cast("long"))
+            ).alias("tomb")
+        )
+        return self.seg_norms.join(agg, "seg", "left")
 
     def term_stats_rows(self, terms: list[str]) -> tuple[dict[str, int], dict[str, int]]:
         """({term: df}, {term: ttf}) for the query's terms (TermStates#build
@@ -341,6 +400,7 @@ class IndexSearcher:
             for r in self.seg_norms.select("seg", "base").collect()
         }
         dele = self.deleted_by_seg or None
+        big_tomb = dele is None and self._tomb_df is not None
 
         def kern(iterator):
             for pdf in iterator:
@@ -352,22 +412,32 @@ class IndexSearcher:
                             keep = ~np.isin(docs, d, assume_unique=True)
                             docs, tfs = docs[keep], tfs[keep]
                     yield pd.DataFrame({
-                        "doc_id": docs + bases[int(seg)], "tf": tfs
+                        "seg": np.full(len(docs), int(seg), dtype=np.int32),
+                        "doc_local": docs,
+                        "doc_id": docs + bases[int(seg)],
+                        "tf": tfs,
                     })
 
         posts = (
             self.postings.filter(F.col("term") == F.lit(term))
             .select("seg", "blocks")
         )
+        out = posts.mapInPandas(kern, "seg int, doc_local long, doc_id long, tf long")
+        if big_tomb:
+            # delete set over the driver budget: distributed anti-join on
+            # (seg, doc_local) instead of the closure map
+            out = out.join(self._tomb_df, ["seg", "doc_local"], "left_anti")
         top = (
-            posts.mapInPandas(kern, "doc_id long, tf long")
+            out.select("doc_id", "tf")
             .orderBy(F.desc("tf"), F.asc("doc_id"))
             .limit(k)
         )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(F.lit(0)).orderBy(F.desc("tf"), F.asc("doc_id"))
-        return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+        return (
+            top.coalesce(1)
+            .sortWithinPartitions(F.desc("tf"), F.asc("doc_id"))
+            .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+            .orderBy("rank")
+        )
 
     def filter_map(self, keys: DataFrame) -> dict[int, np.ndarray]:
         """Compile a doc-key filter into per-segment allowed-local-ID sets —
@@ -433,7 +503,7 @@ class IndexSearcher:
         )
         return (
             posts.groupBy("seg")
-            .cogroup(self.seg_norms.groupBy("seg"))
+            .cogroup(self.norms_side.groupBy("seg"))
             .applyInPandas(
                 _make_search_kernel(q, mode, after, self.deleted_by_seg or None),
                 RESULT_SCHEMA,
@@ -465,7 +535,7 @@ class IndexSearcher:
             incl = None
             if q.filter_by_base is not None:
                 incl = q.filter_by_base.get(base, _EMPTY_LOCALS)
-            d = dele.get(seg) if dele else None
+            d = _seg_dele(norms, seg, dele)
             cnt = count_segment_matches(term_blocks, q, incl, d)
             return pd.DataFrame({"seg": [seg], "cnt": [cnt]})
 
@@ -476,7 +546,7 @@ class IndexSearcher:
         )
         total = (
             posts.groupBy("seg")
-            .cogroup(self.seg_norms.groupBy("seg"))
+            .cogroup(self.norms_side.groupBy("seg"))
             .applyInPandas(kernel, "seg int, cnt long")
             .agg(F.sum("cnt").alias("n")).collect()[0].n
         )
@@ -505,7 +575,7 @@ class IndexSearcher:
         )
         hits = (
             posts.groupBy("seg")
-            .cogroup(self.seg_norms.groupBy("seg"))
+            .cogroup(self.norms_side.groupBy("seg"))
             .applyInPandas(
                 _make_multi_kernel(compiled, mode, self.deleted_by_seg or None),
                 MULTI_SCHEMA,

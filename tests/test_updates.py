@@ -205,3 +205,39 @@ def test_delete_twice_is_idempotent(spark, corpus, tmp_path):
         for f in _glob.glob(os.path.join(idx, "tombstones", "*.parquet"))
     )
     assert rows_after_second == rows_after_first == n1
+
+
+def test_distributed_tombstones_above_budget(spark, corpus, tmp_path, monkeypatch):
+    """When the delete set exceeds TOMB_DRIVER_BUDGET, the searcher must NOT
+    build the driver-side per-segment map (deleted_by_seg stays empty) and
+    instead ship tombstones through the norms cogroup side — with results
+    IDENTICAL to the driver-map path."""
+    from lucene_solr_spark.search import searcher as searcher_mod
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    idx = str(tmp_path / "bigdel")
+    build_index(spark, spark.createDataFrame(corpus), idx, n_segments=3)
+    victims = spark.createDataFrame(
+        corpus[corpus.turn_idx % 3 == 0][["conv_id", "turn_idx"]]
+    )
+    n = delete_docs(spark, idx, victims)
+    assert n > 0
+
+    small = IndexSearcher(spark, idx)          # default budget: driver map
+    assert small.deleted_by_seg               # non-empty map
+    monkeypatch.setattr(searcher_mod, "TOMB_DRIVER_BUDGET", 0)
+    big = IndexSearcher(spark, idx)            # forced distributed path
+    assert big.deleted_by_seg == {}            # no driver collect
+    assert "tomb" in big.norms_side.columns
+
+    for qtype, terms in [("or2", ["merge", "batch"]), ("term", ["stream"])]:
+        spec = small.parse(qtype, terms)
+        a = small.search(spec, k=25, mode="wand").toPandas()
+        b = big.search(big.parse(qtype, terms), k=25, mode="wand").toPandas()
+        pd.testing.assert_frame_equal(a, b)
+        ex = big.search(big.parse(qtype, terms), k=25, mode="exact").toPandas()
+        pd.testing.assert_frame_equal(b, ex)
+    # count kernel also honors the distributed tombstones
+    v1 = small.total_hits(small.parse("or2", ["merge", "batch"]), threshold=10**6)
+    v2 = big.total_hits(big.parse("or2", ["merge", "batch"]), threshold=10**6)
+    assert v1 == v2
