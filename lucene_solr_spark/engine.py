@@ -17,6 +17,8 @@ import hashlib
 import os
 import tempfile
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .index.build import build_index
@@ -210,8 +212,6 @@ class DocumentsEngine:
         Scale shape: snippet extraction is fetch-fields-late — it runs on
         the k result rows ONLY (source text joined via a broadcast of the
         k-row hit set), never on the corpus."""
-        import pandas as pd
-
         from .analysis.analyzer import _TOKEN_RE
 
         spec = self.searcher.parse(qtype, surface_terms, min_should)

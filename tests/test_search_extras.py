@@ -150,5 +150,7 @@ def test_lm_phrase_unsupported_is_loud(searcher):
     import pytest as _pytest
 
     spec = searcher.parse("phrase2", ["table", "hash"], 0)
-    with _pytest.raises(ValueError, match="LMDirichlet phrase"):
+    with _pytest.raises(ValueError, match="lm phrase scoring not implemented"):
         searcher.compile(spec, k=10, similarity="lm")
+    with _pytest.raises(ValueError, match="dfr phrase scoring not implemented"):
+        searcher.compile(spec, k=10, similarity="dfr")
