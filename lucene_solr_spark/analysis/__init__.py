@@ -2,7 +2,9 @@ from .porter import porter_stem
 from .analyzer import (
     ENGLISH_STOP_WORDS,
     SYNONYMS,
+    ASCIIFoldingAnalyzer,
     EdgeNGramAnalyzer,
+    EnglishPossessiveAnalyzer,
     LuceneChainAnalyzer,
     ShingleAnalyzer,
     SimpleAnalyzer,
@@ -15,7 +17,9 @@ __all__ = [
     "porter_stem",
     "ENGLISH_STOP_WORDS",
     "SYNONYMS",
+    "ASCIIFoldingAnalyzer",
     "EdgeNGramAnalyzer",
+    "EnglishPossessiveAnalyzer",
     "LuceneChainAnalyzer",
     "ShingleAnalyzer",
     "SimpleAnalyzer",

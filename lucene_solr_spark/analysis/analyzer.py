@@ -504,6 +504,106 @@ class EdgeNGramAnalyzer(_BaseAnalyzer):
         return out
 
 
+# --- char-normalizing filters (ASCII folding / English possessive) -----------
+
+# ASCIIFoldingFilter (``LA/miscellaneous/ASCIIFoldingFilter.java``): Latin-1
+# Supplement + Latin Extended-A foldings to ASCII. The upstream switch spans
+# many more Unicode blocks; this table is the subset that occurs in
+# Latin-script corpora (same mechanism — extend the dict for more blocks).
+_FOLD_SINGLE = {
+    "A": "ÀÁÂÃÄÅĀĂĄ", "C": "ÇĆĈĊČ", "D": "ÐĎĐ", "E": "ÈÉÊËĒĔĖĘĚ",
+    "G": "ĜĞĠĢ", "H": "ĤĦ", "I": "ÌÍÎÏĨĪĬĮİ", "J": "Ĵ", "K": "Ķ",
+    "L": "ĹĻĽĿŁ", "N": "ÑŃŅŇ", "O": "ÒÓÔÕÖØŌŎŐ", "R": "ŔŖŘ",
+    "S": "ŚŜŞŠ", "T": "ŢŤŦ", "U": "ÙÚÛÜŨŪŬŮŰŲ", "W": "Ŵ", "Y": "ÝŶŸ",
+    "Z": "ŹŻŽ",
+    "a": "àáâãäåāăą", "c": "çćĉċč", "d": "ðďđ", "e": "èéêëēĕėęě",
+    "g": "ĝğġģ", "h": "ĥħ", "i": "ìíîïĩīĭįı", "j": "ĵ", "k": "ķ",
+    "l": "ĺļľŀł", "n": "ñńņň", "o": "òóôõöøōŏő", "r": "ŕŗř",
+    "s": "śŝşš", "t": "ţťŧ", "u": "ùúûüũūŭůűų", "w": "ŵ", "y": "ýÿŷ",
+    "z": "źżž",
+}
+_FOLD_MULTI = {"Æ": "AE", "æ": "ae", "Œ": "OE", "œ": "oe", "ß": "ss",
+               "Þ": "TH", "þ": "th", "Ĳ": "IJ", "ĳ": "ij"}
+_FOLD_TABLE: dict[int, str] = {
+    ord(c): a for a, variants in _FOLD_SINGLE.items() for c in variants
+}
+_FOLD_TABLE.update((ord(c), r) for c, r in _FOLD_MULTI.items())
+
+
+class ASCIIFoldingAnalyzer(_BaseAnalyzer):
+    """Standard → LowerCase → ASCIIFolding (``LA/miscellaneous/
+    ASCIIFoldingFilter.java``), realized as a char-filter-style pre-fold
+    (``MappingCharFilter`` shape): folding Latin letters to ASCII *before*
+    tokenization is equivalent to folding each token afterwards because every
+    mapped character is a letter on both sides of the map (token boundaries
+    cannot move) — and unlike the post-hoc form it makes accented words
+    single tokens under this engine's ASCII tokenizer ("café" → "cafe", not
+    "caf"+"e"), i.e. the folded corpus recovers UAX#29 segmentation for
+    Latin text. Folding also re-enables the byte-LUT fast path: the folded
+    batch is pure ASCII, so the whole hot path stays regex-free. ASCII input
+    short-circuits on a C-level ``str.isascii`` check (zero cost on ASCII
+    corpora). DuckDB oracle side uses ``strip_accents`` — identical for
+    accented Latin; the ligature folds (Æ/ß/Œ/Þ/Ĳ) exceed it and are
+    certified by pytest goldens instead."""
+
+    lowercase = True
+
+    @staticmethod
+    def _fold_str(s: str) -> str:
+        return s if s.isascii() else s.translate(_FOLD_TABLE)
+
+    def analyze(self, text: str) -> list[tuple[str, int]]:
+        return super().analyze(self._fold_str(text))
+
+    def analyze_batch(self, texts) -> pd.DataFrame:
+        import pyarrow as pa
+
+        if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            col = (
+                texts.combine_chunks()
+                if isinstance(texts, pa.ChunkedArray) else texts
+            )
+            buf = col.buffers()[2]
+            data = (
+                np.frombuffer(buf, dtype=np.uint8)
+                if buf is not None else np.empty(0, dtype=np.uint8)
+            )
+            if data.size == 0 or int(data.max()) < 128:
+                return super().analyze_batch(texts)  # pure ASCII: zero-copy
+            texts = col.to_pandas()
+        texts = texts.fillna("").astype(str).reset_index(drop=True)
+        return super().analyze_batch(texts.map(self._fold_str))
+
+
+_POSSESSIVE_RE = re.compile(r"['’]s$")
+
+
+class EnglishPossessiveAnalyzer(_BaseAnalyzer):
+    """Standard → EnglishPossessive → LowerCase
+    (``LA/en/EnglishPossessiveFilter.java``): a trailing ``'s``/``’s`` is
+    stripped from each token. The upstream filter runs before LowerCaseFilter
+    and matches ``s`` case-insensitively; stripping after lowercasing is
+    therefore equivalent (1:1 token mapping — positions and norm lengths
+    untouched). Tokens can never strip to empty: the tokenizer requires a
+    leading word character, so the shortest possessive token is ``x's``.
+    DuckDB oracle: ``regexp_replace(term, '['’]s$', '')``."""
+
+    lowercase = True
+
+    def postprocess_tokens(self, toks):
+        return [(_POSSESSIVE_RE.sub("", t), p) for t, p in toks]
+
+    def postprocess_frame(self, frame: pd.DataFrame) -> pd.DataFrame:
+        if not len(frame):
+            return frame
+        codes, uniq = pd.factorize(_term_values(frame))
+        stripped = np.array(
+            [_POSSESSIVE_RE.sub("", u) for u in uniq], dtype=object
+        )
+        frame["term"] = pd.Categorical(stripped[codes])
+        return frame
+
+
 def analyze_frame(texts: pd.Series, analyzer: _BaseAnalyzer | None = None) -> pd.DataFrame:
     """Module-level convenience for kernels."""
     return (analyzer or LuceneChainAnalyzer()).analyze_batch(texts)

@@ -53,6 +53,13 @@ FULLTEXT_TOPK = {
     "ft_synonym_topk": ("synonym", "term", ["row"], 0, 10),
     "ft_shingle_topk": ("shingle", "term", ["table hash"], 0, 10),
     "ft_edgegram_topk": ("edgegram", "term", ["merge"], 0, 10),
+    # char-normalizing filters (ASCIIFolding / EnglishPossessive): the query
+    # surfaces carry the accents/possessives and the SAME chain runs on both
+    # sides; the driver corpus is pure ASCII (both filters are index-side
+    # identity there) — the nontrivial corpus-side behavior is certified by
+    # pytest goldens over accented/possessive fixtures.
+    "ft_asciifold_topk": ("asciifold", "and2", ["mérge", "bätch"], 0, 10),
+    "ft_possessive_topk": ("possessive", "and2", ["merge's", "batch’s"], 0, 10),
 }
 
 

@@ -50,7 +50,9 @@ from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..analysis import (
+    ASCIIFoldingAnalyzer,
     EdgeNGramAnalyzer,
+    EnglishPossessiveAnalyzer,
     LuceneChainAnalyzer,
     ShingleAnalyzer,
     SimpleAnalyzer,
@@ -67,6 +69,8 @@ ANALYZERS = {
     "synonym": SynonymAnalyzer,
     "shingle": ShingleAnalyzer,
     "edgegram": EdgeNGramAnalyzer,
+    "asciifold": ASCIIFoldingAnalyzer,
+    "possessive": EnglishPossessiveAnalyzer,
 }
 
 MANIFEST_SCHEMA = (

@@ -81,6 +81,19 @@ def _kept_ctes(analyzer: str) -> tuple[str, str]:
 )""",
             "raw_toks",
         )
+    if analyzer == "asciifold":
+        # strip_accents ≡ the filter for accented Latin; ligature folds
+        # (Æ/ß/Œ…) exceed it and are pytest-golden-certified instead.
+        return (
+            "kept AS (SELECT doc_id, strip_accents(term) AS term, pos FROM raw_toks)",
+            "kept",
+        )
+    if analyzer == "possessive":
+        return (
+            "kept AS (SELECT doc_id, "
+            "regexp_replace(term, '[''’]s$', '') AS term, pos FROM raw_toks)",
+            "kept",
+        )
     raise ValueError(f"no SQL oracle for analyzer {analyzer!r} (porter not in DuckDB)")
 
 
