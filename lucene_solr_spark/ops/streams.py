@@ -497,7 +497,7 @@ def _loader_fixture_dir(sf_dir: str) -> str:
 
     src = os.path.join(sf_dir, "nation.parquet")
     tag = hashlib.md5(
-        f"{os.path.abspath(src)}|{os.path.getmtime(src)}|v1".encode()
+        f"{os.path.abspath(src)}|{os.path.getmtime(src)}|v2".encode()
     ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"lss_loader_{tag}")
 
@@ -513,6 +513,22 @@ def _ensure_loader_fixtures(spark: SparkSession, sf_dir: str) -> str:
             os.path.join(base, "csv")
         )
         n.coalesce(1).write.mode("overwrite").json(os.path.join(base, "json"))
+        # Solr XML update format (`S/handler/loader/XMLLoader`):
+        # <add><doc><field name="...">value</field>...</doc></add>.
+        # Fixture generation only (25-row dim): the READ side is the operator.
+        from xml.sax.saxutils import escape
+
+        xml_dir = os.path.join(base, "xml")
+        os.makedirs(xml_dir, exist_ok=True)
+        cols = n.columns
+        with open(os.path.join(xml_dir, "add.xml"), "w") as f:
+            f.write("<add>")
+            for r in n.collect():
+                f.write("<doc>")
+                for c in cols:
+                    f.write(f'<field name="{c}">{escape(str(r[c]))}</field>')
+                f.write("</doc>")
+            f.write("</add>")
         with open(marker, "w") as f:
             f.write("ok")
     return base
@@ -558,6 +574,41 @@ SELECT n_regionkey, count(*)::BIGINT AS n_nations, max(n_nationkey) AS max_key
 FROM nation GROUP BY 1 ORDER BY 1"""
 
 
+def source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr XML update-format loader (`S/handler/loader/XMLLoader`): reads
+    ``<add><doc><field name="..">value</field>…</doc></add>`` documents with
+    Spark 4's NATIVE XML source (rowTag=doc — distributed parse, no UDFs),
+    then pivots the name/value field entries into typed columns via
+    ``map_from_entries`` — one projection, no shuffle before the aggregate.
+    The oracle runs on the parquet ``nation`` view, so equal results certify
+    parse + field pivot + type casts end-to-end."""
+    import os
+
+    base = _ensure_loader_fixtures(spark, sf_dir)
+    df = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("field ARRAY<STRUCT<`_VALUE` STRING, `_name` STRING>>")
+        .load(os.path.join(base, "xml"))
+    )
+    m = F.map_from_entries(F.expr("transform(field, x -> struct(x._name, x._VALUE))"))
+    docs = df.select(
+        m.getItem("n_nationkey").cast("bigint").alias("n_nationkey"),
+        m.getItem("n_regionkey").cast("bigint").alias("n_regionkey"),
+        m.getItem("n_name").alias("n_name"),
+    )
+    return (
+        docs.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name"))
+        .orderBy("n_regionkey")
+    )
+
+
+SOURCE_XML_SQL = """
+SELECT n_regionkey, count(*)::BIGINT AS n_nations, min(n_name) AS first_name
+FROM nation GROUP BY 1 ORDER BY 1"""
+
+
 # --- Solr SQL (Calcite) analog: spark.sql over registered views --------------
 
 def sql_over_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,4 +636,5 @@ GROUP BY 1 ORDER BY 1"""
 
 register("source_csv", source_csv, SOURCE_CSV_SQL)
 register("source_json", source_json, SOURCE_JSON_SQL)
+register("source_xml", source_xml, SOURCE_XML_SQL)
 register("sql_over_tables", sql_over_tables, SQL_OVER_TABLES_SQL)
