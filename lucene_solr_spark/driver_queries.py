@@ -98,6 +98,15 @@ TOTAL_HITS_TERMS = ["vector", "stream", "filter"]
 TOTAL_HITS_THRESHOLD = 250
 AFTER_UPDATE_TERMS = ["vector", "stream", "refresh"]
 HIGHLIGHT_TERMS = ["merge", "batch"]
+# Solr function-query expression exercising arithmetic (sum/product/div),
+# conditional (if), termfreq ×2, norm(), a bare field ref, and a docfreq
+# scalar (constant shift — certifies the scalar path in the VALUES)
+FUNCEXPR = (
+    "sum(product(2, termfreq(text,'merge')),"
+    " div(norm(text), sum(n_chars, 1)),"
+    " if(termfreq(text,'batch'), 0.25, 0),"
+    " div(ln(sum(docfreq(text,'merge'), 1)), 10))"
+)
 
 
 def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -157,6 +166,11 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_function_query"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).function_query_topk("merge", k=10)
+    # Full function-query EXPRESSION surface (ValueSourceParser grammar:
+    # arithmetic + conditional + index-backed sources in one parsed string)
+    out["ft_funcexpr_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).function_expr_topk(FUNCEXPR, k=10)
     # ClassicSimilarity (TF-IDF) — pluggable similarity over the same index
     out["ft_tfidf_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -264,6 +278,12 @@ tfq AS (
 SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, tf FROM (
     SELECT row_number() OVER (ORDER BY tf DESC, doc_id ASC) AS rank, doc_id, tf FROM tfq
 ) WHERE rank <= 10 ORDER BY rank"""
+    from .oracles import funcexpr_topk_sql
+
+    out["ft_funcexpr_topk"] = funcexpr_topk_sql(
+        "simple", FUNCEXPR, 10,
+        {s: an_s.analyze(s)[0][0] for s in ("merge", "batch")},
+    )
     bool_terms = [t for s in ["vector", "stream", "filter"] for t, _ in an_s.analyze(s)]
     bool_inlist = ", ".join(f"'{t}'" for t in bool_terms)
     out["ft_boolean_sim_topk"] = f"""WITH {base_ctes("simple")},

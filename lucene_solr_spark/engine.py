@@ -392,6 +392,73 @@ class DocumentsEngine:
             .orderBy("rank")
         )
 
+    def function_expr_topk(self, expr: str, k: int = 10) -> DataFrame:
+        """Full ValueSource EXPRESSION as the ranking function
+        (``S/search/ValueSourceParser``): parse the Solr function-query
+        string, compile it to a pure-JVM Column tree (whole-stage codegen —
+        no Python in the scoring path), and rank all docs by it.
+
+        Scale shape: ``termfreq`` slots are term-pruned postings scans
+        left-joined on doc_id; index scalars (docfreq/numdocs/maxdoc) are
+        resolved ONCE and folded as literals (Lucene TermStates discipline);
+        the stored-field columns come from one pruned parquet read; ranking
+        is a single global TakeOrdered. Scores are float32 on both engines
+        (absorbs JVM-vs-libm 1-ulp double divergence in log/div)."""
+        from .search.funcquery import (
+            FuncEnv, collect_scalars, collect_termfreqs, compile_spark,
+            parse_expr,
+        )
+        from .util.smallfloat import LENGTH_TABLE
+
+        ast = parse_expr(expr)
+        s = self.searcher
+        an = s.analyzer
+        base = s.docs.select("doc_id", "doc_key", "norm")
+        src = self.spark.read.parquet(
+            os.path.join(self.sf_dir, "documents.parquet")
+        ).select(F.col("doc_id").alias("doc_key"), "n_chars")
+        base = base.join(src, "doc_key")
+        tf_env = {}
+        for i, (field, surface) in enumerate(collect_termfreqs(ast)):
+            term = an.analyze(surface)[0][0]
+            tfd = s.termfreq_df(term).withColumnRenamed("tf", f"tf_{i}")
+            base = base.join(tfd, "doc_id", "left")
+            tf_env[(field, surface)] = F.coalesce(F.col(f"tf_{i}"), F.lit(0))
+        scalars = {}
+        for key in collect_scalars(ast):
+            if key[0] == "docfreq":
+                term = an.analyze(key[2])[0][0]
+                rows = self.term_stats_df().filter(F.col("term") == term).collect()
+                scalars[key] = float(rows[0].df) if rows else 0.0
+            else:  # numdocs / maxdoc (equal here: dense ids, live stats)
+                scalars[key] = float(s.stats.doc_count)
+        decoded = F.element_at(
+            F.array(*[F.lit(int(x)) for x in LENGTH_TABLE]), F.col("norm") + 1
+        )
+        env = FuncEnv(
+            tf=tf_env, fields={"n_chars": F.col("n_chars")},
+            norms={"text": decoded}, scalars=scalars,
+        )
+        scored = base.withColumn(
+            "fscore", compile_spark(ast, env).cast("float")
+        )
+        top = (
+            scored.select("doc_key", "fscore")
+            .orderBy(F.desc("fscore"), F.asc("doc_key"))
+            .limit(k)
+        )
+        return (
+            top.coalesce(1)
+            .sortWithinPartitions(F.desc("fscore"), F.asc("doc_key"))
+            .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+            .select(
+                "rank",
+                F.col("doc_key").cast("long").alias("doc_id"),
+                F.col("fscore").cast("float").alias("fscore"),
+            )
+            .orderBy("rank")
+        )
+
     def total_hits(
         self, qtype: str, surface_terms: list[str], threshold: int = 1000,
         min_should: int = 0,

@@ -724,6 +724,56 @@ GROUP BY k.doc_id, st.sum_ttf""")
     return _sim_family_topk_sql(analyzer, clause_selects, k)
 
 
+def funcexpr_topk_sql(analyzer: str, expr: str, k: int, analyzed: dict) -> str:
+    """Function-query EXPRESSION oracle: the same Solr function string is
+    parsed once and compiled to DuckDB SQL (``funcquery.compile_sql``) — an
+    independent execution engine evaluating the identical AST. termfreq
+    slots become kept-CTE per-doc aggregates, docfreq a scalar subquery,
+    ``norm(field)`` the SmallFloat-DECODED length (norms CTE), and the final
+    score is cast to float32 like the engine (absorbing sub-ulp libm-vs-JVM
+    double differences in log/div)."""
+    from .search.funcquery import (
+        FuncEnv, collect_scalars, collect_termfreqs, compile_sql, parse_expr,
+    )
+
+    ast = parse_expr(expr)
+    tf_ctes, tf_env, joins = [], {}, []
+    for i, (field, surface) in enumerate(collect_termfreqs(ast)):
+        term = analyzed[surface]
+        tf_ctes.append(
+            f"tf_{i} AS (SELECT doc_id, count(*)::BIGINT AS tf "
+            f"FROM kept WHERE term = '{term}' GROUP BY 1)"
+        )
+        tf_env[(field, surface)] = f"COALESCE(tf_{i}.tf, 0)"
+        joins.append(f"LEFT JOIN tf_{i} ON tf_{i}.doc_id = d.doc_id")
+    scalars = {}
+    for key in collect_scalars(ast):
+        if key[0] == "docfreq":
+            scalars[key] = (
+                "(SELECT count(DISTINCT doc_id) FROM kept "
+                f"WHERE term = '{analyzed[key[2]]}')"
+            )
+        else:  # numdocs / maxdoc
+            scalars[key] = "(SELECT doc_count FROM statsf)"
+    env = FuncEnv(
+        tf=tf_env, fields={"n_chars": "d.n_chars"},
+        norms={"text": "n.decoded"}, scalars=scalars,
+    )
+    expr_sql = compile_sql(ast, env)
+    ctes = (",\n" + ",\n".join(tf_ctes)) if tf_ctes else ""
+    return f"""WITH {base_ctes(analyzer)}{ctes},
+scored AS (
+    SELECT d.doc_id, CAST(({expr_sql}) AS FLOAT) AS fscore
+    FROM documents d
+    JOIN norms n ON n.doc_id = d.doc_id
+    {' '.join(joins)}
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, fscore::FLOAT AS fscore FROM (
+    SELECT row_number() OVER (ORDER BY fscore DESC, doc_id ASC) AS rank, doc_id, fscore
+    FROM scored
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def suggest_sql(analyzer: str, pred: str, k: int) -> str:
     """Suggester/spellcheck oracle (``lucene/suggest`` Lookup): term
     dictionary filtered by ``pred``, ranked by docFreq desc, term asc."""

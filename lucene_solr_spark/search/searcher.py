@@ -386,13 +386,11 @@ class IndexSearcher:
             })
         return pd.DataFrame(sorted(rows, key=lambda r: r["term"]))
 
-    def termfreq_topk(self, term: str, k: int = 10) -> DataFrame:
-        """Function query as THE ranking function (``S/search/
-        ValueSourceParser`` / ``lucene/queries/function`` — here
-        ``termfreq(field, term)``): docs ordered by raw term frequency
-        instead of BM25. One term-pruned postings scan, decode-only kernel
-        (no norms, no weights), global TakeOrdered — the same sublinear
-        shape as a scored search. Tombstoned docs are excluded."""
+    def termfreq_df(self, term: str) -> DataFrame:
+        """``termfreq(field, term)`` ValueSource as a (doc_id, tf) DataFrame:
+        one term-pruned postings scan, decode-only kernel (no norms, no
+        weights). Tombstoned docs are excluded. Docs without the term are
+        simply absent (left-join + coalesce(0) at the consumer)."""
         from ..index.codec import decode_postings
 
         bases = {
@@ -427,8 +425,16 @@ class IndexSearcher:
             # delete set over the driver budget: distributed anti-join on
             # (seg, doc_local) instead of the closure map
             out = out.join(self._tomb_df, ["seg", "doc_local"], "left_anti")
+        return out.select("doc_id", "tf")
+
+    def termfreq_topk(self, term: str, k: int = 10) -> DataFrame:
+        """Function query as THE ranking function (``S/search/
+        ValueSourceParser`` / ``lucene/queries/function`` — here
+        ``termfreq(field, term)``): docs ordered by raw term frequency
+        instead of BM25, global TakeOrdered — the same sublinear shape as a
+        scored search."""
         top = (
-            out.select("doc_id", "tf")
+            self.termfreq_df(term)
             .orderBy(F.desc("tf"), F.asc("doc_id"))
             .limit(k)
         )

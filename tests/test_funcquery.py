@@ -1,0 +1,66 @@
+"""Function-query (ValueSource) expression parser + compiler unit tests
+(``S/search/ValueSourceParser`` grammar subset). The end-to-end ranking gate
+is the driver entry ``ft_funcexpr_topk`` (same AST compiled to Spark and to
+DuckDB); these cover the parser's shape and error surface."""
+
+import pytest
+
+from lucene_solr_spark.search.funcquery import (
+    Call, Field, Num, Str, collect_scalars, collect_termfreqs, parse_expr,
+)
+
+
+def test_parse_nested():
+    ast = parse_expr("sum(product(2, termfreq(text,'merge')), div(norm(text), n_chars))")
+    assert isinstance(ast, Call) and ast.fn == "sum" and len(ast.args) == 2
+    prod = ast.args[0]
+    assert prod.fn == "product"
+    assert prod.args[0] == Num(2.0)
+    assert prod.args[1] == Call("termfreq", (Field("text"), Str("merge")))
+    div = ast.args[1]
+    assert div.args[0] == Call("norm", (Field("text"),))
+    assert div.args[1] == Field("n_chars")
+
+
+def test_parse_field_function_unwraps():
+    assert parse_expr("field(n_chars)") == Field("n_chars")
+
+
+def test_parse_numbers_and_negatives():
+    ast = parse_expr("map(x, -1, 1.5, 0)")
+    assert ast.args[1] == Num(-1.0) and ast.args[2] == Num(1.5)
+
+
+@pytest.mark.parametrize("bad", [
+    "sum(1)",                 # variadic needs >= 2
+    "div(1, 2, 3)",           # fixed arity
+    "nosuchfn(1, 2)",         # unknown function
+    "sum(1, 2",               # unbalanced parens
+    "sum(1, 2)) extra",       # trailing input
+    "termfreq('text', 1)",    # field must be a name
+    "",                       # empty
+])
+def test_parse_errors_are_loud(bad):
+    with pytest.raises(ValueError):
+        parse_expr(bad)
+
+
+def test_collectors_are_ordered_unique():
+    ast = parse_expr(
+        "sum(termfreq(text,'a'), termfreq(text,'b'), termfreq(text,'a'),"
+        " docfreq(text,'a'), numdocs(), docfreq(text,'a'))"
+    )
+    assert collect_termfreqs(ast) == [("text", "a"), ("text", "b")]
+    assert collect_scalars(ast) == [("docfreq", "text", "a"), ("numdocs",)]
+
+
+def test_compile_spark_constant_fold(spark):
+    """Pure-arithmetic expressions evaluate exactly (one-row sanity)."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.search.funcquery import FuncEnv, compile_spark
+
+    env = FuncEnv(tf={}, fields={"x": F.lit(9.0)}, norms={}, scalars={})
+    ast = parse_expr("sum(product(2, 3), div(sub(10, x), 2), sqrt(x), if(0, 99, 1))")
+    got = spark.range(1).select(compile_spark(ast, env).alias("v")).collect()[0].v
+    assert got == 6.0 + 0.5 + 3.0 + 1.0
