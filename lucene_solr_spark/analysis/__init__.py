@@ -5,11 +5,13 @@ from .analyzer import (
     ASCIIFoldingAnalyzer,
     EdgeNGramAnalyzer,
     EnglishPossessiveAnalyzer,
+    KeywordAnalyzer,
     LuceneChainAnalyzer,
     ShingleAnalyzer,
     SimpleAnalyzer,
     StopChainAnalyzer,
     SynonymAnalyzer,
+    WhitespaceAnalyzer,
     analyze_frame,
 )
 
@@ -20,10 +22,12 @@ __all__ = [
     "ASCIIFoldingAnalyzer",
     "EdgeNGramAnalyzer",
     "EnglishPossessiveAnalyzer",
+    "KeywordAnalyzer",
     "LuceneChainAnalyzer",
     "ShingleAnalyzer",
     "SimpleAnalyzer",
     "StopChainAnalyzer",
     "SynonymAnalyzer",
+    "WhitespaceAnalyzer",
     "analyze_frame",
 ]

@@ -58,6 +58,10 @@ class _BaseAnalyzer:
     lowercase = True
     stop_words: frozenset = frozenset()
     stem = False
+    # tokenizer definition — StandardTokenizer by default; Whitespace
+    # subclasses swap both (regex = reference semantics, LUT = fast path)
+    token_re = _TOKEN_RE
+    istok_lut = _ISTOK_LUT
 
     def __init__(self) -> None:
         self._stem_memo: dict[str, str] = {}
@@ -83,7 +87,7 @@ class _BaseAnalyzer:
 
     def _analyze_base(self, text: str) -> list[tuple[str, int]]:
         out: list[tuple[str, int]] = []
-        for pos, raw in enumerate(_TOKEN_RE.findall(text)):
+        for pos, raw in enumerate(self.token_re.findall(text)):
             tok = raw.lower() if self.lowercase else raw
             if tok in self.stop_words:
                 continue
@@ -187,11 +191,11 @@ class _BaseAnalyzer:
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        flat = np.array(_TOKEN_RE.findall(joined), dtype=object)
+        flat = np.array(self.token_re.findall(joined), dtype=object)
         low_col = pa.array(texts, type=pa.string())
         if self.lowercase:
             low_col = pc.utf8_lower(low_col)
-        counts = pc.count_substring_regex(low_col, _TOKEN_RE.pattern).to_numpy(
+        counts = pc.count_substring_regex(low_col, self.token_re.pattern).to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
         if counts.sum() != len(flat):  # re/RE2 divergence — fall back
@@ -249,7 +253,7 @@ class _BaseAnalyzer:
         data = np.frombuffer(col.buffers()[2], dtype=np.uint8)[base:off[-1]]
         off = off - base
         low = _LOWER_LUT[data] if self.lowercase else data
-        m = _ISTOK_LUT[low]
+        m = self.istok_lut[low]
         start_mask = m.copy()
         start_mask[1:] &= ~m[:-1]
         end_mask = m.copy()
@@ -601,6 +605,60 @@ class EnglishPossessiveAnalyzer(_BaseAnalyzer):
             [_POSSESSIVE_RE.sub("", u) for u in uniq], dtype=object
         )
         frame["term"] = pd.Categorical(stripped[codes])
+        return frame
+
+
+# --- alternative tokenizers (Whitespace / Keyword) ---------------------------
+
+# token char = any byte that is not ASCII whitespace (bytes >= 128 occur only
+# in non-ASCII batches, which route through the per-row reference path)
+_WS_LUT = np.ones(256, dtype=bool)
+_WS_LUT[[9, 10, 11, 12, 13, 32]] = False
+
+
+class WhitespaceAnalyzer(_BaseAnalyzer):
+    """WhitespaceTokenizer alone (``LA/core/WhitespaceAnalyzer``): tokens are
+    maximal non-whitespace runs — punctuation kept, case preserved, no
+    filters — split at 255 chars (the tokenizer's ``maxTokenLen`` default).
+    Rides the same byte-LUT fast path with an all-but-whitespace membership
+    LUT; the per-row path's ``\\S`` also covers Unicode spaces, matching
+    ``Character.isWhitespace``."""
+
+    lowercase = False
+    token_re = re.compile(r"\S{1,255}")
+    istok_lut = _WS_LUT
+
+
+class KeywordAnalyzer(_BaseAnalyzer):
+    """KeywordTokenizer (``LA/core/KeywordAnalyzer``): the ENTIRE field value
+    is one token, verbatim. This is exactly the shape the engine's
+    keyword-field posting lists already use (``index/build.keyword_term``'s
+    ``\\x01col:value`` terms); registered as a first-class analyzer for
+    reference parity. Empty input emits no token."""
+
+    lowercase = False
+
+    def _analyze_base(self, text: str) -> list[tuple[str, int]]:
+        return [(text, 0)] if text else []
+
+    def _analyze_batch_base(self, texts) -> pd.DataFrame:
+        import pyarrow as pa
+
+        if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            col = (
+                texts.combine_chunks()
+                if isinstance(texts, pa.ChunkedArray) else texts
+            )
+            texts = col.to_pandas()
+        texts = texts.fillna("").astype(str).reset_index(drop=True)
+        keep = (texts.str.len() > 0).to_numpy()
+        rows = np.flatnonzero(keep)
+        frame = pd.DataFrame({
+            "row": rows.astype(np.int64),
+            "term": texts.to_numpy(dtype=object)[rows],
+            "pos": np.zeros(len(rows), dtype=np.int32),
+        })
+        frame.attrs["doc_len"] = keep.astype(np.int64)
         return frame
 
 

@@ -60,6 +60,8 @@ FULLTEXT_TOPK = {
     # pytest goldens over accented/possessive fixtures.
     "ft_asciifold_topk": ("asciifold", "and2", ["mérge", "bätch"], 0, 10),
     "ft_possessive_topk": ("possessive", "and2", ["merge's", "batch’s"], 0, 10),
+    # WhitespaceAnalyzer (case + punctuation preserved, no filters)
+    "ft_whitespace_topk": ("whitespace", "and2", ["merge", "batch"], 0, 10),
 }
 
 

@@ -53,11 +53,13 @@ from ..analysis import (
     ASCIIFoldingAnalyzer,
     EdgeNGramAnalyzer,
     EnglishPossessiveAnalyzer,
+    KeywordAnalyzer,
     LuceneChainAnalyzer,
     ShingleAnalyzer,
     SimpleAnalyzer,
     StopChainAnalyzer,
     SynonymAnalyzer,
+    WhitespaceAnalyzer,
 )
 from ..util.smallfloat import encode_lengths
 from .codec import encode_posting_blocks
@@ -71,6 +73,8 @@ ANALYZERS = {
     "edgegram": EdgeNGramAnalyzer,
     "asciifold": ASCIIFoldingAnalyzer,
     "possessive": EnglishPossessiveAnalyzer,
+    "whitespace": WhitespaceAnalyzer,
+    "keyword": KeywordAnalyzer,
 }
 
 MANIFEST_SCHEMA = (

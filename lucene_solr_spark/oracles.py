@@ -81,6 +81,8 @@ def _kept_ctes(analyzer: str) -> tuple[str, str]:
 )""",
             "raw_toks",
         )
+    if analyzer == "whitespace":
+        return "kept AS (SELECT * FROM raw_toks)", "kept"
     if analyzer == "asciifold":
         # strip_accents ≡ the filter for accented Latin; ligature folds
         # (Æ/ß/Œ…) exceed it and are pytest-golden-certified instead.
@@ -104,12 +106,19 @@ def base_ctes(analyzer: str) -> str:
     holes exactly like FilteringTokenFilter's position increments.
     """
     kept_sql, primary = _kept_ctes(analyzer)
+    # tokenizer swap: WhitespaceAnalyzer keeps case + punctuation (maximal
+    # non-whitespace runs, 255-split); everything else is StandardTokenizer
+    # semantics (word-char runs, lowered)
+    if analyzer == "whitespace":
+        tok_pattern, term_expr = r"[^ \t\n\r\f\v]{1,255}", "unnest(toks)"
+    else:
+        tok_pattern, term_expr = TOKEN_RE_SQL, "lower(unnest(toks))"
     return f"""
 tl AS (
-    SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE_SQL}') AS toks FROM documents
+    SELECT doc_id, regexp_extract_all(text, '{tok_pattern}') AS toks FROM documents
 ),
 raw_toks AS (
-    SELECT doc_id, lower(unnest(toks)) AS term,
+    SELECT doc_id, {term_expr} AS term,
            generate_subscripts(toks, 1) - 1 AS pos
     FROM tl
 ),
