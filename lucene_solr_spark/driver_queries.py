@@ -101,13 +101,14 @@ TOTAL_HITS_THRESHOLD = 250
 AFTER_UPDATE_TERMS = ["vector", "stream", "refresh"]
 HIGHLIGHT_TERMS = ["merge", "batch"]
 # Solr function-query expression exercising arithmetic (sum/product/div),
-# conditional (if), termfreq ×2, norm(), a bare field ref, and a docfreq
-# scalar (constant shift — certifies the scalar path in the VALUES)
+# conditional (if), termfreq ×2, norm(), a bare field ref, docfreq + idf
+# index scalars, and scale() as the outermost full-pass rescale
 FUNCEXPR = (
-    "sum(product(2, termfreq(text,'merge')),"
+    "scale(sum(product(2, termfreq(text,'merge')),"
     " div(norm(text), sum(n_chars, 1)),"
     " if(termfreq(text,'batch'), 0.25, 0),"
-    " div(ln(sum(docfreq(text,'merge'), 1)), 10))"
+    " div(ln(sum(docfreq(text,'merge'), 1)), 10),"
+    " product(idf(text,'batch'), 0.125)), 0, 20)"
 )
 
 
@@ -361,7 +362,10 @@ PRIORITY_ORDER = [
     "ft_wildcard_topk", "ft_dfr_topk", "ft_dismax_topk",
     "ft_boost_topk", "ft_filter_topk", "ft_mlt_topk", "ft_page2_topk",
     "ft_blockjoin_source", "ft_docs_norms", "ft_total_hits",
-    "ft_after_update_topk", "ft_tfidf_topk",
+    # ft_tfidf_topk rotated out for ft_funcexpr_topk in r3 (Classic TF-IDF
+    # stays pass-local-gated; the similarity-dispatch family is certified by
+    # ft_dfr_topk, and funcexpr certifies the NEW parsed ValueSource surface)
+    "ft_after_update_topk", "ft_funcexpr_topk",
     # highlighting replaced ft_synonym_topk in the scored window in r3 (the
     # token-graph analyzer family stays covered by the pass-local gates)
     "ft_highlight_topk",

@@ -404,13 +404,15 @@ class DocumentsEngine:
         the stored-field columns come from one pruned parquet read; ranking
         is a single global TakeOrdered. Scores are float32 on both engines
         (absorbs JVM-vs-libm 1-ulp double divergence in log/div)."""
+        import math
+
         from .search.funcquery import (
             FuncEnv, collect_scalars, collect_termfreqs, compile_spark,
-            parse_expr,
+            parse_expr, split_scale,
         )
         from .util.smallfloat import LENGTH_TABLE
 
-        ast = parse_expr(expr)
+        ast, scale_to = split_scale(parse_expr(expr))
         s = self.searcher
         an = s.analyzer
         base = s.docs.select("doc_id", "doc_key", "norm")
@@ -426,10 +428,15 @@ class DocumentsEngine:
             tf_env[(field, surface)] = F.coalesce(F.col(f"tf_{i}"), F.lit(0))
         scalars = {}
         for key in collect_scalars(ast):
-            if key[0] == "docfreq":
+            if key[0] in ("docfreq", "idf"):
                 term = an.analyze(key[2])[0][0]
                 rows = self.term_stats_df().filter(F.col("term") == term).collect()
-                scalars[key] = float(rows[0].df) if rows else 0.0
+                df = float(rows[0].df) if rows else 0.0
+                if key[0] == "idf":  # BM25 idf, double (IDFValueSource analog)
+                    n = float(s.stats.doc_count)
+                    scalars[key] = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                else:
+                    scalars[key] = df
             else:  # numdocs / maxdoc (equal here: dense ids, live stats)
                 scalars[key] = float(s.stats.doc_count)
         decoded = F.element_at(
@@ -439,9 +446,22 @@ class DocumentsEngine:
             tf=tf_env, fields={"n_chars": F.col("n_chars")},
             norms={"text": decoded}, scalars=scalars,
         )
-        scored = base.withColumn(
-            "fscore", compile_spark(ast, env).cast("float")
-        )
+        raw = compile_spark(ast, env)
+        if scale_to is not None:
+            # scale(x, minT, maxT): one global min/max aggregate broadcast
+            # back onto every row (the full-pass Solr's scale() also takes)
+            lo_t, hi_t = (F.lit(float(v)).cast("double") for v in scale_to)
+            agg = base.select(raw.alias("_v")).agg(
+                F.min("_v").alias("_vmin"), F.max("_v").alias("_vmax")
+            )
+            base = base.crossJoin(F.broadcast(agg))
+            raw = F.when(
+                F.col("_vmax") == F.col("_vmin"), lo_t
+            ).otherwise(
+                lo_t + (raw - F.col("_vmin")) * (hi_t - lo_t)
+                / (F.col("_vmax") - F.col("_vmin"))
+            )
+        scored = base.withColumn("fscore", raw.cast("float"))
         top = (
             scored.select("doc_key", "fscore")
             .orderBy(F.desc("fscore"), F.asc("doc_key"))

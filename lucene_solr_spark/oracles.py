@@ -743,9 +743,10 @@ def funcexpr_topk_sql(analyzer: str, expr: str, k: int, analyzed: dict) -> str:
     double differences in log/div)."""
     from .search.funcquery import (
         FuncEnv, collect_scalars, collect_termfreqs, compile_sql, parse_expr,
+        split_scale,
     )
 
-    ast = parse_expr(expr)
+    ast, scale_to = split_scale(parse_expr(expr))
     tf_ctes, tf_env, joins = [], {}, []
     for i, (field, surface) in enumerate(collect_termfreqs(ast)):
         term = analyzed[surface]
@@ -757,10 +758,15 @@ def funcexpr_topk_sql(analyzer: str, expr: str, k: int, analyzed: dict) -> str:
         joins.append(f"LEFT JOIN tf_{i} ON tf_{i}.doc_id = d.doc_id")
     scalars = {}
     for key in collect_scalars(ast):
-        if key[0] == "docfreq":
-            scalars[key] = (
+        if key[0] in ("docfreq", "idf"):
+            df_sql = (
                 "(SELECT count(DISTINCT doc_id) FROM kept "
                 f"WHERE term = '{analyzed[key[2]]}')"
+            )
+            scalars[key] = (
+                df_sql if key[0] == "docfreq"
+                else "ln(1.0 + ((SELECT doc_count FROM statsf)::DOUBLE "
+                     f"- {df_sql} + 0.5) / ({df_sql} + 0.5))"
             )
         else:  # numdocs / maxdoc
             scalars[key] = "(SELECT doc_count FROM statsf)"
@@ -770,13 +776,33 @@ def funcexpr_topk_sql(analyzer: str, expr: str, k: int, analyzed: dict) -> str:
     )
     expr_sql = compile_sql(ast, env)
     ctes = (",\n" + ",\n".join(tf_ctes)) if tf_ctes else ""
-    return f"""WITH {base_ctes(analyzer)}{ctes},
-scored AS (
+    if scale_to is None:
+        scored_cte = f"""scored AS (
     SELECT d.doc_id, CAST(({expr_sql}) AS FLOAT) AS fscore
     FROM documents d
     JOIN norms n ON n.doc_id = d.doc_id
     {' '.join(joins)}
-)
+)"""
+    else:
+        # scale(x, minT, maxT): global min/max window over the raw double
+        # values, then the same double-arithmetic rescale the engine does
+        # ((raw - min) * (hi - lo) / (max - min), left-assoc), f32 at the end
+        lo, hi = (f"CAST({float(v)!r} AS DOUBLE)" for v in scale_to)
+        scored_cte = f"""scored0 AS (
+    SELECT d.doc_id, CAST(({expr_sql}) AS DOUBLE) AS rawv
+    FROM documents d
+    JOIN norms n ON n.doc_id = d.doc_id
+    {' '.join(joins)}
+),
+scored AS (
+    SELECT doc_id, CAST(CASE WHEN maxv = minv THEN {lo}
+        ELSE {lo} + (rawv - minv) * ({hi} - {lo}) / (maxv - minv)
+    END AS FLOAT) AS fscore
+    FROM (SELECT doc_id, rawv, min(rawv) OVER () AS minv,
+                 max(rawv) OVER () AS maxv FROM scored0)
+)"""
+    return f"""WITH {base_ctes(analyzer)}{ctes},
+{scored_cte}
 SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, fscore::FLOAT AS fscore FROM (
     SELECT row_number() OVER (ORDER BY fscore DESC, doc_id ASC) AS rank, doc_id, fscore
     FROM scored

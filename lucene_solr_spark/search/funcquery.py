@@ -37,8 +37,8 @@ _FUNCTIONS: dict[str, object] = {
     "sum": None, "product": None, "max": None, "min": None,
     "sub": 2, "div": 2, "pow": 2,
     "abs": 1, "log": 1, "ln": 1, "sqrt": 1, "exp": 1,
-    "if": 3, "map": 4,
-    "termfreq": 2, "docfreq": 2, "norm": 1, "field": 1,
+    "if": 3, "map": 4, "scale": 3,
+    "termfreq": 2, "docfreq": 2, "idf": 2, "norm": 1, "field": 1,
     "numdocs": 0, "maxdoc": 0,
 }
 
@@ -120,9 +120,14 @@ def parse_expr(text: str):
             if not isinstance(args[0], Field):
                 raise ValueError("function query: field() takes a field name")
             return args[0]
-        if fn in ("termfreq", "docfreq"):
+        if fn in ("termfreq", "docfreq", "idf"):
             if not isinstance(args[0], Field) or not isinstance(args[1], (Str, Field)):
                 raise ValueError(f"function query: {fn}(field, term)")
+        if fn == "scale" and not (
+            isinstance(args[1], Num) and isinstance(args[2], Num)
+        ):
+            raise ValueError("function query: scale(x, minTarget, maxTarget) "
+                             "takes numeric targets")
         return Call(fn, tuple(args))
 
     out = expr()
@@ -150,18 +155,35 @@ def collect_termfreqs(ast) -> list[tuple[str, str]]:
 
 
 def collect_scalars(ast) -> list[tuple[str, ...]]:
-    """Ordered-unique scalar sources: ('docfreq', field, term) | ('numdocs',)
-    | ('maxdoc',) — resolved once per query, like Lucene TermStates."""
+    """Ordered-unique scalar sources: ('docfreq'|'idf', field, term) |
+    ('numdocs',) | ('maxdoc',) — resolved once per query, like Lucene
+    TermStates."""
     out: list[tuple[str, ...]] = []
     for n in _walk(ast):
         key = None
-        if isinstance(n, Call) and n.fn == "docfreq":
-            key = ("docfreq", n.args[0].name, _term_text(n.args[1]))
+        if isinstance(n, Call) and n.fn in ("docfreq", "idf"):
+            key = (n.fn, n.args[0].name, _term_text(n.args[1]))
         elif isinstance(n, Call) and n.fn in ("numdocs", "maxdoc"):
             key = (n.fn,)
         if key is not None and key not in out:
             out.append(key)
     return out
+
+
+def split_scale(ast):
+    """``scale(x, minT, maxT)`` needs the GLOBAL min/max of x — a full-pass
+    aggregate, so it is supported as the OUTERMOST function only (its Solr
+    use; upstream docs flag it as a full-index pass too). Returns
+    (inner_ast, (minT, maxT)) or (ast, None)."""
+    if isinstance(ast, Call) and ast.fn == "scale":
+        return ast.args[0], (ast.args[1].value, ast.args[2].value)
+    for n in _walk(ast):
+        if isinstance(n, Call) and n.fn == "scale":
+            raise ValueError(
+                "function query: scale() is supported as the outermost "
+                "function only (requires a global min/max pass)"
+            )
+    return ast, None
 
 
 def _term_text(node) -> str:
@@ -199,7 +221,7 @@ def compile_spark(ast, env: FuncEnv) -> Column:
             return env.tf[(n.args[0].name, _term_text(n.args[1]))].cast(D)
         if n.fn == "norm":
             return env.norms[n.args[0].name].cast(D)
-        if n.fn in ("docfreq", "numdocs", "maxdoc"):
+        if n.fn in ("docfreq", "idf", "numdocs", "maxdoc"):
             key = collect_scalars(n)[0]
             return F.lit(float(env.scalars[key])).cast(D)
         a = [c(x) for x in n.args]
@@ -256,7 +278,7 @@ def compile_sql(ast, env: FuncEnv) -> str:
             return f"CAST({env.tf[(n.args[0].name, _term_text(n.args[1]))]} AS DOUBLE)"
         if n.fn == "norm":
             return f"CAST({env.norms[n.args[0].name]} AS DOUBLE)"
-        if n.fn in ("docfreq", "numdocs", "maxdoc"):
+        if n.fn in ("docfreq", "idf", "numdocs", "maxdoc"):
             key = collect_scalars(n)[0]
             v = env.scalars[key]  # SQL fragment (scalar subquery) or number
             return (

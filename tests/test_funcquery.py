@@ -54,6 +54,26 @@ def test_collectors_are_ordered_unique():
     assert collect_scalars(ast) == [("docfreq", "text", "a"), ("numdocs",)]
 
 
+def test_split_scale_outermost_only():
+    from lucene_solr_spark.search.funcquery import split_scale
+
+    ast, to = split_scale(parse_expr("scale(sum(n_chars, 1), 0, 20)"))
+    assert to == (0.0, 20.0)
+    assert isinstance(ast, Call) and ast.fn == "sum"
+    ast2, to2 = split_scale(parse_expr("sum(n_chars, 1)"))
+    assert to2 is None and ast2.fn == "sum"
+    with pytest.raises(ValueError):
+        split_scale(parse_expr("sum(scale(n_chars, 0, 1), 2)"))
+    with pytest.raises(ValueError):
+        parse_expr("scale(n_chars, 0, x)")  # targets must be numeric
+
+
+def test_idf_is_a_scalar_source():
+    ast = parse_expr("product(idf(text,'merge'), termfreq(text,'merge'))")
+    assert collect_scalars(ast) == [("idf", "text", "merge")]
+    assert collect_termfreqs(ast) == [("text", "merge")]
+
+
 def test_compile_spark_constant_fold(spark):
     """Pure-arithmetic expressions evaluate exactly (one-row sanity)."""
     from pyspark.sql import functions as F
