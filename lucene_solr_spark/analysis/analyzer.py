@@ -4,9 +4,12 @@ Reference semantics (see SURVEY.md §2.A):
 
 - StandardTokenizer (``L/analysis/standard/StandardTokenizer.java``):
   UAX#29 word-break segmentation, ``maxTokenLength=255`` (longer runs split).
-  For the ASCII corpus this engine targets, tokens are runs of
-  ``[0-9A-Za-z_]`` with embedded apostrophes (UAX#29 MidNumLet) — punctuation
-  and whitespace are dropped. Non-ASCII UAX#29 fidelity is a documented v2 gap.
+  For ASCII input, tokens are runs of ``[0-9A-Za-z_]`` with embedded
+  apostrophes (UAX#29 MidNumLet) — punctuation and whitespace are dropped.
+  Non-ASCII input routes to ``_UNI_TOKEN_RE``, a UAX#29 approximation:
+  unicode letter/digit/mark runs, per-character Han/Hiragana tokens
+  (IDEOGRAPHIC/HIRAGANA types), Katakana/Hangul/Cyrillic/... runs. Residual
+  deviations from full UAX#29 are documented at the regex definition.
 - LowerCaseFilter (``L/analysis/LowerCaseFilter.java``).
 - StopFilter (``L/analysis/StopFilter.java``): drops the 33-word English set
   (``LA/en/EnglishAnalyzer.java#ENGLISH_STOP_WORDS_SET``) and — critically for
@@ -39,6 +42,29 @@ ENGLISH_STOP_WORDS = frozenset(
 # to mirror StandardTokenizer#maxTokenLength.
 _TOKEN_RE = re.compile(r"[0-9A-Za-z_](?:['’]?[0-9A-Za-z_]){0,254}")
 
+# UAX#29-approximating tokenizer for non-ASCII input (StandardTokenizer's
+# word-break classes, ``StandardTokenizerImpl.jflex`` token types):
+# - HAN ideographs + Hiragana emit ONE TOKEN PER CHARACTER (Lucene's
+#   IDEOGRAPHIC / HIRAGANA types);
+# - all other letters/digits/marks (unicode ``\w`` + combining diacriticals,
+#   so NFD sequences stay one token) form maximal runs with embedded
+#   apostrophes (MidLetter) — covers Latin/Greek/Cyrillic/Hangul/Katakana
+#   runs, split at 255 chars like maxTokenLength.
+# Known deviations from full UAX#29 (documented, golden-pinned): combining
+# marks outside U+0300–U+036F break runs; supplementary-plane Han (U+20000+)
+# tokenizes as runs, not singles; no Thai/Lao dictionary segmentation
+# (Lucene's StandardTokenizer doesn't do that either).
+_IDEO_CLS = (
+    "\u2E80-\u2FDF"  # CJK radicals / Kangxi
+    "\u3040-\u309F"  # Hiragana
+    "\u3400-\u4DBF\u4E00-\u9FFF"  # Han ext-A + unified
+    "\uF900-\uFAFF"  # CJK compatibility ideographs
+)
+_UNI_ALPHA = rf"(?:(?![{_IDEO_CLS}])[\w\u0300-\u036F])"
+_UNI_TOKEN_RE = re.compile(
+    rf"[{_IDEO_CLS}]|{_UNI_ALPHA}(?:['\u2019]?{_UNI_ALPHA}){{0,254}}"
+)
+
 # Byte LUTs for the zero-regex ASCII fast path (_analyze_batch_arrow):
 # lowercase is a 256-entry gather (A-Z += 32), token-character membership a
 # boolean gather — one linear pass each over the batch's UTF-8 buffer, no
@@ -59,9 +85,11 @@ class _BaseAnalyzer:
     stop_words: frozenset = frozenset()
     stem = False
     # tokenizer definition — StandardTokenizer by default; Whitespace
-    # subclasses swap both (regex = reference semantics, LUT = fast path)
+    # subclasses swap all three (regex = reference semantics, LUT = fast
+    # path, uni = the UAX#29-approximating regex non-ASCII input routes to)
     token_re = _TOKEN_RE
     istok_lut = _ISTOK_LUT
+    uni_token_re = _UNI_TOKEN_RE
 
     def __init__(self) -> None:
         self._stem_memo: dict[str, str] = {}
@@ -86,8 +114,13 @@ class _BaseAnalyzer:
         return frame
 
     def _analyze_base(self, text: str) -> list[tuple[str, int]]:
+        # ASCII rides the exact fast-path-equivalent regex; non-ASCII takes
+        # the UAX#29-approximating class (tokenize THEN lower, the reference
+        # filter order — unicode lowering can change length, so lowering
+        # per-token keeps offsets/segmentation independent of case)
+        tre = self.token_re if text.isascii() else self.uni_token_re
         out: list[tuple[str, int]] = []
-        for pos, raw in enumerate(self.token_re.findall(text)):
+        for pos, raw in enumerate(tre.findall(text)):
             tok = raw.lower() if self.lowercase else raw
             if tok in self.stop_words:
                 continue
@@ -99,7 +132,10 @@ class _BaseAnalyzer:
     def _memo_stem(self, tok: str) -> str:
         s = self._stem_memo.get(tok)
         if s is None:
-            s = porter_stem(tok)
+            # Porter is defined over ASCII English letters only — non-ASCII
+            # tokens pass through unstemmed (PorterStemmer's own charset
+            # guard leaves them unchanged upstream too)
+            s = porter_stem(tok) if tok.isascii() else tok
             self._stem_memo[tok] = s
         return s
 
@@ -627,6 +663,7 @@ class WhitespaceAnalyzer(_BaseAnalyzer):
     lowercase = False
     token_re = re.compile(r"\S{1,255}")
     istok_lut = _WS_LUT
+    uni_token_re = token_re  # \S is already unicode-correct
 
 
 class KeywordAnalyzer(_BaseAnalyzer):

@@ -165,12 +165,12 @@ def test_tokengraph_batch_matches_perrow_hypothesis():
 
 
 # --- unicode goldens: the per-row reference path's MEASURED behavior ---------
-# The tokenizer is the ASCII class [0-9A-Za-z_] (with embedded apostrophes),
-# NOT UAX#29: non-ASCII letters are token BREAKS. This is a documented
-# deviation from StandardTokenizer for multilingual corpora (SURVEY §7 risk
-# 5) — these goldens certify the behavior is at least deterministic, batch
-# == per-row consistent, and position-correct, so downstream phrase/norm
-# semantics stay exact on mixed corpora.
+# Non-ASCII input routes to _UNI_TOKEN_RE, a UAX#29 approximation of
+# StandardTokenizer's word-break classes: unicode letter/digit/mark runs
+# (with embedded apostrophes), per-character Han/Hiragana tokens
+# (IDEOGRAPHIC/HIRAGANA), Katakana/Hangul/Cyrillic runs. These goldens pin
+# the measured segmentation; residual deviations from full UAX#29 are
+# documented at the regex definition (analyzer.py).
 
 import pandas as pd  # noqa: E402
 import pytest  # noqa: E402
@@ -178,13 +178,23 @@ import pytest  # noqa: E402
 
 UNICODE_GOLDENS = [
     # (input, [(term, pos), ...]) — SimpleAnalyzer (lower, no stop/stem)
-    ("café naïve", [("caf", 0), ("na", 1), ("ve", 2)]),
-    ("Übung straße", [("bung", 0), ("stra", 1), ("e", 2)]),
-    ("日本語 テスト", []),          # CJK: no ASCII runs
-    ("mixed ascii café end", [("mixed", 0), ("ascii", 1), ("caf", 2), ("end", 3)]),
-    ("Москва test", [("test", 0)]),
-    ("étude", [("e", 0), ("tude", 1)]),               # NFD combining acute splits
-    ("don’t stop", [("don’t", 0), ("stop", 1)]),  # embedded curly apostrophe kept
+    ("caf\u00e9 na\u00efve", [("caf\u00e9", 0), ("na\u00efve", 1)]),
+    ("\u00dcbung stra\u00dfe", [("\u00fcbung", 0), ("stra\u00dfe", 1)]),
+    # Han + Hiragana: one token per char; Katakana: a run
+    ("\u65e5\u672c\u8a9e \u30c6\u30b9\u30c8",
+     [("\u65e5", 0), ("\u672c", 1), ("\u8a9e", 2), ("\u30c6\u30b9\u30c8", 3)]),
+    ("mixed ascii caf\u00e9 end",
+     [("mixed", 0), ("ascii", 1), ("caf\u00e9", 2), ("end", 3)]),
+    ("\u041c\u043e\u0441\u043a\u0432\u0430 test",
+     [("\u043c\u043e\u0441\u043a\u0432\u0430", 0), ("test", 1)]),
+    # NFD combining acute (U+0301) stays inside the run (UAX#29 Extend)
+    ("e\u0301tude", [("e\u0301tude", 0)]),
+    # embedded curly apostrophe kept (MidLetter)
+    ("don\u2019t stop", [("don\u2019t", 0), ("stop", 1)]),
+    ("\ud55c\uad6d\uc5b4 \uc870\uc0ac test",
+     [("\ud55c\uad6d\uc5b4", 0), ("\uc870\uc0ac", 1), ("test", 2)]),
+    ("\u3072\u3089\u304c\u306a",
+     [("\u3072", 0), ("\u3089", 1), ("\u304c", 2), ("\u306a", 3)]),
 ]
 
 

@@ -5,7 +5,7 @@ The driver entries (ft_asciifold_topk / ft_possessive_topk) certify the
 query-side chain against DuckDB on the ASCII corpus (where the corpus side
 is identity); these tests certify the NONTRIVIAL corpus-side behavior —
 accented/ligature/possessive documents — including the pre-fold's token
-re-joining ("café" is ONE token under asciifold, two under simple) and
+re-joining ("café" folds to ascii "cafe"; unfolded engines keep "café") and
 batch == per-row == Arrow-input equality across dispatch paths."""
 
 import numpy as np
@@ -20,8 +20,8 @@ FOLD_GOLDENS = [
     # ligatures beyond strip_accents: expansion keeps a single token
     ("Æsir œuvre straße Ĳs", [("aesir", 0), ("oeuvre", 1), ("strasse", 2), ("ijs", 3)]),
     ("ASCII only merge batch", [("ascii", 0), ("only", 1), ("merge", 2), ("batch", 3)]),
-    # fold-before-tokenize: the accented word is ONE token (SimpleAnalyzer
-    # would split "café" → "caf" at the non-ASCII byte)
+    # fold-before-tokenize: the accented word folds to pure ASCII, so
+    # searching "resume" matches (unfolded engines index "résumé" verbatim)
     ("résumé étude", [("resume", 0), ("etude", 1)]),
     ("", []),
 ]
