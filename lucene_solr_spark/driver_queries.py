@@ -100,6 +100,13 @@ TOTAL_HITS_TERMS = ["vector", "stream", "filter"]
 TOTAL_HITS_THRESHOLD = 250
 AFTER_UPDATE_TERMS = ["vector", "stream", "refresh"]
 HIGHLIGHT_TERMS = ["merge", "batch"]
+RERANK_MAIN = ["vector", "stream", "filter"]
+RERANK_RR = ["merge", "batch"]
+RERANK_DOCS = 50
+RERANK_W = 2.0
+# elevation config: ids pinned in THIS order; the last is absent from every
+# SF (certifies the unknown-id drop path)
+ELEVATE_IDS = [7, 3, 999999999]
 # Solr function-query expression exercising arithmetic (sum/product/div),
 # conditional (if), termfreq ×2, norm(), a bare field ref, docfreq + idf
 # index scalars, and scale() as the outermost full-pass rescale
@@ -174,6 +181,18 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_funcexpr_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).function_expr_topk(FUNCEXPR, k=10)
+    # ReRank query: first-pass BM25 top-N, rescore candidates matching the
+    # rerank query as first + reRankWeight*rerank (ReRankQParserPlugin)
+    out["ft_rerank_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).rerank_topk(
+        "or3", RERANK_MAIN, "and2", RERANK_RR,
+        rerank_docs=RERANK_DOCS, weight=RERANK_W, k=10,
+    )
+    # Query elevation: configured ids pinned to the top in config order
+    out["ft_elevate_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).elevate_topk("or3", RERANK_MAIN, ELEVATE_IDS, k=10)
     # ClassicSimilarity (TF-IDF) — pluggable similarity over the same index
     out["ft_tfidf_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -246,6 +265,19 @@ def fulltext_oracles() -> dict[str, str]:
         parse_fixture_query(ANALYZERS["simple"](), "or3", FILTER_TERMS, 0),
         10,
         filter_pred=f"source = '{FILTER_SOURCE}'",
+    )
+    from .oracles import elevate_topk_sql, rerank_topk_sql
+
+    out["ft_rerank_topk"] = rerank_topk_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), "or3", RERANK_MAIN, 0),
+        parse_fixture_query(ANALYZERS["simple"](), "and2", RERANK_RR, 0),
+        RERANK_DOCS, RERANK_W, 10,
+    )
+    out["ft_elevate_topk"] = elevate_topk_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), "or3", RERANK_MAIN, 0),
+        ELEVATE_IDS, 10,
     )
     out["ft_dismax_topk"] = dismax_topk_sql("simple", DISMAX_TERMS, DISMAX_TIE, 10)
     out["ft_mlt_topk"] = mlt_topk_sql("simple", MLT_SRC_DOC, 5, 10)
@@ -355,7 +387,10 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
 # window; they remain registered and locally gated by tools/check_entry.py.
 PRIORITY_ORDER = [
     # fulltext: one slot per operator, not per fixture
-    "ft_term_topk", "ft_and2_topk", "ft_or_minshould_topk", "ft_andnot_topk",
+    # ft_and2_topk rotated out for ft_rerank_topk in r3 (pure conjunction
+    # stays certified by ft_andnot's MUST clauses and by the rerank entry's
+    # own and2 rerank query; rerank certifies the NEW QueryRescorer surface)
+    "ft_term_topk", "ft_rerank_topk", "ft_or_minshould_topk", "ft_andnot_topk",
     "ft_phrase_topk", "ft_stop_phrase_hole_topk", "ft_sloppy_phrase_topk",
     # ft_set_topk rotated out for ft_dfr_topk in r3 (TermInSet stays
     # pass-local-gated; DFR certifies the SimilarityBase dispatch family)

@@ -479,6 +479,92 @@ class DocumentsEngine:
             .orderBy("rank")
         )
 
+    def rerank_topk(
+        self,
+        main_qtype: str,
+        main_terms: list[str],
+        rr_qtype: str,
+        rr_terms: list[str],
+        rerank_docs: int = 50,
+        weight: float = 2.0,
+        k: int = 10,
+    ) -> DataFrame:
+        """ReRank query (``S/search/ReRankQParserPlugin`` /
+        ``L/queries/.../QueryRescorer#combine``): first-pass BM25
+        top-``rerank_docs``; candidates also matching the rerank query are
+        rescored ``first + reRankWeight * rerank_score`` (f32 per-op);
+        non-matching candidates keep the first-pass score; final (score
+        desc, doc asc) top-k.
+
+        Scale shape: the combine step runs on the driver-held top-N TopDocs
+        — exactly the reference's in-memory rescore, N small by API contract
+        (Solr default 200) — while the rerank query itself is scored
+        DISTRIBUTED and candidate-restricted per segment (filter_by_base
+        rides the kernel closure; no second full posting scan)."""
+        import numpy as np
+
+        s = self.searcher
+        first = s.search(
+            s.parse(main_qtype, main_terms), k=rerank_docs, with_keys=True
+        )
+        frows = first.select("doc_id", "doc_key", "score").collect()
+        schema = "rank int, doc_id long, score float"
+        if not frows:
+            return self.spark.createDataFrame([], schema)
+        gdocs = np.sort(np.array([r.doc_id for r in frows], dtype=np.int64))
+        layout = s.seg_norms.select("base", "n").collect()
+        fbb = {
+            int(r.base): gdocs[(gdocs >= r.base) & (gdocs < r.base + r.n)] - r.base
+            for r in layout
+        }
+        rr = s.search(
+            s.parse(rr_qtype, rr_terms), k=len(frows), filter_by_base=fbb
+        )
+        rrmap = {int(r.doc_id): np.float32(r.score) for r in rr.collect()}
+        w = np.float32(weight)
+        scored = []
+        for r in frows:
+            sc = np.float32(r.score)
+            rrs = rrmap.get(int(r.doc_id))
+            if rrs is not None:
+                sc = sc + w * rrs  # f32 per-op: mul rounds, then add rounds
+            scored.append((sc, int(r.doc_key)))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        rows = [
+            (i + 1, dk, float(sc)) for i, (sc, dk) in enumerate(scored[:k])
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    def elevate_topk(
+        self, qtype: str, surface_terms: list[str], elevated: list[int],
+        k: int = 10,
+    ) -> DataFrame:
+        """Query elevation (``S/handler/component/QueryElevationComponent``):
+        configured doc ids pinned to the top in config order (ids present in
+        the corpus only), organic BM25 ranking following with the elevated
+        docs removed. Output (rank, doc_id, elevated-flag) — flag mirrors
+        Solr's ``[elevated]`` transformer."""
+        base = self.topk(qtype, surface_terms, k=k + len(elevated))
+        brows = base.collect()
+        present = {
+            int(r.doc_key)
+            for r in self.searcher.docs.filter(
+                F.col("doc_key").isin([int(d) for d in elevated])
+            ).select("doc_key").collect()
+        }
+        out: list[tuple[int, int]] = []
+        for d in elevated:
+            if int(d) in present:
+                out.append((int(d), 1))
+        elev_set = {int(d) for d in elevated}
+        for r in brows:
+            if int(r.doc_id) not in elev_set:
+                out.append((int(r.doc_id), 0))
+        rows = [(i + 1, d, e) for i, (d, e) in enumerate(out[:k])]
+        return self.spark.createDataFrame(
+            rows, "rank int, doc_id long, elevated int"
+        )
+
     def total_hits(
         self, qtype: str, surface_terms: list[str], threshold: int = 1000,
         min_should: int = 0,

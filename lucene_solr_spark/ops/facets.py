@@ -458,6 +458,40 @@ SELECT bucket, sub_bucket, cnt, sum_price, sub_rank FROM (
 ) WHERE sub_rank <= 2 ORDER BY bucket, sub_rank"""
 
 
+# --- interval facet: arbitrary open/closed intervals (IntervalFacets) -------
+
+def facet_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval facet (``S/request/IntervalFacets.java``, ``facet.interval``):
+    arbitrary ``[a,b)`` / ``[a,b]`` / ``(a,*]`` intervals with open/closed
+    ends — and OVERLAP allowed (a doc counts in every interval containing
+    it), which range facet's disjoint fixed-gap buckets can't express.
+
+    Scale shape: ONE pass — every interval is a conditional sum inside a
+    single partial+final aggregate; adding intervals adds columns, not
+    scans."""
+    orders = _t(spark, sf_dir, "orders")
+    c = F.col("o_totalprice")
+    ivals = {
+        "i_lo": (c >= 0) & (c < 50000),            # [0,50000)
+        "i_mid": (c >= 50000) & (c <= 150000),     # [50000,150000]
+        "i_hi": c > 150000,                        # (150000,*]
+        "i_overlap": (c >= 0) & (c <= 100000),     # [0,100000] — overlaps both
+    }
+    return orders.agg(*[
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        for name, cond in ivals.items()
+    ])
+
+
+FACET_INTERVAL_SQL = """
+SELECT sum(CASE WHEN o_totalprice >= 0 AND o_totalprice < 50000 THEN 1 ELSE 0 END)::BIGINT AS i_lo,
+       sum(CASE WHEN o_totalprice >= 50000 AND o_totalprice <= 150000 THEN 1 ELSE 0 END)::BIGINT AS i_mid,
+       sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)::BIGINT AS i_hi,
+       sum(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 100000 THEN 1 ELSE 0 END)::BIGINT AS i_overlap
+FROM orders"""
+
+
+register("facet_interval", facet_interval, FACET_INTERVAL_SQL)
 register("facet_nested", facet_nested, FACET_NESTED_SQL)
 register("facet_percentile", facet_percentile, FACET_PERCENTILE_SQL)
 register("facet_percentile_approx", facet_percentile_approx, _pct_approx_sql())

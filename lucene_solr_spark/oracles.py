@@ -501,13 +501,14 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
-def bm25_topk_sql(
-    analyzer: str, spec: BooleanSpec, k: int, offset: int = 0,
-    filter_pred: str | None = None,
+def _bm25_match_ctes(
+    spec: BooleanSpec, p: str = "", filter_pred: str | None = None,
 ) -> str:
-    """Full BM25 boolean/phrase top-k — bitwise float32 parity with the
-    engine's kernels (per-clause f32 score, Σ in double, one f32 cast,
-    (score desc, doc_id asc) tiebreak, minShouldMatch, MUST_NOT)."""
+    """CTE-fragment builder shared by ``bm25_topk_sql`` and composite
+    oracles (rerank/elevate): emits ``{p}cs0.. , {p}hits, {p}match`` where
+    ``{p}match(doc_id, score)`` holds every doc MATCHING ``spec`` with its
+    f32 BM25 score (boolean occur/minShouldMatch/MUST_NOT applied). The
+    prefix keeps two independent query trees in one WITH clause."""
     clause_ctes: list[str] = []
     clause_selects: list[str] = []
     ci = 0
@@ -529,19 +530,19 @@ def bm25_topk_sql(
                     f"EXISTS (SELECT 1 FROM kept WHERE term = '{t}')" for t in terms
                 )
                 clause_ctes.append(f"""
-ph{ci} AS (
+{p}ph{ci} AS (
     SELECT k0.doc_id, count(*)::BIGINT AS tf
     FROM kept k0 {' '.join(joins)}
     WHERE k0.term = '{terms[0]}'
     GROUP BY k0.doc_id
 ),
-cs{ci} AS (
+{p}cs{ci} AS (
     SELECT p.doc_id,
            CAST(CAST({idf_sum} AS FLOAT)
                 * CAST(p.tf::DOUBLE / (p.tf::DOUBLE + CAST(c.cache AS DOUBLE)) AS FLOAT)
             AS FLOAT) AS s,
            {is_must} AS is_must
-    FROM ph{ci} p JOIN cachec c USING (doc_id), statsf st
+    FROM {p}ph{ci} p JOIN cachec c USING (doc_id), statsf st
     WHERE {exists}
 )""")
             else:
@@ -553,7 +554,7 @@ cs{ci} AS (
                     f"(CAST({boost!r} AS FLOAT) * {_idf_expr(t)})"
                 )
                 clause_ctes.append(f"""
-cs{ci} AS (
+{p}cs{ci} AS (
     SELECT k.doc_id,
            CAST({w_expr}
                 * CAST(count(*)::DOUBLE / (count(*)::DOUBLE + CAST(any_value(c.cache) AS DOUBLE)) AS FLOAT)
@@ -563,11 +564,14 @@ cs{ci} AS (
     WHERE k.term = '{t}'
     GROUP BY k.doc_id, st.doc_count
 )""")
-            clause_selects.append(f"SELECT doc_id, s, is_must FROM cs{ci}")
+            clause_selects.append(f"SELECT doc_id, s, is_must FROM {p}cs{ci}")
             ci += 1
 
     if ci == 0:
-        return "SELECT 1::INTEGER AS rank, 1::BIGINT AS doc_id, 1.0::FLOAT AS score WHERE FALSE"
+        return (
+            f"{p}match AS (SELECT 1::BIGINT AS doc_id, 1.0::FLOAT AS score "
+            "WHERE FALSE)"
+        )
 
     n_must = len(spec.must)
     msm = spec.min_should_match
@@ -587,20 +591,36 @@ cs{ci} AS (
             f" AND h.doc_id IN (SELECT doc_id FROM documents WHERE {filter_pred})"
         )
 
-    return f"""WITH {base_ctes(analyzer)},{','.join(clause_ctes)},
-clause_scores AS ({' UNION ALL '.join(clause_selects)}),
-hits AS (
+    return f"""{','.join(clause_ctes)},
+{p}clause_scores AS ({' UNION ALL '.join(clause_selects)}),
+{p}hits AS (
     SELECT doc_id,
            CAST(sum(CAST(s AS DOUBLE)) AS FLOAT) AS score,
            sum(CASE WHEN is_must THEN 1 ELSE 0 END) AS n_must,
            sum(CASE WHEN is_must THEN 0 ELSE 1 END) AS n_should
-    FROM clause_scores GROUP BY doc_id
-)
-SELECT (rank - {offset})::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
-    SELECT row_number() OVER (ORDER BY h.score DESC, h.doc_id ASC) AS rank,
-           h.doc_id, h.score
-    FROM hits h
+    FROM {p}clause_scores GROUP BY doc_id
+),
+{p}match AS (
+    SELECT h.doc_id, h.score FROM {p}hits h
     WHERE n_must = {n_must} {msm_clause} {mn_clause}
+)"""
+
+
+def bm25_topk_sql(
+    analyzer: str, spec: BooleanSpec, k: int, offset: int = 0,
+    filter_pred: str | None = None,
+) -> str:
+    """Full BM25 boolean/phrase top-k — bitwise float32 parity with the
+    engine's kernels (per-clause f32 score, Σ in double, one f32 cast,
+    (score desc, doc_id asc) tiebreak, minShouldMatch, MUST_NOT)."""
+    frag = _bm25_match_ctes(spec, "", filter_pred)
+    if frag.startswith("match AS ("):  # empty spec
+        return "SELECT 1::INTEGER AS rank, 1::BIGINT AS doc_id, 1.0::FLOAT AS score WHERE FALSE"
+    return f"""WITH {base_ctes(analyzer)},{frag}
+SELECT (rank - {offset})::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+           doc_id, score
+    FROM match
 ) WHERE rank > {offset} AND rank <= {offset} + {k} ORDER BY rank"""
 
 
@@ -817,4 +837,64 @@ tsx AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM kept GROUP BY ter
 SELECT rank::INTEGER AS rank, term, df FROM (
     SELECT row_number() OVER (ORDER BY df DESC, term ASC) AS rank, term, df
     FROM tsx WHERE {pred}
+) WHERE rank <= {k} ORDER BY rank"""
+
+
+def rerank_topk_sql(
+    analyzer: str, main_spec: BooleanSpec, rr_spec: BooleanSpec,
+    rerank_docs: int, weight: float, k: int,
+) -> str:
+    """ReRank oracle (``S/search/ReRankQParserPlugin`` /
+    ``L/queries/.../QueryRescorer#combine``): first-pass BM25 ranking, top
+    ``rerank_docs`` candidates, combined = first + weight * rerank for
+    candidates matching the rerank query (f32 per-op, engine lockstep),
+    unmatched candidates keep the first-pass score; (score desc, doc_id
+    asc) final tiebreak."""
+    mfrag = _bm25_match_ctes(main_spec, "m")
+    rfrag = _bm25_match_ctes(rr_spec, "r")
+    return f"""WITH {base_ctes(analyzer)},{mfrag},{rfrag},
+mranked AS (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r, doc_id, score
+    FROM mmatch
+),
+cand AS (SELECT doc_id, score FROM mranked WHERE r <= {rerank_docs}),
+comb AS (
+    SELECT c.doc_id,
+           CASE WHEN rm.doc_id IS NULL THEN c.score
+                ELSE CAST(c.score + CAST({float(weight)!r} AS FLOAT) * rm.score AS FLOAT)
+           END AS score
+    FROM cand c LEFT JOIN rmatch rm ON rm.doc_id = c.doc_id
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+    FROM comb
+) WHERE rank <= {k} ORDER BY rank"""
+
+
+def elevate_topk_sql(
+    analyzer: str, spec: BooleanSpec, elevated: list[int], k: int,
+) -> str:
+    """Query-elevation oracle (``S/handler/component/QueryElevationComponent``):
+    configured doc ids pinned to the top in config order (present-in-corpus
+    ones only — Solr drops unknown ids), the organic BM25 ranking following
+    with elevated docs removed from it."""
+    mfrag = _bm25_match_ctes(spec, "m")
+    elev_rows = ", ".join(f"({int(d)}, {i + 1})" for i, d in enumerate(elevated))
+    return f"""WITH {base_ctes(analyzer)},{mfrag},
+elev(doc_id, eord) AS (VALUES {elev_rows}),
+pres AS (
+    SELECT e.doc_id, e.eord FROM elev e JOIN documents d ON d.doc_id = e.doc_id
+),
+organic AS (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+    FROM mmatch WHERE doc_id NOT IN (SELECT doc_id FROM elev)
+),
+unioned AS (
+    SELECT doc_id, 1 AS elevated, eord AS o1, 0::BIGINT AS o2 FROM pres
+    UNION ALL
+    SELECT doc_id, 0 AS elevated, 2147483647 AS o1, r AS o2 FROM organic
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, elevated::INTEGER AS elevated FROM (
+    SELECT row_number() OVER (ORDER BY o1 ASC, o2 ASC) AS rank, doc_id, elevated
+    FROM unioned
 ) WHERE rank <= {k} ORDER BY rank"""
