@@ -155,6 +155,16 @@ def main() -> None:
             lambda: eng.highlight_topk("and2", ["merge", "batch"], k=10).collect())
         timings["q_suggest"] = _best_of(
             lambda: eng.suggest("prefix", "s", k=10).collect())
+        timings["q_rerank"] = _best_of(
+            lambda: eng.rerank_topk(
+                "or3", ["vector", "stream", "filter"], "and2", ["merge", "batch"],
+                rerank_docs=50, weight=2.0, k=10,
+            ).collect())
+        timings["q_funcexpr"] = _best_of(
+            lambda: eng.function_expr_topk(
+                "scale(sum(product(2, termfreq(text,'merge')),"
+                " product(idf(text,'batch'), 0.125)), 0, 20)", k=10
+            ).collect())
 
         # --- training-pipeline ops ---
         from lucene_solr_spark.ops.dedup import dedup_minhash_lsh

@@ -107,6 +107,10 @@ RERANK_W = 2.0
 # elevation config: ids pinned in THIS order; the last is absent from every
 # SF (certifies the unknown-id drop path)
 ELEVATE_IDS = [7, 3, 999999999]
+# spellcheck inputs: two misspellings + one correctly spelled term (its own
+# distance-0 best) — collation = corrected conjunction, hit-count verified
+SPELL_TERMS = ["vektor", "stream", "fliter"]
+TV_DOC = 42
 # Solr function-query expression exercising arithmetic (sum/product/div),
 # conditional (if), termfreq ×2, norm(), a bare field ref, docfreq + idf
 # index scalars, and scale() as the outermost full-pass rescale
@@ -193,6 +197,14 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_elevate_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).elevate_topk("or3", RERANK_MAIN, ELEVATE_IDS, k=10)
+    # SpellCheck collation: best correction per term + verified hit count
+    out["ft_spellcheck_collate"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).spellcheck_collate(SPELL_TERMS, max_edits=2)
+    # Term vectors: one doc's full term vector read from the index postings
+    out["ft_termvectors"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).term_vectors(TV_DOC)
     # ClassicSimilarity (TF-IDF) — pluggable similarity over the same index
     out["ft_tfidf_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -279,6 +291,12 @@ def fulltext_oracles() -> dict[str, str]:
         parse_fixture_query(ANALYZERS["simple"](), "or3", RERANK_MAIN, 0),
         ELEVATE_IDS, 10,
     )
+    from .oracles import spellcheck_collate_sql, term_vectors_sql
+
+    out["ft_spellcheck_collate"] = spellcheck_collate_sql(
+        "simple", [ANALYZERS["simple"]().analyze(s)[0][0] for s in SPELL_TERMS], 2
+    )
+    out["ft_termvectors"] = term_vectors_sql("simple", TV_DOC)
     out["ft_dismax_topk"] = dismax_topk_sql("simple", DISMAX_TERMS, DISMAX_TIE, 10)
     out["ft_mlt_topk"] = mlt_topk_sql("simple", MLT_SRC_DOC, 5, 10)
     out["ft_page2_topk"] = bm25_topk_sql(
@@ -395,7 +413,13 @@ PRIORITY_ORDER = [
     # ft_set_topk rotated out for ft_dfr_topk in r3 (TermInSet stays
     # pass-local-gated; DFR certifies the SimilarityBase dispatch family)
     "ft_wildcard_topk", "ft_dfr_topk", "ft_dismax_topk",
-    "ft_boost_topk", "ft_filter_topk", "ft_mlt_topk", "ft_page2_topk",
+    # ft_boost_topk rotated out for ft_spellcheck_collate in r3 (boost stays
+    # certified inside the scored ft_rerank_topk weight path and the dismax
+    # tie term; spellcheck certifies the NEW DirectSpellChecker/collation
+    # surface). ft_page2_topk rotated out for ft_termvectors (searchAfter
+    # rides the identical top-k kernel as ft_term_topk and stays
+    # pass-local-gated; termvectors certifies the NEW postings-read surface).
+    "ft_spellcheck_collate", "ft_filter_topk", "ft_mlt_topk", "ft_termvectors",
     "ft_blockjoin_source", "ft_docs_norms", "ft_total_hits",
     # ft_tfidf_topk rotated out for ft_funcexpr_topk in r3 (Classic TF-IDF
     # stays pass-local-gated; the similarity-dispatch family is certified by

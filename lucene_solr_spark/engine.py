@@ -376,6 +376,137 @@ class DocumentsEngine:
             .orderBy("rank")
         )
 
+    def spellcheck_collate(
+        self, surface_terms: list[str], max_edits: int = 2
+    ) -> DataFrame:
+        """SpellCheck collation (``S/spelling/SpellCheckCollator`` +
+        ``S/spelling/DirectSolrSpellChecker`` over ``L/search/spell/
+        DirectSpellChecker``): per query term, the best dictionary
+        correction within ``max_edits`` by (edit distance asc, docFreq
+        desc, term asc) — a correctly spelled term is its own distance-0
+        best — then the collated conjunction is re-run and its exact hit
+        count reported (Solr's collation verification).
+
+        Scale shape: ONE pruned term_stats scan scores every (query term ×
+        dictionary term) pair with the query side a broadcast literal
+        frame; best-per-term is a window over the tiny candidate set; the
+        collation count is the distributed count path — no driver-side
+        dictionary."""
+        from pyspark.sql import Window
+
+        from .index.build import KEYWORD_PREFIX
+        from .search.query import BooleanSpec, TermClause
+
+        an = self.searcher.analyzer
+        toks = [an.analyze(s)[0][0] for s in surface_terms]
+        q = self.spark.createDataFrame(
+            [(i, t) for i, t in enumerate(toks)], "qpos int, qterm string"
+        )
+        ts = (
+            self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+            .filter(~F.col("term").startswith(KEYWORD_PREFIX))
+        )
+        cand = ts.join(
+            F.broadcast(q),
+            F.levenshtein(F.col("term"), F.col("qterm")) <= max_edits,
+        ).withColumn("dist", F.levenshtein(F.col("term"), F.col("qterm")))
+        w = Window.partitionBy("qpos").orderBy(
+            F.asc("dist"), F.desc("df"), F.asc("term")
+        )
+        best = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("qpos", "qterm", F.col("term").alias("correction"),
+                    "dist", "df")
+        )
+        rows = sorted(best.collect(), key=lambda r: r.qpos)
+        spec = BooleanSpec(must=[TermClause(r.correction) for r in rows])
+        # exact count via the TotalHits COUNT kernel (a top-k search would
+        # WAND-prune per segment and undercount)
+        n_hits, _rel = self.searcher.total_hits(spec, threshold=1 << 31)
+        out = [
+            (int(r.qpos), r.qterm, r.correction, int(r.dist), int(r.df),
+             int(n_hits))
+            for r in rows
+        ]
+        return self.spark.createDataFrame(
+            out,
+            "qpos int, qterm string, correction string, dist int, "
+            "df long, collation_hits long",
+        )
+
+    def term_vectors(self, doc_key: int) -> DataFrame:
+        """Term-vector read (``S/handler/component/TermVectorComponent``,
+        ``L/index/TermVectors``): one document's full term vector — per-term
+        tf and position extent — READ FROM THE INDEX postings, not by
+        re-analyzing the stored text.
+
+        Scale shape: the postings scan is pruned to the doc's segment and —
+        before ANY varint decode — to terms with a block whose
+        [first_doc, last_doc] covers the doc (the same skip-data metadata
+        WAND uses; at most one block per term decodes). Internal keyword
+        posting lists are excluded."""
+        from .index.build import KEYWORD_PREFIX
+
+        s = self.searcher
+        row = (
+            s.docs.filter(F.col("doc_key") == int(doc_key))
+            .select("seg", "doc_id").collect()
+        )
+        schema = "term string, tf long, min_pos int, max_pos int"
+        if not row:
+            return self.spark.createDataFrame([], schema)
+        seg = int(row[0].seg)
+        base = {
+            int(r.seg): int(r.base)
+            for r in s.seg_norms.select("seg", "base").collect()
+        }
+        local = int(row[0].doc_id) - base[seg]
+        posts = s.postings.filter(
+            (F.col("seg") == seg)
+            & ~F.col("term").startswith(KEYWORD_PREFIX)
+            & F.exists(
+                "blocks",
+                lambda b: (b.first_doc <= F.lit(local))
+                & (b.last_doc >= F.lit(local)),
+            )
+        ).select("term", "blocks")
+
+        def kern(it):
+            import numpy as np
+            import pandas as pd
+
+            from .index.codec import decode_block
+
+            for pdf in it:
+                terms: list[str] = []
+                tfs: list[int] = []
+                mns: list[int] = []
+                mxs: list[int] = []
+                for term, blocks in zip(pdf["term"], pdf["blocks"]):
+                    for b in blocks:
+                        if not (b["first_doc"] <= local <= b["last_doc"]):
+                            continue
+                        docs, tfv, pos = decode_block(b, with_positions=True)
+                        i = int(np.searchsorted(docs, local))
+                        if i < len(docs) and docs[i] == local:
+                            splits = np.zeros(len(tfv) + 1, dtype=np.int64)
+                            np.cumsum(tfv, out=splits[1:])
+                            pp = pos[splits[i]:splits[i + 1]]
+                            terms.append(term)
+                            tfs.append(int(tfv[i]))
+                            mns.append(int(pp.min()))
+                            mxs.append(int(pp.max()))
+                        break  # ≤1 block can cover a local id
+                yield pd.DataFrame({
+                    "term": pd.Series(terms, dtype=object),
+                    "tf": pd.Series(tfs, dtype="int64"),
+                    "min_pos": pd.Series(mns, dtype="int32"),
+                    "max_pos": pd.Series(mxs, dtype="int32"),
+                })
+
+        return posts.mapInPandas(kern, schema).orderBy("term")
+
     def function_query_topk(self, surface_term: str, k: int = 10) -> DataFrame:
         """Rank by the ``termfreq(text, term)`` ValueSource (function query
         as sort) — (rank, doc_id, tf) keyed on the source doc id."""

@@ -898,3 +898,51 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, elevated::INTEGER AS ele
     SELECT row_number() OVER (ORDER BY o1 ASC, o2 ASC) AS rank, doc_id, elevated
     FROM unioned
 ) WHERE rank <= {k} ORDER BY rank"""
+
+def spellcheck_collate_sql(
+    analyzer: str, qterms: list[str], max_edits: int,
+) -> str:
+    """SpellCheck collation oracle (``S/spelling/SpellCheckCollator`` /
+    ``DirectSolrSpellChecker``): per query term the best dictionary entry by
+    (levenshtein asc, df desc, term asc) within ``max_edits``; the collated
+    conjunction's exact hit count rides every row (Solr's verified
+    collation)."""
+    q_rows = ", ".join(f"({i}, '{t}')" for i, t in enumerate(qterms))
+    return f"""WITH {base_ctes(analyzer)},
+dict AS (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM kept GROUP BY term
+),
+q(qpos, qterm) AS (VALUES {q_rows}),
+cand AS (
+    SELECT q.qpos, q.qterm, d.term, levenshtein(d.term, q.qterm) AS dist, d.df
+    FROM q JOIN dict d ON levenshtein(d.term, q.qterm) <= {max_edits}
+),
+best AS (
+    SELECT qpos, qterm, term AS correction, dist, df FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qpos ORDER BY dist ASC, df DESC, term ASC
+        ) AS rn FROM cand
+    ) WHERE rn = 1
+),
+coll AS (
+    SELECT count(*)::BIGINT AS hits FROM (
+        SELECT k.doc_id FROM kept k JOIN best b ON k.term = b.correction
+        GROUP BY k.doc_id
+        HAVING count(DISTINCT k.term) = (SELECT count(*) FROM best)
+    )
+)
+SELECT b.qpos::INTEGER AS qpos, b.qterm, b.correction,
+       b.dist::INTEGER AS dist, b.df::BIGINT AS df,
+       (SELECT hits FROM coll)::BIGINT AS collation_hits
+FROM best b ORDER BY qpos"""
+
+
+def term_vectors_sql(analyzer: str, doc_id: int) -> str:
+    """Term-vector oracle (``S/handler/component/TermVectorComponent``):
+    per-term tf + position extent for one doc, recomputed from the token
+    stream the postings indexed."""
+    return f"""WITH {base_ctes(analyzer)}
+SELECT term, count(*)::BIGINT AS tf,
+       min(pos)::INTEGER AS min_pos, max(pos)::INTEGER AS max_pos
+FROM kept WHERE doc_id = {doc_id}
+GROUP BY term ORDER BY term"""
