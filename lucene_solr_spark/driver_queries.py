@@ -14,7 +14,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .engine import get_atomic_engine, get_engine, get_updated_engine
+from .engine import (
+    get_atomic_engine, get_engine, get_rtg_engine, get_updated_engine,
+)
 from .index.build import ANALYZERS
 from .oracles import (
     after_update_topk_sql,
@@ -111,6 +113,12 @@ ELEVATE_IDS = [7, 3, 999999999]
 # distance-0 best) — collation = corrected conjunction, hit-count verified
 SPELL_TERMS = ["vektor", "stream", "fliter"]
 TV_DOC = 42
+TERMS_ENUM = ("s", 5, 15)            # (prefix, mincount, limit)
+# RTG keys: one original corpus doc, one soft-committed appended doc, one
+# absent key (certifies the not-found path)
+RTG_KEYS = [42, 5_000_001, 987_654_321]
+SORTFIELD_Q = ("or3", ["vector", "stream", "filter"])
+BOOSTFUNC_Q = ("and2", ["merge", "batch"])
 # Solr function-query expression exercising arithmetic (sum/product/div),
 # conditional (if), termfreq ×2, norm(), a bare field ref, docfreq + idf
 # index scalars, and scale() as the outermost full-pass rescale
@@ -205,6 +213,23 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_termvectors"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).term_vectors(TV_DOC)
+    # TermsComponent: dictionary enumeration under a prefix (sort=count)
+    out["ft_terms_enum"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).terms_enum(*TERMS_ENUM)
+    # Sort-by-field search (sort=n_chars desc): match set from the query,
+    # order from a stored field, no scoring
+    out["ft_sortfield_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).sorted_topk(SORTFIELD_Q[0], SORTFIELD_Q[1], "n_chars", False, k=10)
+    # Multiplicative boost function (edismax boost= / FunctionScoreQuery)
+    out["ft_boostfunc_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).boostfunc_topk(BOOSTFUNC_Q[0], BOOSTFUNC_Q[1], k=10)
+    # RealTime Get: stored doc by key, soft-committed appends visible
+    out["ft_rtg"] = lambda spark, sf_dir: get_rtg_engine(
+        spark, sf_dir, "simple"
+    ).rtg(RTG_KEYS)
     # ClassicSimilarity (TF-IDF) — pluggable similarity over the same index
     out["ft_tfidf_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -297,6 +322,23 @@ def fulltext_oracles() -> dict[str, str]:
         "simple", [ANALYZERS["simple"]().analyze(s)[0][0] for s in SPELL_TERMS], 2
     )
     out["ft_termvectors"] = term_vectors_sql("simple", TV_DOC)
+    from .oracles import boostfunc_topk_sql, sorted_topk_sql, terms_enum_sql
+
+    out["ft_terms_enum"] = terms_enum_sql("simple", *TERMS_ENUM)
+    out["ft_sortfield_topk"] = sorted_topk_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), SORTFIELD_Q[0], SORTFIELD_Q[1], 0),
+        "n_chars", False, 10,
+    )
+    out["ft_boostfunc_topk"] = boostfunc_topk_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), BOOSTFUNC_Q[0], BOOSTFUNC_Q[1], 0),
+        10,
+    )
+    from .engine import RTG_DOCS
+    from .oracles import rtg_sql
+
+    out["ft_rtg"] = rtg_sql("simple", RTG_DOCS, RTG_KEYS)
     out["ft_dismax_topk"] = dismax_topk_sql("simple", DISMAX_TERMS, DISMAX_TIE, 10)
     out["ft_mlt_topk"] = mlt_topk_sql("simple", MLT_SRC_DOC, 5, 10)
     out["ft_page2_topk"] = bm25_topk_sql(

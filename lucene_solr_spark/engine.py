@@ -710,6 +710,117 @@ class DocumentsEngine:
             [(value, relation)], "value long, relation string"
         )
 
+    def terms_enum(
+        self, prefix: str, mincount: int = 1, limit: int = 20
+    ) -> DataFrame:
+        """TermsComponent (``S/handler/component/TermsComponent`` over
+        ``L/index/TermsEnum``): enumerate dictionary terms under a prefix
+        with their df/ttf, ``terms.mincount`` filter, ``terms.sort=count``
+        order (df desc, term asc), ``terms.limit`` rows.
+
+        Scale shape: one pruned term_stats scan (startswith pushes to the
+        parquet scan as a range predicate on the sorted term column) + one
+        global TakeOrdered over the tiny surviving set."""
+        ts = self.term_stats_df(min_df=mincount)
+        return (
+            ts.filter(F.col("term").startswith(prefix))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(limit)
+            .select("term", F.col("df").cast("long"), F.col("ttf").cast("long"))
+        )
+
+    def sorted_topk(
+        self,
+        qtype: str,
+        surface_terms: list[str],
+        sort_field: str = "n_chars",
+        ascending: bool = False,
+        k: int = 10,
+    ) -> DataFrame:
+        """Sort-by-field search (Solr ``sort=field`` / ``L/search/Sort`` +
+        ``SortField``, /export docvalues sort): the query selects the match
+        set, ordering comes from a stored field, doc id breaks ties —
+        scores are not computed into the order (Lucene skips scoring
+        entirely when the sort needs no score).
+
+        Scale shape: non-score sorts cannot WAND-prune (no impact bound on
+        a stored field), so this is the exact-match kernel emitting every
+        hit, a broadcast join to the pruned (doc_id, field) column read,
+        and ONE global TakeOrdered on (field, doc) — the same plan Solr's
+        /export handler runs per shard."""
+        spec = self.searcher.parse(qtype, surface_terms, 0)
+        hits = self.searcher.hits(
+            self.searcher.compile(spec, k=1 << 30), mode="exact"
+        ).select("doc_id")
+        keys = self.searcher.docs.select("doc_id", "doc_key")
+        src = self.spark.read.parquet(
+            os.path.join(self.sf_dir, "documents.parquet")
+        ).select(F.col("doc_id").alias("doc_key"), sort_field)
+        fld = F.asc(sort_field) if ascending else F.desc(sort_field)
+        top = (
+            hits.join(keys, "doc_id", "left")
+            .join(F.broadcast(src), "doc_key")
+            .orderBy(fld, F.asc("doc_key"))
+            .limit(k)
+        )
+        return (
+            top.coalesce(1)
+            .sortWithinPartitions(fld, F.asc("doc_key"))
+            .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+            .select(
+                "rank",
+                F.col("doc_key").cast("long").alias("doc_id"),
+                F.col(sort_field).cast("long").alias("sortval"),
+            )
+            .orderBy("rank")
+        )
+
+    def boostfunc_topk(
+        self, qtype: str, surface_terms: list[str], k: int = 10
+    ) -> DataFrame:
+        """Multiplicative function boost (edismax ``boost=`` /
+        ``L/queries/function/FunctionScoreQuery``): final score =
+        f32( f64(bm25) · (1 + n_chars/1000) ) — the relevance score of
+        every match re-weighted by a document-value function, then top-k.
+
+        Scale shape: an unbounded multiplicative function admits no
+        block-max impact bound, so — exactly like Lucene's
+        FunctionScoreQuery — every match is scored: exact kernel hits,
+        broadcast join to the pruned (doc_id, n_chars) column, one global
+        TakeOrdered. (A bounded function would re-enable WAND via
+        max-impact · max-func.)"""
+        spec = self.searcher.parse(qtype, surface_terms, 0)
+        hits = self.searcher.hits(
+            self.searcher.compile(spec, k=1 << 30), mode="exact"
+        )
+        keys = self.searcher.docs.select("doc_id", "doc_key")
+        src = self.spark.read.parquet(
+            os.path.join(self.sf_dir, "documents.parquet")
+        ).select(F.col("doc_id").alias("doc_key"), "n_chars")
+        boosted = (
+            hits.join(keys, "doc_id", "left")
+            .join(F.broadcast(src), "doc_key")
+            .withColumn(
+                "bscore",
+                (
+                    F.col("score").cast("double")
+                    * (F.lit(1.0) + F.col("n_chars").cast("double") / F.lit(1000.0))
+                ).cast("float"),
+            )
+        )
+        top = boosted.orderBy(F.desc("bscore"), F.asc("doc_key")).limit(k)
+        return (
+            top.coalesce(1)
+            .sortWithinPartitions(F.desc("bscore"), F.asc("doc_key"))
+            .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+            .select(
+                "rank",
+                F.col("doc_key").cast("long").alias("doc_id"),
+                F.col("bscore").cast("float").alias("score"),
+            )
+            .orderBy("rank")
+        )
+
     def docs_norms(self) -> DataFrame:
         """The per-doc (length, norm) map — Lucene's norms file as a table."""
         return (
@@ -842,5 +953,79 @@ def get_atomic_engine(
     eng = _ENGINES.get(key)
     if eng is None:
         eng = AtomicUpdatedDocumentsEngine(spark, sf_dir, analyzer)
+        _ENGINES[key] = eng
+    return eng  # type: ignore[return-value]
+
+
+# --- RealTime Get fixture (S/handler/component/RealTimeGetComponent) --------
+
+# appended (soft-committed, never in the source parquet) docs: key, source,
+# lang, text — deterministic so the DuckDB oracle can inline them as VALUES
+RTG_BASE_KEY = 5_000_000
+RTG_DOCS = [
+    (RTG_BASE_KEY + 0, "rtg", "en", "realtime get doc zero merge batch stream"),
+    (RTG_BASE_KEY + 1, "rtg", "en", "realtime get doc one vector filter"),
+    (RTG_BASE_KEY + 2, "rtg", "de", "realtime get doc two scan table hash join"),
+]
+
+
+class RTGDocumentsEngine(DocumentsEngine):
+    """The base documents index plus a soft-committed ``append_batch`` of
+    brand-new docs (``RealTimeGetComponent`` / NRT ``openIfChanged``
+    visibility): a get by key must see appended docs immediately — before
+    any merge — and report absence for unknown keys."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, analyzer: str = "simple") -> None:
+        super().__init__(spark, sf_dir, analyzer, variant="rtg1")
+        marker = os.path.join(self.index_dir, "rtg_done")
+        if not os.path.exists(marker):
+            from .index.build import append_batch
+
+            batch = spark.createDataFrame(
+                RTG_DOCS, "doc_key long, source string, lang string, text string"
+            )
+            append_batch(spark, batch, self.index_dir, n_segments=1)
+            with open(marker, "w") as f:
+                f.write("done")
+        self.searcher = IndexSearcher(spark, self.index_dir)  # rebind post-append
+
+    def rtg(self, doc_keys: list[int]) -> DataFrame:
+        """RealTime Get: per requested key, the live stored document —
+        (found flag, stored fields, indexed length) — from the index's doc
+        map, which includes soft-committed appended segments.
+
+        Scale shape: the request keys are a broadcast literal frame joined
+        against the docs map (parquet min/max on the sorted doc_key column
+        prunes untouched segments); no driver-side doc store."""
+        q = self.spark.createDataFrame(
+            [(i, int(k)) for i, k in enumerate(doc_keys)], "qpos int, doc_key long"
+        )
+        d = self.searcher.docs.select("doc_key", "source", "lang", "length")
+        # broadcast SEMI prunes the doc-map scan to the requested keys
+        # (≤len(keys) rows survive), then the tiny hit set broadcasts into
+        # the left join that restores not-found rows
+        hit = d.join(F.broadcast(q.select("doc_key")), "doc_key", "left_semi")
+        return (
+            q.join(F.broadcast(hit), "doc_key", "left")
+            .select(
+                "qpos",
+                "doc_key",
+                F.when(F.col("length").isNotNull(), 1).otherwise(0)
+                .cast("int").alias("found"),
+                "source",
+                "lang",
+                F.col("length").cast("long").alias("length"),
+            )
+            .orderBy("qpos")
+        )
+
+
+def get_rtg_engine(
+    spark: SparkSession, sf_dir: str, analyzer: str = "simple"
+) -> RTGDocumentsEngine:
+    key = (os.path.abspath(sf_dir), analyzer + "+rtg")
+    eng = _ENGINES.get(key)
+    if eng is None:
+        eng = RTGDocumentsEngine(spark, sf_dir, analyzer)
         _ENGINES[key] = eng
     return eng  # type: ignore[return-value]

@@ -506,3 +506,103 @@ register("facet_unique_hll", facet_unique_hll, FACET_UNIQUE_HLL_SQL)
 register("collapse_best_order", collapse_best_order, COLLAPSE_SQL)
 register("collapse_expand", collapse_expand, COLLAPSE_EXPAND_SQL)
 register("group_topk", group_topk, GROUP_TOPK_SQL)
+
+
+# --- terms facet request params: prefix / mincount / limit / missing --------
+
+def facet_terms_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms facet with the full Solr request-param surface
+    (``S/search/facet/FacetField``: ``facet.prefix``, ``facet.mincount``,
+    ``facet.limit``, ``facet.missing``): buckets restricted to a value
+    prefix, small buckets dropped, top-N by (count desc, value asc), plus
+    the trailing missing-count bucket (docs with no field value — counted
+    even when zero, as Solr emits it whenever requested).
+
+    Scale shape: the prefix filter prunes BEFORE the one hash-agg shuffle
+    (Catalyst pushes it into the scan as a range predicate on the
+    dictionary-encoded column); the missing count is a second
+    filter-aggregate over the same scan, unioned driver-free."""
+    part = _t(spark, sf_dir, "part")
+    buckets = (
+        part.filter(F.col("p_brand").startswith("Brand#1"))
+        .groupBy(F.col("p_brand").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 60)
+        .orderBy(F.desc("cnt"), F.asc("bucket"))
+        .limit(8)
+    )
+    missing = part.agg(
+        F.sum(F.when(F.col("p_brand").isNull(), 1).otherwise(0))
+        .cast("long").alias("cnt")
+    ).select(F.lit("__missing__").alias("bucket"), "cnt")
+    return buckets.unionByName(missing)
+
+
+FACET_TERMS_PARAMS_SQL = """
+SELECT bucket, cnt FROM (
+    SELECT p_brand AS bucket, count(*)::BIGINT AS cnt
+    FROM part WHERE p_brand LIKE 'Brand#1%'
+    GROUP BY p_brand HAVING count(*) >= 60
+    ORDER BY cnt DESC, bucket ASC LIMIT 8
+)
+UNION ALL
+SELECT '__missing__' AS bucket,
+       sum(CASE WHEN p_brand IS NULL THEN 1 ELSE 0 END)::BIGINT AS cnt
+FROM part"""
+
+
+register("facet_terms_params", facet_terms_params, FACET_TERMS_PARAMS_SQL)
+
+
+# --- date range facet with Solr date-math endpoints -------------------------
+
+# fixed NOW anchor so both engines derive identical instants
+DATEMATH_NOW = "2024-01-05T13:27:00"
+DATEMATH_START = "NOW/DAY-3DAYS"
+DATEMATH_END = "NOW/DAY+4DAYS"
+
+
+def facet_range_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date range facet whose endpoints are Solr date-math expressions
+    (``S/util/DateMathParser`` + ``S/search/facet/FacetRange`` date path):
+    ``start=NOW/DAY-3DAYS``, ``end=NOW/DAY+4DAYS``, ``gap=+1DAY`` against a
+    fixed NOW — daily buckets with count and value sum.
+
+    Scale shape: the parsed endpoints become plain timestamp literals, so
+    the ts filter pushes to the parquet scan (partition/row-group pruning
+    on a time-partitioned table); one hash-agg on the truncated day."""
+    from datetime import datetime
+
+    from ..util.datemath import parse_date_math
+
+    now = datetime.fromisoformat(DATEMATH_NOW)
+    lo = parse_date_math(DATEMATH_START, now)
+    hi = parse_date_math(DATEMATH_END, now)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# independent endpoint derivation: DuckDB date_trunc + INTERVAL arithmetic
+FACET_RANGE_DATE_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+       count(*)::BIGINT AS cnt,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE ts >= date_trunc('day', TIMESTAMP '2024-01-05 13:27:00') - INTERVAL 3 DAY
+  AND ts <  date_trunc('day', TIMESTAMP '2024-01-05 13:27:00') + INTERVAL 4 DAY
+GROUP BY 1 ORDER BY bucket"""
+
+
+register("facet_range_date", facet_range_date, FACET_RANGE_DATE_SQL)

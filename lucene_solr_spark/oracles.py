@@ -946,3 +946,85 @@ SELECT term, count(*)::BIGINT AS tf,
        min(pos)::INTEGER AS min_pos, max(pos)::INTEGER AS max_pos
 FROM kept WHERE doc_id = {doc_id}
 GROUP BY term ORDER BY term"""
+
+
+def terms_enum_sql(analyzer: str, prefix: str, mincount: int, limit: int) -> str:
+    """TermsComponent oracle (``S/handler/component/TermsComponent``):
+    dictionary terms under a prefix with df/ttf, terms.mincount,
+    terms.sort=count (df desc, term asc), terms.limit."""
+    return f"""WITH {base_ctes(analyzer)}
+SELECT term, df, ttf FROM (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
+    FROM kept WHERE term LIKE '{prefix}%' GROUP BY term
+    HAVING count(DISTINCT doc_id) >= {mincount}
+) ORDER BY df DESC, term ASC LIMIT {limit}"""
+
+
+def sorted_topk_sql(
+    analyzer: str, spec: BooleanSpec, sort_field: str, ascending: bool, k: int,
+) -> str:
+    """Sort-by-field oracle (Solr ``sort=field`` / ``L/search/SortField``):
+    the query picks the match set, a stored field orders it, doc id breaks
+    ties; no score in the output."""
+    frag = _bm25_match_ctes(spec, "")
+    direction = "ASC" if ascending else "DESC"
+    return f"""WITH {base_ctes(analyzer)},{frag}
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, sortval::BIGINT AS sortval FROM (
+    SELECT row_number() OVER (
+               ORDER BY d.{sort_field} {direction}, m.doc_id ASC
+           ) AS rank,
+           m.doc_id, d.{sort_field} AS sortval
+    FROM match m JOIN documents d USING (doc_id)
+) WHERE rank <= {k} ORDER BY rank"""
+
+
+def boostfunc_topk_sql(analyzer: str, spec: BooleanSpec, k: int) -> str:
+    """Multiplicative boost-function oracle (edismax ``boost=`` /
+    ``L/queries/function/FunctionScoreQuery``): score =
+    f32( f64(bm25_f32) · (1 + n_chars/1000) ) — double IEEE ops on both
+    engines, one final f32 cast."""
+    frag = _bm25_match_ctes(spec, "")
+    return f"""WITH {base_ctes(analyzer)},{frag},
+boosted AS (
+    SELECT m.doc_id,
+           CAST(CAST(m.score AS DOUBLE)
+                * (1.0 + d.n_chars::DOUBLE / 1000.0) AS FLOAT) AS score
+    FROM match m JOIN documents d USING (doc_id)
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+    FROM boosted
+) WHERE rank <= {k} ORDER BY rank"""
+
+
+def rtg_sql(
+    analyzer: str,
+    appended: list[tuple[int, str, str, str]],
+    keys: list[int],
+) -> str:
+    """RealTime Get oracle (``S/handler/component/RealTimeGetComponent``):
+    the live corpus = source ``documents`` UNION the soft-committed appended
+    batch (inlined as VALUES, lengths recomputed with the same token rule);
+    each requested key reports (found, stored fields, indexed length)."""
+    app_rows = ", ".join(
+        f"({k}, '{s}', '{lg}', '{t}')" for k, s, lg, t in appended
+    )
+    q_rows = ", ".join(f"({i}, {k})" for i, k in enumerate(keys))
+    return f"""WITH {base_ctes(analyzer)},
+app(doc_key, source, lang, text) AS (VALUES {app_rows}),
+app_len AS (
+    SELECT doc_key, source, lang,
+           len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))::BIGINT AS length
+    FROM app
+),
+live AS (
+    SELECT d.doc_id AS doc_key, d.source, d.lang, dl.length
+    FROM documents d JOIN doclen dl ON dl.doc_id = d.doc_id
+    UNION ALL
+    SELECT doc_key, source, lang, length FROM app_len
+),
+q(qpos, doc_key) AS (VALUES {q_rows})
+SELECT q.qpos::INTEGER AS qpos, q.doc_key::BIGINT AS doc_key,
+       (CASE WHEN l.length IS NOT NULL THEN 1 ELSE 0 END)::INTEGER AS found,
+       l.source, l.lang, l.length::BIGINT AS length
+FROM q LEFT JOIN live l USING (doc_key) ORDER BY qpos"""
