@@ -119,6 +119,8 @@ TERMS_ENUM = ("s", 5, 15)            # (prefix, mincount, limit)
 RTG_KEYS = [42, 5_000_001, 987_654_321]
 SORTFIELD_Q = ("or3", ["vector", "stream", "filter"])
 BOOSTFUNC_Q = ("and2", ["merge", "batch"])
+# SpanFirst: term must end within the first SPANFIRST_END positions
+SPANFIRST = ("merge", 12)
 # Solr function-query expression exercising arithmetic (sum/product/div),
 # conditional (if), termfreq ×2, norm(), a bare field ref, docfreq + idf
 # index scalars, and scale() as the outermost full-pass rescale
@@ -226,6 +228,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_boostfunc_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).boostfunc_topk(BOOSTFUNC_Q[0], BOOSTFUNC_Q[1], k=10)
+    # SpanFirstQuery: term within the first N positions, window-tf scoring
+    out["ft_spanfirst_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).span_first_topk(SPANFIRST[0], SPANFIRST[1], k=10)
     # RealTime Get: stored doc by key, soft-committed appends visible
     out["ft_rtg"] = lambda spark, sf_dir: get_rtg_engine(
         spark, sf_dir, "simple"
@@ -334,6 +340,12 @@ def fulltext_oracles() -> dict[str, str]:
         "simple",
         parse_fixture_query(ANALYZERS["simple"](), BOOSTFUNC_Q[0], BOOSTFUNC_Q[1], 0),
         10,
+    )
+    from .oracles import span_first_topk_sql
+
+    out["ft_spanfirst_topk"] = span_first_topk_sql(
+        "simple", ANALYZERS["simple"]().analyze(SPANFIRST[0])[0][0],
+        SPANFIRST[1], 10,
     )
     from .engine import RTG_DOCS
     from .oracles import rtg_sql

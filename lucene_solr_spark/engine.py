@@ -129,6 +129,22 @@ class DocumentsEngine:
         ])
         return self._present(self.searcher.search(spec, k=k, with_keys=True))
 
+    def span_first_topk(self, surface_term: str, end: int, k: int = 10) -> DataFrame:
+        """SpanFirstQuery top-k (``L/search/spans/SpanFirstQuery`` wrapping a
+        term span): matches docs whose term occurs within the first ``end``
+        positions; tf for scoring = the window-restricted occurrence count
+        (each width-0 term span contributes slop factor 1 —
+        ``SpanScorer#setFreqCurrentDoc``), weight = idf(term) like TermQuery.
+
+        Scale shape: identical to the term top-k path — term-pruned postings
+        scan, per-segment exact kernel (positions decoded once; window tf =
+        one bincount over the masked flat positions), ONE TakeOrdered."""
+        from .search.query import SpanFirstClause
+
+        toks = self.searcher.analyzer.analyze(surface_term)
+        spec = BooleanSpec(must=[SpanFirstClause(toks[0][0], int(end))])
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
     def explain(self, qtype: str, surface_terms: list[str], src_doc_id: int) -> DataFrame:
         """``IndexSearcher#explain`` / Solr debugQuery: per-term BM25 score
         breakdown for one (query, doc) — keyed on the SOURCE doc_id."""

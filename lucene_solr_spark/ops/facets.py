@@ -606,3 +606,166 @@ GROUP BY 1 ORDER BY bucket"""
 
 
 register("facet_range_date", facet_range_date, FACET_RANGE_DATE_SQL)
+
+
+# --- pivot facet: multi-level bucket tree with stats (facet.pivot) ----------
+
+def facet_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-level pivot facet (``S/handler/component/PivotFacetProcessor``,
+    ``facet.pivot=c_mktsegment,o_orderstatus,o_orderpriority`` with a stats
+    tuple at the leaves): top-2 sub-buckets by (count desc, value asc) at
+    levels 2 and 3, full fan at level 1 — Solr's distributed pivot tree
+    flattened to leaf rows carrying their per-level ranks.
+
+    Scale shape: ONE broadcast join (customer is the dim side) + ONE
+    hash-aggregate over the (seg,status,priority) cube; the per-level
+    top-N windows run on the aggregated cells (|cells| = product of the
+    three small cardinalities), never the fact table. Solr's per-shard
+    pivot refinement is replaced by Catalyst partial+final agg."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy(
+            F.col("c_mktsegment").alias("l1"),
+            F.col("o_orderstatus").alias("l2"),
+            F.col("o_orderpriority").alias("l3"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_price"),
+        )
+    )
+    l2_tot = cells.groupBy("l1", "l2").agg(F.sum("cnt").alias("l2_cnt"))
+    w2 = Window.partitionBy("l1").orderBy(F.desc("l2_cnt"), F.asc("l2"))
+    keep2 = (
+        l2_tot.withColumn("l2_rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("l2_rank") <= 2)
+    )
+    w3 = Window.partitionBy("l1", "l2").orderBy(F.desc("cnt"), F.asc("l3"))
+    return (
+        cells.join(keep2, ["l1", "l2"])
+        .withColumn("l3_rank", F.row_number().over(w3).cast("int"))
+        .filter(F.col("l3_rank") <= 2)
+        .select("l1", "l2", "l3", "cnt", "sum_price", "l2_rank", "l3_rank")
+        .orderBy("l1", "l2_rank", "l3_rank")
+    )
+
+
+FACET_PIVOT_SQL = """
+WITH cells AS (
+    SELECT c_mktsegment AS l1, o_orderstatus AS l2, o_orderpriority AS l3,
+           count(*)::BIGINT AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2, 3
+),
+keep2 AS (
+    SELECT l1, l2, l2_rank FROM (
+        SELECT l1, l2, sum(cnt) AS l2_cnt,
+               row_number() OVER (
+                   PARTITION BY l1 ORDER BY sum(cnt) DESC, l2 ASC
+               )::INTEGER AS l2_rank
+        FROM cells GROUP BY l1, l2
+    ) WHERE l2_rank <= 2
+)
+SELECT l1, l2, l3, cnt, sum_price, l2_rank, l3_rank FROM (
+    SELECT c.*, k.l2_rank,
+           row_number() OVER (
+               PARTITION BY c.l1, c.l2 ORDER BY c.cnt DESC, c.l3 ASC
+           )::INTEGER AS l3_rank
+    FROM cells c JOIN keep2 k USING (l1, l2)
+) WHERE l3_rank <= 2 ORDER BY l1, l2_rank, l3_rank"""
+
+
+register("facet_pivot", facet_pivot, FACET_PIVOT_SQL)
+
+
+# --- JSON facet bucket sort by aggregate (sort: "stat desc") ----------------
+
+def facet_sort_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms facet whose buckets are ordered by a SUB-AGGREGATE rather than
+    count (JSON Facet API ``sort: "avg_price desc"`` —
+    ``S/search/facet/FacetFieldProcessor`` sorting by a ``AvgAgg`` slot):
+    top-10 p_brand buckets by mean retail price.
+
+    Scale shape: one hash-agg (exact DECIMAL sum + count — associative, so
+    map-side combine is safe for the mean), TakeOrdered on the aggregated
+    buckets. Solr's sort-by-stat refinement (second phase re-asking shards
+    for candidate buckets) is unnecessary: the agg is already global."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy(F.col("p_brand").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .alias("_sum"),
+        )
+        .select(
+            "bucket", "cnt",
+            (F.col("_sum").cast("double") / F.col("cnt").cast("double"))
+            .alias("avg_price"),
+        )
+        .orderBy(F.desc("avg_price"), F.asc("bucket"))
+        .limit(10)
+    )
+
+
+FACET_SORT_STAT_SQL = """
+SELECT bucket, cnt,
+       CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) AS avg_price
+FROM (
+    SELECT p_brand AS bucket, count(*)::BIGINT AS cnt,
+           sum(CAST(p_retailprice AS DECIMAL(18,2))) AS s
+    FROM part GROUP BY p_brand
+) ORDER BY avg_price DESC, bucket ASC LIMIT 10"""
+
+
+register("facet_sort_stat", facet_sort_stat, FACET_SORT_STAT_SQL)
+
+
+# --- multi-select faceting: tagged filter exclusion (excludeTags) -----------
+
+def facet_exclude_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-select faceting (``{!tag=st}`` filter + ``facet.field={!ex=st}``
+    — ``S/request/SimpleFacets`` excludeTags / JSON facet ``domain:
+    {excludeTags:[...]}``): the user has selected ``o_orderstatus = 'F'``;
+    the status facet EXCLUDES that tagged filter (so the UI can still show
+    the other selectable statuses with their counts), while the priority
+    facet applies it. Rows = (field, bucket, cnt) for both facet blocks.
+
+    Scale shape: two hash-aggregates over the same scan with different
+    pushed predicates — Spark reuses the cached/columnar scan; no
+    driver-side domain rewriting."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_totalprice") > 150000.0)
+    status = (
+        base.groupBy(F.col("o_orderstatus").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("status_ex").alias("field"), "bucket", "cnt")
+    )
+    prio = (
+        base.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_orderpriority").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("priority").alias("field"), "bucket", "cnt")
+    )
+    return status.unionByName(prio).orderBy("field", "bucket")
+
+
+FACET_EXCLUDE_TAGS_SQL = """
+SELECT * FROM (
+    SELECT 'status_ex' AS field, o_orderstatus AS bucket,
+           count(*)::BIGINT AS cnt
+    FROM orders WHERE o_totalprice > 150000.0 GROUP BY 2
+    UNION ALL
+    SELECT 'priority' AS field, o_orderpriority AS bucket,
+           count(*)::BIGINT AS cnt
+    FROM orders WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F'
+    GROUP BY 2
+) ORDER BY field, bucket"""
+
+
+register("facet_exclude_tags", facet_exclude_tags, FACET_EXCLUDE_TAGS_SQL)

@@ -1028,3 +1028,25 @@ SELECT q.qpos::INTEGER AS qpos, q.doc_key::BIGINT AS doc_key,
        (CASE WHEN l.length IS NOT NULL THEN 1 ELSE 0 END)::INTEGER AS found,
        l.source, l.lang, l.length::BIGINT AS length
 FROM q LEFT JOIN live l USING (doc_key) ORDER BY qpos"""
+
+
+def span_first_topk_sql(analyzer: str, term: str, end: int, k: int) -> str:
+    """SpanFirstQuery oracle (``L/search/spans/SpanFirstQuery`` +
+    ``SpanScorer#setFreqCurrentDoc``): tf = occurrences with span end <=
+    ``end`` (term span at pos p ends at p+1 → keep pos < end); score = BM25
+    with that window tf and weight = idf(term) — identical f32 op order to
+    the engine kernel."""
+    return f"""WITH {base_ctes(analyzer)},
+sfq AS (
+    SELECT k.doc_id,
+           CAST({_idf_expr(term)}
+                * CAST(count(*)::DOUBLE / (count(*)::DOUBLE + CAST(any_value(c.cache) AS DOUBLE)) AS FLOAT)
+            AS FLOAT) AS score
+    FROM kept k JOIN cachec c USING (doc_id), statsf st
+    WHERE k.term = '{term}' AND k.pos < {end}
+    GROUP BY k.doc_id, st.doc_count
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+    FROM sfq
+) WHERE rank <= {k} ORDER BY rank"""

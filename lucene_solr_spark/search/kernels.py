@@ -438,6 +438,24 @@ def score_segment_exact(
         if c.kind == "term":
             parts = dec(c.terms[0])
             docs, tfs = parts[0], parts[1]
+        elif c.kind == "span_first":
+            # SpanFirstQuery (L/search/spans/SpanFirstQuery): tf = count of
+            # occurrences with span end <= c.slop (term span at p ends at
+            # p+1 → positions p < end). Vectorized over the whole posting
+            # list: doc index per flat position via repeat, window counts
+            # via one bincount of the masked indices.
+            docs_all, tfs_all, pos = dec(c.terms[0])
+            if docs_all.size == 0:
+                docs, tfs = docs_all, tfs_all
+            else:
+                di = np.repeat(
+                    np.arange(docs_all.size, dtype=np.int64), tfs_all
+                )
+                cnt = np.bincount(
+                    di[pos < c.slop], minlength=docs_all.size
+                )
+                keep = cnt > 0
+                docs, tfs = docs_all[keep], cnt[keep]
         else:
             per = [dec(t) for t in c.terms]
             matcher = _phrase_freqs if getattr(c, "slop", 0) == 0 else (

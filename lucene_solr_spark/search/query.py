@@ -38,6 +38,21 @@ class PhraseClause:
     slop: int = 0
 
 
+@dataclass(frozen=True)
+class SpanFirstClause:
+    """SpanFirstQuery over a single-term span (``L/search/spans/
+    SpanFirstQuery`` = SpanPositionRangeQuery with start=0): matches docs
+    where the term occurs with span end <= ``end`` (a term span at position
+    p has end p+1, so positions p < end qualify). Each qualifying match has
+    width 0, so SpanScorer's slop factor is 1 per match and the clause
+    scores exactly like a TermQuery whose tf is the WINDOW-RESTRICTED
+    occurrence count (``L/search/spans/SpanScorer#setFreqCurrentDoc``)."""
+
+    term: str
+    end: int
+    boost: float = 1.0
+
+
 @dataclass
 class BooleanSpec:
     """MUST ∧ SHOULD ∨ MUST_NOT ¬ with minimumNumberShouldMatch
@@ -152,7 +167,7 @@ class CompiledQuery:
 
     @property
     def needs_positions(self) -> bool:
-        return any(c.kind == "phrase" for c in self.clauses)
+        return any(c.kind in ("phrase", "span_first") for c in self.clauses)
 
     @property
     def scoring_terms(self) -> list[str]:
@@ -235,6 +250,24 @@ def compile_query(
                     )
                 clauses.append(CompiledClause(
                     "phrase", c.terms, c.offsets, np.float32(w), occur, slop=int(c.slop)
+                ))
+            elif isinstance(c, SpanFirstClause):
+                if similarity in ("lm", "lmjm", "dfr", "ib"):
+                    raise ValueError(
+                        f"{similarity} span scoring not implemented; use "
+                        "bm25/classic/boolean"
+                    )
+                df = term_df.get(c.term, 0)
+                if df == 0:
+                    impossible |= occur == "must"
+                    continue
+                # SpanWeight builds its SimWeight from the inner term's
+                # stats (L/search/spans/SpanWeight#buildSimWeight):
+                # weight = boost * idf(term), same as TermQuery
+                w = np.float32(c.boost) * idf_fn(df, doc_count)
+                clauses.append(CompiledClause(
+                    "span_first", (c.term,), (), np.float32(w), occur,
+                    slop=int(c.end),
                 ))
             else:
                 df = term_df.get(c.term, 0)

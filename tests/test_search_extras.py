@@ -154,3 +154,50 @@ def test_lm_phrase_unsupported_is_loud(searcher):
         searcher.compile(spec, k=10, similarity="lm")
     with _pytest.raises(ValueError, match="dfr phrase scoring not implemented"):
         searcher.compile(spec, k=10, similarity="dfr")
+
+
+# --- SpanFirstQuery (L/search/spans/SpanFirstQuery) -------------------------
+
+SPAN_TERM = "merg"  # analyzed form of "merge"
+
+
+@pytest.mark.parametrize("end", [3, 8, 20])
+def test_span_first_matches_brute_window_count(searcher, oracle, end):
+    """tf = occurrences at pos < end (span end = pos+1 <= end); score = BM25
+    with the window tf and idf(term) weight — recomputed independently from
+    the analyzed corpus frame."""
+    from lucene_solr_spark.search.query import SpanFirstClause
+
+    spec = BooleanSpec(must=[SpanFirstClause(SPAN_TERM, end)])
+    got = searcher.search(spec, k=50).toPandas()
+
+    sub = oracle.frame[
+        (oracle.frame.term == SPAN_TERM) & (oracle.frame.pos < end)
+    ]
+    cnt = sub.groupby("row").size()
+    docs = cnt.index.to_numpy(dtype=np.int64)
+    tfs = cnt.to_numpy(dtype=np.int64)
+    scores = oracle._clause_scores(docs, tfs, oracle.idf(SPAN_TERM))
+    order = np.lexsort((docs, -scores.astype(np.float64)))[:50]
+    np.testing.assert_array_equal(got.doc_id.to_numpy(), docs[order])
+    np.testing.assert_array_equal(
+        got.score.to_numpy().astype(np.float32), scores[order]
+    )
+
+
+def test_span_first_unbounded_equals_term_query(searcher):
+    """end beyond every doc length ⇒ identical to the plain TermQuery
+    (window tf degenerates to full tf; weight is the same idf)."""
+    from lucene_solr_spark.search.query import SpanFirstClause
+
+    a = searcher.search(
+        BooleanSpec(must=[SpanFirstClause(SPAN_TERM, 1 << 20)]), k=25
+    ).toPandas()
+    b = searcher.search(
+        BooleanSpec(must=[TermClause(SPAN_TERM)]), k=25, mode="exact"
+    ).toPandas()
+    np.testing.assert_array_equal(a.doc_id.to_numpy(), b.doc_id.to_numpy())
+    np.testing.assert_array_equal(
+        a.score.to_numpy().astype(np.float32),
+        b.score.to_numpy().astype(np.float32),
+    )
