@@ -121,6 +121,12 @@ SORTFIELD_Q = ("or3", ["vector", "stream", "filter"])
 BOOSTFUNC_Q = ("and2", ["merge", "batch"])
 # SpanFirst: term must end within the first SPANFIRST_END positions
 SPANFIRST = ("merge", 12)
+# ConstantScoreQuery: wrapped query + the constant boost every match scores
+CONSTSCORE = ("and2", ["merge", "batch"], 1.5)
+# frange: function expression + [l, u] bounds (half-integer values ⇒ the
+# f32 range compare is exact on both engines)
+FRANGE = ("sum(termfreq(text,'merge'), product(0.5, termfreq(text,'batch')))",
+          2.0, 5.0)
 # Solr function-query expression exercising arithmetic (sum/product/div),
 # conditional (if), termfreq ×2, norm(), a bare field ref, docfreq + idf
 # index scalars, and scale() as the outermost full-pass rescale
@@ -232,6 +238,14 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_spanfirst_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).span_first_topk(SPANFIRST[0], SPANFIRST[1], k=10)
+    # ConstantScoreQuery: every match scores the boost, doc-id order
+    out["ft_constscore_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).constant_score_topk(CONSTSCORE[0], CONSTSCORE[1], CONSTSCORE[2], k=10)
+    # Function range query {!frange}: filter docs by expression value
+    out["ft_frange"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).frange_docs(FRANGE[0], FRANGE[1], FRANGE[2], k=20)
     # RealTime Get: stored doc by key, soft-committed appends visible
     out["ft_rtg"] = lambda spark, sf_dir: get_rtg_engine(
         spark, sf_dir, "simple"
@@ -346,6 +360,20 @@ def fulltext_oracles() -> dict[str, str]:
     out["ft_spanfirst_topk"] = span_first_topk_sql(
         "simple", ANALYZERS["simple"]().analyze(SPANFIRST[0])[0][0],
         SPANFIRST[1], 10,
+    )
+    from .oracles import constant_score_sql, frange_sql
+
+    out["ft_constscore_topk"] = constant_score_sql(
+        "simple",
+        parse_fixture_query(
+            ANALYZERS["simple"](), CONSTSCORE[0], CONSTSCORE[1], 0
+        ),
+        CONSTSCORE[2], 10,
+    )
+    out["ft_frange"] = frange_sql(
+        "simple", FRANGE[0], FRANGE[1], FRANGE[2], 20,
+        {s: ANALYZERS["simple"]().analyze(s)[0][0]
+         for s in ("merge", "batch")},
     )
     from .engine import RTG_DOCS
     from .oracles import rtg_sql

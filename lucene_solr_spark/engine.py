@@ -313,6 +313,31 @@ class DocumentsEngine:
             .limit(n_groups)
         )
 
+    def constant_score_topk(
+        self, qtype: str, surface_terms: list[str], boost: float = 1.0,
+        k: int = 10,
+    ) -> DataFrame:
+        """ConstantScoreQuery (``L/search/ConstantScoreQuery``): every doc
+        matching the wrapped query scores exactly ``boost`` — no similarity,
+        no per-term weights; top-k order degenerates to doc-id asc.
+
+        Scale shape: the same term-pruned per-segment match kernels, but no
+        global score sort — TakeOrdered on the key alone."""
+        spec = self.searcher.parse(qtype, surface_terms, 0)
+        hits = self.searcher.hits(
+            self.searcher.compile(spec, k=1 << 30), mode="exact"
+        )
+        keys = self.searcher.docs.select("doc_id", "doc_key")
+        return (
+            hits.join(keys, "doc_id")
+            .select(
+                F.col("doc_key").cast("long").alias("doc_id"),
+                F.lit(float(boost)).cast("float").alias("score"),
+            )
+            .orderBy("doc_id")
+            .limit(k)
+        )
+
     def tfidf_topk(
         self, qtype: str, surface_terms: list[str], k: int = 10, min_should: int = 0
     ) -> DataFrame:
@@ -539,18 +564,11 @@ class DocumentsEngine:
             .orderBy("rank")
         )
 
-    def function_expr_topk(self, expr: str, k: int = 10) -> DataFrame:
-        """Full ValueSource EXPRESSION as the ranking function
-        (``S/search/ValueSourceParser``): parse the Solr function-query
-        string, compile it to a pure-JVM Column tree (whole-stage codegen —
-        no Python in the scoring path), and rank all docs by it.
-
-        Scale shape: ``termfreq`` slots are term-pruned postings scans
-        left-joined on doc_id; index scalars (docfreq/numdocs/maxdoc) are
-        resolved ONCE and folded as literals (Lucene TermStates discipline);
-        the stored-field columns come from one pruned parquet read; ranking
-        is a single global TakeOrdered. Scores are float32 on both engines
-        (absorbs JVM-vs-libm 1-ulp double divergence in log/div)."""
+    def _funcexpr_scored(self, expr: str) -> DataFrame:
+        """Shared ValueSource-expression evaluator: DataFrame(doc_key,
+        fscore float32) for every doc — the compile/join pipeline behind
+        both the ranking surface (``function_expr_topk``) and the filtering
+        surface (``frange_docs``)."""
         import math
 
         from .search.funcquery import (
@@ -608,10 +626,25 @@ class DocumentsEngine:
                 lo_t + (raw - F.col("_vmin")) * (hi_t - lo_t)
                 / (F.col("_vmax") - F.col("_vmin"))
             )
-        scored = base.withColumn("fscore", raw.cast("float"))
+        return base.withColumn("fscore", raw.cast("float")).select(
+            "doc_key", "fscore"
+        )
+
+    def function_expr_topk(self, expr: str, k: int = 10) -> DataFrame:
+        """Full ValueSource EXPRESSION as the ranking function
+        (``S/search/ValueSourceParser``): parse the Solr function-query
+        string, compile it to a pure-JVM Column tree (whole-stage codegen —
+        no Python in the scoring path), and rank all docs by it.
+
+        Scale shape: ``termfreq`` slots are term-pruned postings scans
+        left-joined on doc_id; index scalars (docfreq/numdocs/maxdoc) are
+        resolved ONCE and folded as literals (Lucene TermStates discipline);
+        the stored-field columns come from one pruned parquet read; ranking
+        is a single global TakeOrdered. Scores are float32 on both engines
+        (absorbs JVM-vs-libm 1-ulp double divergence in log/div)."""
+        scored = self._funcexpr_scored(expr)
         top = (
-            scored.select("doc_key", "fscore")
-            .orderBy(F.desc("fscore"), F.asc("doc_key"))
+            scored.orderBy(F.desc("fscore"), F.asc("doc_key"))
             .limit(k)
         )
         return (
@@ -624,6 +657,31 @@ class DocumentsEngine:
                 F.col("fscore").cast("float").alias("fscore"),
             )
             .orderBy("rank")
+        )
+
+    def frange_docs(
+        self, expr: str, lower: float, upper: float, k: int = 20
+    ) -> DataFrame:
+        """Function RANGE query (``S/search/FunctionRangeQuery`` /
+        ``{!frange l=.. u=..}expr``): docs whose function value lies in
+        [lower, upper], returned in doc-id order (frange is a FILTER, not a
+        ranking) with the float32 value.
+
+        Scale shape: the same JVM column tree as ``function_expr_topk``;
+        the range predicate is a Catalyst filter on the computed column
+        (whole-stage codegen), then one TakeOrdered on doc id."""
+        return (
+            self._funcexpr_scored(expr)
+            .filter(
+                (F.col("fscore") >= F.lit(float(lower)))
+                & (F.col("fscore") <= F.lit(float(upper)))
+            )
+            .orderBy(F.asc("doc_key"))
+            .limit(k)
+            .select(
+                F.col("doc_key").cast("long").alias("doc_id"),
+                F.col("fscore").cast("float").alias("fscore"),
+            )
         )
 
     def rerank_topk(

@@ -769,3 +769,31 @@ SELECT * FROM (
 
 
 register("facet_exclude_tags", facet_exclude_tags, FACET_EXCLUDE_TAGS_SQL)
+
+
+# --- grouping: ngroups / matches header (group.ngroups=true) ----------------
+
+def group_ngroups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping result header (``S/search/Grouping`` with
+    ``group.ngroups=true``): total matching docs and the number of distinct
+    groups for a grouped query — the two header counts Solr returns before
+    the per-group doclists.
+
+    Scale shape: one aggregate with a distinct-count (Spark expands to a
+    two-stage partial agg); no row data moves."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_totalprice") > 100000.0)
+        .agg(
+            F.count(F.lit(1)).alias("matches"),
+            F.countDistinct("o_custkey").alias("ngroups"),
+        )
+    )
+
+
+GROUP_NGROUPS_SQL = """
+SELECT count(*)::BIGINT AS matches, count(DISTINCT o_custkey)::BIGINT AS ngroups
+FROM orders WHERE o_totalprice > 100000.0"""
+
+
+register("group_ngroups", group_ngroups, GROUP_NGROUPS_SQL)

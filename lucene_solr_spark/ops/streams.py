@@ -638,3 +638,35 @@ register("source_csv", source_csv, SOURCE_CSV_SQL)
 register("source_json", source_json, SOURCE_JSON_SQL)
 register("source_xml", source_xml, SOURCE_XML_SQL)
 register("sql_over_tables", sql_over_tables, SQL_OVER_TABLES_SQL)
+
+
+# --- /export handler: sorted full-result streaming export -------------------
+
+def stream_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/export handler analog (``S/handler/export/ExportWriter``): the FULL
+    sorted result set of a filtered query — selected fields only, total
+    order, no row limit (Solr streams this via docValues iterators; here
+    the whole sorted projection streams out of one Spark sort).
+
+    Scale shape: filter + column pruning push to the parquet scan; the
+    global sort is one range-partitioned shuffle (Spark's TeraSort shape) —
+    at 100 TB the export parallelizes across executors writing
+    range-disjoint sorted chunks, exactly how ExportWriter shards by
+    replica."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") >= 49.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy(
+            F.desc("l_quantity"), F.asc("l_orderkey"), F.asc("l_linenumber")
+        )
+    )
+
+
+STREAM_EXPORT_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+FROM lineitem WHERE l_quantity >= 49.0
+ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC"""
+
+
+register("stream_export", stream_export, STREAM_EXPORT_SQL)

@@ -753,14 +753,10 @@ GROUP BY k.doc_id, st.sum_ttf""")
     return _sim_family_topk_sql(analyzer, clause_selects, k)
 
 
-def funcexpr_topk_sql(analyzer: str, expr: str, k: int, analyzed: dict) -> str:
-    """Function-query EXPRESSION oracle: the same Solr function string is
-    parsed once and compiled to DuckDB SQL (``funcquery.compile_sql``) — an
-    independent execution engine evaluating the identical AST. termfreq
-    slots become kept-CTE per-doc aggregates, docfreq a scalar subquery,
-    ``norm(field)`` the SmallFloat-DECODED length (norms CTE), and the final
-    score is cast to float32 like the engine (absorbing sub-ulp libm-vs-JVM
-    double differences in log/div)."""
+def _funcexpr_scored_with(analyzer: str, expr: str, analyzed: dict) -> str:
+    """Shared WITH-prefix for function-expression oracles: emits every CTE
+    through ``scored(doc_id, fscore)`` — used by both the ranking oracle
+    (``funcexpr_topk_sql``) and the frange filter oracle (``frange_sql``)."""
     from .search.funcquery import (
         FuncEnv, collect_scalars, collect_termfreqs, compile_sql, parse_expr,
         split_scale,
@@ -822,11 +818,35 @@ scored AS (
                  max(rawv) OVER () AS maxv FROM scored0)
 )"""
     return f"""WITH {base_ctes(analyzer)}{ctes},
-{scored_cte}
+{scored_cte}"""
+
+
+def funcexpr_topk_sql(analyzer: str, expr: str, k: int, analyzed: dict) -> str:
+    """Function-query EXPRESSION oracle: the same Solr function string is
+    parsed once and compiled to DuckDB SQL (``funcquery.compile_sql``) — an
+    independent execution engine evaluating the identical AST. termfreq
+    slots become kept-CTE per-doc aggregates, docfreq a scalar subquery,
+    ``norm(field)`` the SmallFloat-DECODED length (norms CTE), and the final
+    score is cast to float32 like the engine (absorbing sub-ulp libm-vs-JVM
+    double differences in log/div)."""
+    return f"""{_funcexpr_scored_with(analyzer, expr, analyzed)}
 SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, fscore::FLOAT AS fscore FROM (
     SELECT row_number() OVER (ORDER BY fscore DESC, doc_id ASC) AS rank, doc_id, fscore
     FROM scored
 ) WHERE rank <= {k} ORDER BY rank"""
+
+
+def frange_sql(
+    analyzer: str, expr: str, lower: float, upper: float, k: int,
+    analyzed: dict,
+) -> str:
+    """Function range query oracle (``S/search/FunctionRangeQuery`` /
+    ``{{!frange}}``): same compiled expression, filtered to
+    [lower, upper] on the float32 value, doc-id order."""
+    return f"""{_funcexpr_scored_with(analyzer, expr, analyzed)}
+SELECT doc_id::BIGINT AS doc_id, fscore::FLOAT AS fscore FROM scored
+WHERE fscore >= {float(lower)!r} AND fscore <= {float(upper)!r}
+ORDER BY doc_id ASC LIMIT {k}"""
 
 
 def suggest_sql(analyzer: str, pred: str, k: int) -> str:
@@ -1050,3 +1070,15 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
     FROM sfq
 ) WHERE rank <= {k} ORDER BY rank"""
+
+
+def constant_score_sql(analyzer: str, spec: BooleanSpec, boost: float, k: int) -> str:
+    """ConstantScoreQuery oracle (``L/search/ConstantScoreQuery``): the
+    wrapped query's match set (same occur/minShouldMatch/MUST_NOT CTEs as
+    the BM25 oracle), every row scored ``boost``, doc-id order."""
+    frag = _bm25_match_ctes(spec, "")
+    if frag.startswith("match AS ("):
+        return "SELECT 1::BIGINT AS doc_id, 1.0::FLOAT AS score WHERE FALSE"
+    return f"""WITH {base_ctes(analyzer)},{frag}
+SELECT doc_id::BIGINT AS doc_id, CAST({float(boost)!r} AS FLOAT) AS score
+FROM match ORDER BY doc_id ASC LIMIT {k}"""
