@@ -699,6 +699,97 @@ class KeywordAnalyzer(_BaseAnalyzer):
         return frame
 
 
+_CJK_RANGES = (
+    (0x2E80, 0x2FDF), (0x3040, 0x309F), (0x3400, 0x4DBF),
+    (0x4E00, 0x9FFF), (0xF900, 0xFAFF),
+)  # mirrors _IDEO_CLS — the classes the tokenizer emits per-character
+
+
+def _is_cjk_single(t: str) -> bool:
+    if len(t) != 1:
+        return False
+    o = ord(t)
+    return any(lo <= o <= hi for lo, hi in _CJK_RANGES)
+
+
+class CJKBigramAnalyzer(_BaseAnalyzer):
+    """Standard → LowerCase → CJKBigram (``LA/cjk/CJKBigramFilter`` with the
+    CJKAnalyzer default ``outputUnigrams=false``): runs of adjacent
+    single-character CJK tokens (the classes our tokenizer emits
+    per-character — Han, Hiragana, radicals, compatibility ideographs)
+    combine into OVERLAPPING bigrams, each at its first character's
+    position; an isolated CJK character (no adjacent CJK neighbor) stays a
+    unigram; non-CJK tokens pass through untouched. 東京大学 → 東京, 京大,
+    大学.
+
+    Each bigram advances the position by one (posIncrement 1), so the norm
+    length is the EMITTED token count — ``doc_len`` is recomputed, unlike
+    the overlap-discounting Shingle chain."""
+
+    lowercase = True
+
+    def postprocess_tokens(self, toks):
+        out: list[tuple[str, int]] = []
+        i, n = 0, len(toks)
+        while i < n:
+            t, p = toks[i]
+            if _is_cjk_single(t):
+                j = i
+                while (
+                    j + 1 < n
+                    and _is_cjk_single(toks[j + 1][0])
+                    and toks[j + 1][1] == toks[j][1] + 1
+                ):
+                    j += 1
+                if j == i:
+                    out.append((t, p))
+                else:
+                    for m in range(i, j):
+                        out.append(
+                            (toks[m][0] + toks[m + 1][0], toks[m][1])
+                        )
+                i = j + 1
+            else:
+                out.append((t, p))
+                i += 1
+        return out
+
+    def postprocess_frame(self, frame: pd.DataFrame) -> pd.DataFrame:
+        if not len(frame):
+            return frame
+        row = frame["row"].to_numpy()
+        pos = frame["pos"].to_numpy()
+        vals = _term_values(frame)
+        codes, uniq = pd.factorize(vals)
+        cjk_u = np.array([_is_cjk_single(u) for u in uniq], dtype=bool)
+        c = cjk_u[codes]
+        if not c.any():
+            return frame
+        # adjacency between consecutive frame rows (analyzer emits
+        # (row, pos)-sorted): both CJK, same doc, consecutive positions
+        adj = np.flatnonzero(
+            (row[1:] == row[:-1]) & (pos[1:] == pos[:-1] + 1)
+            & c[1:] & c[:-1]
+        )
+        has_nbr = np.zeros(len(vals), dtype=bool)
+        has_nbr[adj] = True
+        has_nbr[adj + 1] = True
+        keep = ~c | (c & ~has_nbr)  # non-CJK + isolated CJK unigrams
+        big = np.array(
+            [vals[i] + vals[i + 1] for i in adj], dtype=object
+        ) if adj.size else np.empty(0, dtype=object)
+        out = pd.DataFrame({
+            "row": np.concatenate([row[keep], row[adj]]),
+            "term": np.concatenate([vals[keep], big]),
+            "pos": np.concatenate([pos[keep], pos[adj]]).astype(np.int32),
+        }).sort_values(["row", "pos"], kind="mergesort").reset_index(drop=True)
+        out.attrs["doc_len"] = np.bincount(
+            out["row"].to_numpy(),
+            minlength=len(frame.attrs["doc_len"]),
+        ).astype(np.int64)
+        return out
+
+
 def analyze_frame(texts: pd.Series, analyzer: _BaseAnalyzer | None = None) -> pd.DataFrame:
     """Module-level convenience for kernels."""
     return (analyzer or LuceneChainAnalyzer()).analyze_batch(texts)

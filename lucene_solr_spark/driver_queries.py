@@ -127,6 +127,8 @@ CONSTSCORE = ("and2", ["merge", "batch"], 1.5)
 # f32 range compare is exact on both engines)
 FRANGE = ("sum(termfreq(text,'merge'), product(0.5, termfreq(text,'batch')))",
           2.0, 5.0)
+# LTR LinearModel: (main query, feature term, (w_orig, w_tf, w_field))
+LTR = ("or3", ["vector", "stream", "filter"], "merge", (1.0, 0.75, 0.5))
 # Solr function-query expression exercising arithmetic (sum/product/div),
 # conditional (if), termfreq ×2, norm(), a bare field ref, docfreq + idf
 # index scalars, and scale() as the outermost full-pass rescale
@@ -246,6 +248,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_frange"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).frange_docs(FRANGE[0], FRANGE[1], FRANGE[2], k=20)
+    # LTR LinearModel rescore over extracted features (Solr ltr contrib)
+    out["ft_ltr_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).ltr_rescore_topk(LTR[0], LTR[1], LTR[2], LTR[3], rerank_docs=50, k=10)
     # RealTime Get: stored doc by key, soft-committed appends visible
     out["ft_rtg"] = lambda spark, sf_dir: get_rtg_engine(
         spark, sf_dir, "simple"
@@ -375,6 +381,13 @@ def fulltext_oracles() -> dict[str, str]:
         {s: ANALYZERS["simple"]().analyze(s)[0][0]
          for s in ("merge", "batch")},
     )
+    from .oracles import ltr_rescore_sql
+
+    out["ft_ltr_topk"] = ltr_rescore_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), LTR[0], LTR[1], 0),
+        ANALYZERS["simple"]().analyze(LTR[2])[0][0], LTR[3], 50, 10,
+    )
     from .engine import RTG_DOCS
     from .oracles import rtg_sql
 
@@ -502,7 +515,11 @@ PRIORITY_ORDER = [
     # rides the identical top-k kernel as ft_term_topk and stays
     # pass-local-gated; termvectors certifies the NEW postings-read surface).
     "ft_spellcheck_collate", "ft_filter_topk", "ft_mlt_topk", "ft_termvectors",
-    "ft_blockjoin_source", "ft_docs_norms", "ft_total_hits",
+    # ft_andnot_topk's slot family (boolean occurs) keeps MUST_NOT scored;
+    # ft_docs_norms rotated out for ft_spanfirst_topk late in r3 (norms are
+    # certified transitively by every bitwise BM25 row + the pass-local
+    # gate; span-first certifies the NEW positional span-query family)
+    "ft_blockjoin_source", "ft_spanfirst_topk", "ft_total_hits",
     # ft_tfidf_topk rotated out for ft_funcexpr_topk in r3 (Classic TF-IDF
     # stays pass-local-gated; the similarity-dispatch family is certified by
     # ft_dfr_topk, and funcexpr certifies the NEW parsed ValueSource surface)
@@ -511,7 +528,10 @@ PRIORITY_ORDER = [
     # token-graph analyzer family stays covered by the pass-local gates)
     "ft_highlight_topk",
     # facets / stats / grouping
-    "facet_terms", "facet_range", "facet_query", "facet_nested",
+    # facet_query rotated out for facet_pivot late in r3 (the conditional
+    # aggregate stays pass-local-gated; pivot certifies the NEW multi-level
+    # bucket-tree surface with its broadcast dim join)
+    "facet_terms", "facet_range", "facet_pivot", "facet_nested",
     "facet_heatmap", "facet_unique_hll",
     "stats_component", "collapse_best_order", "collapse_expand", "group_topk",
     # streaming expressions (jdbc = the Derby round-trip source)

@@ -684,6 +684,66 @@ class DocumentsEngine:
             )
         )
 
+    def ltr_rescore_topk(
+        self,
+        qtype: str,
+        surface_terms: list[str],
+        feature_term: str,
+        weights: tuple[float, float, float],
+        rerank_docs: int = 50,
+        k: int = 10,
+    ) -> DataFrame:
+        """Learning-to-rank rescore (Solr LTR contrib:
+        ``contrib/ltr/.../LTRScoringQuery`` + ``model/LinearModel``):
+        first-pass BM25 top-``rerank_docs`` candidates get a feature vector
+        — OriginalScoreFeature (the BM25 score), a query-dependent
+        termfreq feature, and a FieldValueFeature (``n_chars``) — and the
+        LinearModel rescores them ``w0·orig + w1·ln(1+tf) + w2·(n_chars/
+        1000)`` (double, left-assoc, one f32 cast).
+
+        Scale shape: unlike the driver-side ReRank combine, the feature
+        join and model evaluation are fully DISTRIBUTED — the candidate
+        set (small, API-bounded) broadcast-joins the term-pruned termfreq
+        scan and the pruned stored-field read; the model is a JVM column
+        expression (whole-stage codegen)."""
+        s = self.searcher
+        an = s.analyzer
+        first = s.search(
+            s.parse(qtype, surface_terms), k=rerank_docs, with_keys=True
+        ).select("doc_id", "doc_key", F.col("score").alias("orig"))
+        term = an.analyze(feature_term)[0][0]
+        tfd = s.termfreq_df(term)
+        src = self.spark.read.parquet(
+            os.path.join(self.sf_dir, "documents.parquet")
+        ).select(F.col("doc_id").alias("doc_key"), "n_chars")
+        w0, w1, w2 = (float(w) for w in weights)
+        feat = (
+            first.join(tfd, "doc_id", "left")
+            .join(src, "doc_key")
+            .withColumn("tf", F.coalesce(F.col("tf"), F.lit(0)))
+        )
+        ltr = (
+            F.lit(w0) * F.col("orig").cast("double")
+            + F.lit(w1) * F.log(F.lit(1.0) + F.col("tf").cast("double"))
+            + F.lit(w2) * (F.col("n_chars").cast("double") / F.lit(1000.0))
+        ).cast("float")
+        top = (
+            feat.withColumn("ltr_score", ltr)
+            .orderBy(F.desc("ltr_score"), F.asc("doc_key"))
+            .limit(k)
+        )
+        return (
+            top.coalesce(1)
+            .sortWithinPartitions(F.desc("ltr_score"), F.asc("doc_key"))
+            .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+            .select(
+                "rank",
+                F.col("doc_key").cast("long").alias("doc_id"),
+                F.col("ltr_score").cast("float").alias("ltr_score"),
+            )
+            .orderBy("rank")
+        )
+
     def rerank_topk(
         self,
         main_qtype: str,

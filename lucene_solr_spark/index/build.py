@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..analysis import (
     ASCIIFoldingAnalyzer,
+    CJKBigramAnalyzer,
     EdgeNGramAnalyzer,
     EnglishPossessiveAnalyzer,
     KeywordAnalyzer,
@@ -75,6 +76,7 @@ ANALYZERS = {
     "possessive": EnglishPossessiveAnalyzer,
     "whitespace": WhitespaceAnalyzer,
     "keyword": KeywordAnalyzer,
+    "cjk": CJKBigramAnalyzer,
 }
 
 MANIFEST_SCHEMA = (

@@ -1082,3 +1082,39 @@ def constant_score_sql(analyzer: str, spec: BooleanSpec, boost: float, k: int) -
     return f"""WITH {base_ctes(analyzer)},{frag}
 SELECT doc_id::BIGINT AS doc_id, CAST({float(boost)!r} AS FLOAT) AS score
 FROM match ORDER BY doc_id ASC LIMIT {k}"""
+
+
+def ltr_rescore_sql(
+    analyzer: str, spec: BooleanSpec, feature_term: str,
+    weights: tuple, rerank_docs: int, k: int,
+) -> str:
+    """LTR LinearModel oracle (Solr ``contrib/ltr`` LTRScoringQuery +
+    LinearModel): first-pass BM25 top-N candidates, features =
+    (originalScore, termfreq, n_chars), rescored ``w0·orig + w1·ln(1+tf) +
+    w2·(n_chars/1000)`` in double with the engine's exact op order, one
+    final f32 cast; (ltr_score desc, doc_id asc)."""
+    mfrag = _bm25_match_ctes(spec, "m")
+    w0, w1, w2 = (float(w) for w in weights)
+    return f"""WITH {base_ctes(analyzer)},{mfrag},
+mranked AS (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r, doc_id, score
+    FROM mmatch
+),
+cand AS (SELECT doc_id, score FROM mranked WHERE r <= {rerank_docs}),
+ftf AS (
+    SELECT doc_id, count(*)::BIGINT AS tf FROM kept
+    WHERE term = '{feature_term}' GROUP BY 1
+),
+scored AS (
+    SELECT c.doc_id,
+           CAST({w0!r} * CAST(c.score AS DOUBLE)
+                + {w1!r} * ln(1.0 + COALESCE(f.tf, 0)::DOUBLE)
+                + {w2!r} * (d.n_chars::DOUBLE / 1000.0) AS FLOAT) AS ltr_score
+    FROM cand c
+    LEFT JOIN ftf f ON f.doc_id = c.doc_id
+    JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, ltr_score::FLOAT AS ltr_score FROM (
+    SELECT row_number() OVER (ORDER BY ltr_score DESC, doc_id ASC) AS rank, doc_id, ltr_score
+    FROM scored
+) WHERE rank <= {k} ORDER BY rank"""

@@ -82,3 +82,69 @@ def test_keyword_index_e2e(spark, tmp_path_factory):
     assert set(hits.conv_id) == {"c0", "c2"}  # exact value match only
     hits = s.search(s.parse("term", ["alpha"], 0), k=10, with_keys=True).toPandas()
     assert set(hits.conv_id) == {"c1"}
+
+
+# --- CJKBigramAnalyzer (LA/cjk/CJKBigramFilter, outputUnigrams=false) -------
+
+CJK_GOLDENS = [
+    # 4-char Han run → 3 overlapping bigrams, consecutive positions
+    ("東京大学", [("東京", 0), ("京大", 1), ("大学", 2)]),
+    # run + Latin passthrough (Latin token keeps its raw position)
+    ("日本 spark merge", [("日本", 0), ("spark", 2), ("merge", 3)]),
+    # isolated CJK char → unigram
+    ("一", [("一", 0)]),
+    # mixed Han+Hiragana run bigrams across the script boundary
+    ("学ぶ the こと", [("学ぶ", 0), ("the", 2), ("こと", 3)]),
+    # isolated CJK between Latin stays a unigram
+    ("platform 東 overview", [("platform", 0), ("東", 1), ("overview", 2)]),
+    # two separate runs (non-consecutive positions) don't bridge
+    ("中文 and 中文", [("中文", 0), ("and", 2), ("中文", 3)]),
+]
+
+
+def test_cjk_bigram_goldens():
+    from lucene_solr_spark.analysis import CJKBigramAnalyzer
+
+    a = CJKBigramAnalyzer()
+    for text, want in CJK_GOLDENS:
+        assert a.analyze(text) == want, text
+
+
+def test_cjk_bigram_batch_equals_per_row():
+    from lucene_solr_spark.analysis import CJKBigramAnalyzer
+
+    a = CJKBigramAnalyzer()
+    texts = [t for t, _ in CJK_GOLDENS] + ["pure ascii text", ""]
+    f = a.analyze_batch(pd.Series(texts))
+    for r, text in enumerate(texts):
+        got = [(row.term, int(row.pos)) for row in f[f.row == r].itertuples()]
+        assert got == a.analyze(text), text
+    # norm length = EMITTED token count (bigrams advance positions)
+    np.testing.assert_array_equal(
+        f.attrs["doc_len"],
+        [len(a.analyze(t)) for t in texts],
+    )
+
+
+def test_cjk_index_e2e(spark, tmp_path_factory):
+    """Bigram terms are what the index stores: a 2-char query matches only
+    docs containing the adjacent pair."""
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    pdf = pd.DataFrame({
+        "conv_id": ["c0", "c1", "c2"],
+        "turn_idx": np.zeros(3, dtype="int32"),
+        "role": ["user"] * 3,
+        "text": ["東京大学 merge", "大学 only", "京大 here"],
+        "tool": [""] * 3,
+        "ts": pd.Timestamp("2026-01-01"),
+    })
+    idx = str(tmp_path_factory.mktemp("cjktok") / "idx")
+    build_index(spark, spark.createDataFrame(pdf), idx, n_segments=2,
+                analyzer="cjk")
+    s = IndexSearcher(spark, idx)
+    hits = s.search(s.parse("term", ["大学"], 0), k=10, with_keys=True).toPandas()
+    assert set(hits.conv_id) == {"c0", "c1"}  # c0 via bigram 大学, c1 direct
+    hits = s.search(s.parse("term", ["京大"], 0), k=10, with_keys=True).toPandas()
+    assert set(hits.conv_id) == {"c0", "c2"}
