@@ -670,3 +670,64 @@ ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC"""
 
 
 register("stream_export", stream_export, STREAM_EXPORT_SQL)
+
+
+# --- spatial: geofilt + geodist sort (LatLonPoint / SpatialFilterQParser) ---
+
+# fixed query point + radius (km) for the geo entries
+GEO_LAT, GEO_LON, GEO_RADIUS_KM = 37.7749, -122.4194, 6000.0
+
+
+def spatial_geofilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo distance filter + sort (``{!geofilt pt=.. d=..}`` —
+    ``S/search/SpatialFilterQParser``, ``L/document/LatLonPoint#
+    newDistanceQuery``; sort = Solr's ``geodist()`` Haversine km): events
+    within ``GEO_RADIUS_KM`` of the query point, nearest first.
+
+    Coordinates are DERIVED deterministically from the stored event_id
+    (two coprime multipliers bucket it onto the lat/lon grids) — the
+    engine and the oracle
+    compute the identical mapping, standing in for real lat/lon docvalues.
+    Distances are double Haversine with one float32 cast (absorbing
+    JVM-vs-libm ulp drift), ties broken by event_id.
+
+    Scale shape: the distance is a JVM column expression (whole-stage
+    codegen) over one pruned scan; at scale the bounding-box prefilter
+    (lat/lon BETWEEN) pushes to the parquet scan BEFORE the trig — the
+    BKD-tree two-phase shape (box approximation, exact verify)."""
+    ev = _t(spark, sf_dir, "events")
+    lat = (F.col("event_id") * 57 % 18000) / 100.0 - 90.0
+    lon = (F.col("event_id") * 101 % 36000) / 100.0 - 180.0
+    qlat, qlon = F.lit(GEO_LAT), F.lit(GEO_LON)
+    dphi = F.radians(lat - qlat)
+    dlam = F.radians(lon - qlon)
+    a = (
+        F.pow(F.sin(dphi / 2), 2)
+        + F.cos(F.radians(qlat)) * F.cos(F.radians(lat))
+        * F.pow(F.sin(dlam / 2), 2)
+    )
+    dist = (F.lit(2.0 * 6371.0087714) * F.asin(F.sqrt(a))).cast("float")
+    return (
+        ev.withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= F.lit(float(GEO_RADIUS_KM)))
+        .orderBy(F.asc("dist_km"), F.asc("event_id"))
+        .limit(20)
+        .select("event_id", "user_id", "dist_km")
+    )
+
+
+SPATIAL_GEOFILT_SQL = f"""
+SELECT event_id, user_id, dist_km FROM (
+    SELECT event_id, user_id,
+           CAST(2.0 * 6371.0087714 * asin(sqrt(
+               pow(sin(radians(((event_id * 57 % 18000) / 100.0 - 90.0) - {GEO_LAT}) / 2), 2)
+               + cos(radians({GEO_LAT}))
+                 * cos(radians((event_id * 57 % 18000) / 100.0 - 90.0))
+                 * pow(sin(radians(((event_id * 101 % 36000) / 100.0 - 180.0) - {GEO_LON}) / 2), 2)
+           )) AS FLOAT) AS dist_km
+    FROM events
+) WHERE dist_km <= {GEO_RADIUS_KM}
+ORDER BY dist_km ASC, event_id ASC LIMIT 20"""
+
+
+register("spatial_geofilt", spatial_geofilt, SPATIAL_GEOFILT_SQL)
