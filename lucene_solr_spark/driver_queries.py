@@ -129,6 +129,9 @@ FRANGE = ("sum(termfreq(text,'merge'), product(0.5, termfreq(text,'batch')))",
           2.0, 5.0)
 # LTR LinearModel: (main query, feature term, (w_orig, w_tf, w_field))
 LTR = ("or3", ["vector", "stream", "filter"], "merge", (1.0, 0.75, 0.5))
+# CommonTerms: "dup" is index-rare (required); merge/vector exceed the df
+# ratio and demote to the optional group — a genuinely mixed split
+COMMONTERMS = (["dup", "merge", "vector"], 0.2)
 # Solr function-query expression exercising arithmetic (sum/product/div),
 # conditional (if), termfreq ×2, norm(), a bare field ref, docfreq + idf
 # index scalars, and scale() as the outermost full-pass rescale
@@ -252,6 +255,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_ltr_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).ltr_rescore_topk(LTR[0], LTR[1], LTR[2], LTR[3], rerank_docs=50, k=10)
+    # CommonTermsQuery: df-based required/optional split from index stats
+    out["ft_commonterms_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).common_terms_topk(COMMONTERMS[0], COMMONTERMS[1], k=10)
     # RealTime Get: stored doc by key, soft-committed appends visible
     out["ft_rtg"] = lambda spark, sf_dir: get_rtg_engine(
         spark, sf_dir, "simple"
@@ -387,6 +394,13 @@ def fulltext_oracles() -> dict[str, str]:
         "simple",
         parse_fixture_query(ANALYZERS["simple"](), LTR[0], LTR[1], 0),
         ANALYZERS["simple"]().analyze(LTR[2])[0][0], LTR[3], 50, 10,
+    )
+    from .oracles import common_terms_topk_sql
+
+    out["ft_commonterms_topk"] = common_terms_topk_sql(
+        "simple",
+        [ANALYZERS["simple"]().analyze(s)[0][0] for s in COMMONTERMS[0]],
+        COMMONTERMS[1], 10,
     )
     from .engine import RTG_DOCS
     from .oracles import rtg_sql

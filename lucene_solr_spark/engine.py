@@ -338,6 +338,36 @@ class DocumentsEngine:
             .limit(k)
         )
 
+    def common_terms_topk(
+        self, surface_terms: list[str], max_df_ratio: float = 0.05,
+        k: int = 10,
+    ) -> DataFrame:
+        """CommonTermsQuery (``lucene/queries/.../CommonTermsQuery.java``):
+        terms whose docFreq exceeds ``max_df_ratio``·docCount are demoted
+        to a low-priority optional group (scored when they co-occur, never
+        required), rare terms form the required conjunction — the stopword
+        problem solved from index statistics instead of a fixed list.
+
+        Scale shape: the df split reads ONE term-pruned scan of the small
+        term_stats table (the TermStates#build pass the query compiler
+        already does); execution is the ordinary boolean kernel."""
+        from .search.query import TermClause
+
+        an = self.searcher.analyzer
+        toks = [an.analyze(s)[0][0] for s in surface_terms]
+        dfs, _ = self.searcher.term_stats_rows(toks)
+        cutoff = max_df_ratio * float(self.searcher.stats.doc_count)
+        spec = BooleanSpec()
+        for t in toks:
+            df = dfs.get(t, 0)
+            if df == 0:
+                continue
+            (spec.should if df > cutoff else spec.must).append(TermClause(t))
+        if not spec.must:
+            # all terms common: Lucene falls back to pure disjunction
+            spec.min_should_match = 1
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
     def tfidf_topk(
         self, qtype: str, surface_terms: list[str], k: int = 10, min_should: int = 0
     ) -> DataFrame:

@@ -1118,3 +1118,35 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, ltr_score::FLOAT AS ltr_
     SELECT row_number() OVER (ORDER BY ltr_score DESC, doc_id ASC) AS rank, doc_id, ltr_score
     FROM scored
 ) WHERE rank <= {k} ORDER BY rank"""
+
+
+def common_terms_topk_sql(
+    analyzer: str, qterms: list[str], max_df_ratio: float, k: int,
+) -> str:
+    """CommonTermsQuery oracle (``lucene/queries/.../CommonTermsQuery``):
+    the df-vs-cutoff split is recomputed IN SQL (df > ratio·docCount ⇒
+    optional, else required), docs must contain every required term, score
+    = Σ f32 clause scores over all matched query terms (double sum, one f32
+    cast); all-common falls back to minShouldMatch=1 disjunction."""
+    pred = "term IN (" + ", ".join(f"'{t}'" for t in qterms) + ")"
+    return f"""WITH {base_ctes(analyzer)},{_disjunction_core(pred)},
+cls AS (
+    SELECT q.term, (q.df > {max_df_ratio!r} * st.doc_count) AS is_common
+    FROM qt q, statsf st
+),
+nmust AS (SELECT count(*) FILTER (WHERE NOT is_common)::BIGINT AS n FROM cls),
+agg AS (
+    SELECT t.doc_id,
+           count(DISTINCT t.term) FILTER (WHERE NOT c.is_common) AS must_hit,
+           count(DISTINCT t.term) AS any_hit
+    FROM tfq t JOIN cls c USING (term) GROUP BY t.doc_id
+),
+hits AS (
+    SELECT a.doc_id, CAST(sum(CAST(s.s AS DOUBLE)) AS FLOAT) AS score
+    FROM agg a JOIN sc s USING (doc_id), nmust m
+    WHERE (m.n > 0 AND a.must_hit = m.n) OR (m.n = 0 AND a.any_hit >= 1)
+    GROUP BY a.doc_id
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score FROM hits
+) WHERE rank <= {k} ORDER BY rank"""
