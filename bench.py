@@ -165,6 +165,13 @@ def main() -> None:
                 "scale(sum(product(2, termfreq(text,'merge')),"
                 " product(idf(text,'batch'), 0.125)), 0, 20)", k=10
             ).collect())
+        timings["q_spanfirst"] = _best_of(
+            lambda: eng.span_first_topk("merge", 12, k=10).collect())
+        timings["q_ltr"] = _best_of(
+            lambda: eng.ltr_rescore_topk(
+                "or3", ["vector", "stream", "filter"], "merge",
+                (1.0, 0.75, 0.5), rerank_docs=50, k=10,
+            ).collect())
 
         # --- training-pipeline ops ---
         from lucene_solr_spark.ops.dedup import dedup_minhash_lsh

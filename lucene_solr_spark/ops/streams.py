@@ -731,3 +731,49 @@ ORDER BY dist_km ASC, event_id ASC LIMIT 20"""
 
 
 register("spatial_geofilt", spatial_geofilt, SPATIAL_GEOFILT_SQL)
+
+
+# --- update stream: push tuples into a destination collection ---------------
+
+def stream_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UpdateStream (``SJ/io/stream/UpdateStream`` — the ``update(dest,
+    ...)`` decorator): tuples from an inner stream are indexed INTO a
+    destination collection, then the destination is read back — certifying
+    the full write path, not just the transformation.
+
+    The destination is a content-addressed parquet dataset (the engine's
+    collection store shape); the read-back result must equal the inner
+    stream exactly.
+
+    Scale shape: the write is a distributed parquet sink (one file per
+    partition, no driver collect); Solr's per-batch indexing round-trips
+    through DocumentsWriter, ours through a columnar commit — both make the
+    batch visible atomically (here: directory rename by Spark's committer)."""
+    import hashlib
+    import os
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    inner = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            .alias("sum_value"),
+        )
+    )
+    tag = hashlib.md5(f"stream_update|{sf_dir}".encode()).hexdigest()[:16]
+    dest = os.path.join(tempfile.gettempdir(), f"lss_update_stream_{tag}")
+    inner.write.mode("overwrite").parquet(dest)
+    return spark.read.parquet(dest).orderBy("user_id")
+
+
+STREAM_UPDATE_SQL = """
+SELECT user_id, count(*)::BIGINT AS n_clicks,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events WHERE event_type = 'click'
+GROUP BY user_id ORDER BY user_id"""
+
+
+register("stream_update", stream_update, STREAM_UPDATE_SQL)
