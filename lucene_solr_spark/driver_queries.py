@@ -259,6 +259,14 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_commonterms_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).common_terms_topk(COMMONTERMS[0], COMMONTERMS[1], k=10)
+    # The canonical Solr request: q= + facet.field= over the query's DocSet
+    out["ft_facet_on_query"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).facet_on_query("and2", ["merge", "batch"], "source", limit=10)
+    # stats.field over the same DocSet (StatsComponent on a query)
+    out["ft_stats_on_query"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).stats_on_query("and2", ["merge", "batch"], "n_chars")
     # RealTime Get: stored doc by key, soft-committed appends visible
     out["ft_rtg"] = lambda spark, sf_dir: get_rtg_engine(
         spark, sf_dir, "simple"
@@ -401,6 +409,18 @@ def fulltext_oracles() -> dict[str, str]:
         "simple",
         [ANALYZERS["simple"]().analyze(s)[0][0] for s in COMMONTERMS[0]],
         COMMONTERMS[1], 10,
+    )
+    from .oracles import facet_on_query_sql, stats_on_query_sql
+
+    out["ft_facet_on_query"] = facet_on_query_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), "and2", ["merge", "batch"], 0),
+        "source", 10,
+    )
+    out["ft_stats_on_query"] = stats_on_query_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), "and2", ["merge", "batch"], 0),
+        "n_chars",
     )
     from .engine import RTG_DOCS
     from .oracles import rtg_sql
@@ -548,8 +568,11 @@ PRIORITY_ORDER = [
     "facet_terms", "facet_range", "facet_pivot", "facet_nested",
     "facet_heatmap", "facet_unique_hll",
     "stats_component", "collapse_best_order", "collapse_expand", "group_topk",
-    # streaming expressions (jdbc = the Derby round-trip source)
-    "stream_inner_join", "stream_jdbc_source", "stream_rollup",
+    # streaming expressions (jdbc = the Derby round-trip source);
+    # stream_rollup rotated out for ft_facet_on_query late in r3 (grouped
+    # aggregation stays scored via stream_reduce and the facet family;
+    # facet-on-query certifies the NEW composed q=+facet.field request)
+    "stream_inner_join", "stream_jdbc_source", "ft_facet_on_query",
     "stream_timeseries", "stream_significant_terms", "stream_reduce",
     # update chain + LLM-pipeline operators
     "update_chain_docs",

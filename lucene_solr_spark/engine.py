@@ -313,6 +313,70 @@ class DocumentsEngine:
             .limit(n_groups)
         )
 
+    def facet_on_query(
+        self, qtype: str, surface_terms: list[str], facet_col: str,
+        limit: int = 10,
+    ) -> DataFrame:
+        """Field facet over the MAIN QUERY's result set (the canonical Solr
+        request ``q=...&facet.field=...`` — ``S/request/SimpleFacets``
+        counts buckets over the query's DocSet, not the whole collection):
+        bucket counts of ``facet_col`` across every matching doc, top-N by
+        (count desc, value asc).
+
+        Scale shape: the match set comes from the unranked per-segment hit
+        kernels (no global score sort — facets don't need one), joins the
+        pruned stored-field read on the doc key, and aggregates with
+        Catalyst's partial+final hash-agg; only bucket rows move to the
+        driver."""
+        spec = self.searcher.parse(qtype, surface_terms, 0)
+        hits = self.searcher.hits(
+            self.searcher.compile(spec, k=1 << 30), mode="exact"
+        )
+        keys = self.searcher.docs.select("doc_id", "doc_key")
+        src = self.spark.read.parquet(
+            os.path.join(self.sf_dir, "documents.parquet")
+        ).select(F.col("doc_id").alias("doc_key"), facet_col)
+        return (
+            hits.join(keys, "doc_id")
+            .join(F.broadcast(src), "doc_key")
+            .groupBy(F.col(facet_col).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("bucket"))
+            .limit(limit)
+        )
+
+    def stats_on_query(
+        self, qtype: str, surface_terms: list[str], stat_col: str,
+    ) -> DataFrame:
+        """StatsComponent over the main query's result set
+        (``S/handler/component/StatsComponent`` with ``q=...&stats.field=
+        ...``): count/min/max/sum/mean of a stored numeric field across
+        every matching doc — one row.
+
+        Scale shape: same unranked hit kernels + pruned field read as
+        ``facet_on_query``, then a single global aggregate (partial+final);
+        the sum is exact DECIMAL so map-side combine order can't change
+        the mean."""
+        spec = self.searcher.parse(qtype, surface_terms, 0)
+        hits = self.searcher.hits(
+            self.searcher.compile(spec, k=1 << 30), mode="exact"
+        )
+        keys = self.searcher.docs.select("doc_id", "doc_key")
+        src = self.spark.read.parquet(
+            os.path.join(self.sf_dir, "documents.parquet")
+        ).select(F.col("doc_id").alias("doc_key"), stat_col)
+        j = hits.join(keys, "doc_id").join(F.broadcast(src), "doc_key")
+        c = F.col(stat_col)
+        return j.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(c).cast("long").alias("min_v"),
+            F.max(c).cast("long").alias("max_v"),
+            F.sum(c.cast("decimal(18,2)")).cast("double").alias("sum_v"),
+        ).select(
+            "cnt", "min_v", "max_v", "sum_v",
+            (F.col("sum_v") / F.col("cnt").cast("double")).alias("mean_v"),
+        )
+
     def constant_score_topk(
         self, qtype: str, surface_terms: list[str], boost: float = 1.0,
         k: int = 10,

@@ -1150,3 +1150,34 @@ hits AS (
 SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
     SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score FROM hits
 ) WHERE rank <= {k} ORDER BY rank"""
+
+
+def facet_on_query_sql(
+    analyzer: str, spec: BooleanSpec, facet_col: str, limit: int,
+) -> str:
+    """Facet-over-query-DocSet oracle (``S/request/SimpleFacets``): the main
+    query's match CTE joined to the stored field, bucket counts top-N by
+    (count desc, value asc)."""
+    frag = _bm25_match_ctes(spec, "")
+    return f"""WITH {base_ctes(analyzer)},{frag}
+SELECT d.{facet_col} AS bucket, count(*)::BIGINT AS cnt
+FROM match m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY 1 ORDER BY cnt DESC, bucket ASC LIMIT {limit}"""
+
+
+def stats_on_query_sql(
+    analyzer: str, spec: BooleanSpec, stat_col: str,
+) -> str:
+    """Stats-over-query-DocSet oracle (``S/handler/component/
+    StatsComponent``): one aggregate row over the match CTE joined to the
+    stored field; exact DECIMAL sum, mean = sum/count in double."""
+    frag = _bm25_match_ctes(spec, "")
+    return f"""WITH {base_ctes(analyzer)},{frag},
+st2 AS (
+    SELECT count(*)::BIGINT AS cnt,
+           min(d.{stat_col})::BIGINT AS min_v,
+           max(d.{stat_col})::BIGINT AS max_v,
+           CAST(sum(CAST(d.{stat_col} AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+    FROM match m JOIN documents d ON d.doc_id = m.doc_id
+)
+SELECT cnt, min_v, max_v, sum_v, sum_v / CAST(cnt AS DOUBLE) AS mean_v FROM st2"""
