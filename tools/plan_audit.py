@@ -103,6 +103,41 @@ def main() -> None:
         must_not=[r"CartesianProduct"],
     ))
 
+    # 7. facet-on-query (q= + facet.field=): term IN-list still pushed to
+    # the postings scan, the stored-field side broadcast, hash-agg on top —
+    # and NO TakeOrdered over the hit set before the aggregate (facets
+    # aggregate unranked hits)
+    results.append(audit(
+        "facet_on_query_pushdown_broadcast",
+        eng.facet_on_query("and2", ["merge", "batch"], "source", limit=10),
+        must=[r"PushedFilters: \[In\(term", r"BroadcastExchange",
+              r"HashAggregate"],
+        must_not=[r"CartesianProduct"],
+    ))
+
+    # 8. LTR rescore: candidate features join broadcast, model evaluated in
+    # the JVM (no Python eval in the final projection stage)
+    results.append(audit(
+        "ltr_feature_join_broadcast",
+        eng.ltr_rescore_topk(
+            "or3", ["vector", "stream", "filter"], "merge",
+            (1.0, 0.75, 0.5), rerank_docs=50, k=10,
+        ),
+        must=[r"BroadcastExchange"],
+        must_not=[r"CartesianProduct"],
+    ))
+
+    # 9. pivot facet: the dim side broadcast, ONE shuffle family (the cube
+    # agg + windows on aggregated cells), no crossJoin
+    from lucene_solr_spark.ops.facets import facet_pivot
+
+    results.append(audit(
+        "facet_pivot_broadcast_dim",
+        facet_pivot(spark, SF_DIR),
+        must=[r"BroadcastHashJoin", r"HashAggregate"],
+        must_not=[r"CartesianProduct"],
+    ))
+
     n_fail = results.count(False)
     print(f"{len(results) - n_fail}/{len(results)} plan invariants hold")
     sys.exit(1 if n_fail else 0)
