@@ -142,6 +142,12 @@ FUNCEXPR = (
     " div(ln(sum(docfreq(text,'merge'), 1)), 10),"
     " product(idf(text,'batch'), 0.125)), 0, 20)"
 )
+# Solr's canonical boost-by-recency/size shape: recip(x,m,a,b)=a/(m·x+b)
+# (ReciprocalFloatFunction) + linear(x,m,c) (LinearFloatFunction)
+RECIP_EXPR = (
+    "sum(linear(termfreq(text,'merge'), 2, 0.25),"
+    " recip(n_chars, 0.01, 100, 1))"
+)
 
 
 def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -206,6 +212,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_funcexpr_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).function_expr_topk(FUNCEXPR, k=10)
+    # ReciprocalFloatFunction / LinearFloatFunction boost (recip + linear)
+    out["ft_recip_boost_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).function_expr_topk(RECIP_EXPR, k=10)
     # ReRank query: first-pass BM25 top-N, rescore candidates matching the
     # rerank query as first + reRankWeight*rerank (ReRankQParserPlugin)
     out["ft_rerank_topk"] = lambda spark, sf_dir: get_engine(
@@ -267,6 +277,11 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_stats_on_query"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).stats_on_query("and2", ["merge", "batch"], "n_chars")
+    # JSON facet domain switch: blockChildren — count over ALL children of
+    # every matched parent block (source group), not just matching docs
+    out["ft_facet_block_children"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).facet_block_children("and2", ["merge", "batch"], "lang")
     # RealTime Get: stored doc by key, soft-committed appends visible
     out["ft_rtg"] = lambda spark, sf_dir: get_rtg_engine(
         spark, sf_dir, "simple"
@@ -422,6 +437,13 @@ def fulltext_oracles() -> dict[str, str]:
         parse_fixture_query(ANALYZERS["simple"](), "and2", ["merge", "batch"], 0),
         "n_chars",
     )
+    from .oracles import facet_block_children_sql
+
+    out["ft_facet_block_children"] = facet_block_children_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), "and2", ["merge", "batch"], 0),
+        "lang",
+    )
     from .engine import RTG_DOCS
     from .oracles import rtg_sql
 
@@ -465,6 +487,10 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, tf FROM (
     out["ft_funcexpr_topk"] = funcexpr_topk_sql(
         "simple", FUNCEXPR, 10,
         {s: an_s.analyze(s)[0][0] for s in ("merge", "batch")},
+    )
+    out["ft_recip_boost_topk"] = funcexpr_topk_sql(
+        "simple", RECIP_EXPR, 10,
+        {"merge": an_s.analyze("merge")[0][0]},
     )
     bool_terms = [t for s in ["vector", "stream", "filter"] for t, _ in an_s.analyze(s)]
     bool_inlist = ", ".join(f"'{t}'" for t in bool_terms)

@@ -345,6 +345,39 @@ class DocumentsEngine:
             .limit(limit)
         )
 
+    def facet_block_children(
+        self, qtype: str, surface_terms: list[str], facet_col: str,
+    ) -> DataFrame:
+        """JSON facet with a block-children DOMAIN SWITCH
+        (``S/search/facet/FacetRequest`` ``domain:{blockChildren:...}`` /
+        ``S/search/join/BlockJoinChildQParser``): the query matches inside
+        parent blocks (here the ``source`` group — the engine's
+        parent/child unit, cf. ``blockjoin_by_source``); the facet then
+        counts over ALL children of every matched parent, not just the
+        matching docs.
+
+        Scale shape: matched parents are a tiny distinct set
+        (broadcast); the children re-scan is one pruned parquet read
+        filtered by the broadcast semi-join — no per-parent queries."""
+        spec = self.searcher.parse(qtype, surface_terms, 0)
+        hits = self.searcher.hits(
+            self.searcher.compile(spec, k=1 << 30), mode="exact"
+        )
+        keys = self.searcher.docs.select("doc_id", "doc_key")
+        src = self.spark.read.parquet(
+            os.path.join(self.sf_dir, "documents.parquet")
+        ).select(F.col("doc_id").alias("doc_key"), "source", facet_col)
+        parents = (
+            hits.join(keys, "doc_id").join(F.broadcast(src), "doc_key")
+            .select("source").distinct()
+        )
+        return (
+            src.join(F.broadcast(parents), "source", "left_semi")
+            .groupBy(F.col(facet_col).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("bucket"))
+        )
+
     def stats_on_query(
         self, qtype: str, surface_terms: list[str], stat_col: str,
     ) -> DataFrame:

@@ -1165,6 +1165,23 @@ FROM match m JOIN documents d ON d.doc_id = m.doc_id
 GROUP BY 1 ORDER BY cnt DESC, bucket ASC LIMIT {limit}"""
 
 
+def facet_block_children_sql(
+    analyzer: str, spec: BooleanSpec, facet_col: str,
+) -> str:
+    """Block-children domain-switch facet oracle
+    (``S/search/facet/FacetRequest`` ``domain:{blockChildren:...}``): the
+    query's match CTE selects parents (distinct ``source`` groups of
+    matched docs); the facet counts over ALL docs of those groups."""
+    frag = _bm25_match_ctes(spec, "")
+    return f"""WITH {base_ctes(analyzer)},{frag},
+parents AS (
+    SELECT DISTINCT d.source FROM match m JOIN documents d ON d.doc_id = m.doc_id
+)
+SELECT d.{facet_col} AS bucket, count(*)::BIGINT AS cnt
+FROM documents d JOIN parents p ON d.source = p.source
+GROUP BY 1 ORDER BY cnt DESC, bucket ASC"""
+
+
 def stats_on_query_sql(
     analyzer: str, spec: BooleanSpec, stat_col: str,
 ) -> str:

@@ -15,6 +15,7 @@ index-backed relevance sources, compiled TWICE from one AST:
 
 Functions (names and semantics per ValueSourceParser):
   sum, sub, product, div, abs, log (base 10 — Solr's ``log``), ln, sqrt,
+  recip (ReciprocalFloatFunction a/(m·x+b)), linear (m·x+c),
   exp, pow, max, min, if (cond != 0), map(x, lo, hi, target),
   termfreq(field, term), docfreq(field, term), norm(field) (the
   SmallFloat-DECODED quantized length the similarity sees), field(name) /
@@ -37,7 +38,7 @@ _FUNCTIONS: dict[str, object] = {
     "sum": None, "product": None, "max": None, "min": None,
     "sub": 2, "div": 2, "pow": 2,
     "abs": 1, "log": 1, "ln": 1, "sqrt": 1, "exp": 1,
-    "if": 3, "map": 4, "scale": 3,
+    "if": 3, "map": 4, "scale": 3, "recip": 4, "linear": 3,
     "termfreq": 2, "docfreq": 2, "idf": 2, "norm": 1, "field": 1,
     "numdocs": 0, "maxdoc": 0,
 }
@@ -260,6 +261,14 @@ def compile_spark(ast, env: FuncEnv) -> Column:
         if n.fn == "map":
             x, lo, hi, target = a
             return F.when((x >= lo) & (x <= hi), target).otherwise(x)
+        if n.fn == "recip":
+            # ReciprocalFloatFunction: a/(m*x+b) — recency boosts etc.
+            x, m, aa, b = a
+            return aa / (m * x + b)
+        if n.fn == "linear":
+            # LinearFloatFunction: m*x+c
+            x, m, cc = a
+            return m * x + cc
         raise ValueError(f"function query: unhandled {n.fn}")
 
     return c(ast)
@@ -315,6 +324,12 @@ def compile_sql(ast, env: FuncEnv) -> str:
         if n.fn == "map":
             x, lo, hi, target = a
             return f"(CASE WHEN {x} >= {lo} AND {x} <= {hi} THEN {target} ELSE {x} END)"
+        if n.fn == "recip":
+            x, m, aa, b = a
+            return f"({aa} / (({m} * {x}) + {b}))"
+        if n.fn == "linear":
+            x, m, cc = a
+            return f"(({m} * {x}) + {cc})"
         raise ValueError(f"function query: unhandled {n.fn}")
 
     return c(ast)

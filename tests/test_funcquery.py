@@ -84,3 +84,22 @@ def test_compile_spark_constant_fold(spark):
     ast = parse_expr("sum(product(2, 3), div(sub(10, x), 2), sqrt(x), if(0, 99, 1))")
     got = spark.range(1).select(compile_spark(ast, env).alias("v")).collect()[0].v
     assert got == 6.0 + 0.5 + 3.0 + 1.0
+
+
+def test_recip_linear_spark_sql_parity(spark):
+    """recip(x,m,a,b)=a/(m·x+b) and linear(x,m,c)=m·x+c evaluate identically
+    under both compilers (ReciprocalFloatFunction / LinearFloatFunction)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.search.funcquery import (
+        FuncEnv, compile_spark, compile_sql,
+    )
+
+    expr = "sum(recip(x, 2, 10, 1), linear(x, 3, 0.5))"
+    ast = parse_expr(expr)
+    env_s = FuncEnv(tf={}, fields={"x": F.lit(4.0)}, norms={}, scalars={})
+    got = spark.range(1).select(compile_spark(ast, env_s).alias("v")).collect()[0].v
+    env_q = FuncEnv(tf={}, fields={"x": "4.0"}, norms={}, scalars={})
+    want = duckdb.sql(f"SELECT {compile_sql(ast, env_q)} AS v").fetchone()[0]
+    assert got == want == (10.0 / (2 * 4.0 + 1) + (3 * 4.0 + 0.5))
