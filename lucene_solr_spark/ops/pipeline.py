@@ -1,0 +1,282 @@
+"""Training-data pipeline operators past the dedup/ANN primitives:
+duplicate-cluster assembly (connected components), deterministic dataset
+splits, and benchmark decontamination.
+
+These are the ops a 100 TB pretraining pipeline runs AFTER pair generation:
+
+- **dedup_clusters**: near-dup PAIRS (from the shingle-Jaccard generator,
+  hot-shingle guard applied) assembled into duplicate CLUSTERS via
+  connected components — the keep-one-per-cluster step needs the component,
+  not the pairs. Implemented as min-label propagation over the symmetric
+  edge list: each superstep is one equi-join + one min-aggregate, lineage
+  truncated with ``localCheckpoint`` per superstep (same discipline as
+  ``ops/graph.py`` BFS). Converges in O(diameter) supersteps; near-dup
+  components are tiny chains/cliques, so diameter is small in practice. At
+  10^9+ edges the same loop holds (each superstep is shuffle-bounded by the
+  edge list); the documented upgrade is alternating large-star/small-star
+  which contracts star graphs in O(log n) supersteps.
+- **sample_split**: train/valid/test assignment that is a pure function of
+  the doc key — ``md5(doc_id)`` bucketed mod 100 — so the split is stable
+  across runs, machines, and engines (no ``rand()``: resuming or
+  re-partitioning can never move a doc across splits). One narrow
+  projection + one hash-aggregate.
+- **decontaminate**: flag corpus docs sharing ≥K distinct 5-gram shingles
+  with any benchmark/probe document (the eval-leakage check run before
+  training). The probe set is tiny by construction, so its shingle table is
+  ``broadcast()`` — the corpus-side pass is embarrassingly parallel with no
+  shuffle of corpus shingles at all.
+
+All hashing is md5-over-utf8 (identical in Spark and DuckDB) so every op is
+SQL-cross-checkable, like ops/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .dedup import SHINGLE_MAX_DF, _docs, jaccard_pairs, shingles
+from .registry import register
+from .textmetrics import TOKEN_RE_SQL
+
+# ---------------------------------------------------------------------------
+# dedup_clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+CLUSTER_JACCARD_T = 0.8
+_CC_MAX_SUPERSTEPS = 25
+
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected edge list (src, dst) →
+    (doc_id, cluster_id = component-minimum doc_id).
+
+    Each superstep: neighbor labels via one equi-join, then a min-aggregate
+    per node; stop when no label changed. ``localCheckpoint`` truncates the
+    iterative lineage (without it the plan doubles per superstep)."""
+    sym = edges.union(edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ))
+    labels = (
+        sym.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(_CC_MAX_SUPERSTEPS):
+        nbr = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias("chg"),
+            )
+        ).localCheckpoint()
+        changed = new.filter("chg").limit(1).count()
+        labels = new.select("doc_id", "label")
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: shingle-Jaccard ≥ 0.8 pairs (hot-shingle guard
+    applied, same generator as ``dedup_shingle_jaccard``) → connected
+    components → (cluster_id, doc_id, cluster size, keep flag). ``keep``
+    marks the canonical doc (component-minimum id) a dedup pass retains."""
+    sh = shingles(_docs(spark, sf_dir), n=3, max_shingle_df=SHINGLE_MAX_DF)
+    pairs = jaccard_pairs(sh, CLUSTER_JACCARD_T).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(pairs)
+    sz = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        cc.join(sz, "cluster_id")
+        .select(
+            "cluster_id", "doc_id", "n_docs",
+            (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+# Oracle: identical pair generator (the dedup_shingle_jaccard CTEs), then a
+# recursive CTE computing reachability over the symmetric edges; the
+# component id is the minimum reachable doc_id.
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE tl AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks FROM documents
+),
+t AS (
+    SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl
+),
+sh0 AS (
+    SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
+    FROM t a
+    JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    JOIN t c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+hot AS (
+    SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) > {SHINGLE_MAX_DF}
+),
+sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+cnd AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*)::BIGINT AS inter
+    FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM cnd
+    JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+    WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= {CLUSTER_JACCARD_T}
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc FROM edges),
+reach AS (
+    SELECT doc, doc AS r FROM nodes
+    UNION
+    SELECT e.dst AS doc, reach.r FROM reach JOIN edges e ON e.src = reach.doc
+),
+cc AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc),
+szc AS (SELECT cluster_id, count(*)::BIGINT AS n_docs FROM cc GROUP BY 1)
+SELECT cc.cluster_id, cc.doc_id, szc.n_docs,
+       cc.doc_id = cc.cluster_id AS keep
+FROM cc JOIN szc ON szc.cluster_id = cc.cluster_id
+ORDER BY cc.cluster_id, cc.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# sample_split: deterministic hash-bucketed train/valid/test assignment
+# ---------------------------------------------------------------------------
+
+SPLIT_TRAIN_LT = 90   # buckets [0,90) → train
+SPLIT_VALID_LT = 95   # buckets [90,95) → valid, [95,100) → test
+
+
+def split_assignment(docs: DataFrame) -> DataFrame:
+    """(doc_id, bucket, split): bucket = first 8 md5 hex chars of the
+    decimal doc_id string, mod 100 — a pure function of the key, identical
+    bytes in every engine."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    ).alias("bucket")
+    return docs.select("doc_id", bucket).withColumn(
+        "split",
+        F.when(F.col("bucket") < SPLIT_TRAIN_LT, "train")
+        .when(F.col("bucket") < SPLIT_VALID_LT, "valid")
+        .otherwise("test"),
+    )
+
+
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split summary: per-split doc count, doc_id min/max, and total chars —
+    the audit row a pipeline logs after assignment. One narrow projection +
+    one hash-aggregate (map-side combined); no shuffle of doc text."""
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return (
+        split_assignment(d.select("doc_id")).join(d, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+SAMPLE_SPLIT_SQL = f"""
+WITH b AS (
+    SELECT doc_id, n_chars,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket < {SPLIT_TRAIN_LT} THEN 'train'
+            WHEN bucket < {SPLIT_VALID_LT} THEN 'valid'
+            ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+       sum(n_chars)::BIGINT AS total_chars
+FROM b GROUP BY 1 ORDER BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# decontaminate: n-gram overlap against a benchmark/probe doc set
+# ---------------------------------------------------------------------------
+
+PROBE_MOD = 11        # probe set = docs with doc_id % 11 == 0 (stand-in for
+                      # an external benchmark table; small by construction)
+DECON_NGRAM = 4
+DECON_MIN_SHARED = 2  # flag docs sharing >= this many distinct 4-grams
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-decontamination sweep: corpus docs sharing ≥ K distinct 4-gram
+    shingles with any probe doc, with the shared count and the fraction of
+    the doc's shingles that are contaminated.
+
+    Scale shape: the probe shingle table is tiny → ``broadcast()``; the
+    corpus side streams through one pruned scan + broadcast-hash join (its
+    shingles are never shuffled); per-(doc, probe) counts aggregate
+    map-side."""
+    sh = shingles(_docs(spark, sf_dir), n=DECON_NGRAM)
+    probes = sh.filter(F.col("doc_id") % PROBE_MOD == 0).select(
+        F.col("doc_id").alias("probe_doc"), "shingle"
+    )
+    corpus = sh.filter(F.col("doc_id") % PROBE_MOD != 0)
+    nsz = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        corpus.join(F.broadcast(probes), "shingle")
+        .groupBy("doc_id", "probe_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= DECON_MIN_SHARED)
+        .join(nsz, "doc_id")
+        .withColumn(
+            "frac", F.col("n_shared").cast("double") / F.col("n_shingles")
+        )
+        .select("doc_id", "probe_doc", "n_shared", "frac")
+        .orderBy("doc_id", "probe_doc")
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH tl AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks FROM documents
+),
+t AS (
+    SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl
+),
+sh AS (
+    SELECT DISTINCT a.doc_id,
+           a.term || ' ' || b.term || ' ' || c.term || ' ' || d.term AS shingle
+    FROM t a
+    JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    JOIN t c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    JOIN t d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+),
+probes AS (SELECT doc_id AS probe_doc, shingle FROM sh WHERE doc_id % {PROBE_MOD} = 0),
+corpus AS (SELECT * FROM sh WHERE doc_id % {PROBE_MOD} <> 0),
+nsz AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM corpus GROUP BY 1),
+hits AS (
+    SELECT c.doc_id, p.probe_doc, count(*)::BIGINT AS n_shared
+    FROM corpus c JOIN probes p ON p.shingle = c.shingle
+    GROUP BY 1, 2 HAVING count(*) >= {DECON_MIN_SHARED}
+)
+SELECT h.doc_id, h.probe_doc, h.n_shared,
+       h.n_shared::DOUBLE / nsz.n_shingles AS frac
+FROM hits h JOIN nsz ON nsz.doc_id = h.doc_id
+ORDER BY h.doc_id, h.probe_doc"""
+
+
+register("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_SQL)
+register("sample_split", sample_split, SAMPLE_SPLIT_SQL)
+register("decontaminate", decontaminate, DECONTAMINATE_SQL)

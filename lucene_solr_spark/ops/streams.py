@@ -19,7 +19,7 @@ casts (order-independent exact arithmetic), like facets.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .registry import register
 
@@ -271,6 +271,118 @@ SELECT date_trunc('day', ts) AS day, event_type,
 FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
+# --- Solr math expressions: movingAvg / regress (SJ/io/eval/*) --------------
+
+MOVING_AVG_WINDOW = 7
+
+
+def stream_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``movingAvg`` evaluator (``SJ/io/eval/MovingAverageEvaluator``) over
+    the daily-count timeseries: a 7-row trailing mean per event_type.
+
+    Day buckets first aggregate map-side (one shuffle on (day, type)); the
+    moving window then runs over the tiny bucket table — at 10^12 rows the
+    expensive pass is still the single bucket aggregation, and the window
+    shuffles only one row per (day, type). The mean is emitted as exact
+    BIGINT window-sum / window-count so both engines divide the same
+    integers (no float accumulation order to diverge)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-(MOVING_AVG_WINDOW - 1), 0)
+    )
+    return (
+        daily.select(
+            "day", "event_type", "n",
+            (F.sum("n").over(w).cast("double") / F.count("n").over(w))
+            .alias("mavg"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+STREAM_MOVING_AVG_SQL = f"""
+WITH daily AS (
+    SELECT date_trunc('day', ts) AS day, event_type, count(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT day, event_type, n,
+       CAST(sum(n) OVER w AS DOUBLE) / count(n) OVER w AS mavg
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN {MOVING_AVG_WINDOW - 1} PRECEDING AND CURRENT ROW)
+ORDER BY day, event_type"""
+
+
+def stream_regress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``regress`` evaluator (``SJ/io/eval/RegressionEvaluator``): ordinary
+    least squares of event value against time, per event_type — slope,
+    intercept, r².
+
+    Float discipline: the five sufficient statistics (Σx, Σy, Σx², Σxy, Σy²)
+    are EXACT — x is an integer day number, y a DECIMAL(18,2) — so both
+    engines reduce to identical doubles before the closed-form OLS
+    arithmetic, making slope/intercept/r² deterministic bit-for-bit
+    regardless of row order or partitioning. One map-side-combined
+    aggregate; no second pass."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long")
+    y = F.col("value").cast("decimal(18,2)")
+    s = (
+        ev.select(x.alias("x"), y.alias("y"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+            F.sum(F.col("y") * F.col("x")).cast("double").alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        )
+    )
+    vx = s.n * s.sxx - s.sx * s.sx
+    vy = s.n * s.syy - s.sy * s.sy
+    cov = s.n * s.sxy - s.sx * s.sy
+    return (
+        s.select(
+            "event_type",
+            s.n.cast("long").alias("n_obs"),
+            (cov / vx).alias("slope"),
+            ((s.sy - (cov / vx) * s.sx) / s.n).alias("intercept"),
+            (cov * cov / (vx * vy)).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAM_REGRESS_SQL = """
+WITH s AS (
+    SELECT event_type,
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(x) AS DOUBLE) AS sx,
+           CAST(sum(y) AS DOUBLE) AS sy,
+           CAST(sum(x * x) AS DOUBLE) AS sxx,
+           CAST(sum(y * x) AS DOUBLE) AS sxy,
+           CAST(sum(y * y) AS DOUBLE) AS syy
+    FROM (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS x,
+               CAST(value AS DECIMAL(18,2)) AS y
+        FROM events
+    ) GROUP BY 1
+)
+SELECT event_type, n::BIGINT AS n_obs,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
+       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM s ORDER BY event_type"""
+
+
 register("stream_inner_join", stream_inner_join, STREAM_INNER_JOIN_SQL)
 register("stream_hash_join", stream_hash_join, STREAM_HASH_JOIN_SQL)
 register("stream_left_join_having", stream_left_join_having, STREAM_LEFT_JOIN_HAVING_SQL)
@@ -283,6 +395,8 @@ register("stream_complement", stream_complement, STREAM_COMPLEMENT_SQL)
 register("stream_cartesian", stream_cartesian, STREAM_CARTESIAN_SQL)
 register("stream_select_eval", stream_select_eval, STREAM_SELECT_EVAL_SQL)
 register("stream_timeseries", stream_timeseries, STREAM_TIMESERIES_SQL)
+register("stream_moving_avg", stream_moving_avg, STREAM_MOVING_AVG_SQL)
+register("stream_regress", stream_regress, STREAM_REGRESS_SQL)
 
 
 # --- significantTerms (SignificantTermsStream: distinctive-terms mining) ----
