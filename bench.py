@@ -172,6 +172,11 @@ def main() -> None:
                 "or3", ["vector", "stream", "filter"], "merge",
                 (1.0, 0.75, 0.5), rerank_docs=50, k=10,
             ).collect())
+        # late round-3 operators: MultiPhrase slot union, nested boolean
+        timings["q_multiphrase"] = _best_of(
+            lambda: eng.multiphrase_topk([["merge"], ["batch", "stream"]], k=10).collect())
+        timings["q_nested_bool"] = _best_of(
+            lambda: eng.nested_bool_topk(["merge"], ["batch", "stream"], k=10).collect())
 
         # --- training-pipeline ops ---
         from lucene_solr_spark.ops.dedup import dedup_minhash_lsh

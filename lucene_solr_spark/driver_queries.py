@@ -148,6 +148,12 @@ RECIP_EXPR = (
     "sum(linear(termfreq(text,'merge'), 2, 0.25),"
     " recip(n_chars, 0.01, 100, 1))"
 )
+# MultiPhraseQuery: "merge (batch|stream)" — slot 2 admits either synonym
+MULTIPHRASE = [["merge"], ["batch", "stream"]]
+# Phrase-prefix (PhraseWildcardQuery / match_phrase_prefix): "merge bat*"
+PHRASE_PREFIX = (["merge"], "bat")
+# Nested boolean: +merge +(batch stream) — inner disjunction as one clause
+NESTED_BOOL = (["merge"], ["batch", "stream"])
 
 
 def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -216,6 +222,18 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_recip_boost_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).function_expr_topk(RECIP_EXPR, k=10)
+    # MultiPhraseQuery: a phrase slot admitting several terms
+    out["ft_multiphrase_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).multiphrase_topk(MULTIPHRASE, k=10)
+    # Phrase-prefix: last slot = term-dictionary prefix expansion
+    out["ft_phrase_prefix_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).phrase_prefix_topk(PHRASE_PREFIX[0], PHRASE_PREFIX[1], k=10)
+    # Nested BooleanQuery: +must +(inner disjunction) as one clause subtree
+    out["ft_nested_bool_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).nested_bool_topk(NESTED_BOOL[0], NESTED_BOOL[1], k=10)
     # ReRank query: first-pass BM25 top-N, rescore candidates matching the
     # rerank query as first + reRankWeight*rerank (ReRankQParserPlugin)
     out["ft_rerank_topk"] = lambda spark, sf_dir: get_engine(
@@ -492,6 +510,32 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, tf FROM (
         "simple", RECIP_EXPR, 10,
         {"merge": an_s.analyze("merge")[0][0]},
     )
+    from .oracles import phrase_prefix_topk_sql
+    from .search.query import BooleanSpec as _BS, MultiPhraseClause as _MPC
+
+    mp_slots = tuple(
+        tuple(an_s.analyze(s)[0][0] for s in grp) for grp in MULTIPHRASE
+    )
+    out["ft_multiphrase_topk"] = bm25_topk_sql(
+        "simple",
+        _BS(must=[_MPC(mp_slots, tuple(range(len(mp_slots))))]),
+        10,
+    )
+    out["ft_phrase_prefix_topk"] = phrase_prefix_topk_sql(
+        "simple",
+        tuple(an_s.analyze(s)[0][0] for s in PHRASE_PREFIX[0]),
+        PHRASE_PREFIX[1], 10,
+    )
+    from .search.query import OrGroupClause as _OGC, TermClause as _TC
+
+    out["ft_nested_bool_topk"] = bm25_topk_sql(
+        "simple",
+        _BS(must=[
+            *[_TC(an_s.analyze(s)[0][0]) for s in NESTED_BOOL[0]],
+            _OGC(tuple(an_s.analyze(s)[0][0] for s in NESTED_BOOL[1])),
+        ]),
+        10,
+    )
     bool_terms = [t for s in ["vector", "stream", "filter"] for t, _ in an_s.analyze(s)]
     bool_inlist = ", ".join(f"'{t}'" for t in bool_terms)
     out["ft_boolean_sim_topk"] = f"""WITH {base_ctes("simple")},
@@ -591,15 +635,27 @@ PRIORITY_ORDER = [
     # facet_query rotated out for facet_pivot late in r3 (the conditional
     # aggregate stays pass-local-gated; pivot certifies the NEW multi-level
     # bucket-tree surface with its broadcast dim join)
-    "facet_terms", "facet_range", "facet_pivot", "facet_nested",
+    # facet_range rotated out for ft_multiphrase_topk late in r3 (numeric
+    # range bucketing stays certified in-window by facet_heatmap's grid
+    # binning and pass-local by facet_range/facet_range_date/facet_interval;
+    # multiphrase certifies the NEW slot-union positional query class)
+    "facet_terms", "ft_multiphrase_topk", "facet_pivot", "facet_nested",
     "facet_heatmap", "facet_unique_hll",
-    "stats_component", "collapse_best_order", "collapse_expand", "group_topk",
+    # collapse_best_order rotated out for dedup_clusters late in r3 (the
+    # collapse window shuffle stays scored inside collapse_expand, which
+    # contains the collapse step; clusters certify the NEW connected-
+    # components assembly over the near-dup pair generator)
+    "stats_component", "dedup_clusters", "collapse_expand", "group_topk",
     # streaming expressions (jdbc = the Derby round-trip source);
     # stream_rollup rotated out for ft_facet_on_query late in r3 (grouped
     # aggregation stays scored via stream_reduce and the facet family;
     # facet-on-query certifies the NEW composed q=+facet.field request)
+    # stream_timeseries rotated out for stream_regress late in r3 (the
+    # day-bucket groupBy shape stays scored via stream_reduce and the facet
+    # family; regress certifies the NEW math-expression evaluator family
+    # with its exact-sufficient-statistics float discipline)
     "stream_inner_join", "stream_jdbc_source", "ft_facet_on_query",
-    "stream_timeseries", "stream_significant_terms", "stream_reduce",
+    "stream_regress", "stream_significant_terms", "stream_reduce",
     # update chain + LLM-pipeline operators
     "update_chain_docs",
     "dedup_exact", "dedup_shingle_jaccard", "dedup_minhash_lsh", "dedup_simhash",

@@ -90,6 +90,86 @@ class DocumentsEngine:
             F.col("score").cast("float").alias("score"),
         ).orderBy("rank")
 
+    def multiphrase_topk(
+        self, slot_surfaces: list[list[str]], k: int = 10,
+    ) -> DataFrame:
+        """MultiPhraseQuery top-k (``L/search/MultiPhraseQuery``): one
+        surface-term LIST per phrase position — a start position matches
+        when every slot has some member term at its offset; freq = number
+        of matching starts; weight = f32(Σ idf over all member terms).
+
+        Runs on the exact positional kernel (``needs_positions``); slot
+        unions are vectorized per segment (``kernels._union_postings``)."""
+        from .search.query import BooleanSpec, MultiPhraseClause
+
+        slots = tuple(
+            tuple(self.searcher.analyzer.analyze(s)[0][0] for s in group)
+            for group in slot_surfaces
+        )
+        spec = BooleanSpec(must=[MultiPhraseClause(
+            slots, tuple(range(len(slots)))
+        )])
+        out = self.searcher.search(spec, k=k, mode="exact", with_keys=True)
+        return out.select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("doc_key").cast("long").alias("doc_id"),
+            F.col("score").cast("float").alias("score"),
+        ).orderBy("rank")
+
+    def nested_bool_topk(
+        self, must_surfaces: list[str], group_surfaces: list[str], k: int = 10,
+    ) -> DataFrame:
+        """Nested BooleanQuery top-k — ``+a +(b c)`` (``L/search/
+        BooleanQuery`` nesting): required terms plus a required inner
+        disjunction scored as one DisjunctionSumScorer subtree. Routed
+        through the exact kernel (`needs_exact`); the inner group is a
+        per-member posting union + one grouped float64 sum per segment."""
+        from .search.query import BooleanSpec, OrGroupClause, TermClause
+
+        an = self.searcher.analyzer
+        spec = BooleanSpec(must=[
+            *[TermClause(an.analyze(s)[0][0]) for s in must_surfaces],
+            OrGroupClause(tuple(an.analyze(s)[0][0] for s in group_surfaces)),
+        ])
+        out = self.searcher.search(spec, k=k, mode="wand", with_keys=True)
+        return out.select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("doc_key").cast("long").alias("doc_id"),
+            F.col("score").cast("float").alias("score"),
+        ).orderBy("rank")
+
+    def phrase_prefix_topk(
+        self, surfaces: list[str], prefix: str, k: int = 10,
+        max_expansions: int = 50,
+    ) -> DataFrame:
+        """Phrase-prefix top-k (``L/search/PhraseWildcardQuery`` — the
+        match_phrase_prefix / autocomplete shape): leading slots are the
+        analyzed surface terms; the LAST slot is the term-dictionary prefix
+        expansion (sorted, capped at ``max_expansions``), and the whole
+        thing scores as a MultiPhraseQuery over the expanded term set.
+
+        Scale shape: the expansion is one pruned scan of the small
+        term_stats table; the positional verify joins only the expanded
+        terms' postings (term-IN-list pushdown like every other query)."""
+        from .search.query import BooleanSpec, MultiPhraseClause
+
+        head = tuple(
+            (self.searcher.analyzer.analyze(s)[0][0],) for s in surfaces
+        )
+        expanded = tuple(
+            self.searcher.expand_terms("prefix", prefix, max_expansions)
+        )
+        slots = head + (expanded,)
+        spec = BooleanSpec(must=[MultiPhraseClause(
+            slots, tuple(range(len(slots)))
+        )])
+        out = self.searcher.search(spec, k=k, mode="exact", with_keys=True)
+        return out.select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("doc_key").cast("long").alias("doc_id"),
+            F.col("score").cast("float").alias("score"),
+        ).orderBy("rank")
+
     def filtered_topk(
         self,
         qtype: str,

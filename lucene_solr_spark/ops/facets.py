@@ -554,6 +554,49 @@ FROM part"""
 register("facet_terms_params", facet_terms_params, FACET_TERMS_PARAMS_SQL)
 
 
+# --- JSON facet allBuckets / numBuckets options -----------------------------
+
+def facet_allbuckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON facet ``allBuckets:true`` + ``numBuckets:true``
+    (``S/search/facet/FacetFieldProcessor`` allBuckets slot / numBuckets
+    header): the top-N term buckets, plus the roll-up row aggregating ALL
+    bucketed docs (independent of the limit), plus the count of distinct
+    buckets before limiting.
+
+    Scale shape: all three results come off ONE scan — the bucket
+    hash-agg (map-side combined) serves the top-N and, re-aggregated,
+    numBuckets and allBuckets; no second pass over the fact table."""
+    part = _t(spark, sf_dir, "part")
+    by_bucket = (
+        part.filter(F.col("p_type").isNotNull())  # missing ∉ buckets
+        .groupBy(F.col("p_type").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = by_bucket.orderBy(F.desc("cnt"), F.asc("bucket")).limit(5)
+    allb = by_bucket.agg(F.sum("cnt").cast("long").alias("cnt")).select(
+        F.lit("__all__").alias("bucket"), "cnt"
+    )
+    nb = by_bucket.agg(F.count(F.lit(1)).cast("long").alias("cnt")).select(
+        F.lit("__numBuckets__").alias("bucket"), "cnt"
+    )
+    return top.unionByName(allb).unionByName(nb)
+
+
+FACET_ALLBUCKETS_SQL = """
+SELECT bucket, cnt FROM (
+    SELECT p_type AS bucket, count(*)::BIGINT AS cnt
+    FROM part WHERE p_type IS NOT NULL
+    GROUP BY 1 ORDER BY cnt DESC, bucket ASC LIMIT 5
+)
+UNION ALL
+SELECT '__all__', count(*)::BIGINT FROM part WHERE p_type IS NOT NULL
+UNION ALL
+SELECT '__numBuckets__', count(DISTINCT p_type)::BIGINT FROM part"""
+
+
+register("facet_allbuckets", facet_allbuckets, FACET_ALLBUCKETS_SQL)
+
+
 # --- date range facet with Solr date-math endpoints -------------------------
 
 # fixed NOW anchor so both engines derive identical instants

@@ -21,7 +21,9 @@ stop-hole position gaps, ``L/search/HitQueue`` (score desc, docID asc).
 from __future__ import annotations
 
 from .analysis.analyzer import ENGLISH_STOP_WORDS
-from .search.query import BooleanSpec, PhraseClause
+from .search.query import (
+    BooleanSpec, MultiPhraseClause, OrGroupClause, PhraseClause,
+)
 from .util.smallfloat import LENGTH_TABLE
 
 # Same token rule as analysis.analyzer._TOKEN_RE, RE2 syntax, SQL-quoted.
@@ -515,6 +517,92 @@ def _bm25_match_ctes(
     for occur, group in (("must", spec.must), ("should", spec.should)):
         for c in group:
             is_must = "TRUE" if occur == "must" else "FALSE"
+            if isinstance(c, OrGroupClause):
+                # nested disjunction as ONE clause: per-member f32 term
+                # score (term-branch arithmetic) widened to DOUBLE, summed
+                # in member order via an explicit + chain (absent member →
+                # +0.0, an IEEE no-op), one f32 cast for the group
+                members = c.terms
+                boost = float(c.boost)
+                mem_ctes = []
+                for j, t in enumerate(members):
+                    w_expr = _idf_expr(t) if boost == 1.0 else (
+                        f"(CAST({boost!r} AS FLOAT) * {_idf_expr(t)})"
+                    )
+                    mem_ctes.append(f"""
+{p}og{ci}m{j} AS (
+    SELECT k.doc_id,
+           CAST(CAST({w_expr}
+                * CAST(count(*)::DOUBLE / (count(*)::DOUBLE + CAST(any_value(c.cache) AS DOUBLE)) AS FLOAT)
+            AS FLOAT) AS DOUBLE) AS s_d
+    FROM kept k JOIN cachec c USING (doc_id), statsf st
+    WHERE k.term = '{t}'
+    GROUP BY k.doc_id, st.doc_count
+)""")
+                members_in = ", ".join(f"'{t}'" for t in members)
+                chain = " + ".join(
+                    f"COALESCE(m{j}.s_d, 0)" for j in range(len(members))
+                )
+                ljoins = " ".join(
+                    f"LEFT JOIN {p}og{ci}m{j} m{j} USING (doc_id)"
+                    for j in range(len(members))
+                )
+                clause_ctes.append(f"""{','.join(mem_ctes)},
+{p}cs{ci} AS (
+    SELECT d.doc_id, CAST({chain} AS FLOAT) AS s, {is_must} AS is_must
+    FROM (SELECT DISTINCT doc_id FROM kept WHERE term IN ({members_in})) d
+    {ljoins}
+)""")
+                clause_selects.append(f"SELECT doc_id, s, is_must FROM {p}cs{ci}")
+                ci += 1
+                continue
+            if isinstance(c, MultiPhraseClause):
+                # MultiPhraseQuery: per-slot IN-lists; tf = matching start
+                # positions; weight = f32(Σ_double f32 idf over flattened
+                # member terms) — dead terms contribute +0.0 (a no-op in the
+                # engine's live-only sum, IEEE-exact)
+                slots, offsets = c.slots, c.offsets
+                joins = []
+                for j in range(1, len(slots)):
+                    inl = ", ".join(f"'{t}'" for t in slots[j])
+                    joins.append(
+                        f"JOIN kept k{j} ON k{j}.doc_id = k0.doc_id "
+                        f"AND k{j}.pos = k0.pos + {offsets[j] - offsets[0]} "
+                        f"AND k{j}.term IN ({inl})"
+                    )
+                inl0 = ", ".join(f"'{t}'" for t in slots[0])
+                flat = [t for slot in slots for t in slot]
+                idf_sum = " + ".join(
+                    f"(CASE WHEN EXISTS (SELECT 1 FROM kept WHERE term = '{t}')"
+                    f" THEN CAST({_idf_expr(t)} AS DOUBLE) ELSE 0 END)"
+                    for t in flat
+                )
+                exists = " AND ".join(
+                    "(" + " OR ".join(
+                        f"EXISTS (SELECT 1 FROM kept WHERE term = '{t}')"
+                        for t in slot
+                    ) + ")"
+                    for slot in slots
+                )
+                clause_ctes.append(f"""
+{p}ph{ci} AS (
+    SELECT k0.doc_id, count(*)::BIGINT AS tf
+    FROM kept k0 {' '.join(joins)}
+    WHERE k0.term IN ({inl0})
+    GROUP BY k0.doc_id
+),
+{p}cs{ci} AS (
+    SELECT p.doc_id,
+           CAST(CAST({idf_sum} AS FLOAT)
+                * CAST(p.tf::DOUBLE / (p.tf::DOUBLE + CAST(c.cache AS DOUBLE)) AS FLOAT)
+            AS FLOAT) AS s,
+           {is_must} AS is_must
+    FROM {p}ph{ci} p JOIN cachec c USING (doc_id), statsf st
+    WHERE {exists}
+)""")
+                clause_selects.append(f"SELECT doc_id, s, is_must FROM {p}cs{ci}")
+                ci += 1
+                continue
             if isinstance(c, PhraseClause):
                 terms, offsets = c.terms, c.offsets
                 joins = []
@@ -1149,6 +1237,67 @@ hits AS (
 )
 SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
     SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score FROM hits
+) WHERE rank <= {k} ORDER BY rank"""
+
+
+def phrase_prefix_topk_sql(
+    analyzer: str, head_terms: tuple[str, ...], prefix: str, k: int,
+    max_expansions: int = 50,
+) -> str:
+    """Phrase-prefix oracle (``L/search/PhraseWildcardQuery`` /
+    MultiPhrasePrefixQuery shape): leading exact slots + a last slot
+    expanded from the term dictionary by ``prefix`` (sorted, capped at
+    ``max_expansions``), scored as a MultiPhraseQuery — tf = matching start
+    positions, weight = f32(Σ_double f32 idf) with the head terms first and
+    the expansion summed in sorted-term order (DuckDB ordered aggregate =
+    the engine's sorted-expansion fold)."""
+    joins = []
+    for j in range(1, len(head_terms)):
+        joins.append(
+            f"JOIN kept k{j} ON k{j}.doc_id = k0.doc_id "
+            f"AND k{j}.pos = k0.pos + {j} AND k{j}.term = '{head_terms[j]}'"
+        )
+    last = len(head_terms)
+    joins.append(
+        f"JOIN kept k{last} ON k{last}.doc_id = k0.doc_id "
+        f"AND k{last}.pos = k0.pos + {last} "
+        f"AND k{last}.term IN (SELECT term FROM expn)"
+    )
+    head_idf = " + ".join(
+        f"CAST({_idf_expr(t)} AS DOUBLE)" for t in head_terms
+    )
+    head_exists = " AND ".join(
+        f"EXISTS (SELECT 1 FROM kept WHERE term = '{t}')" for t in head_terms
+    )
+    return f"""WITH {base_ctes(analyzer)},
+expn AS (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+    FROM kept WHERE term LIKE '{prefix}%'
+    GROUP BY term ORDER BY term LIMIT {max_expansions}
+),
+expw AS (
+    SELECT COALESCE(sum(
+        CAST(CAST(ln(1.0 + (st.doc_count - e.df + 0.5) / (e.df + 0.5)) AS FLOAT) AS DOUBLE)
+        ORDER BY e.term), 0) AS w
+    FROM expn e, statsf st
+),
+mph AS (
+    SELECT k0.doc_id, count(*)::BIGINT AS tf
+    FROM kept k0 {' '.join(joins)}
+    WHERE k0.term = '{head_terms[0]}'
+    GROUP BY k0.doc_id
+),
+hits AS (
+    SELECT p.doc_id,
+           CAST(CAST({head_idf} + (SELECT w FROM expw) AS FLOAT)
+                * CAST(p.tf::DOUBLE / (p.tf::DOUBLE + CAST(c.cache AS DOUBLE)) AS FLOAT)
+            AS FLOAT) AS score
+    FROM mph p JOIN cachec c USING (doc_id), statsf st
+    WHERE {head_exists}
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+    FROM hits
 ) WHERE rank <= {k} ORDER BY rank"""
 
 

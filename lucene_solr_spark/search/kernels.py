@@ -79,6 +79,32 @@ def _gather_ranges(arr: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.
     return arr[np.cumsum(step)]
 
 
+def _union_postings(
+    parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Positional UNION of several terms' postings → one pseudo-term
+    (docs, tfs, pos_flat) in the same shape ``decode_postings`` returns —
+    the ``L/search/MultiPhraseQuery$UnionPostingsEnum`` analog, vectorized:
+    concatenate all (doc, pos) pairs, lexsort, drop duplicates (a position
+    holds one term, so dups only arise if the same term appears twice in a
+    slot), then per-doc counts via ``np.unique``."""
+    live = [p for p in parts if p[0].size]
+    if not live:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    if len(live) == 1:
+        return live[0]
+    dk = np.concatenate([np.repeat(d, tf) for d, tf, _ in live])
+    pp = np.concatenate([p.astype(np.int64) for _, _, p in live])
+    order = np.lexsort((pp, dk))
+    dk, pp = dk[order], pp[order]
+    dup = np.zeros(len(dk), dtype=bool)
+    dup[1:] = (dk[1:] == dk[:-1]) & (pp[1:] == pp[:-1])
+    dk, pp = dk[~dup], pp[~dup]
+    docs, tfs = np.unique(dk, return_counts=True)
+    return docs, tfs.astype(np.int64), pp
+
+
 def _phrase_freqs(
     docs_per_term: list[np.ndarray],
     pos_flat_per_term: list[np.ndarray],
@@ -456,6 +482,39 @@ def score_segment_exact(
                 )
                 keep = cnt > 0
                 docs, tfs = docs_all[keep], cnt[keep]
+        elif c.kind == "multiphrase":
+            # each slot's member postings union into one pseudo-term, then
+            # the exact-phrase intersect runs unchanged over the unions
+            per = [
+                _union_postings([dec(t) for t in slot]) for slot in c.slots
+            ]
+            docs, tfs = _phrase_freqs(
+                [p[0] for p in per], [p[2] for p in per], [p[1] for p in per], c.offsets
+            )
+        elif c.kind == "or_group":
+            # nested disjunction as one clause (DisjunctionSumScorer
+            # subtree): per-member f32 term scores, per-doc Σ in float64 in
+            # member order, single f32 cast for the group score
+            d_parts, s_parts = [], []
+            for t, w in zip(c.terms, c.member_weights):
+                md, mtf = dec(t)[0], dec(t)[1]
+                if md.size == 0:
+                    continue
+                d_parts.append(md)
+                s_parts.append(_sim_fns(q)[0](
+                    mtf, _norm_lookup(norms_arr, base, md), w, q.cache, 0.0,
+                ).astype(np.float64))
+            if not d_parts:
+                docs = np.empty(0, dtype=np.int64)
+                tfs = docs
+            else:
+                alld = np.concatenate(d_parts)
+                alls = np.concatenate(s_parts)
+                docs, inv = np.unique(alld, return_inverse=True)
+                gsum = np.zeros(len(docs), dtype=np.float64)
+                np.add.at(gsum, inv, alls)
+                group_scores = gsum.astype(np.float32)
+                tfs = None  # scored directly below
         else:
             per = [dec(t) for t in c.terms]
             matcher = _phrase_freqs if getattr(c, "slop", 0) == 0 else (
@@ -468,10 +527,13 @@ def score_segment_exact(
             if c.occur == "must":
                 return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
             continue
-        scores = _sim_fns(q)[0](
-            tfs, _norm_lookup(norms_arr, base, docs), c.weight, q.cache,
-            getattr(c, "aux", 0.0),
-        )
+        if c.kind == "or_group":
+            scores = group_scores
+        else:
+            scores = _sim_fns(q)[0](
+                tfs, _norm_lookup(norms_arr, base, docs), c.weight, q.cache,
+                getattr(c, "aux", 0.0),
+            )
         clause_docs.append(docs)
         clause_scores.append(scores)
         occurs.append(c.occur)
@@ -512,6 +574,20 @@ def count_segment_matches(
     for c in q.clauses:
         if c.kind == "term":
             docs = dec(c.terms[0])[0]
+        elif c.kind == "or_group":
+            parts = [dec(t)[0] for t in c.terms]
+            parts = [d for d in parts if d.size]
+            docs = (
+                np.unique(np.concatenate(parts))
+                if parts else np.empty(0, dtype=np.int64)
+            )
+        elif c.kind == "multiphrase":
+            per = [
+                _union_postings([dec(t) for t in slot]) for slot in c.slots
+            ]
+            docs, _ = _phrase_freqs(
+                [p[0] for p in per], [p[2] for p in per], [p[1] for p in per], c.offsets
+            )
         else:
             per = [dec(t) for t in c.terms]
             matcher = _phrase_freqs if getattr(c, "slop", 0) == 0 else (

@@ -39,6 +39,37 @@ class PhraseClause:
 
 
 @dataclass(frozen=True)
+class OrGroupClause:
+    """Nested pure-disjunction BooleanQuery as a single clause —
+    ``+a +(b c)`` (``L/search/BooleanQuery`` nesting;
+    ``Boolean2ScorerSupplier`` builds a DisjunctionSumScorer subtree for
+    the inner query). The group matches when ANY member term matches;
+    its score is the f32 cast of the float64 sum of member term scores
+    (DisjunctionSumScorer order), then combines with sibling clauses
+    exactly like any other clause."""
+
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MultiPhraseClause:
+    """MultiPhraseQuery (``L/search/MultiPhraseQuery``): a phrase where each
+    position slot admits ANY of several terms (synonym-in-phrase, or the
+    expanded last slot of a phrase-prefix query à la ``L/search/
+    PhraseWildcardQuery``). A start position matches when every slot i has
+    SOME member term at start + offsets[i]; freq = matching start count.
+
+    Weight follows MultiPhraseQuery's SimWeight: built from the
+    TermStatistics of ALL member terms — boost · f32(Σ idf) over the
+    flattened (slot-order, then in-slot order) term sequence."""
+
+    slots: tuple[tuple[str, ...], ...]
+    offsets: tuple[int, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SpanFirstClause:
     """SpanFirstQuery over a single-term span (``L/search/spans/
     SpanFirstQuery`` = SpanPositionRangeQuery with start=0): matches docs
@@ -81,7 +112,13 @@ class BooleanSpec:
     def all_terms(self) -> list[str]:
         out: list[str] = []
         for c in self.scoring_clauses:
-            out.extend(c.terms if isinstance(c, PhraseClause) else [c.term])
+            if isinstance(c, (PhraseClause, OrGroupClause)):
+                out.extend(c.terms)
+            elif isinstance(c, MultiPhraseClause):
+                for slot in c.slots:
+                    out.extend(slot)
+            else:
+                out.append(c.term)
         out.extend(c.term for c in self.must_not)
         out.extend(c.term for c in self.filter)
         return sorted(set(out))
@@ -139,6 +176,10 @@ class CompiledClause:
     slop: int = 0             # phrase only; 0 = exact
     aux: float = 0.0          # similarity-specific clause stat
                               # (LMDirichlet: mu · collectionProbability)
+    slots: tuple[tuple[str, ...], ...] = ()  # multiphrase only: per-offset
+                              # alternative term sets (terms = flattened)
+    member_weights: tuple = ()  # or_group only: per-member f32 weight
+                              # aligned with terms (weight field unused)
 
 
 @dataclass
@@ -167,7 +208,18 @@ class CompiledQuery:
 
     @property
     def needs_positions(self) -> bool:
-        return any(c.kind in ("phrase", "span_first") for c in self.clauses)
+        return any(
+            c.kind in ("phrase", "span_first", "multiphrase")
+            for c in self.clauses
+        )
+
+    @property
+    def needs_exact(self) -> bool:
+        """Clause kinds without a WAND block-bound implementation — the
+        searcher routes these through the exact kernel."""
+        return self.needs_positions or any(
+            c.kind == "or_group" for c in self.clauses
+        )
 
     @property
     def scoring_terms(self) -> list[str]:
@@ -250,6 +302,49 @@ def compile_query(
                     )
                 clauses.append(CompiledClause(
                     "phrase", c.terms, c.offsets, np.float32(w), occur, slop=int(c.slop)
+                ))
+            elif isinstance(c, OrGroupClause):
+                if similarity not in ("bm25", "classic"):
+                    raise ValueError(
+                        f"{similarity} or_group scoring not implemented; "
+                        "use bm25/classic"
+                    )
+                live = tuple(t for t in c.terms if term_df.get(t, 0) > 0)
+                if not live:
+                    impossible |= occur == "must"
+                    continue
+                weights = tuple(
+                    np.float32(c.boost) * idf_fn(term_df[t], doc_count)
+                    for t in live
+                )
+                clauses.append(CompiledClause(
+                    "or_group", live, (), np.float32(0.0), occur,
+                    member_weights=weights,
+                ))
+            elif isinstance(c, MultiPhraseClause):
+                if similarity != "bm25":
+                    raise ValueError(
+                        f"{similarity} multiphrase scoring not implemented; "
+                        "use bm25"
+                    )
+                # a slot with NO live member term makes the phrase
+                # unmatchable; dead members inside a live slot are dropped
+                # but still excluded from the idf sum (Lucene builds the
+                # SimWeight from the terms the rewritten query retains)
+                live_slots = tuple(
+                    tuple(t for t in slot if term_df.get(t, 0) > 0)
+                    for slot in c.slots
+                )
+                if any(not slot for slot in live_slots):
+                    impossible |= occur == "must"
+                    continue
+                flat = tuple(t for slot in live_slots for t in slot)
+                w = np.float32(c.boost) * np.float32(
+                    sum(float(idf_fn(term_df[t], doc_count)) for t in flat)
+                )
+                clauses.append(CompiledClause(
+                    "multiphrase", flat, c.offsets, np.float32(w), occur,
+                    slots=live_slots,
                 ))
             elif isinstance(c, SpanFirstClause):
                 if similarity in ("lm", "lmjm", "dfr", "ib"):

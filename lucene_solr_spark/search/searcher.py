@@ -71,7 +71,7 @@ def _make_multi_kernel(
         for qid, q in queries.items():
             if not q.clauses:
                 continue
-            fn = score_segment_exact if (mode == "exact" or q.needs_positions) else score_segment_wand
+            fn = score_segment_exact if (mode == "exact" or q.needs_exact) else score_segment_wand
             incl = None
             if q.filter_by_base is not None:
                 incl = q.filter_by_base.get(base, _EMPTY_LOCALS)
@@ -94,7 +94,7 @@ def _make_search_kernel(
     q: CompiledQuery, mode: str, after: tuple | None = None,
     deleted_by_seg: dict[int, np.ndarray] | None = None,
 ):
-    exact = mode == "exact" or q.needs_positions
+    exact = mode == "exact" or q.needs_exact
 
     def kernel(posts: pd.DataFrame, norms: pd.DataFrame) -> pd.DataFrame:
         if len(norms) == 0 or len(posts) == 0:
