@@ -138,6 +138,35 @@ def main() -> None:
         must_not=[r"CartesianProduct"],
     ))
 
+    # 10. blockChildren facet domain: matched-parent set broadcast into the
+    # children re-scan (semi-join), one hash-agg, no crossJoin
+    results.append(audit(
+        "facet_block_children_broadcast_parents",
+        eng.facet_block_children("and2", ["merge", "batch"], "lang"),
+        must=[r"BroadcastExchange", r"HashAggregate"],
+        must_not=[r"CartesianProduct"],
+    ))
+
+    # 11. decontamination: the probe shingle table broadcast — corpus
+    # shingles never shuffle through a join exchange; no crossJoin
+    from lucene_solr_spark.ops.pipeline import decontaminate
+
+    results.append(audit(
+        "decontaminate_broadcast_probes",
+        decontaminate(spark, SF_DIR),
+        must=[r"BroadcastHashJoin", r"HashAggregate"],
+        must_not=[r"CartesianProduct"],
+    ))
+
+    # 12. nested boolean / multiphrase: the term IN-list pushdown must
+    # survive the new clause kinds (all member terms reach the scan)
+    results.append(audit(
+        "multiphrase_term_pruned_scan",
+        eng.multiphrase_topk([["merge"], ["batch", "stream"]], k=10),
+        must=[r"PushedFilters: \[In\(term"],
+        must_not=[r"CartesianProduct"],
+    ))
+
     n_fail = results.count(False)
     print(f"{len(results) - n_fail}/{len(results)} plan invariants hold")
     sys.exit(1 if n_fail else 0)
