@@ -644,6 +644,29 @@ class EnglishPossessiveAnalyzer(_BaseAnalyzer):
         return frame
 
 
+# --- keyword marker: stemmer-exclusion set -----------------------------------
+
+# KeywordMarkerFilter protectees (``LA/miscellaneous/
+# SetKeywordMarkerFilter.java``): tokens in the set get KeywordAttribute
+# set, which PorterStemFilter honors by passing them through unstemmed.
+KEYWORD_MARKER_SET = frozenset({"indexing", "merging", "sharding"})
+
+
+class KeywordMarkerAnalyzer(LuceneChainAnalyzer):
+    """Standard → LowerCase → Stop → SetKeywordMarker → PorterStem
+    (``LA/miscellaneous/SetKeywordMarkerFilter.java``): protected tokens
+    skip the stemmer. Realized by PRE-SEEDING the stem memo with identity
+    entries — every stem site (per-row `_memo_stem`, both batch dictionary
+    passes) consults the memo before calling Porter, so one seeding covers
+    all three paths with zero per-token overhead."""
+
+    keyword_set = KEYWORD_MARKER_SET
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._stem_memo.update({w: w for w in self.keyword_set})
+
+
 # --- alternative tokenizers (Whitespace / Keyword) ---------------------------
 
 # token char = any byte that is not ASCII whitespace (bytes >= 128 occur only

@@ -54,6 +54,7 @@ from ..analysis import (
     CJKBigramAnalyzer,
     EdgeNGramAnalyzer,
     EnglishPossessiveAnalyzer,
+    KeywordMarkerAnalyzer,
     KeywordAnalyzer,
     LuceneChainAnalyzer,
     ShingleAnalyzer,
@@ -74,6 +75,7 @@ ANALYZERS = {
     "edgegram": EdgeNGramAnalyzer,
     "asciifold": ASCIIFoldingAnalyzer,
     "possessive": EnglishPossessiveAnalyzer,
+    "keywordmarker": KeywordMarkerAnalyzer,
     "whitespace": WhitespaceAnalyzer,
     "keyword": KeywordAnalyzer,
     "cjk": CJKBigramAnalyzer,

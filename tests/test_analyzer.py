@@ -221,3 +221,28 @@ def test_unicode_batch_equals_per_row():
     assert frame["row"].tolist() == rows
     assert frame["term"].astype(str).tolist() == terms
     assert frame["pos"].tolist() == poss
+
+
+# --- KeywordMarkerFilter: stemmer-exclusion set -------------------------------
+
+def test_keyword_marker_protects_from_stemming():
+    """SetKeywordMarkerFilter semantics: protected tokens skip Porter in
+    ALL THREE paths (per-row, pandas batch, arrow batch); unprotected
+    tokens stem exactly as the base chain."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from lucene_solr_spark.analysis import KeywordMarkerAnalyzer, LuceneChainAnalyzer
+
+    text = "indexing and merging beats reindexing batches"
+    km, base = KeywordMarkerAnalyzer(), LuceneChainAnalyzer()
+    got = km.analyze(text)
+    terms = [t for t, _ in got]
+    assert "indexing" in terms and "merging" in terms       # protected
+    assert "reindex" in terms and "batch" in terms          # still stemmed
+    base_terms = [t for t, _ in base.analyze(text)]
+    assert "index" in base_terms and "merg" in base_terms   # base stems them
+
+    for batch in (pd.Series([text]), pa.array([text])):
+        frame = km.analyze_batch(batch)
+        assert sorted(frame.term.astype(str)) == sorted(terms)
