@@ -129,5 +129,69 @@ def graph_gather_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 GRAPH_GATHER_NODES_SQL = _bfs_sql(GATHER_HOPS, "level")
 
 
+def graph_score_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scoreNodes (``SJ/io/graph/ScoreNodesStream``): rank gathered
+    neighbors by tf·idf — tf = how often the traversal reached the node
+    (here: distinct co-purchase buckets shared with the seed), idf =
+    ln(collection size / node docFreq), so globally common nodes are
+    demoted exactly like common terms in text relevance.
+
+    One aggregation per side over the same deduped (user, bucket) scan; the
+    seed's bucket set is tiny → broadcast; the docFreq join keys on the
+    aggregated (small) node set. Scores are f32(double ln) for
+    cross-engine bit parity."""
+    uk = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.regexp_extract("props", "[0-9]+", 0).alias("k"),
+            F.date_trunc("day", F.col("ts")).alias("d"),
+        )
+        .distinct()
+    )
+    n_docs = uk.count()
+    seed_buckets = uk.filter(F.col("user_id") == SEED_USER).select("k", "d")
+    reach = (
+        uk.filter(F.col("user_id") != SEED_USER)
+        .join(F.broadcast(seed_buckets), ["k", "d"])
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    df_tbl = uk.groupBy("user_id").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        reach.join(df_tbl, "user_id")
+        .select(
+            "user_id", "cnt", "df",
+            (F.col("cnt") * F.log(F.lit(float(n_docs)) / F.col("df")))
+            .cast("float").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+GRAPH_SCORE_NODES_SQL = f"""
+WITH uk AS (
+    SELECT DISTINCT user_id, regexp_extract(props, '[0-9]+') AS k,
+           date_trunc('day', ts) AS d
+    FROM events WHERE event_type = 'purchase'
+),
+nd AS (SELECT count(*)::DOUBLE AS n_docs FROM uk),
+sb AS (SELECT k, d FROM uk WHERE user_id = {SEED_USER}),
+reach AS (
+    SELECT u.user_id, count(*)::BIGINT AS cnt
+    FROM uk u JOIN sb ON u.k = sb.k AND u.d = sb.d
+    WHERE u.user_id <> {SEED_USER}
+    GROUP BY 1
+),
+dfx AS (SELECT user_id, count(*)::BIGINT AS df FROM uk GROUP BY 1)
+SELECT r.user_id, r.cnt, dfx.df,
+       CAST(r.cnt * ln(nd.n_docs / dfx.df) AS FLOAT) AS score
+FROM reach r JOIN dfx USING (user_id), nd
+ORDER BY score DESC, r.user_id ASC LIMIT 20"""
+
+
 register("graph_shortest_path", graph_shortest_path, GRAPH_SHORTEST_PATH_SQL)
 register("graph_gather_nodes", graph_gather_nodes, GRAPH_GATHER_NODES_SQL)
+register("graph_score_nodes", graph_score_nodes, GRAPH_SCORE_NODES_SQL)

@@ -623,8 +623,10 @@ def score_segment_wand(
     decode_cache: dict | None = None,
     deleted: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Interval-sweep block-max WAND (term clauses only; phrase queries take
-    the exact path). Rank-identical to score_segment_exact by construction.
+    """Interval-sweep block-max WAND (term and or_group clauses; positional
+    queries take the exact path). Rank-identical to score_segment_exact by
+    construction — or_group bounds fold member block maxima per interval
+    with a one-ulp pad for the group's early f32 cast.
 
     ``decode_cache`` (optional, shared across a query batch): raw block
     decodes keyed by (term, block_idx) — scores stay per-clause (weight-
@@ -632,23 +634,43 @@ def score_segment_wand(
     block per segment for the whole batch."""
     score_fn, bound_fn = _sim_fns(q)
 
-    clause_terms = [c.terms[0] for c in q.clauses]
-    weights = [c.weight for c in q.clauses]
-    auxs = [getattr(c, "aux", 0.0) for c in q.clauses]
+    # member-level flattening: a term clause is one member; an or_group
+    # contributes one member per live term (coverage/bounds computed per
+    # member, folded per clause — group bound = Σ member block bounds,
+    # padded one f32 ulp because the group score takes an EARLY f32 cast
+    # before the cross-clause sum)
+    members: list[tuple[int, str, np.float32, float]] = []
+    for ci, c in enumerate(q.clauses):
+        if c.kind == "or_group":
+            for t, w in zip(c.terms, c.member_weights):
+                members.append((ci, t, w, 0.0))
+        else:
+            members.append((ci, c.terms[0], c.weight, getattr(c, "aux", 0.0)))
+    n_cl = len(q.clauses)
+    n_mem = len(members)
     occurs = [c.occur for c in q.clauses]
-    blocks_per_clause = [term_blocks.get(t, []) for t in clause_terms]
+    is_group = [c.kind == "or_group" for c in q.clauses]
+    clause_members: list[list[int]] = [[] for _ in range(n_cl)]
+    for mi, (ci, _, _, _) in enumerate(members):
+        clause_members[ci].append(mi)
+    member_terms = [t for (_, t, _, _) in members]
+    blocks_per_member = [term_blocks.get(t, []) for t in member_terms]
+    clause_covered = [
+        any(blocks_per_member[mi] for mi in clause_members[ci])
+        for ci in range(n_cl)
+    ]
     if q.n_must > 0 and any(
-        not blocks_per_clause[i] for i in range(len(q.clauses)) if occurs[i] == "must"
+        not clause_covered[ci] for ci in range(n_cl) if occurs[ci] == "must"
     ):
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
-    if all(not b for b in blocks_per_clause):
+    if not any(clause_covered):
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
 
     # --- build atomic intervals from block boundaries ---
     firsts = [np.array([blk["first_doc"] if isinstance(blk, dict) else blk.first_doc
-                        for blk in bl], dtype=np.int64) for bl in blocks_per_clause]
+                        for blk in bl], dtype=np.int64) for bl in blocks_per_member]
     lasts = [np.array([blk["last_doc"] if isinstance(blk, dict) else blk.last_doc
-                       for blk in bl], dtype=np.int64) for bl in blocks_per_clause]
+                       for blk in bl], dtype=np.int64) for bl in blocks_per_member]
     pts = np.unique(np.concatenate(
         [f for f in firsts if f.size] + [l + 1 for l in lasts if l.size]
     ))
@@ -656,31 +678,50 @@ def score_segment_wand(
     hi = pts[1:] - 1
     n_int = len(lo)
 
-    # per clause: which block (if any) covers each interval
-    cover = np.full((len(q.clauses), n_int), -1, dtype=np.int64)
-    bounds = np.zeros((len(q.clauses), n_int), dtype=np.float64)
-    for ci, bl in enumerate(blocks_per_clause):
+    # per member: which block (if any) covers each interval
+    cover = np.full((n_mem, n_int), -1, dtype=np.int64)
+    mbounds = np.zeros((n_mem, n_int), dtype=np.float64)
+    for mi, bl in enumerate(blocks_per_member):
         if not bl:
             continue
-        f, l = firsts[ci], lasts[ci]
+        f, l = firsts[mi], lasts[mi]
         idx = np.searchsorted(f, lo, side="right") - 1
         ok = (idx >= 0) & (lo <= np.where(idx >= 0, l[np.maximum(idx, 0)], -1))
-        cover[ci, ok] = idx[ok]
+        cover[mi, ok] = idx[ok]
         if ok.any():
+            _, _, w_m, aux_m = members[mi]
             bmax = np.array([
                 float(bound_fn(
-                    int(_bf(b, "max_tf")), int(_bf(b, "min_norm")), weights[ci],
-                    q.cache, auxs[ci],
+                    int(_bf(b, "max_tf")), int(_bf(b, "min_norm")), w_m,
+                    q.cache, aux_m,
                 )) for b in bl
             ])
-            bounds[ci, ok] = bmax[idx[ok]]
+            mbounds[mi, ok] = bmax[idx[ok]]
 
-    int_bound = bounds.sum(axis=0)
+    # fold member bounds/coverage to clause level
+    cl_bounds = np.zeros((n_cl, n_int), dtype=np.float64)
+    cl_cover = np.zeros((n_cl, n_int), dtype=bool)
+    for mi, (ci, _, _, _) in enumerate(members):
+        cl_bounds[ci] += mbounds[mi]
+        cl_cover[ci] |= cover[mi] >= 0
+    for ci in range(n_cl):
+        if is_group[ci]:
+            # group score = f32(Σ f64 member f32 scores) — the early f32
+            # cast can round up to one ulp above the f64 member-bound sum;
+            # pad so the interval bound stays >= any achievable score
+            b = cl_bounds[ci]
+            nz = b > 0
+            if nz.any():
+                b[nz] = np.nextafter(
+                    b[nz].astype(np.float32), np.float32(np.inf)
+                ).astype(np.float64)
+
+    int_bound = cl_bounds.sum(axis=0)
     if q.n_must > 0:
-        must_rows = [ci for ci in range(len(q.clauses)) if occurs[ci] == "must"]
-        feasible = np.all(cover[must_rows] >= 0, axis=0)
+        must_rows = [ci for ci in range(n_cl) if occurs[ci] == "must"]
+        feasible = np.all(cl_cover[must_rows], axis=0)
     else:
-        feasible = cover.max(axis=0) >= 0
+        feasible = cl_cover.any(axis=0)
     order = np.argsort(-int_bound, kind="stable")
     order = order[feasible[order]]
 
@@ -695,21 +736,33 @@ def score_segment_wand(
 
     # --- sweep intervals in descending bound order ---
     raw_cache = decode_cache if decode_cache is not None else {}
-    score_cache: dict[tuple[int, int], tuple] = {}  # (clause, block) → (docs, scores32)
+    score_cache: dict[tuple[int, int], tuple] = {}  # (member, block) → (docs, scores32)
 
-    def block_scored(ci: int, bi: int):
-        key = (ci, bi)
+    def block_scored(mi: int, bi: int):
+        key = (mi, bi)
         if key not in score_cache:
-            rkey = ("blk", clause_terms[ci], bi)
+            rkey = ("blk", member_terms[mi], bi)
             if rkey not in raw_cache:
-                raw_cache[rkey] = decode_block(blocks_per_clause[ci][bi])
+                raw_cache[rkey] = decode_block(blocks_per_member[mi][bi])
             docs, tfs = raw_cache[rkey]
+            _, _, w_m, aux_m = members[mi]
             scores = score_fn(
-                tfs, _norm_lookup(norms_arr, base, docs), weights[ci], q.cache,
-                auxs[ci],
+                tfs, _norm_lookup(norms_arr, base, docs), w_m, q.cache,
+                aux_m,
             )
             score_cache[key] = (docs, scores)
         return score_cache[key]
+
+    def member_slice(mi: int, ii: int):
+        bi = cover[mi, ii]
+        if bi < 0:
+            return None
+        docs, scores = block_scored(mi, int(bi))
+        a = int(np.searchsorted(docs, lo[ii], side="left"))
+        b = int(np.searchsorted(docs, hi[ii], side="right"))
+        if a == b:
+            return None
+        return docs[a:b], scores[a:b]
 
     pool_docs = np.empty(0, dtype=np.int64)
     pool_scores = np.empty(0, dtype=np.float32)
@@ -719,23 +772,40 @@ def score_segment_wand(
             break
         cds, css, cocc = [], [], []
         dead = False
-        for ci in range(len(q.clauses)):
-            bi = cover[ci, ii]
-            if bi < 0:
+        for ci in range(n_cl):
+            if is_group[ci]:
+                # or_group: member slices union-summed per doc in member
+                # order (f64), one f32 cast — bitwise the exact kernel's
+                # group combine (every doc lives in exactly ONE interval,
+                # so its member contributions all meet here)
+                gds, gss = [], []
+                for mi in clause_members[ci]:
+                    sl = member_slice(mi, ii)
+                    if sl is not None:
+                        gds.append(sl[0])
+                        gss.append(sl[1].astype(np.float64))
+                if not gds:
+                    if occurs[ci] == "must":
+                        dead = True
+                        break
+                    continue
+                alld = np.concatenate(gds)
+                alls = np.concatenate(gss)
+                ud, inv = np.unique(alld, return_inverse=True)
+                gsum = np.zeros(len(ud), dtype=np.float64)
+                np.add.at(gsum, inv, alls)
+                cds.append(ud)
+                css.append(gsum.astype(np.float32))
+                cocc.append(occurs[ci])
+                continue
+            sl = member_slice(clause_members[ci][0], ii)
+            if sl is None:
                 if occurs[ci] == "must":
                     dead = True
                     break
                 continue
-            docs, scores = block_scored(ci, int(bi))
-            a = int(np.searchsorted(docs, lo[ii], side="left"))
-            b = int(np.searchsorted(docs, hi[ii], side="right"))
-            if a == b:
-                if occurs[ci] == "must":
-                    dead = True
-                    break
-                continue
-            cds.append(docs[a:b])
-            css.append(scores[a:b])
+            cds.append(sl[0])
+            css.append(sl[1])
             cocc.append(occurs[ci])
         if dead or not cds:
             continue

@@ -216,10 +216,10 @@ class CompiledQuery:
     @property
     def needs_exact(self) -> bool:
         """Clause kinds without a WAND block-bound implementation — the
-        searcher routes these through the exact kernel."""
-        return self.needs_positions or any(
-            c.kind == "or_group" for c in self.clauses
-        )
+        searcher routes these through the exact kernel. or_group rides WAND
+        (member-folded interval bounds, parity-tested bitwise in
+        tests/test_nested_bool.py); only positional clauses need exact."""
+        return self.needs_positions
 
     @property
     def scoring_terms(self) -> list[str]:

@@ -78,7 +78,8 @@ def test_or_group_dead_members_and_compile():
     (c,) = q.clauses
     assert c.kind == "or_group" and c.terms == ("b",)
     assert len(c.member_weights) == 1
-    assert q.needs_exact and not q.needs_positions
+    # or_group rides WAND (member-folded bounds) — no exact-path routing
+    assert not q.needs_exact and not q.needs_positions
 
     # all-dead MUST group → matches nothing
     q2 = compile_query(
@@ -86,3 +87,53 @@ def test_or_group_dead_members_and_compile():
         df, N_DOCS, cache, k=N_DOCS,
     )
     assert q2.clauses == []
+
+
+def test_or_group_wand_equals_exact_randomized():
+    """Block-max WAND with or_group clauses is bitwise-identical to the
+    exact kernel (docs AND f32 scores) across random corpora, block splits,
+    and query shapes — the identity invariant that lets or_group ride the
+    pruned path instead of brute force."""
+    from lucene_solr_spark.search.bm25 import norm_cache
+    from lucene_solr_spark.search.kernels import score_segment_wand
+    from lucene_solr_spark.search.query import BooleanSpec
+
+    cache = norm_cache(np.float32(27.0))
+    for seed in range(25):
+        rng = np.random.default_rng(seed)
+        n_docs = int(rng.integers(30, 300))
+        norms = rng.integers(18, 45, n_docs).astype(np.int64)
+        block_size = int(rng.choice([4, 16, 128]))
+        term_blocks, df = {}, {}
+        terms = [f"t{i}" for i in range(5)]
+        for t in terms:
+            docs = np.flatnonzero(rng.random(n_docs) < rng.uniform(0.05, 0.7))
+            if docs.size == 0:
+                continue
+            tfs = rng.integers(1, 6, len(docs)).astype(np.int64)
+            term_blocks[t] = encode_posting_blocks(
+                docs.astype(np.int64), tfs, norms[docs], block_size=block_size
+            )
+            df[t] = len(docs)
+        present = [t for t in terms if t in df]
+        if len(present) < 3:
+            continue
+        for qi in range(6):
+            qrng = np.random.default_rng(seed * 100 + qi)
+            g = tuple(qrng.choice(present, size=2, replace=False))
+            rest = [t for t in present if t not in g]
+            spec = BooleanSpec()
+            grp = OrGroupClause(g)
+            if qi % 3 == 0:
+                spec.must = [TermClause(rest[0]), grp]
+            elif qi % 3 == 1:
+                spec.should = [TermClause(rest[0]), grp]
+            else:
+                spec.must = [grp]
+                spec.must_not = [TermClause(rest[0])]
+            k = int(qrng.integers(1, 12))
+            q = compile_query(spec, df, n_docs, cache, k=k)
+            ed, es = score_segment_exact(term_blocks, norms, 0, q)
+            wd, ws = score_segment_wand(term_blocks, norms, 0, q)
+            assert ed.tolist() == wd.tolist(), (seed, qi)
+            assert es.tolist() == ws.tolist(), (seed, qi)
