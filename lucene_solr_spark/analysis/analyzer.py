@@ -305,21 +305,18 @@ class _BaseAnalyzer:
         if n_tok and int(lens.max()) > 255:
             return None  # maxTokenLength splitting — regex path handles it
         if n_tok:
-            # gather all token bytes in one pass (cumsum-step index trick;
-            # int32 throughout — np.repeat over 3.5M variable counts costs
-            # one tiny memcpy per token, the cumsum is a single linear pass)
+            # tokens appear in buffer order, so boolean compaction of the
+            # membership mask IS the concatenated token bytes — one linear
+            # C pass. (Replaces a cumsum-step gather that materialized a
+            # 4x-size int32 index plus a second full cumsum: ~5x less
+            # memory traffic on the kernel's hottest allocation.)
             out_off = np.zeros(n_tok + 1, dtype=np.int32)
             np.cumsum(lens, out=out_off[1:])
-            step = np.ones(int(out_off[-1]), dtype=np.int32)
-            step[0] = tok_starts[0]
-            if n_tok > 1:
-                step[out_off[1:-1]] = tok_starts[1:] - (tok_starts[:-1] + lens[:-1] - 1)
-            idx = np.cumsum(step, dtype=np.int32)
-            tok_bytes = low[idx]
+            tok_bytes = low[m]
             flat = pa.Array.from_buffers(
                 pa.utf8(), n_tok,
-                [None, pa.py_buffer(out_off.tobytes()),
-                 pa.py_buffer(tok_bytes.tobytes())],
+                # numpy arrays ride the buffer protocol — zero-copy wrap
+                [None, pa.py_buffer(out_off), pa.py_buffer(tok_bytes)],
             )
         else:
             flat = pa.array([], type=pa.utf8())
