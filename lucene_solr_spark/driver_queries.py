@@ -121,6 +121,9 @@ SORTFIELD_Q = ("or3", ["vector", "stream", "filter"])
 BOOSTFUNC_Q = ("and2", ["merge", "batch"])
 # SpanFirst: term must end within the first SPANFIRST_END positions
 SPANFIRST = ("merge", 12)
+# SpanNear (inOrder=true): second term follows the first within <= slop
+# intervening positions
+SPANNEAR = ("scan", "filter", 3)
 # ConstantScoreQuery: wrapped query + the constant boost every match scores
 CONSTSCORE = ("and2", ["merge", "batch"], 1.5)
 # frange: function expression + [l, u] bounds (half-integer values ⇒ the
@@ -271,6 +274,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_spanfirst_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).span_first_topk(SPANFIRST[0], SPANFIRST[1], k=10)
+    # SpanNearQuery (ordered): NearSpansOrdered slop-factor freq scoring
+    out["ft_spannear_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).span_near_topk(SPANNEAR[0], SPANNEAR[1], SPANNEAR[2], k=10)
     # ConstantScoreQuery: every match scores the boost, doc-id order
     out["ft_constscore_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -409,11 +416,17 @@ def fulltext_oracles() -> dict[str, str]:
         parse_fixture_query(ANALYZERS["simple"](), BOOSTFUNC_Q[0], BOOSTFUNC_Q[1], 0),
         10,
     )
-    from .oracles import span_first_topk_sql
+    from .oracles import span_first_topk_sql, span_near_topk_sql
 
     out["ft_spanfirst_topk"] = span_first_topk_sql(
         "simple", ANALYZERS["simple"]().analyze(SPANFIRST[0])[0][0],
         SPANFIRST[1], 10,
+    )
+    out["ft_spannear_topk"] = span_near_topk_sql(
+        "simple",
+        ANALYZERS["simple"]().analyze(SPANNEAR[0])[0][0],
+        ANALYZERS["simple"]().analyze(SPANNEAR[1])[0][0],
+        SPANNEAR[2], 10,
     )
     from .oracles import constant_score_sql, frange_sql
 

@@ -225,6 +225,27 @@ class DocumentsEngine:
         spec = BooleanSpec(must=[SpanFirstClause(toks[0][0], int(end))])
         return self._present(self.searcher.search(spec, k=k, with_keys=True))
 
+    def span_near_topk(
+        self, surface0: str, surface1: str, slop: int, k: int = 10
+    ) -> DataFrame:
+        """SpanNearQuery top-k (``L/search/spans/SpanNearQuery`` inOrder=true
+        over two term spans → ``NearSpansOrdered``): docs where the second
+        term follows the first within ``slop`` intervening positions; span
+        freq = Σ 1/(1+width) over the per-start minimal spans
+        (``SpanScorer#setFreqCurrentDoc`` + computeSlopFactor); weight =
+        Σ idf over both terms (SpanWeight#buildSimWeight), BM25 on the
+        float freq.
+
+        Scale shape: identical to the phrase top-k path — term-pruned
+        postings scan, per-segment exact kernel with the packed-key
+        vectorized span matcher (no per-doc loop), ONE TakeOrdered."""
+        from .search.query import SpanNearClause
+
+        t0 = self.searcher.analyzer.analyze(surface0)[0][0]
+        t1 = self.searcher.analyzer.analyze(surface1)[0][0]
+        spec = BooleanSpec(must=[SpanNearClause((t0, t1), int(slop))])
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
     def explain(self, qtype: str, surface_terms: list[str], src_doc_id: int) -> DataFrame:
         """``IndexSearcher#explain`` / Solr debugQuery: per-term BM25 score
         breakdown for one (query, doc) — keyed on the SOURCE doc_id."""

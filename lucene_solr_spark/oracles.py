@@ -1160,6 +1160,48 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def span_near_topk_sql(
+    analyzer: str, t0: str, t1: str, slop: int, k: int
+) -> str:
+    """SpanNearQuery oracle (``L/search/spans/NearSpansOrdered`` +
+    ``SpanScorer#setFreqCurrentDoc``): one candidate span per occurrence p0
+    of the first term, paired with the nearest following p1 of the second
+    (min over p1 > p0); width = p1 − p0 − 1; matches (width <= slop)
+    contribute f32 1/(1+width), summed in DOUBLE with one final f32 cast —
+    the engine kernel's exact float discipline. Weight and BM25 op order
+    reuse the phrase-clause shape (f32 Σ idf, f64 ratio, f32 casts)."""
+    idf_sum = " + ".join(
+        f"CAST({_idf_expr(t)} AS DOUBLE)" for t in (t0, t1)
+    )
+    return f"""WITH {base_ctes(analyzer)},
+sn0 AS (SELECT doc_id, pos FROM kept WHERE term = '{t0}'),
+sn1 AS (SELECT doc_id, pos FROM kept WHERE term = '{t1}'),
+spans AS (
+    SELECT a.doc_id, a.pos AS p0, min(b.pos) AS p1
+    FROM sn0 a JOIN sn1 b ON b.doc_id = a.doc_id AND b.pos > a.pos
+    GROUP BY a.doc_id, a.pos
+),
+sfreq AS (
+    SELECT doc_id,
+           CAST(sum(CAST(CAST(1.0 AS FLOAT)
+                         / (CAST(1.0 AS FLOAT) + CAST(p1 - p0 - 1 AS FLOAT))
+                     AS DOUBLE)) AS FLOAT) AS freq
+    FROM spans WHERE p1 - p0 - 1 <= {slop} GROUP BY doc_id
+),
+snhits AS (
+    SELECT f.doc_id,
+           CAST(CAST({idf_sum} AS FLOAT)
+                * CAST(CAST(f.freq AS DOUBLE)
+                       / (CAST(f.freq AS DOUBLE) + CAST(c.cache AS DOUBLE)) AS FLOAT)
+            AS FLOAT) AS score
+    FROM sfreq f JOIN cachec c USING (doc_id), statsf st
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+    FROM snhits
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def constant_score_sql(analyzer: str, spec: BooleanSpec, boost: float, k: int) -> str:
     """ConstantScoreQuery oracle (``L/search/ConstantScoreQuery``): the
     wrapped query's match set (same occur/minShouldMatch/MUST_NOT CTEs as

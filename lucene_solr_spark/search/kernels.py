@@ -304,6 +304,92 @@ def _sloppy_freqs_2term_vec(
     return freqs
 
 
+def _span_near_freqs_2term(
+    parts0: tuple,
+    parts1: tuple,
+    slop: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """NearSpansOrdered over two unit-length term spans
+    (``L/search/spans/NearSpansOrdered``): one candidate span per start —
+    each occurrence p0 of the first term pairs with the nearest following
+    occurrence p1 of the second; width = p1 − p0 − 1; matches (width <=
+    slop) contribute 1/(1+width) (``SloppySimScorer#computeSlopFactor``).
+
+    Vectorized over ALL candidate docs at once with the phrase-verify
+    packed-key trick: (cand_idx << 21 | pos) keys make one global
+    ``searchsorted`` find every p0's next p1 without a per-doc loop. f32
+    slop factors accumulate in float64 (``np.add.at``), one f32 cast.
+    Returns (docs, float32 span freqs)."""
+    docs0, tfs0, pos0 = parts0
+    docs1, tfs1, pos1 = parts1
+    cand = docs0[np.isin(docs0, docs1, assume_unique=True)]
+    empty = np.empty(0, dtype=np.float32)
+    if cand.size == 0:
+        return cand, empty
+    mask = (np.int64(1) << _POS_SHIFT) - 1
+    keys, cis = [], []
+    for docs_t, tfs_t, pos_t in ((docs0, tfs0, pos0), (docs1, tfs1, pos1)):
+        s = np.zeros(len(tfs_t) + 1, dtype=np.int64)
+        np.cumsum(tfs_t, out=s[1:])
+        i = np.searchsorted(docs_t, cand)
+        starts, lens = s[i], s[i + 1] - s[i]
+        ci = np.repeat(np.arange(len(cand), dtype=np.int64), lens)
+        p = _gather_ranges(pos_t, starts, lens).astype(np.int64)
+        if p.size and int(p.max()) >= _POS_LIMIT:
+            # positions beyond the packing budget: fall back to a per-doc
+            # walk (never hit by SmallFloat-bounded synthetic docs; guard
+            # for multi-million-token documents)
+            return _span_near_freqs_slow(parts0, parts1, cand, slop)
+        keys.append((ci << _POS_SHIFT) | (p + _POS_MARGIN))
+        cis.append(ci)
+    k0, k1 = keys
+    nxt = np.searchsorted(k1, k0, side="right")
+    has = nxt < k1.size
+    nc = np.minimum(nxt, k1.size - 1)
+    width = (k1[nc] & mask) - (k0 & mask) - 1
+    m = has & ((k1[nc] >> _POS_SHIFT) == cis[0]) & (width <= slop)
+    if not m.any():
+        return np.empty(0, dtype=np.int64), empty
+    sf = (
+        np.float32(1.0) / (np.float32(1.0) + width[m].astype(np.float32))
+    ).astype(np.float64)
+    freq = np.zeros(len(cand), dtype=np.float64)
+    np.add.at(freq, cis[0][m], sf)
+    keep = freq > 0
+    return cand[keep], freq[keep].astype(np.float32)
+
+
+def _span_near_freqs_slow(
+    parts0: tuple, parts1: tuple, cand: np.ndarray, slop: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc fallback for _span_near_freqs_2term (same rule, plain loop)."""
+    docs0, tfs0, pos0 = parts0
+    docs1, tfs1, pos1 = parts1
+    s0 = np.zeros(len(tfs0) + 1, dtype=np.int64)
+    np.cumsum(tfs0, out=s0[1:])
+    s1 = np.zeros(len(tfs1) + 1, dtype=np.int64)
+    np.cumsum(tfs1, out=s1[1:])
+    out_docs, out_freqs = [], []
+    for d in cand:
+        i0 = int(np.searchsorted(docs0, d))
+        i1 = int(np.searchsorted(docs1, d))
+        p0 = pos0[s0[i0]:s0[i0 + 1]].astype(np.int64)
+        p1 = pos1[s1[i1]:s1[i1 + 1]].astype(np.int64)
+        nxt = np.searchsorted(p1, p0, side="right")
+        has = nxt < p1.size
+        width = p1[np.minimum(nxt, p1.size - 1)] - p0 - 1
+        m = has & (width <= slop)
+        if m.any():
+            sf = (
+                np.float32(1.0) / (np.float32(1.0) + width[m].astype(np.float32))
+            ).astype(np.float64)
+            out_docs.append(d)
+            out_freqs.append(np.float32(sf.sum()))
+    if not out_docs:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    return np.array(out_docs, dtype=np.int64), np.array(out_freqs, dtype=np.float32)
+
+
 def _sloppy_phrase_freqs(
     docs_per_term: list[np.ndarray],
     pos_flat_per_term: list[np.ndarray],
@@ -482,6 +568,10 @@ def score_segment_exact(
                 )
                 keep = cnt > 0
                 docs, tfs = docs_all[keep], cnt[keep]
+        elif c.kind == "span_near":
+            docs, tfs = _span_near_freqs_2term(
+                dec(c.terms[0]), dec(c.terms[1]), c.slop
+            )
         elif c.kind == "multiphrase":
             # each slot's member postings union into one pseudo-term, then
             # the exact-phrase intersect runs unchanged over the unions
@@ -581,6 +671,20 @@ def count_segment_matches(
                 np.unique(np.concatenate(parts))
                 if parts else np.empty(0, dtype=np.int64)
             )
+        elif c.kind == "span_near":
+            docs, _ = _span_near_freqs_2term(
+                dec(c.terms[0]), dec(c.terms[1]), c.slop
+            )
+        elif c.kind == "span_first":
+            docs_all, tfs_all, pos = dec(c.terms[0])
+            if docs_all.size == 0:
+                docs = docs_all
+            else:
+                di = np.repeat(
+                    np.arange(docs_all.size, dtype=np.int64), tfs_all
+                )
+                cnt = np.bincount(di[pos < c.slop], minlength=docs_all.size)
+                docs = docs_all[cnt > 0]
         elif c.kind == "multiphrase":
             per = [
                 _union_postings([dec(t) for t in slot]) for slot in c.slots

@@ -84,6 +84,26 @@ class SpanFirstClause:
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class SpanNearClause:
+    """SpanNearQuery over two ordered unit-length term spans
+    (``L/search/spans/SpanNearQuery`` with inOrder=true →
+    ``NearSpansOrdered``). One candidate span per start position: for each
+    occurrence p0 of ``terms[0]``, the minimal ordered span pairs it with
+    the nearest following occurrence p1 of ``terms[1]`` (NearSpansOrdered
+    shrinks to the least end reachable from the current start); the span
+    matches when its width = p1 − p0 − 1 <= ``slop``. Each match
+    contributes SloppySimScorer#computeSlopFactor = 1/(1+width) to the
+    doc's span freq (``SpanScorer#setFreqCurrentDoc``): f32 slop factors
+    summed in float64, one final f32 cast. Weight follows
+    SpanWeight#buildSimWeight over BOTH terms' stats: boost · f32(Σ idf),
+    the same shape as PhraseClause."""
+
+    terms: tuple[str, str]
+    slop: int = 0
+    boost: float = 1.0
+
+
 @dataclass
 class BooleanSpec:
     """MUST ∧ SHOULD ∨ MUST_NOT ¬ with minimumNumberShouldMatch
@@ -112,7 +132,7 @@ class BooleanSpec:
     def all_terms(self) -> list[str]:
         out: list[str] = []
         for c in self.scoring_clauses:
-            if isinstance(c, (PhraseClause, OrGroupClause)):
+            if isinstance(c, (PhraseClause, OrGroupClause, SpanNearClause)):
                 out.extend(c.terms)
             elif isinstance(c, MultiPhraseClause):
                 for slot in c.slots:
@@ -209,7 +229,7 @@ class CompiledQuery:
     @property
     def needs_positions(self) -> bool:
         return any(
-            c.kind in ("phrase", "span_first", "multiphrase")
+            c.kind in ("phrase", "span_first", "span_near", "multiphrase")
             for c in self.clauses
         )
 
@@ -345,6 +365,27 @@ def compile_query(
                 clauses.append(CompiledClause(
                     "multiphrase", flat, c.offsets, np.float32(w), occur,
                     slots=live_slots,
+                ))
+            elif isinstance(c, SpanNearClause):
+                if similarity in ("lm", "lmjm", "dfr", "ib"):
+                    raise ValueError(
+                        f"{similarity} span scoring not implemented; use "
+                        "bm25/classic/boolean"
+                    )
+                if any(term_df.get(t, 0) == 0 for t in c.terms):
+                    impossible |= occur == "must"
+                    continue
+                if similarity == "boolean":
+                    w = np.float32(c.boost)
+                else:
+                    # SpanWeight#buildSimWeight over both terms' stats —
+                    # the PhraseClause weight shape
+                    w = np.float32(c.boost) * np.float32(
+                        sum(float(idf_fn(term_df[t], doc_count)) for t in c.terms)
+                    )
+                clauses.append(CompiledClause(
+                    "span_near", c.terms, (), np.float32(w), occur,
+                    slop=int(c.slop),
                 ))
             elif isinstance(c, SpanFirstClause):
                 if similarity in ("lm", "lmjm", "dfr", "ib"):
