@@ -124,6 +124,9 @@ SPANFIRST = ("merge", 12)
 # SpanNear (inOrder=true): second term follows the first within <= slop
 # intervening positions
 SPANNEAR = ("scan", "filter", 3)
+# Phonetic: misspelled surfaces whose Soundex codes hit indexed stems
+# (stram→stream S365, merj→merg M620)
+PHONETIC_Q = "stram merj"
 # ConstantScoreQuery: wrapped query + the constant boost every match scores
 CONSTSCORE = ("and2", ["merge", "batch"], 1.5)
 # frange: function expression + [l, u] bounds (half-integer values ⇒ the
@@ -278,6 +281,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_spannear_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).span_near_topk(SPANNEAR[0], SPANNEAR[1], SPANNEAR[2], k=10)
+    # Phonetic (Soundex) expansion: misspellings match sound-alike stems
+    out["ft_phonetic_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).phonetic_topk(PHONETIC_Q, k=10)
     # ConstantScoreQuery: every match scores the boost, doc-id order
     out["ft_constscore_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -427,6 +434,11 @@ def fulltext_oracles() -> dict[str, str]:
         ANALYZERS["simple"]().analyze(SPANNEAR[0])[0][0],
         ANALYZERS["simple"]().analyze(SPANNEAR[1])[0][0],
         SPANNEAR[2], 10,
+    )
+    from .oracles import phonetic_topk_sql
+
+    out["ft_phonetic_topk"] = phonetic_topk_sql(
+        "simple", tuple(PHONETIC_Q.lower().split()), 10
     )
     from .oracles import constant_score_sql, frange_sql
 

@@ -274,6 +274,21 @@ class DocumentsEngine:
         spec = self.searcher.multiterm_spec(kind, pattern)
         return self._present(self.searcher.search(spec, k=k, with_keys=True))
 
+    def phonetic_topk(self, surface: str, k: int = 10) -> DataFrame:
+        """Phonetic (Soundex) search: every whitespace token of ``surface``
+        expands to the dictionary terms sharing its Soundex code
+        (``lucene/analysis/phonetic`` PhoneticFilter + commons-codec
+        Soundex via solr.PhoneticFilterFactory), scored as one BM25
+        disjunction — misspellings match their sound-alike indexed stems
+        (e.g. ``stram`` → ``stream``).
+
+        Scale shape: the code compare is JVM column expressions over the
+        term dictionary (no UDF, no driver dictionary scan beyond the
+        bounded expansion collect every MultiTermQuery already does)."""
+        toks = tuple(t for t in surface.lower().split() if t)
+        spec = self.searcher.multiterm_spec("phonetic", toks)
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
     def dismax_topk(self, surface_terms: list[str], tie: float, k: int = 10) -> DataFrame:
         spec = self.searcher.parse("or3", surface_terms, 0)
         spec.dismax, spec.tie = True, tie

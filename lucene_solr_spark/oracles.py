@@ -220,6 +220,30 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def phonetic_topk_sql(analyzer: str, tokens: tuple[str, ...], k: int) -> str:
+    """Soundex-expansion oracle: the SAME 5-step Soundex pipeline
+    (analysis/phonetic.soundex_sql_expr) computes codes for BOTH the query
+    tokens (inlined VALUES) and the distinct indexed terms — the expansion
+    is derived entirely in SQL, then scored as the standard BM25
+    disjunction."""
+    from .analysis.phonetic import soundex_sql_expr
+
+    vals = ", ".join(f"('{t}')" for t in tokens)
+    pred = (
+        f"term IN (SELECT d.term FROM (SELECT DISTINCT term FROM kept) d "
+        f"JOIN (SELECT DISTINCT {soundex_sql_expr('tok')} AS code "
+        f"FROM (VALUES {vals}) q(tok)) qc "
+        f"ON {soundex_sql_expr('d.term')} = qc.code)"
+    )
+    return f"""WITH {base_ctes(analyzer)},{_disjunction_core(pred)},
+hits AS (
+    SELECT doc_id, CAST(sum(CAST(s AS DOUBLE)) AS FLOAT) AS score FROM sc GROUP BY doc_id
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score FROM hits
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def dismax_topk_sql(analyzer: str, terms: list[str], tie: float, k: int) -> str:
     """DisjunctionMax: score = max + tie·(Σ − max), double ops, one f32 cast
     (``DisjunctionMaxScorer#score``)."""

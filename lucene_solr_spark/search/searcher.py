@@ -300,6 +300,14 @@ class IndexSearcher:
             cond = F.levenshtein(F.col("term"), F.lit(term)) <= max_edits
         elif kind == "set":
             cond = F.col("term").isin(list(pattern))
+        elif kind == "phonetic":
+            # PhoneticFilter/Soundex expansion (analysis/phonetic.py): the
+            # dictionary term's code equals any query token's code — the
+            # code column is pure JVM expressions (translate/regexp chain)
+            from ..analysis.phonetic import soundex, soundex_spark_col
+
+            codes = sorted({soundex(tok) for tok in pattern})
+            cond = soundex_spark_col(F.col("term")).isin(codes)
         else:
             raise ValueError(f"unknown multiterm kind {kind!r}")
         rows = ts.filter(cond).select("term").orderBy("term").limit(max_expansions).collect()
