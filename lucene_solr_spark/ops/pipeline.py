@@ -277,6 +277,125 @@ FROM hits h JOIN nsz ON nsz.doc_id = h.doc_id
 ORDER BY h.doc_id, h.probe_doc"""
 
 
+# --- text classification (Solr ClassifyStream / train) ----------------------
+
+# LogisticRegressionQuery-style model: dyadic-rational weights over token
+# term frequencies. Dyadic weights × integer tfs make every margin an exact
+# double regardless of summation order, so the oracle matches bitwise
+# without any float-discipline gymnastics.
+CLASSIFY_WEIGHTS: dict[str, float] = {
+    "spark": 0.5, "fast": 0.375, "merge": 0.125,
+    "slow": -0.25, "dup": -0.5,
+}
+CLASSIFY_BIAS = -0.5
+
+
+def classify_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``classify()`` streaming expression (``SJ/io/stream/ClassifyStream``
+    scoring a stored logistic-regression model, the output of Solr's
+    ``train()``/TextLogitStream): per-doc margin = bias + Σ w_t · tf_t over
+    whitespace-lowercased tokens, label = margin > 0. The margin (not the
+    sigmoid) is reported: the label is identical and the margin is exact in
+    f64, keeping the oracle bit-for-bit (exp() differs across engines in
+    the last ulp).
+
+    Scale shape: explode → map-side-combinable (doc, term) count → one
+    BROADCAST join against the tiny weight table → per-doc sum. No UDF."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = spark.createDataFrame(
+        [(t, float(v)) for t, v in sorted(CLASSIFY_WEIGHTS.items())],
+        "term string, w double",
+    )
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    margins = (
+        tf.join(F.broadcast(w), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("tf")).alias("dot"))
+    )
+    return (
+        docs.select("doc_id").join(margins, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce("dot", F.lit(0.0)) + F.lit(float(CLASSIFY_BIAS))).alias("margin"),
+        )
+        .withColumn("label", (F.col("margin") > 0).cast("int"))
+        .orderBy("doc_id")
+    )
+
+
+_CLASSIFY_VALS = ", ".join(
+    f"('{t}', {v!r})" for t, v in sorted(CLASSIFY_WEIGHTS.items())
+)
+CLASSIFY_LOGREG_SQL = f"""
+WITH w(term, wgt) AS (VALUES {_CLASSIFY_VALS}),
+tf AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents
+),
+tfc AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tf GROUP BY 1, 2),
+m AS (
+    SELECT doc_id, sum(w.wgt * tfc.tf) AS dot
+    FROM tfc JOIN w USING (term) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(m.dot, 0.0) + {CLASSIFY_BIAS!r} AS margin,
+       (CASE WHEN coalesce(m.dot, 0.0) + {CLASSIFY_BIAS!r} > 0 THEN 1 ELSE 0 END)::INTEGER AS label
+FROM documents d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id"""
+
+
+def train_logreg(
+    docs: DataFrame,
+    label_col: str,
+    features: list[str],
+    iters: int = 20,
+    lr: float = 0.5,
+) -> dict[str, float]:
+    """``train()`` streaming expression (``SJ/io/stream/TextLogitStream``):
+    batch gradient-descent logistic regression over token-presence features,
+    every iteration ONE DataFrame aggregate (map-side-combinable sums of
+    per-doc gradient terms) — the iterative-algorithms pattern from
+    ops/ann.py k-means. Returns {feature: weight} plus '__bias__'.
+
+    The feature matrix is a fixed, broadcastable feature list (Solr trains
+    on the terms of a query's result set, likewise bounded); per-row x is a
+    0/1 presence vector built with JVM expressions, the sigmoid runs as
+    exp() column math, and only the F-dim gradient crosses to the driver
+    each iteration."""
+    import numpy as np
+
+    x_cols = [
+        F.array_contains(F.split(F.lower("text"), " "), t).cast("double").alias(f"x{i}")
+        for i, t in enumerate(features)
+    ]
+    d = docs.select(F.col(label_col).cast("double").alias("y"), *x_cols)
+    d = d.persist()
+    try:
+        n = d.count()
+        wv = np.zeros(len(features) + 1)  # [bias, w...]
+        for _ in range(iters):
+            z = F.lit(float(wv[0]))
+            for i in range(len(features)):
+                z = z + F.lit(float(wv[i + 1])) * F.col(f"x{i}")
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            err = (p - F.col("y")).alias("e")
+            agg = d.select(
+                F.sum(err).alias("g0"),
+                *[
+                    F.sum((p - F.col("y")) * F.col(f"x{i}")).alias(f"g{i + 1}")
+                    for i in range(len(features))
+                ],
+            ).head()
+            grad = np.array([agg[f"g{i}"] for i in range(len(features) + 1)]) / n
+            wv -= lr * grad
+    finally:
+        d.unpersist()
+    return {"__bias__": float(wv[0]), **{t: float(wv[i + 1]) for i, t in enumerate(features)}}
+
+
+register("classify_logreg", classify_logreg, CLASSIFY_LOGREG_SQL)
 register("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_SQL)
 register("sample_split", sample_split, SAMPLE_SPLIT_SQL)
 register("decontaminate", decontaminate, DECONTAMINATE_SQL)

@@ -395,7 +395,50 @@ register("stream_complement", stream_complement, STREAM_COMPLEMENT_SQL)
 register("stream_cartesian", stream_cartesian, STREAM_CARTESIAN_SQL)
 register("stream_select_eval", stream_select_eval, STREAM_SELECT_EVAL_SQL)
 register("stream_timeseries", stream_timeseries, STREAM_TIMESERIES_SQL)
+HIST_BINS = 10
+
+
+def stream_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``hist`` evaluator (``SJ/io/eval/HistogramEvaluator``): fixed-width
+    histogram of event value per event_type — ``HIST_BINS`` equal bins over
+    the GLOBAL [min, max], bin = min(bins−1, floor((v−lo)/(hi−lo)·bins)).
+
+    Scale shape: one min/max reduce (2 doubles to the driver side of the
+    plan via a broadcast cross join, not a collect), then one map-side-
+    combinable count on (event_type, bin). The bin index is the same f64
+    expression on both engines, so assignment is bitwise-deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    rng = ev.select(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    return (
+        ev.crossJoin(F.broadcast(rng))
+        .select(
+            "event_type",
+            F.least(
+                F.lit(HIST_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo")) * HIST_BINS
+                ),
+            ).cast("int").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("event_type", "bin")
+    )
+
+
+STREAM_HIST_SQL = f"""
+WITH rng AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+SELECT event_type,
+       least({HIST_BINS - 1},
+             floor((value - lo) / (hi - lo) * {HIST_BINS}))::INTEGER AS bin,
+       count(*)::BIGINT AS n
+FROM events, rng
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 register("stream_moving_avg", stream_moving_avg, STREAM_MOVING_AVG_SQL)
+register("stream_hist", stream_hist, STREAM_HIST_SQL)
 register("stream_regress", stream_regress, STREAM_REGRESS_SQL)
 
 

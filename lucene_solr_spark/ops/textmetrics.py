@@ -192,6 +192,116 @@ SELECT doc_id, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fing
 FROM t ORDER BY doc_id"""
 
 
+# --- repetition signals (Gopher-style) --------------------------------------
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram repetition signals — the Gopher/MassiveText
+    "repetitious document" filters (fraction of duplicate n-grams, fraction
+    of n-grams taken by the single most frequent one) for n = 2 and 3.
+
+    Scale shape: token n-grams explode once, then ONE map-side-combinable
+    count on (doc_id, n, gram) and one tiny per-doc rollup — no per-doc
+    quadratic distinct loops, no Python. All signals are ratios of exact
+    BIGINT counts, so the double division is deterministic on both engines.
+    Docs with fewer than n tokens report 0 n-grams and 0 fractions (left
+    join back to the full doc list)."""
+    d = _toks(_docs(spark, sf_dir))
+    n = F.size("toks")
+    g2 = F.zip_with(
+        F.slice("toks", 1, n - 1),
+        F.slice("toks", 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    g3 = F.zip_with(
+        F.zip_with(
+            F.slice("toks", 1, n - 2),
+            F.slice("toks", 2, n - 2),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        F.slice("toks", 3, n - 2),
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(g2, lambda g: F.struct(F.lit(2).alias("n"), g.alias("g"))),
+                F.transform(g3, lambda g: F.struct(F.lit(3).alias("n"), g.alias("g"))),
+            )
+        ).alias("ng"),
+    ).select("doc_id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    per = (
+        grams.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.sum("c").alias("total"),
+            F.count(F.lit(1)).alias("distinct_g"),
+            F.max("c").alias("top"),
+        )
+    )
+    def frac(num, den):
+        return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))
+    wide = (
+        per.groupBy("doc_id")
+        .pivot("n", [2, 3])
+        .agg(
+            F.first("total").alias("total"),
+            F.first("distinct_g").alias("distinct"),
+            F.first("top").alias("top"),
+        )
+    )
+    return (
+        _docs(spark, sf_dir).select("doc_id").join(wide, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("2_total", F.lit(0)).cast("long").alias("n_2grams"),
+            frac(
+                F.coalesce("2_total", F.lit(0)) - F.coalesce("2_distinct", F.lit(0)),
+                F.coalesce("2_total", F.lit(0)),
+            ).alias("dup2_frac"),
+            frac(F.coalesce("2_top", F.lit(0)), F.coalesce("2_total", F.lit(0))).alias("top2_frac"),
+            frac(
+                F.coalesce("3_total", F.lit(0)) - F.coalesce("3_distinct", F.lit(0)),
+                F.coalesce("3_total", F.lit(0)),
+            ).alias("dup3_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REPETITION_SQL = f"""
+WITH t AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks FROM documents
+),
+g AS (
+    SELECT doc_id, 2 AS n, toks[i] || ' ' || toks[i + 1] AS g
+    FROM t, UNNEST(range(1, len(toks))) AS u(i)
+    UNION ALL
+    SELECT doc_id, 3 AS n, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+    FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+),
+per AS (
+    SELECT doc_id, n, sum(c)::BIGINT AS total, count(*)::BIGINT AS dst, max(c)::BIGINT AS top
+    FROM (SELECT doc_id, n, g, count(*)::BIGINT AS c FROM g GROUP BY 1, 2, 3)
+    GROUP BY 1, 2
+),
+wide AS (
+    SELECT d.doc_id,
+           coalesce(max(CASE WHEN p.n = 2 THEN p.total END), 0) AS t2,
+           coalesce(max(CASE WHEN p.n = 2 THEN p.dst END), 0) AS d2,
+           coalesce(max(CASE WHEN p.n = 2 THEN p.top END), 0) AS m2,
+           coalesce(max(CASE WHEN p.n = 3 THEN p.total END), 0) AS t3,
+           coalesce(max(CASE WHEN p.n = 3 THEN p.dst END), 0) AS d3
+    FROM documents d LEFT JOIN per p USING (doc_id) GROUP BY 1
+)
+SELECT doc_id, t2::BIGINT AS n_2grams,
+       CASE WHEN t2 > 0 THEN (t2 - d2)::DOUBLE / t2::DOUBLE ELSE 0.0 END AS dup2_frac,
+       CASE WHEN t2 > 0 THEN m2::DOUBLE / t2::DOUBLE ELSE 0.0 END AS top2_frac,
+       CASE WHEN t3 > 0 THEN (t3 - d3)::DOUBLE / t3::DOUBLE ELSE 0.0 END AS dup3_frac
+FROM wide ORDER BY doc_id"""
+
+
+register("text_repetition", text_repetition, TEXT_REPETITION_SQL)
 register("text_quality", text_quality, TEXT_QUALITY_SQL)
 register("text_langid", text_langid, TEXT_LANGID_SQL)
 register("token_counts", token_counts, TOKEN_COUNTS_SQL)
