@@ -124,6 +124,8 @@ SPANFIRST = ("merge", 12)
 # SpanNear (inOrder=true): second term follows the first within <= slop
 # intervening positions
 SPANNEAR = ("scan", "filter", 3)
+# SpanNot: include occurrences survive unless exclude lies in [p-pre, p+post]
+SPANNOT = ("merge", "batch", 2, 2)
 # Phonetic: misspelled surfaces whose Soundex codes hit indexed stems
 # (stram→stream S365, merj→merg M620)
 PHONETIC_Q = "stram merj"
@@ -281,6 +283,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_spannear_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).span_near_topk(SPANNEAR[0], SPANNEAR[1], SPANNEAR[2], k=10)
+    # SpanNotQuery: include span survives unless exclude is within window
+    out["ft_spannot_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).span_not_topk(SPANNOT[0], SPANNOT[1], SPANNOT[2], SPANNOT[3], k=10)
     # Phonetic (Soundex) expansion: misspellings match sound-alike stems
     out["ft_phonetic_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -423,7 +429,11 @@ def fulltext_oracles() -> dict[str, str]:
         parse_fixture_query(ANALYZERS["simple"](), BOOSTFUNC_Q[0], BOOSTFUNC_Q[1], 0),
         10,
     )
-    from .oracles import span_first_topk_sql, span_near_topk_sql
+    from .oracles import (
+        span_first_topk_sql,
+        span_near_topk_sql,
+        span_not_topk_sql,
+    )
 
     out["ft_spanfirst_topk"] = span_first_topk_sql(
         "simple", ANALYZERS["simple"]().analyze(SPANFIRST[0])[0][0],
@@ -434,6 +444,12 @@ def fulltext_oracles() -> dict[str, str]:
         ANALYZERS["simple"]().analyze(SPANNEAR[0])[0][0],
         ANALYZERS["simple"]().analyze(SPANNEAR[1])[0][0],
         SPANNEAR[2], 10,
+    )
+    out["ft_spannot_topk"] = span_not_topk_sql(
+        "simple",
+        ANALYZERS["simple"]().analyze(SPANNOT[0])[0][0],
+        ANALYZERS["simple"]().analyze(SPANNOT[1])[0][0],
+        SPANNOT[2], SPANNOT[3], 10,
     )
     from .oracles import phonetic_topk_sql
 

@@ -246,6 +246,28 @@ class DocumentsEngine:
         spec = BooleanSpec(must=[SpanNearClause((t0, t1), int(slop))])
         return self._present(self.searcher.search(spec, k=k, with_keys=True))
 
+    def span_not_topk(
+        self, include: str, exclude: str, pre: int = 0, post: int = 0,
+        k: int = 10,
+    ) -> DataFrame:
+        """SpanNotQuery top-k (``L/search/spans/SpanNotQuery`` over two term
+        spans): occurrences of ``include`` survive unless an ``exclude``
+        occurrence lies within [p − pre, p + post]; tf = surviving count,
+        weight = idf(include) — SpanWeight takes the include side's stats.
+
+        Scale shape: identical to the phrase top-k path — both terms'
+        postings pruned at the parquet scan, per-segment exact kernel with
+        the packed-key vectorized matcher (one searchsorted over the exclude
+        keys, one bincount; no per-doc loop), ONE TakeOrdered."""
+        from .search.query import SpanNotClause
+
+        t_inc = self.searcher.analyzer.analyze(include)[0][0]
+        t_exc = self.searcher.analyzer.analyze(exclude)[0][0]
+        spec = BooleanSpec(
+            must=[SpanNotClause(t_inc, t_exc, int(pre), int(post))]
+        )
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
     def explain(self, qtype: str, surface_terms: list[str], src_doc_id: int) -> DataFrame:
         """``IndexSearcher#explain`` / Solr debugQuery: per-term BM25 score
         breakdown for one (query, doc) — keyed on the SOURCE doc_id."""

@@ -1226,6 +1226,41 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def span_not_topk_sql(
+    analyzer: str, include: str, exclude: str, pre: int, post: int, k: int
+) -> str:
+    """SpanNotQuery oracle (``L/search/spans/SpanNotQuery``): an include
+    occurrence at position p survives unless some exclude occurrence q has
+    p − pre <= q <= p + post; tf = surviving occurrence count (each width-0
+    surviving span contributes slop factor 1); score = BM25 with weight =
+    idf(include) — SpanWeight builds its SimWeight from the include side's
+    stats only. Identical f32 op order to the span-first oracle."""
+    return f"""WITH {base_ctes(analyzer)},
+sni AS (SELECT doc_id, pos FROM kept WHERE term = '{include}'),
+sne AS (SELECT doc_id, pos FROM kept WHERE term = '{exclude}'),
+surv AS (
+    SELECT i.doc_id, i.pos
+    FROM sni i
+    WHERE NOT EXISTS (
+        SELECT 1 FROM sne e
+        WHERE e.doc_id = i.doc_id
+          AND e.pos >= i.pos - {pre} AND e.pos <= i.pos + {post}
+    )
+),
+snq AS (
+    SELECT s.doc_id,
+           CAST({_idf_expr(include)}
+                * CAST(count(*)::DOUBLE / (count(*)::DOUBLE + CAST(any_value(c.cache) AS DOUBLE)) AS FLOAT)
+            AS FLOAT) AS score
+    FROM surv s JOIN cachec c USING (doc_id), statsf st
+    GROUP BY s.doc_id, st.doc_count
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+    FROM snq
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def constant_score_sql(analyzer: str, spec: BooleanSpec, boost: float, k: int) -> str:
     """ConstantScoreQuery oracle (``L/search/ConstantScoreQuery``): the
     wrapped query's match set (same occur/minShouldMatch/MUST_NOT CTEs as

@@ -390,6 +390,77 @@ def _span_near_freqs_slow(
     return np.array(out_docs, dtype=np.int64), np.array(out_freqs, dtype=np.float32)
 
 
+def _span_not_freqs(
+    parts_inc: tuple,
+    parts_exc: tuple,
+    pre: int,
+    post: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """SpanNotQuery matcher (``L/search/spans/SpanNotQuery``): include
+    occurrences survive unless some exclude occurrence q lies in
+    [p − pre, p + post]. Docs with no exclude postings pass through
+    untouched (SpanNot rewrites to the include span there).
+
+    Vectorized: packed (doc_idx << 21 | pos) keys over BOTH lists; for each
+    include position one ``searchsorted`` finds the first exclude key >=
+    p − pre; the occurrence is removed iff that key is <= p + post within
+    the same doc. Surviving tf per doc = one bincount. Returns (docs,
+    int64 tfs)."""
+    docs_i, tfs_i, pos_i = parts_inc
+    docs_e, tfs_e, pos_e = parts_exc
+    if docs_i.size == 0 or docs_e.size == 0:
+        # no exclude postings anywhere: SpanNot rewrites to the include span
+        return docs_i, tfs_i.astype(np.int64)
+    # align exclude postings onto the include doc list (docs without
+    # excludes keep every occurrence; _gather_ranges needs lens >= 1, so
+    # gather only over the include docs that actually carry excludes)
+    se = np.zeros(len(tfs_e) + 1, dtype=np.int64)
+    np.cumsum(tfs_e, out=se[1:])
+    ie = np.searchsorted(docs_e, docs_i)
+    ie_c = np.minimum(ie, len(docs_e) - 1)
+    has_exc = (ie < len(docs_e)) & (docs_e[ie_c] == docs_i)
+    idx_with = np.nonzero(has_exc)[0]
+    if idx_with.size == 0:
+        return docs_i, tfs_i.astype(np.int64)
+    lens_w = se[ie_c[idx_with] + 1] - se[ie_c[idx_with]]
+    di_e = np.repeat(idx_with.astype(np.int64), lens_w)
+    pe = _gather_ranges(pos_e, se[ie_c[idx_with]], lens_w).astype(np.int64)
+    di_i = np.repeat(np.arange(len(docs_i), dtype=np.int64), tfs_i)
+    pi = pos_i.astype(np.int64)
+    if (
+        pre > _POS_MARGIN
+        or (pi.size and int(pi.max()) + post >= _POS_LIMIT)
+        or (pe.size and int(pe.max()) >= _POS_LIMIT)
+    ):
+        # fall back: treat every occurrence as removable only via per-doc
+        # exact walk (huge-doc guard, mirrors the span_near fallback)
+        keep_docs, keep_tfs = [], []
+        si = np.zeros(len(tfs_i) + 1, dtype=np.int64)
+        np.cumsum(tfs_i, out=si[1:])
+        for j in range(len(docs_i)):
+            p = pos_i[si[j]:si[j + 1]].astype(np.int64)
+            q = pe[di_e == j]
+            if q.size:
+                lo = np.searchsorted(q, p - pre, side="left")
+                hit = (lo < q.size) & (q[np.minimum(lo, q.size - 1)] <= p + post)
+                p = p[~hit]
+            if p.size:
+                keep_docs.append(docs_i[j])
+                keep_tfs.append(p.size)
+        return (
+            np.array(keep_docs, dtype=np.int64),
+            np.array(keep_tfs, dtype=np.int64),
+        )
+    ke = (di_e << _POS_SHIFT) | (pe + _POS_MARGIN)
+    k_lo = (di_i << _POS_SHIFT) | (pi - pre + _POS_MARGIN)
+    k_hi = (di_i << _POS_SHIFT) | (pi + post + _POS_MARGIN)
+    lo = np.searchsorted(ke, k_lo, side="left")
+    removed = (lo < ke.size) & (ke[np.minimum(lo, max(ke.size - 1, 0))] <= k_hi) if ke.size else np.zeros(len(pi), bool)
+    cnt = np.bincount(di_i[~removed], minlength=len(docs_i))
+    keep = cnt > 0
+    return docs_i[keep], cnt[keep].astype(np.int64)
+
+
 def _sloppy_phrase_freqs(
     docs_per_term: list[np.ndarray],
     pos_flat_per_term: list[np.ndarray],
@@ -572,6 +643,10 @@ def score_segment_exact(
             docs, tfs = _span_near_freqs_2term(
                 dec(c.terms[0]), dec(c.terms[1]), c.slop
             )
+        elif c.kind == "span_not":
+            docs, tfs = _span_not_freqs(
+                dec(c.terms[0]), dec(c.terms[1]), c.slop, c.post
+            )
         elif c.kind == "multiphrase":
             # each slot's member postings union into one pseudo-term, then
             # the exact-phrase intersect runs unchanged over the unions
@@ -674,6 +749,10 @@ def count_segment_matches(
         elif c.kind == "span_near":
             docs, _ = _span_near_freqs_2term(
                 dec(c.terms[0]), dec(c.terms[1]), c.slop
+            )
+        elif c.kind == "span_not":
+            docs, _ = _span_not_freqs(
+                dec(c.terms[0]), dec(c.terms[1]), c.slop, c.post
             )
         elif c.kind == "span_first":
             docs_all, tfs_all, pos = dec(c.terms[0])

@@ -104,6 +104,24 @@ class SpanNearClause:
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class SpanNotClause:
+    """SpanNotQuery over term spans (``L/search/spans/SpanNotQuery``):
+    matches occurrences of ``include`` that do NOT fall within ``pre``
+    positions before / ``post`` positions after any occurrence of
+    ``exclude`` (a unit include span at p is removed when some exclude
+    occurrence q satisfies p − pre <= q <= p + post). tf = the surviving
+    occurrence count (each surviving width-0 span has slop factor 1);
+    weight = boost · idf(include) — SpanWeight builds its SimWeight from
+    the include side's stats only."""
+
+    include: str
+    exclude: str
+    pre: int = 0
+    post: int = 0
+    boost: float = 1.0
+
+
 @dataclass
 class BooleanSpec:
     """MUST ∧ SHOULD ∨ MUST_NOT ¬ with minimumNumberShouldMatch
@@ -134,6 +152,8 @@ class BooleanSpec:
         for c in self.scoring_clauses:
             if isinstance(c, (PhraseClause, OrGroupClause, SpanNearClause)):
                 out.extend(c.terms)
+            elif isinstance(c, SpanNotClause):
+                out.extend((c.include, c.exclude))
             elif isinstance(c, MultiPhraseClause):
                 for slot in c.slots:
                     out.extend(slot)
@@ -200,6 +220,8 @@ class CompiledClause:
                               # alternative term sets (terms = flattened)
     member_weights: tuple = ()  # or_group only: per-member f32 weight
                               # aligned with terms (weight field unused)
+    post: int = 0             # span_not only: exclusion window after the
+                              # include position (slop carries `pre`)
 
 
 @dataclass
@@ -229,7 +251,7 @@ class CompiledQuery:
     @property
     def needs_positions(self) -> bool:
         return any(
-            c.kind in ("phrase", "span_first", "span_near", "multiphrase")
+            c.kind in ("phrase", "span_first", "span_near", "span_not", "multiphrase")
             for c in self.clauses
         )
 
@@ -386,6 +408,22 @@ def compile_query(
                 clauses.append(CompiledClause(
                     "span_near", c.terms, (), np.float32(w), occur,
                     slop=int(c.slop),
+                ))
+            elif isinstance(c, SpanNotClause):
+                if similarity in ("lm", "lmjm", "dfr", "ib"):
+                    raise ValueError(
+                        f"{similarity} span scoring not implemented; use "
+                        "bm25/classic/boolean"
+                    )
+                if term_df.get(c.include, 0) == 0:
+                    impossible |= occur == "must"
+                    continue
+                # the exclude side gates matching only; a dead exclude term
+                # leaves the include a plain TermQuery (SpanNot rewrite)
+                w = np.float32(c.boost) * idf_fn(term_df[c.include], doc_count)
+                clauses.append(CompiledClause(
+                    "span_not", (c.include, c.exclude), (), np.float32(w),
+                    occur, slop=int(c.pre), post=int(c.post),
                 ))
             elif isinstance(c, SpanFirstClause):
                 if similarity in ("lm", "lmjm", "dfr", "ib"):
