@@ -126,6 +126,12 @@ SPANFIRST = ("merge", 12)
 SPANNEAR = ("scan", "filter", 3)
 # SpanNot: include occurrences survive unless exclude lies in [p-pre, p+post]
 SPANNOT = ("merge", "batch", 2, 2)
+# SpanOr: union of unit term spans; tf = total member occurrences
+SPANOR = ["scan", "filter", "vector"]
+# Classic QueryParser string: required term, boosted should, prohibited
+# term, exact phrase, nested disjunction group (field:value filter syntax
+# is pytest-covered; FILTER execution is certified by ft_filter_topk)
+QP_STRING = '+merge batch^2 -scan "table hash" (vector OR stream)'
 # Phonetic: misspelled surfaces whose Soundex codes hit indexed stems
 # (stram→stream S365, merj→merg M620)
 PHONETIC_Q = "stram merj"
@@ -287,6 +293,15 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_spannot_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).span_not_topk(SPANNOT[0], SPANNOT[1], SPANNOT[2], SPANNOT[3], k=10)
+    # SpanOrQuery: one clause over the union of member occurrences
+    out["ft_spanor_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).span_or_topk(SPANOR, k=10)
+    # Classic QueryParser: one Lucene-syntax string parsed and executed
+    # end-to-end (oracle spec is HAND-BUILT, so the gate certifies parsing)
+    out["ft_queryparser_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).query_string_topk(QP_STRING, k=10)
     # Phonetic (Soundex) expansion: misspellings match sound-alike stems
     out["ft_phonetic_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -450,6 +465,37 @@ def fulltext_oracles() -> dict[str, str]:
         ANALYZERS["simple"]().analyze(SPANNOT[0])[0][0],
         ANALYZERS["simple"]().analyze(SPANNOT[1])[0][0],
         SPANNOT[2], SPANNOT[3], 10,
+    )
+    from .oracles import span_or_topk_sql
+
+    out["ft_spanor_topk"] = span_or_topk_sql(
+        "simple",
+        tuple(ANALYZERS["simple"]().analyze(s)[0][0] for s in SPANOR),
+        10,
+    )
+    # QueryParser oracle: the spec is HAND-BUILT from the documented parse
+    # of QP_STRING (not produced by the parser), so a parse bug on the Spark
+    # side cannot cancel out — the gate certifies parse + execute
+    from .search.query import (
+        OrGroupClause as _QPOG,
+        PhraseClause as _QPPH,
+        TermClause as _QPT,
+    )
+
+    _qp_an = ANALYZERS["simple"]()
+    _qp = lambda s: _qp_an.analyze(s)[0][0]  # noqa: E731
+    out["ft_queryparser_topk"] = bm25_topk_sql(
+        "simple",
+        BooleanSpec(
+            must=[_QPT(_qp("merge"))],
+            should=[
+                _QPT(_qp("batch"), 2.0),
+                _QPPH((_qp("table"), _qp("hash")), (0, 1)),
+                _QPOG((_qp("vector"), _qp("stream"))),
+            ],
+            must_not=[_QPT(_qp("scan"))],
+        ),
+        10,
     )
     from .oracles import phonetic_topk_sql
 
@@ -649,7 +695,12 @@ PRIORITY_ORDER = [
     # stays certified by ft_andnot's MUST clauses and by the rerank entry's
     # own and2 rerank query; rerank certifies the NEW QueryRescorer surface)
     "ft_term_topk", "ft_rerank_topk", "ft_or_minshould_topk", "ft_andnot_topk",
-    "ft_phrase_topk", "ft_stop_phrase_hole_topk", "ft_sloppy_phrase_topk",
+    # ft_phrase_topk rotated out for ft_queryparser_topk late in r3: the
+    # exact-phrase kernel stays scored inside the queryparser entry's
+    # "table hash" phrase clause (and pass-local); queryparser certifies
+    # the NEW classic query-string parse surface against a HAND-BUILT
+    # oracle spec (parse bugs cannot cancel out)
+    "ft_queryparser_topk", "ft_stop_phrase_hole_topk", "ft_sloppy_phrase_topk",
     # ft_set_topk rotated out for ft_dfr_topk in r3 (TermInSet stays
     # pass-local-gated; DFR certifies the SimilarityBase dispatch family)
     "ft_wildcard_topk", "ft_dfr_topk", "ft_dismax_topk",
@@ -663,8 +714,11 @@ PRIORITY_ORDER = [
     # ft_andnot_topk's slot family (boolean occurs) keeps MUST_NOT scored;
     # ft_docs_norms rotated out for ft_spanfirst_topk late in r3 (norms are
     # certified transitively by every bitwise BM25 row + the pass-local
-    # gate; span-first certifies the NEW positional span-query family)
-    "ft_blockjoin_source", "ft_spanfirst_topk", "ft_total_hits",
+    # gate); ft_spanfirst_topk then rotated out for ft_spannot_topk (the
+    # span family's scored row is now the two-posting-list positional
+    # exclusion matcher, strictly richer than the window-restricted tf;
+    # span-first stays pass-local-gated)
+    "ft_blockjoin_source", "ft_spannot_topk", "ft_total_hits",
     # ft_tfidf_topk rotated out for ft_funcexpr_topk in r3 (Classic TF-IDF
     # stays pass-local-gated; the similarity-dispatch family is certified by
     # ft_dfr_topk, and funcexpr certifies the NEW parsed ValueSource surface)

@@ -268,6 +268,48 @@ class DocumentsEngine:
         )
         return self._present(self.searcher.search(spec, k=k, with_keys=True))
 
+    def span_or_topk(self, surfaces: list[str], k: int = 10) -> DataFrame:
+        """SpanOrQuery top-k (``L/search/spans/SpanOrQuery`` over unit term
+        spans): matches wherever ANY member occurs; tf = the doc's total
+        member-occurrence count (one width-0 span per occurrence, slop
+        factor 1); weight = f32(Σ idf) over the live members — ONE clause,
+        not a per-term disjunction (distinct from scoring-boolean OR:
+        summed tf under one weight saturates differently).
+
+        Scale shape: member postings pruned at the parquet scan; the kernel
+        is one concatenate + unique + add.at per segment (no positions
+        decoded), ONE TakeOrdered."""
+        from .search.query import SpanOrClause
+
+        terms = tuple(
+            self.searcher.analyzer.analyze(s)[0][0] for s in surfaces
+        )
+        spec = BooleanSpec(must=[SpanOrClause(terms)])
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
+    def query_string_topk(self, qstr: str, k: int = 10) -> DataFrame:
+        """Classic query-string search (``L/queryparser/classic/
+        QueryParser`` surface, default operator OR): parse ``qstr`` —
+        ``+``/``-``/``AND``/``OR``/``NOT``, quoted phrases with ``~slop``,
+        ``^boost``, ``(...)`` term groups, ``*``/``?``/``~`` multi-term
+        (expanded against the live term dictionary), and
+        ``field:value`` keyword filters — into a BooleanSpec and run it on
+        the standard top-k path.
+
+        Scale shape: parsing is driver-side string work; execution is the
+        same term-pruned scan + per-segment kernel + ONE TakeOrdered as
+        every other query. Multi-term expansion reads only the pruned
+        ``term_stats`` dictionary."""
+        from .search.queryparser import parse_query_string
+
+        spec = parse_query_string(
+            qstr,
+            self.searcher.analyzer,
+            expand=self.searcher.expand_terms,
+            keyword_fields=("source", "lang"),
+        )
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
     def explain(self, qtype: str, surface_terms: list[str], src_doc_id: int) -> DataFrame:
         """``IndexSearcher#explain`` / Solr debugQuery: per-term BM25 score
         breakdown for one (query, doc) — keyed on the SOURCE doc_id."""

@@ -1261,6 +1261,36 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def span_or_topk_sql(analyzer: str, terms: tuple, k: int) -> str:
+    """SpanOrQuery oracle (``L/search/spans/SpanOrQuery``): tf = total
+    occurrences of ANY member term (positions unique per occurrence → no
+    span dedup); weight = f32(Σ_double per-term f32 idf) over LIVE members
+    (dead members +0.0); BM25 on the summed tf — identical f32 op order to
+    the phrase-clause oracle."""
+    inl = ", ".join(f"'{t}'" for t in terms)
+    idf_sum = " + ".join(
+        f"(CASE WHEN EXISTS (SELECT 1 FROM kept WHERE term = '{t}')"
+        f" THEN CAST({_idf_expr(t)} AS DOUBLE) ELSE 0 END)"
+        for t in terms
+    )
+    return f"""WITH {base_ctes(analyzer)},
+sor AS (
+    SELECT k.doc_id, count(*)::BIGINT AS tf
+    FROM kept k WHERE k.term IN ({inl}) GROUP BY k.doc_id
+),
+sorq AS (
+    SELECT s.doc_id,
+           CAST(CAST({idf_sum} AS FLOAT)
+                * CAST(s.tf::DOUBLE / (s.tf::DOUBLE + CAST(c.cache AS DOUBLE)) AS FLOAT)
+            AS FLOAT) AS score
+    FROM sor s JOIN cachec c USING (doc_id), statsf st
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+    FROM sorq
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def constant_score_sql(analyzer: str, spec: BooleanSpec, boost: float, k: int) -> str:
     """ConstantScoreQuery oracle (``L/search/ConstantScoreQuery``): the
     wrapped query's match set (same occur/minShouldMatch/MUST_NOT CTEs as

@@ -461,6 +461,25 @@ def _span_not_freqs(
     return docs_i[keep], cnt[keep].astype(np.int64)
 
 
+def _span_or_freqs(parts: list[tuple]) -> tuple[np.ndarray, np.ndarray]:
+    """SpanOrQuery occurrence counter: per-doc Σ of member term freqs
+    (each member occurrence is a distinct width-0 span — positions are
+    unique per occurrence under the index chain, so no dedup is needed).
+    One concatenate + unique + add.at over the member posting lists."""
+    live = [(p[0], p[1]) for p in parts if p[0].size]
+    if not live:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    if len(live) == 1:
+        return live[0][0], live[0][1].astype(np.int64)
+    alld = np.concatenate([d for d, _ in live])
+    allt = np.concatenate([t for _, t in live]).astype(np.int64)
+    docs, inv = np.unique(alld, return_inverse=True)
+    tfs = np.zeros(len(docs), dtype=np.int64)
+    np.add.at(tfs, inv, allt)
+    return docs, tfs
+
+
 def _sloppy_phrase_freqs(
     docs_per_term: list[np.ndarray],
     pos_flat_per_term: list[np.ndarray],
@@ -647,6 +666,12 @@ def score_segment_exact(
             docs, tfs = _span_not_freqs(
                 dec(c.terms[0]), dec(c.terms[1]), c.slop, c.post
             )
+        elif c.kind == "span_or":
+            # SpanOrQuery (L/search/spans/SpanOrQuery): every member
+            # occurrence is a width-0 span (slop factor 1), positions are
+            # unique per occurrence, so tf = Σ member tfs per doc — no
+            # position decode needed
+            docs, tfs = _span_or_freqs([dec(t) for t in c.terms])
         elif c.kind == "multiphrase":
             # each slot's member postings union into one pseudo-term, then
             # the exact-phrase intersect runs unchanged over the unions
@@ -754,6 +779,8 @@ def count_segment_matches(
             docs, _ = _span_not_freqs(
                 dec(c.terms[0]), dec(c.terms[1]), c.slop, c.post
             )
+        elif c.kind == "span_or":
+            docs, _ = _span_or_freqs([dec(t) for t in c.terms])
         elif c.kind == "span_first":
             docs_all, tfs_all, pos = dec(c.terms[0])
             if docs_all.size == 0:

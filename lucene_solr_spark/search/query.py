@@ -105,6 +105,21 @@ class SpanNearClause:
 
 
 @dataclass(frozen=True)
+class SpanOrClause:
+    """SpanOrQuery over unit term spans (``L/search/spans/SpanOrQuery``):
+    matches wherever ANY member term occurs. Each occurrence is a width-0
+    span with slop factor 1, so tf = the doc's total occurrence count over
+    the member terms (positions are unique per occurrence under the index
+    chain, so the DisiPriorityQueue never sees duplicate spans and the
+    count needs no position decode). Weight = boost · f32(Σ idf) over the
+    LIVE member terms (SpanWeight#buildSimWeight over the union's
+    termStates; dead members contribute +0.0 like the multiphrase sum)."""
+
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SpanNotClause:
     """SpanNotQuery over term spans (``L/search/spans/SpanNotQuery``):
     matches occurrences of ``include`` that do NOT fall within ``pre``
@@ -150,7 +165,8 @@ class BooleanSpec:
     def all_terms(self) -> list[str]:
         out: list[str] = []
         for c in self.scoring_clauses:
-            if isinstance(c, (PhraseClause, OrGroupClause, SpanNearClause)):
+            if isinstance(c, (PhraseClause, OrGroupClause, SpanNearClause,
+                              SpanOrClause)):
                 out.extend(c.terms)
             elif isinstance(c, SpanNotClause):
                 out.extend((c.include, c.exclude))
@@ -260,8 +276,12 @@ class CompiledQuery:
         """Clause kinds without a WAND block-bound implementation — the
         searcher routes these through the exact kernel. or_group rides WAND
         (member-folded interval bounds, parity-tested bitwise in
-        tests/test_nested_bool.py); only positional clauses need exact."""
-        return self.needs_positions
+        tests/test_nested_bool.py); positional clauses need exact, and so
+        does span_or (summed-tf-under-one-weight has no per-member block
+        bound fold, though it needs no positions)."""
+        return self.needs_positions or any(
+            c.kind == "span_or" for c in self.clauses
+        )
 
     @property
     def scoring_terms(self) -> list[str]:
@@ -408,6 +428,27 @@ def compile_query(
                 clauses.append(CompiledClause(
                     "span_near", c.terms, (), np.float32(w), occur,
                     slop=int(c.slop),
+                ))
+            elif isinstance(c, SpanOrClause):
+                if similarity in ("lm", "lmjm", "dfr", "ib"):
+                    raise ValueError(
+                        f"{similarity} span scoring not implemented; use "
+                        "bm25/classic/boolean"
+                    )
+                live = tuple(t for t in c.terms if term_df.get(t, 0) > 0)
+                if not live:
+                    impossible |= occur == "must"
+                    continue
+                if similarity == "boolean":
+                    w = np.float32(c.boost)
+                else:
+                    # SpanWeight#buildSimWeight over the live members —
+                    # the PhraseClause weight shape (dead members = +0.0)
+                    w = np.float32(c.boost) * np.float32(
+                        sum(float(idf_fn(term_df[t], doc_count)) for t in live)
+                    )
+                clauses.append(CompiledClause(
+                    "span_or", live, (), np.float32(w), occur,
                 ))
             elif isinstance(c, SpanNotClause):
                 if similarity in ("lm", "lmjm", "dfr", "ib"):
