@@ -175,6 +175,12 @@ def main() -> None:
         # late round-3 operators: MultiPhrase slot union, nested boolean
         timings["q_multiphrase"] = _best_of(
             lambda: eng.multiphrase_topk([["merge"], ["batch", "stream"]], k=10).collect())
+        timings["q_queryparser"] = _best_of(
+            lambda: eng.query_string_topk(
+                '+merge batch^2 -scan "table hash" (vector OR stream)', k=10
+            ).collect())
+        timings["q_spannot"] = _best_of(
+            lambda: eng.span_not_topk("merge", "batch", 2, 2, k=10).collect())
         timings["q_nested_bool"] = _best_of(
             lambda: eng.nested_bool_topk(["merge"], ["batch", "stream"], k=10).collect())
 

@@ -128,6 +128,10 @@ SPANNEAR = ("scan", "filter", 3)
 SPANNOT = ("merge", "batch", 2, 2)
 # SpanOr: union of unit term spans; tf = total member occurrences
 SPANOR = ["scan", "filter", "vector"]
+# eDisMax mm: 4 optional terms under a conditional spec — n=4 > 2 →
+# -25% → msm = 4 + int(-1.0) = 3 (SolrPluginUtils#calculateMinShouldMatch)
+EDISMAX_MM = ("merge batch scan filter", "2<-25% 9<-3")
+EDISMAX_MM_EXPECTED = 3  # hand-derived; the oracle uses this literal
 # Classic QueryParser string: required term, boosted should, prohibited
 # term, exact phrase, nested disjunction group (field:value filter syntax
 # is pytest-covered; FILTER execution is certified by ft_filter_topk)
@@ -297,6 +301,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_spanor_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).span_or_topk(SPANOR, k=10)
+    # eDisMax mm spec resolved to minShouldMatch (oracle pins the integer)
+    out["ft_edismax_mm_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).edismax_mm_topk(EDISMAX_MM[0], EDISMAX_MM[1], k=10)
     # Classic QueryParser: one Lucene-syntax string parsed and executed
     # end-to-end (oracle spec is HAND-BUILT, so the gate certifies parsing)
     out["ft_queryparser_topk"] = lambda spark, sf_dir: get_engine(
@@ -494,6 +502,16 @@ def fulltext_oracles() -> dict[str, str]:
                 _QPOG((_qp("vector"), _qp("stream"))),
             ],
             must_not=[_QPT(_qp("scan"))],
+        ),
+        10,
+    )
+    # mm oracle: the minShouldMatch integer is the HAND-DERIVED literal,
+    # so the engine-side calculateMinShouldMatch arithmetic is certified
+    out["ft_edismax_mm_topk"] = bm25_topk_sql(
+        "simple",
+        BooleanSpec(
+            should=[_QPT(_qp(s)) for s in EDISMAX_MM[0].split()],
+            min_should_match=EDISMAX_MM_EXPECTED,
         ),
         10,
     )

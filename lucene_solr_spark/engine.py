@@ -287,6 +287,29 @@ class DocumentsEngine:
         spec = BooleanSpec(must=[SpanOrClause(terms)])
         return self._present(self.searcher.search(spec, k=k, with_keys=True))
 
+    def edismax_mm_topk(self, q: str, mm: str, k: int = 10) -> DataFrame:
+        """eDisMax with an ``mm`` spec (``S/search/ExtendedDismaxQParser``
+        + ``S/util/SolrPluginUtils#calculateMinShouldMatch``): the user
+        query's whitespace terms become SHOULD clauses over the text field
+        (the per-term DisjunctionMax over ``qf`` degenerates with one
+        field) and ``mm`` resolves against the optional-clause count —
+        conditional specs like ``"2<-25% 9<-3"`` included.
+
+        Scale shape: identical to the or3 top-k path; mm is bound
+        driver-side into the compiled query's minShouldMatch."""
+        from .search.query import TermClause
+        from .search.queryparser import calculate_min_should_match
+
+        toks = [
+            t for s in q.split()
+            for t, _ in self.searcher.analyzer.analyze(s)
+        ]
+        spec = BooleanSpec(should=[TermClause(t) for t in toks])
+        spec.min_should_match = calculate_min_should_match(
+            len(spec.should), mm
+        )
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
     def query_string_topk(self, qstr: str, k: int = 10) -> DataFrame:
         """Classic query-string search (``L/queryparser/classic/
         QueryParser`` surface, default operator OR): parse ``qstr`` —

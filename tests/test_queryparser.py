@@ -15,6 +15,7 @@ from lucene_solr_spark.search.query import (
 )
 from lucene_solr_spark.search.queryparser import (
     IMPOSSIBLE_TERM,
+    calculate_min_should_match,
     parse_query_string,
 )
 
@@ -169,6 +170,36 @@ def test_multiterm_expansion():
     assert p("+xqzv~ merge", expand=expand) == BooleanSpec(
         must=[TermClause(IMPOSSIBLE_TERM)], should=[TermClause("merge")]
     )
+
+
+def test_min_should_match_simple():
+    # SolrPluginUtils#calculateMinShouldMatch goldens
+    assert calculate_min_should_match(5, "3") == 3
+    assert calculate_min_should_match(5, "-2") == 3
+    assert calculate_min_should_match(4, "75%") == 3
+    assert calculate_min_should_match(5, "75%") == 3   # int(3.75) truncates
+    assert calculate_min_should_match(4, "-25%") == 3
+    assert calculate_min_should_match(5, "-25%") == 4  # 5 + int(-1.25) = 4
+    # clamping: more than n required → n; negative → 0
+    assert calculate_min_should_match(2, "5") == 2
+    assert calculate_min_should_match(2, "-5") == 0
+
+
+def test_min_should_match_conditional():
+    spec = "2<-25% 9<-3"
+    # n <= 2: all optional clauses required
+    assert calculate_min_should_match(1, spec) == 1
+    assert calculate_min_should_match(2, spec) == 2
+    # 2 < n <= 9: n - int(n*0.25)
+    assert calculate_min_should_match(4, spec) == 3
+    assert calculate_min_should_match(8, spec) == 6
+    assert calculate_min_should_match(9, spec) == 7  # 9 + int(-2.25)
+    # n > 9: n - 3
+    assert calculate_min_should_match(10, spec) == 7
+    assert calculate_min_should_match(20, spec) == 17
+    # single conditional with positive spec
+    assert calculate_min_should_match(5, "3<90%") == 4  # int(4.5)
+    assert calculate_min_should_match(3, "3<90%") == 3  # n <= bound → all
 
 
 def test_errors():
