@@ -128,6 +128,8 @@ SPANNEAR = ("scan", "filter", 3)
 SPANNOT = ("merge", "batch", 2, 2)
 # SpanOr: union of unit term spans; tf = total member occurrences
 SPANOR = ["scan", "filter", "vector"]
+# Nested spans: SpanNear over two SpanOr operand unions
+SPANNEAROR = (["merge", "scan"], ["batch", "filter"], 4)
 # eDisMax mm: 4 optional terms under a conditional spec — n=4 > 2 →
 # -25% → msm = 4 + int(-1.0) = 3 (SolrPluginUtils#calculateMinShouldMatch)
 EDISMAX_MM = ("merge batch scan filter", "2<-25% 9<-3")
@@ -301,6 +303,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_spanor_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).span_or_topk(SPANOR, k=10)
+    # Nested spans: SpanNear whose operands are SpanOr unions
+    out["ft_spannearor_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).span_near_or_topk(SPANNEAROR[0], SPANNEAROR[1], SPANNEAROR[2], k=10)
     # eDisMax mm spec resolved to minShouldMatch (oracle pins the integer)
     out["ft_edismax_mm_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -474,12 +480,18 @@ def fulltext_oracles() -> dict[str, str]:
         ANALYZERS["simple"]().analyze(SPANNOT[1])[0][0],
         SPANNOT[2], SPANNOT[3], 10,
     )
-    from .oracles import span_or_topk_sql
+    from .oracles import span_near_or_topk_sql, span_or_topk_sql
 
     out["ft_spanor_topk"] = span_or_topk_sql(
         "simple",
         tuple(ANALYZERS["simple"]().analyze(s)[0][0] for s in SPANOR),
         10,
+    )
+    out["ft_spannearor_topk"] = span_near_or_topk_sql(
+        "simple",
+        tuple(ANALYZERS["simple"]().analyze(s)[0][0] for s in SPANNEAROR[0]),
+        tuple(ANALYZERS["simple"]().analyze(s)[0][0] for s in SPANNEAROR[1]),
+        SPANNEAROR[2], 10,
     )
     # QueryParser oracle: the spec is HAND-BUILT from the documented parse
     # of QP_STRING (not produced by the parser), so a parse bug on the Spark

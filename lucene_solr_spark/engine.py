@@ -246,6 +246,28 @@ class DocumentsEngine:
         spec = BooleanSpec(must=[SpanNearClause((t0, t1), int(slop))])
         return self._present(self.searcher.search(spec, k=k, with_keys=True))
 
+    def span_near_or_topk(
+        self, surfaces0: list[str], surfaces1: list[str], slop: int,
+        k: int = 10,
+    ) -> DataFrame:
+        """Nested-span top-k: ordered ``SpanNearQuery`` whose operands are
+        ``SpanOrQuery`` unions (``L/search/spans/SpanNearQuery`` over
+        ``SpanOrQuery`` sub-spans). Matching = the flat ordered recurrence
+        over each operand's position-union stream; weight = f32(Σ idf)
+        over all live leaf terms.
+
+        Scale shape: all member postings pruned at one parquet scan; the
+        per-segment kernel is two vectorized unions + the packed-key span
+        matcher, ONE TakeOrdered."""
+        from .search.query import SpanNearOrClause
+
+        slots = tuple(
+            tuple(self.searcher.analyzer.analyze(s)[0][0] for s in group)
+            for group in (surfaces0, surfaces1)
+        )
+        spec = BooleanSpec(must=[SpanNearOrClause(slots, int(slop))])
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
     def span_not_topk(
         self, include: str, exclude: str, pre: int = 0, post: int = 0,
         k: int = 10,

@@ -1226,6 +1226,50 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def span_near_or_topk_sql(
+    analyzer: str, slot0: tuple, slot1: tuple, slop: int, k: int
+) -> str:
+    """Nested-span oracle (``SpanNearQuery`` over two ``SpanOrQuery``
+    operands): each operand's occurrences = union of its member terms'
+    positions; the ordered matcher and slop-factor freq are the flat
+    span-near recurrence; weight = f32(Σ_double per-term f32 idf) over the
+    LIVE members of both operands (dead members +0.0)."""
+    inl0 = ", ".join(f"'{t}'" for t in slot0)
+    inl1 = ", ".join(f"'{t}'" for t in slot1)
+    idf_sum = " + ".join(
+        f"(CASE WHEN EXISTS (SELECT 1 FROM kept WHERE term = '{t}')"
+        f" THEN CAST({_idf_expr(t)} AS DOUBLE) ELSE 0 END)"
+        for t in (*slot0, *slot1)
+    )
+    return f"""WITH {base_ctes(analyzer)},
+sno0 AS (SELECT DISTINCT doc_id, pos FROM kept WHERE term IN ({inl0})),
+sno1 AS (SELECT DISTINCT doc_id, pos FROM kept WHERE term IN ({inl1})),
+spans AS (
+    SELECT a.doc_id, a.pos AS p0, min(b.pos) AS p1
+    FROM sno0 a JOIN sno1 b ON b.doc_id = a.doc_id AND b.pos > a.pos
+    GROUP BY a.doc_id, a.pos
+),
+sfreq AS (
+    SELECT doc_id,
+           CAST(sum(CAST(CAST(1.0 AS FLOAT)
+                         / (CAST(1.0 AS FLOAT) + CAST(p1 - p0 - 1 AS FLOAT))
+                     AS DOUBLE)) AS FLOAT) AS freq
+    FROM spans WHERE p1 - p0 - 1 <= {slop} GROUP BY doc_id
+),
+snohits AS (
+    SELECT f.doc_id,
+           CAST(CAST({idf_sum} AS FLOAT)
+                * CAST(CAST(f.freq AS DOUBLE)
+                       / (CAST(f.freq AS DOUBLE) + CAST(c.cache AS DOUBLE)) AS FLOAT)
+            AS FLOAT) AS score
+    FROM sfreq f JOIN cachec c USING (doc_id), statsf st
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+    FROM snohits
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def span_not_topk_sql(
     analyzer: str, include: str, exclude: str, pre: int, post: int, k: int
 ) -> str:

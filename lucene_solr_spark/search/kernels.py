@@ -662,6 +662,15 @@ def score_segment_exact(
             docs, tfs = _span_near_freqs_2term(
                 dec(c.terms[0]), dec(c.terms[1]), c.slop
             )
+        elif c.kind == "span_near_or":
+            # nested spans: each operand's occurrence stream is the
+            # positional union of its member terms, then the flat ordered
+            # matcher runs unchanged over the pseudo-terms
+            docs, tfs = _span_near_freqs_2term(
+                _union_postings([dec(t) for t in c.slots[0]]),
+                _union_postings([dec(t) for t in c.slots[1]]),
+                c.slop,
+            )
         elif c.kind == "span_not":
             docs, tfs = _span_not_freqs(
                 dec(c.terms[0]), dec(c.terms[1]), c.slop, c.post
@@ -774,6 +783,12 @@ def count_segment_matches(
         elif c.kind == "span_near":
             docs, _ = _span_near_freqs_2term(
                 dec(c.terms[0]), dec(c.terms[1]), c.slop
+            )
+        elif c.kind == "span_near_or":
+            docs, _ = _span_near_freqs_2term(
+                _union_postings([dec(t) for t in c.slots[0]]),
+                _union_postings([dec(t) for t in c.slots[1]]),
+                c.slop,
             )
         elif c.kind == "span_not":
             docs, _ = _span_not_freqs(

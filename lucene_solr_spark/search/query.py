@@ -120,6 +120,23 @@ class SpanOrClause:
 
 
 @dataclass(frozen=True)
+class SpanNearOrClause:
+    """Nested spans: ordered SpanNearQuery whose two operands are
+    SpanOrQuery unions of unit term spans (``L/search/spans/SpanNearQuery``
+    wrapping ``SpanOrQuery`` sub-spans — the composite-span case). Matching
+    and slop-factor freq follow NearSpansOrdered exactly as the flat
+    two-term case, with each operand's occurrence stream being the
+    position-union of its member terms (duplicate (doc,pos) collapse, the
+    DisiPriorityQueue discipline). Weight = boost · f32(Σ idf) over ALL
+    live member terms of both operands (SpanWeight#buildSimWeight collects
+    every leaf termState)."""
+
+    slots: tuple[tuple[str, ...], tuple[str, ...]]
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SpanNotClause:
     """SpanNotQuery over term spans (``L/search/spans/SpanNotQuery``):
     matches occurrences of ``include`` that do NOT fall within ``pre``
@@ -170,7 +187,7 @@ class BooleanSpec:
                 out.extend(c.terms)
             elif isinstance(c, SpanNotClause):
                 out.extend((c.include, c.exclude))
-            elif isinstance(c, MultiPhraseClause):
+            elif isinstance(c, (MultiPhraseClause, SpanNearOrClause)):
                 for slot in c.slots:
                     out.extend(slot)
             else:
@@ -267,7 +284,8 @@ class CompiledQuery:
     @property
     def needs_positions(self) -> bool:
         return any(
-            c.kind in ("phrase", "span_first", "span_near", "span_not", "multiphrase")
+            c.kind in ("phrase", "span_first", "span_near", "span_near_or",
+                       "span_not", "multiphrase")
             for c in self.clauses
         )
 
@@ -428,6 +446,33 @@ def compile_query(
                 clauses.append(CompiledClause(
                     "span_near", c.terms, (), np.float32(w), occur,
                     slop=int(c.slop),
+                ))
+            elif isinstance(c, SpanNearOrClause):
+                if similarity in ("lm", "lmjm", "dfr", "ib"):
+                    raise ValueError(
+                        f"{similarity} span scoring not implemented; use "
+                        "bm25/classic/boolean"
+                    )
+                # an operand with NO live member is unmatchable; dead
+                # members inside a live operand drop out of the union AND
+                # the idf sum (the rewritten query's retained terms)
+                live_slots = tuple(
+                    tuple(t for t in slot if term_df.get(t, 0) > 0)
+                    for slot in c.slots
+                )
+                if any(not slot for slot in live_slots):
+                    impossible |= occur == "must"
+                    continue
+                flat = tuple(t for slot in live_slots for t in slot)
+                if similarity == "boolean":
+                    w = np.float32(c.boost)
+                else:
+                    w = np.float32(c.boost) * np.float32(
+                        sum(float(idf_fn(term_df[t], doc_count)) for t in flat)
+                    )
+                clauses.append(CompiledClause(
+                    "span_near_or", flat, (), np.float32(w), occur,
+                    slop=int(c.slop), slots=live_slots,
                 ))
             elif isinstance(c, SpanOrClause):
                 if similarity in ("lm", "lmjm", "dfr", "ib"):

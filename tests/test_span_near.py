@@ -46,6 +46,57 @@ def test_slop_gate():
     assert docs.tolist() == [1] and freqs[0] == pytest.approx(0.25)
 
 
+def test_nested_span_or_operands():
+    """SpanNear over SpanOr unions: operand streams are position unions of
+    member terms; verified against a brute-force per-doc recurrence."""
+    from lucene_solr_spark.search.kernels import _union_postings
+
+    rng = np.random.default_rng(19)
+    for _ in range(15):
+        n_docs = int(rng.integers(1, 20))
+        members0, members1 = [], []
+        per0: dict[int, set] = {}
+        per1: dict[int, set] = {}
+        for side, (members, per) in enumerate(
+            ((members0, per0), (members1, per1))
+        ):
+            for _m in range(int(rng.integers(1, 4))):
+                d = {}
+                for doc in range(n_docs):
+                    if rng.random() < 0.6:
+                        d[doc] = sorted(
+                            int(x) for x in
+                            rng.choice(60, size=int(rng.integers(1, 6)),
+                                       replace=False)
+                        )
+                        per.setdefault(doc, set()).update(d[doc])
+                members.append(_parts(d))
+        slop = int(rng.integers(0, 6))
+        u0 = _union_postings(members0)
+        u1 = _union_postings(members1)
+        docs_v, freq_v = _span_near_freqs_2term(u0, u1, slop)
+        # brute: for each p0 in union0, nearest following p1 in union1
+        expect = {}
+        for doc in range(n_docs):
+            p0s, p1s = sorted(per0.get(doc, ())), sorted(per1.get(doc, ()))
+            if not p0s or not p1s:
+                continue
+            f = 0.0
+            for p0 in p0s:
+                nxt = [p for p in p1s if p > p0]
+                if nxt and nxt[0] - p0 - 1 <= slop:
+                    f += float(
+                        np.float32(1.0)
+                        / (np.float32(1.0) + np.float32(nxt[0] - p0 - 1))
+                    )
+            if f > 0:
+                expect[doc] = f
+        got = dict(zip(docs_v.tolist(), freq_v.astype(float).tolist()))
+        assert set(got) == set(expect)
+        for doc in got:
+            assert got[doc] == pytest.approx(expect[doc], rel=1e-6)
+
+
 def test_random_parity_vs_slow():
     rng = np.random.default_rng(42)
     for trial in range(25):
