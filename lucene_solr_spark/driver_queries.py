@@ -130,6 +130,8 @@ SPANNOT = ("merge", "batch", 2, 2)
 SPANOR = ["scan", "filter", "vector"]
 # Nested spans: SpanNear over two SpanOr operand unions
 SPANNEAROR = (["merge", "scan"], ["batch", "filter"], 4)
+# Blended FuzzyQuery (the DEFAULT fuzzy rewrite): target, maxEdits, maxExp
+FUZZY_BLENDED = ("batc", 2, 50)
 # eDisMax mm: 4 optional terms under a conditional spec — n=4 > 2 →
 # -25% → msm = 4 + int(-1.0) = 3 (SolrPluginUtils#calculateMinShouldMatch)
 EDISMAX_MM = ("merge batch scan filter", "2<-25% 9<-3")
@@ -307,6 +309,12 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_spannearor_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).span_near_or_topk(SPANNEAROR[0], SPANNEAROR[1], SPANNEAROR[2], k=10)
+    # Blended FuzzyQuery: shared max-df statistics + per-term edit boosts
+    out["ft_fuzzy_blended_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).fuzzy_blended_topk(
+        FUZZY_BLENDED[0], FUZZY_BLENDED[1], FUZZY_BLENDED[2], k=10
+    )
     # eDisMax mm spec resolved to minShouldMatch (oracle pins the integer)
     out["ft_edismax_mm_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -492,6 +500,11 @@ def fulltext_oracles() -> dict[str, str]:
         tuple(ANALYZERS["simple"]().analyze(s)[0][0] for s in SPANNEAROR[0]),
         tuple(ANALYZERS["simple"]().analyze(s)[0][0] for s in SPANNEAROR[1]),
         SPANNEAROR[2], 10,
+    )
+    from .oracles import fuzzy_blended_topk_sql
+
+    out["ft_fuzzy_blended_topk"] = fuzzy_blended_topk_sql(
+        "simple", FUZZY_BLENDED[0], FUZZY_BLENDED[1], FUZZY_BLENDED[2], 10
     )
     # QueryParser oracle: the spec is HAND-BUILT from the documented parse
     # of QP_STRING (not produced by the parser), so a parse bug on the Spark

@@ -246,6 +246,53 @@ class DocumentsEngine:
         spec = BooleanSpec(must=[SpanNearClause((t0, t1), int(slop))])
         return self._present(self.searcher.search(spec, k=k, with_keys=True))
 
+    def fuzzy_blended_topk(
+        self, target: str, max_edits: int = 2, max_expansions: int = 50,
+        k: int = 10,
+    ) -> DataFrame:
+        """FuzzyQuery with its DEFAULT rewrite
+        (``L/search/FuzzyQuery`` → ``TopTermsBlendedFreqScoringRewrite``):
+        dictionary terms within ``max_edits`` become SHOULD term queries
+        sharing blended statistics (df = max df over the expansion), each
+        boosted 1 − ed/min(|term|,|target|) (float div, float sub —
+        ``FuzzyTermsEnum`` op order); top ``max_expansions`` kept by
+        (boost desc, term asc).
+
+        Scale shape: ONE pruned scan of the small term_stats dictionary
+        with a JVM ``levenshtein`` filter (no Python over the dictionary),
+        then the standard or_group kernel — which also rides block-max
+        WAND via member-folded bounds."""
+        import numpy as np
+
+        from .index.build import KEYWORD_PREFIX
+        from .search.query import BlendedTermClause
+
+        t = target.lower()
+        rows = (
+            self.spark.read.parquet(
+                os.path.join(self.searcher.index_dir, "term_stats")
+            )
+            .filter(~F.col("term").startswith(KEYWORD_PREFIX))
+            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(t)))
+            .filter(F.col("dist") <= max_edits)
+            .select("term", "dist")
+            .collect()
+        )
+        cands = []
+        for r in rows:
+            minlen = min(len(r.term), len(t))
+            boost = np.float32(1.0) - (
+                np.float32(r.dist) / np.float32(minlen)
+            )
+            cands.append((float(boost), r.term))
+        cands.sort(key=lambda x: (-x[0], x[1]))
+        cands = cands[:max_expansions]
+        spec = BooleanSpec(should=[BlendedTermClause(
+            tuple(term for _, term in cands),
+            tuple(b for b, _ in cands),
+        )])
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
     def span_near_or_topk(
         self, surfaces0: list[str], surfaces1: list[str], slop: int,
         k: int = 10,

@@ -1226,6 +1226,59 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def fuzzy_blended_topk_sql(
+    analyzer: str, target: str, max_edits: int, max_expansions: int, k: int
+) -> str:
+    """Blended FuzzyQuery oracle (``TopTermsBlendedFreqScoringRewrite`` +
+    ``FuzzyTermsEnum``): the expansion, the per-term boost
+    (f32 1 − ed/min(len,len), float div then float sub), the df blend
+    (max df over the kept expansion), and the member scoring are ALL
+    derived independently in SQL from the token stream — nothing is fed
+    from the engine side. Member score = f32(w · f32(tf/(tf+cache))) with
+    w = boost_f32 · idf(df_blend)_f32; per-doc Σ double, one f32 cast."""
+    tlen = len(target)
+    return f"""WITH {base_ctes(analyzer)},
+fzdict AS (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+    FROM kept GROUP BY term
+),
+fzexp AS (
+    SELECT term, df,
+           CAST(1.0 AS FLOAT)
+             - (CAST(levenshtein(term, '{target}') AS FLOAT)
+                / CAST(least(length(term), {tlen}) AS FLOAT)) AS boost
+    FROM fzdict WHERE levenshtein(term, '{target}') <= {max_edits}
+),
+fzt AS (
+    SELECT term, df, boost FROM fzexp
+    ORDER BY boost DESC, term ASC LIMIT {max_expansions}
+),
+fzblend AS (SELECT max(df) AS dfb FROM fzt),
+fzidf AS (
+    SELECT CAST(ln(1.0 + (st.doc_count - b.dfb + 0.5) / (b.dfb + 0.5))
+           AS FLOAT) AS idfb
+    FROM statsf st, fzblend b
+),
+fzmember AS (
+    SELECT k.doc_id,
+           CAST((any_value(f.boost) * (SELECT idfb FROM fzidf))
+                * CAST(count(*)::DOUBLE / (count(*)::DOUBLE + CAST(any_value(c.cache) AS DOUBLE)) AS FLOAT)
+            AS FLOAT) AS s
+    FROM kept k
+    JOIN fzt f ON f.term = k.term
+    JOIN cachec c ON c.doc_id = k.doc_id
+    GROUP BY k.doc_id, k.term
+),
+fzhits AS (
+    SELECT doc_id, CAST(sum(CAST(s AS DOUBLE)) AS FLOAT) AS score
+    FROM fzmember GROUP BY doc_id
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+    FROM fzhits
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def span_near_or_topk_sql(
     analyzer: str, slot0: tuple, slot1: tuple, slop: int, k: int
 ) -> str:

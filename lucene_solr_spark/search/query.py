@@ -120,6 +120,21 @@ class SpanOrClause:
 
 
 @dataclass(frozen=True)
+class BlendedTermClause:
+    """FuzzyQuery's default rewrite (``L/search/TopTermsBlendedFreq
+    ScoringRewrite`` + ``FuzzyTermsEnum``): the expanded terms become
+    SHOULD term queries that SHARE blended statistics — df = max df across
+    the expansions — each wrapped in BoostQuery(1 − ed/min(|term|,
+    |target|), float division then float subtraction like the reference).
+    Compiled onto the or_group kernel with member weights
+    f32(member_boost) · f32(idf(df_blend))."""
+
+    terms: tuple[str, ...]
+    member_boosts: tuple[float, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SpanNearOrClause:
     """Nested spans: ordered SpanNearQuery whose two operands are
     SpanOrQuery unions of unit term spans (``L/search/spans/SpanNearQuery``
@@ -183,7 +198,7 @@ class BooleanSpec:
         out: list[str] = []
         for c in self.scoring_clauses:
             if isinstance(c, (PhraseClause, OrGroupClause, SpanNearClause,
-                              SpanOrClause)):
+                              SpanOrClause, BlendedTermClause)):
                 out.extend(c.terms)
             elif isinstance(c, SpanNotClause):
                 out.extend((c.include, c.exclude))
@@ -446,6 +461,31 @@ def compile_query(
                 clauses.append(CompiledClause(
                     "span_near", c.terms, (), np.float32(w), occur,
                     slop=int(c.slop),
+                ))
+            elif isinstance(c, BlendedTermClause):
+                if similarity not in ("bm25", "classic"):
+                    raise ValueError(
+                        f"{similarity} blended scoring not implemented; "
+                        "use bm25/classic"
+                    )
+                live = tuple(
+                    (t, b) for t, b in zip(c.terms, c.member_boosts)
+                    if term_df.get(t, 0) > 0
+                )
+                if not live:
+                    impossible |= occur == "must"
+                    continue
+                # blended statistics: every member scores with the MAX df
+                # across the expansion (TopTermsBlendedFreqScoringRewrite)
+                df_blend = max(term_df[t] for t, _ in live)
+                idf_b = idf_fn(df_blend, doc_count)
+                weights = tuple(
+                    np.float32(c.boost) * (np.float32(b) * idf_b)
+                    for _, b in live
+                )
+                clauses.append(CompiledClause(
+                    "or_group", tuple(t for t, _ in live), (),
+                    np.float32(0.0), occur, member_weights=weights,
                 ))
             elif isinstance(c, SpanNearOrClause):
                 if similarity in ("lm", "lmjm", "dfr", "ib"):

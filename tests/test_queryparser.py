@@ -202,6 +202,37 @@ def test_min_should_match_conditional():
     assert calculate_min_should_match(3, "3<90%") == 3  # n <= bound → all
 
 
+def test_blended_term_clause_compile():
+    """BlendedTermClause → or_group with SHARED max-df idf per member."""
+    import numpy as np
+
+    from lucene_solr_spark.search.bm25 import idf as bm25_idf
+    from lucene_solr_spark.search.query import (
+        BlendedTermClause,
+        compile_query,
+    )
+
+    spec = BooleanSpec(should=[BlendedTermClause(
+        ("batch", "batcher", "ghost"), (1.0, 0.5, 0.25)
+    )])
+    term_df = {"batch": 40, "batcher": 3}  # ghost is dead → dropped
+    q = compile_query(spec, term_df, 100, np.zeros(1, np.float32), 10)
+    (c,) = q.clauses
+    assert c.kind == "or_group" and c.terms == ("batch", "batcher")
+    idf_blend = bm25_idf(40, 100)  # max df across the LIVE expansion
+    exp = (
+        np.float32(1.0) * (np.float32(1.0) * idf_blend),
+        np.float32(1.0) * (np.float32(0.5) * idf_blend),
+    )
+    assert c.member_weights == exp
+    # all members dead + MUST → match-nothing
+    q2 = compile_query(
+        BooleanSpec(must=[BlendedTermClause(("ghost",), (1.0,))]),
+        {}, 100, np.zeros(1, np.float32), 10,
+    )
+    assert not q2.clauses
+
+
 def test_errors():
     with pytest.raises(ValueError, match="unbalanced"):
         p('"no closing')
