@@ -170,6 +170,12 @@ RECIP_EXPR = (
     "sum(linear(termfreq(text,'merge'), 2, 0.25),"
     " recip(n_chars, 0.01, 100, 1))"
 )
+# Query-time join ({!join from=source to=source} / lucene/join JoinUtil):
+# inner and2(dup, merge) matches docs spanning HALF the sources (10 of 20)
+# — the join filter genuinely restricts the outer or3 ranking; the scoring
+# variant ranks whole join-key groups by the max inner BM25 score
+JOIN_OUTER = ("or3", ["vector", "stream", "filter"])
+JOIN_INNER = ("and2", ["dup", "merge"])
 # MultiPhraseQuery: "merge (batch|stream)" — slot 2 admits either synonym
 MULTIPHRASE = [["merge"], ["batch", "stream"]]
 # Phrase-prefix (PhraseWildcardQuery / match_phrase_prefix): "merge bat*"
@@ -344,6 +350,18 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_commonterms_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).common_terms_topk(COMMONTERMS[0], COMMONTERMS[1], k=10)
+    # Query-time join filter ({!join from= to=} — JoinUtil ScoreMode.None):
+    # outer ranking restricted to docs sharing a source with inner matches
+    out["ft_join_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).join_filter_topk(
+        JOIN_OUTER[0], JOIN_OUTER[1], JOIN_INNER[0], JOIN_INNER[1], k=10
+    )
+    # Scoring join ({!join score=max} — JoinUtil ScoreMode.Max): docs score
+    # the max inner BM25 score over their join key
+    out["ft_join_score_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).join_score_topk(JOIN_INNER[0], JOIN_INNER[1], k=10)
     # The canonical Solr request: q= + facet.field= over the query's DocSet
     out["ft_facet_on_query"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -573,6 +591,20 @@ def fulltext_oracles() -> dict[str, str]:
         [ANALYZERS["simple"]().analyze(s)[0][0] for s in COMMONTERMS[0]],
         COMMONTERMS[1], 10,
     )
+    from .oracles import join_filter_topk_sql, join_score_topk_sql
+
+    _an = ANALYZERS["simple"]()
+    out["ft_join_topk"] = join_filter_topk_sql(
+        "simple",
+        parse_fixture_query(_an, JOIN_OUTER[0], JOIN_OUTER[1], 0),
+        [_an.analyze(s)[0][0] for s in JOIN_INNER[1]],
+        "source", "source", 10, inner_occur="and",
+    )
+    out["ft_join_score_topk"] = join_score_topk_sql(
+        "simple",
+        parse_fixture_query(_an, JOIN_INNER[0], JOIN_INNER[1], 0),
+        "source", "source", 10,
+    )
     from .oracles import facet_on_query_sql, stats_on_query_sql
 
     out["ft_facet_on_query"] = facet_on_query_sql(
@@ -792,7 +824,12 @@ PRIORITY_ORDER = [
     # day-bucket groupBy shape stays scored via stream_reduce and the facet
     # family; regress certifies the NEW math-expression evaluator family
     # with its exact-sufficient-statistics float discipline)
-    "stream_inner_join", "stream_jdbc_source", "ft_facet_on_query",
+    # stream_inner_join rotated out for ft_join_topk (the relational join
+    # shape stays scored via stream_jdbc_source's join-back verification and
+    # pass-local gates; ft_join_topk certifies the NEW query-time join
+    # surface — JoinUtil from-value gather + TermsInSet-under-FILTER — which
+    # contains a distributed join in its gather step)
+    "ft_join_topk", "stream_jdbc_source", "ft_facet_on_query",
     "stream_regress", "stream_significant_terms", "stream_reduce",
     # update chain + LLM-pipeline operators
     "update_chain_docs",

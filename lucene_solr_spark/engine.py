@@ -197,6 +197,103 @@ class DocumentsEngine:
         out = self.searcher.search(spec, k=k, with_keys=True)
         return self._present(out)
 
+    def join_filter_topk(
+        self,
+        qtype: str,
+        surface_terms: list[str],
+        inner_qtype: str,
+        inner_terms: list[str],
+        from_col: str = "source",
+        to_col: str = "source",
+        k: int = 10,
+    ) -> DataFrame:
+        """Query-time join as a FILTER — Solr ``{!join from= to=}`` /
+        ``lucene/join/.../JoinUtil.java#createJoinQuery`` with
+        ``ScoreMode.None``: the outer query ranks docs whose ``to_col``
+        value appears among the DISTINCT ``from_col`` values of docs
+        matching the inner query. Like the reference (which gathers the
+        from-terms into a TermsInSetQuery via one collector pass), the
+        gathered value set is bounded by the join field's cardinality, not
+        the corpus: the inner query runs as an UNRANKED distributed hits
+        pass, joins the docs map for ``from_col`` (fetch-fields-late), and
+        only the distinct values cross to the driver. They re-enter the
+        outer query as ONE weight-0 disjunctive FILTER clause over the
+        keyword-field posting lists (``index/build.keyword_term``) — the
+        TermsInSetQuery-under-FILTER shape, fully distributed, zero score
+        contribution, rides WAND with 0 block bounds."""
+        from .index.build import keyword_term
+        from .search.query import OrGroupClause
+
+        inner = self.searcher.parse(inner_qtype, inner_terms, 0)
+        # ALL inner matches (unranked exact pass — WAND's top-k pruning would
+        # drop matching from-docs and shrink the gathered value set)
+        inner_hits = self.searcher.hits(
+            self.searcher.compile(inner, k=1 << 30), mode="exact"
+        )
+        vals = sorted(
+            r[0]
+            for r in inner_hits.join(
+                self.searcher.docs.select("doc_id", from_col), "doc_id"
+            ).select(from_col).distinct().collect()
+        )
+        spec = self.searcher.parse(qtype, surface_terms, 0)
+        # empty join set ⇒ OrGroup with no live members ⇒ matches nothing
+        # (JoinUtil returns a no-match query for an empty from-term set)
+        spec.filter.append(OrGroupClause(
+            tuple(keyword_term(to_col, v) for v in vals)
+        ))
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
+    def join_score_topk(
+        self,
+        inner_qtype: str,
+        inner_terms: list[str],
+        from_col: str = "source",
+        to_col: str = "source",
+        k: int = 10,
+    ) -> DataFrame:
+        """Query-time scoring join — ``JoinUtil#createJoinQuery`` with
+        ``ScoreMode.Max`` (Solr ``{!join score=max}``): every doc whose
+        ``to_col`` value appears among the from-values scores the MAX inner
+        BM25 score over the from-docs sharing that value. f32 max is
+        summation-order independent, so the distributed aggregate is
+        bitwise-deterministic.
+
+        Scale shape: inner unranked hits → join-key max aggregate (ONE
+        partial+final hash-agg, output bounded by join-field cardinality)
+        → broadcast back onto the docs map → ONE TakeOrdered. No driver
+        collect of doc sets anywhere."""
+        inner = self.searcher.parse(inner_qtype, inner_terms, 0)
+        # ALL inner matches (unranked exact pass — WAND's top-k pruning would
+        # drop matching from-docs and shrink the gathered value set)
+        inner_hits = self.searcher.hits(
+            self.searcher.compile(inner, k=1 << 30), mode="exact"
+        )
+        key_scores = (
+            inner_hits.join(
+                self.searcher.docs.select("doc_id", from_col), "doc_id"
+            )
+            .groupBy(from_col)
+            .agg(F.max("score").alias("jscore"))
+            .withColumnRenamed(from_col, "_jkey")
+        )
+        joined = (
+            self.searcher.docs.select("doc_id", "doc_key", F.col(to_col))
+            .join(F.broadcast(key_scores), F.col(to_col) == F.col("_jkey"))
+        )
+        top = joined.orderBy(F.desc("jscore"), F.asc("doc_id")).limit(k)
+        return (
+            top.coalesce(1)
+            .sortWithinPartitions(F.desc("jscore"), F.asc("doc_id"))
+            .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+            .select(
+                "rank",
+                F.col("doc_key").cast("long").alias("doc_id"),
+                F.col("jscore").cast("float").alias("score"),
+            )
+            .orderBy("rank")
+        )
+
     def boosted_topk(self, term_boosts: list[tuple[str, float]], k: int = 10) -> DataFrame:
         """Disjunction with per-clause boosts (``Query#setBoost`` era /
         ``BoostQuery``): weight = f32(boost) · f32(idf)."""

@@ -1575,3 +1575,49 @@ st2 AS (
     FROM match m JOIN documents d ON d.doc_id = m.doc_id
 )
 SELECT cnt, min_v, max_v, sum_v, sum_v / CAST(cnt AS DOUBLE) AS mean_v FROM st2"""
+
+
+def join_filter_topk_sql(
+    analyzer: str, spec: BooleanSpec, inner_terms: list[str],
+    from_col: str, to_col: str, k: int, inner_occur: str = "and",
+) -> str:
+    """Query-time join FILTER oracle (Solr ``{!join from= to=}`` /
+    ``lucene/join/.../JoinUtil.java`` ScoreMode.None): the outer BM25 top-k
+    restricted to docs whose ``to_col`` value appears among the from-values
+    of docs matching the inner query (presence semantics — the join filter
+    is non-scoring, so inner scores are irrelevant). ``inner_occur``:
+    'and' = conjunction of the inner terms, 'or' = disjunction."""
+    inl = ", ".join(f"'{t}'" for t in inner_terms)
+    if inner_occur == "and":
+        inner_docs = (
+            f"SELECT doc_id FROM kept WHERE term IN ({inl}) "
+            f"GROUP BY doc_id HAVING count(DISTINCT term) = {len(inner_terms)}"
+        )
+    else:
+        inner_docs = f"SELECT DISTINCT doc_id FROM kept WHERE term IN ({inl})"
+    filter_pred = (
+        f"{to_col} IN (SELECT DISTINCT d2.{from_col} FROM documents d2 "
+        f"WHERE d2.doc_id IN ({inner_docs}))"
+    )
+    return bm25_topk_sql(analyzer, spec, k, filter_pred=filter_pred)
+
+
+def join_score_topk_sql(
+    analyzer: str, inner_spec: BooleanSpec, from_col: str, to_col: str, k: int,
+) -> str:
+    """Scoring join oracle (``JoinUtil#createJoinQuery`` ScoreMode.Max /
+    Solr ``{!join score=max}``): every doc whose ``to_col`` value appears
+    among the inner matches' from-values scores the MAX inner f32 BM25
+    score over that join key (f32 max is order-independent — bitwise)."""
+    frag = _bm25_match_ctes(inner_spec, "j")
+    return f"""WITH {base_ctes(analyzer)},{frag},
+ks AS (
+    SELECT d.{from_col} AS jkey, max(m.score) AS jscore
+    FROM jmatch m JOIN documents d USING (doc_id)
+    GROUP BY d.{from_col}
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY k.jscore DESC, d.doc_id ASC) AS rank,
+           d.doc_id, k.jscore AS score
+    FROM documents d JOIN ks k ON d.{to_col} = k.jkey
+) WHERE rank <= {k} ORDER BY rank"""

@@ -185,7 +185,7 @@ class BooleanSpec:
     # contributes NOTHING to the score. Compiled as weight-0 MUST clauses —
     # at scale this is how keyword filters run as posting intersections
     # (index/build.keyword_term) instead of driver-collected id sets.
-    filter: list = field(default_factory=list)  # TermClause only
+    filter: list = field(default_factory=list)  # TermClause | OrGroupClause
     min_should_match: int = 0
     dismax: bool = False
     tie: float = 0.0
@@ -208,7 +208,11 @@ class BooleanSpec:
             else:
                 out.append(c.term)
         out.extend(c.term for c in self.must_not)
-        out.extend(c.term for c in self.filter)
+        for c in self.filter:
+            if isinstance(c, OrGroupClause):
+                out.extend(c.terms)
+            else:
+                out.append(c.term)
         return sorted(set(out))
 
     @property
@@ -348,6 +352,29 @@ def compile_query(
         # FILTER occur: required, non-scoring — a weight-0 MUST clause (the
         # zero weight zeroes the clause score exactly in f32, and zeroes its
         # WAND block bound, so scores and pruning are untouched)
+        if isinstance(c, OrGroupClause):
+            # disjunctive FILTER — the TermsInSetQuery-under-FILTER shape
+            # (query-time join: ``lucene/join`` JoinUtil#createJoinQuery with
+            # ScoreMode.None rewrites the gathered from-values into exactly
+            # this). Compiled as a weight-0 or_group MUST: the union of the
+            # member posting lists gates matching, every member weight is 0
+            # so the group contributes +0.0 to the f64 score sum (IEEE
+            # no-op) and a 0 WAND block bound.
+            if similarity in ("lm", "lmjm", "dfr", "ib"):
+                raise ValueError(
+                    f"{similarity} or_group filter not implemented; "
+                    "use bm25/classic/boolean"
+                )
+            live = tuple(t for t in c.terms if term_df.get(t, 0) > 0)
+            if not live:
+                impossible = True
+                continue
+            n_filter += 1
+            clauses.append(CompiledClause(
+                "or_group", live, (), np.float32(0.0), "must",
+                member_weights=tuple(np.float32(0.0) for _ in live),
+            ))
+            continue
         df = term_df.get(c.term, 0)
         if df == 0:
             impossible = True
