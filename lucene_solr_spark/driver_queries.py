@@ -86,6 +86,9 @@ MULTITERM = {
     "ft_fuzzy_topk": ("fuzzy", ("batc", 1), "levenshtein(term, 'batc') <= 1"),
     "ft_regexp_topk": ("regexp", "key|hash", "regexp_full_match(term, 'key|hash')"),
     "ft_set_topk": ("set", ("table", "join", "key"), "term IN ('table', 'join', 'key')"),
+    # TermRangeQuery: lexicographic [lo, hi) over the term dictionary
+    # (includeLower, excludeUpper) — expands to scan/slow/small/sort/spark
+    "ft_termrange_topk": ("range", ("sc", "st"), "term >= 'sc' AND term < 'st'"),
 }
 
 BOOST_TERMS = [("vector", 2.5), ("stream", 1.0), ("filter", 0.5)]
@@ -415,6 +418,11 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_spellcheck"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).suggest("fuzzy", ("batc", 1), k=10)
+    # AnalyzingInfixSuggester: the pattern may start anywhere inside the
+    # suggestion, same popularity (docFreq) ranking
+    out["ft_suggest_infix"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).suggest("infix", "or", k=10)
     out["ft_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").docs_norms()
     out["ft_stop_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "stop").docs_norms()
     out["ft_term_stats"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").term_stats_df()
@@ -717,6 +725,7 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     out["ft_ib_topk"] = ib_topk_sql("simple", bool_terms, 10)
     out["ft_lmjm_topk"] = lmjm_topk_sql("simple", bool_terms, 10)
     out["ft_suggest"] = suggest_sql("simple", "term LIKE 's%'", 10)
+    out["ft_suggest_infix"] = suggest_sql("simple", "term LIKE '%or%'", 10)
     out["ft_spellcheck"] = suggest_sql(
         "simple", "levenshtein(term, 'batc') <= 1", 10
     )

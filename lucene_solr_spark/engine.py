@@ -888,9 +888,12 @@ class DocumentsEngine:
 
         kind='prefix' is the type-ahead Lookup; kind='fuzzy' with
         (term, max_edits) is DirectSpellChecker-style correction candidates
-        (Levenshtein expansion against the live term dictionary). Both run
-        as a pruned scan of the small term_stats table — no posting decode,
-        no driver-side dictionary."""
+        (Levenshtein expansion against the live term dictionary);
+        kind='infix' is the ``AnalyzingInfixSuggester`` shape — the pattern
+        may start ANYWHERE inside the suggestion (contains match), ranked
+        by the same popularity weight. All run as a pruned scan of the
+        small term_stats table — no posting decode, no driver-side
+        dictionary."""
         from .index.build import KEYWORD_PREFIX
 
         ts = (
@@ -902,6 +905,8 @@ class DocumentsEngine:
         elif kind == "fuzzy":
             term, max_edits = pattern
             cond = F.levenshtein(F.col("term"), F.lit(term)) <= max_edits
+        elif kind == "infix":
+            cond = F.col("term").contains(pattern)
         else:
             raise ValueError(f"unknown suggest kind {kind!r}")
         top = ts.filter(cond).orderBy(F.desc("df"), F.asc("term")).limit(k)

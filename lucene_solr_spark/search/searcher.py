@@ -300,6 +300,17 @@ class IndexSearcher:
             cond = F.levenshtein(F.col("term"), F.lit(term)) <= max_edits
         elif kind == "set":
             cond = F.col("term").isin(list(pattern))
+        elif kind == "range":
+            # TermRangeQuery (``L/search/TermRangeQuery``): lexicographic
+            # [lo, hi) over the term dictionary — includeLower=true,
+            # includeUpper=false (the BytesRef compare, here UTF-8 string
+            # order); None on either side = open-ended
+            lo, hi = pattern
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col("term") >= lo)
+            if hi is not None:
+                cond = cond & (F.col("term") < hi)
         elif kind == "phonetic":
             # PhoneticFilter/Soundex expansion (analysis/phonetic.py): the
             # dictionary term's code equals any query token's code — the

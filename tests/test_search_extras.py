@@ -75,6 +75,12 @@ def test_multiterm_expansion_and_equivalence(searcher):
     # set expansion keeps only indexed terms
     got = searcher.expand_terms("set", ("error", "zzznotindexed"))
     assert got == ["error"]
+    # TermRangeQuery [lo, hi): lexicographic, includeLower/excludeUpper
+    rng = searcher.expand_terms("range", ("spark", "sparl"))
+    assert rng == ["spark"]  # lower bound inclusive, upper exclusive
+    assert "spark" not in searcher.expand_terms("range", ("spar", "spark"))
+    full = searcher.expand_terms("range", (None, None))
+    assert set(rng) <= set(full) and len(full) > len(rng)  # open-ended
     # rewrite equivalence: multiterm spec ≡ explicit OR over expanded terms
     spec_mt = searcher.multiterm_spec("prefix", "connect")
     spec_or = BooleanSpec(should=[TermClause(t) for t in terms])
