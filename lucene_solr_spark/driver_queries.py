@@ -131,6 +131,9 @@ SPANNEAR = ("scan", "filter", 3)
 SPANNOT = ("merge", "batch", 2, 2)
 # SpanOr: union of unit term spans; tf = total member occurrences
 SPANOR = ["scan", "filter", "vector"]
+# SpanContaining/SpanWithin: big = ordered SpanNear(scan, filter, slop 8),
+# little = merge occurring inside a matched big span (19 docs at sf0.01)
+SPANCONTAIN = ("scan", "filter", 8, "merge")
 # Nested spans: SpanNear over two SpanOr operand unions
 SPANNEAROR = (["merge", "scan"], ["batch", "filter"], 4)
 # Blended FuzzyQuery (the DEFAULT fuzzy rewrite): target, maxEdits, maxExp
@@ -314,6 +317,14 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_spanor_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).span_or_topk(SPANOR, k=10)
+    # SpanContainingQuery: big spans that enclose a little occurrence
+    out["ft_spancontain_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).span_contain_topk(*SPANCONTAIN, mode="containing", k=10)
+    # SpanWithinQuery: little occurrences enclosed by a matched big span
+    out["ft_spanwithin_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).span_contain_topk(*SPANCONTAIN, mode="within", k=10)
     # Nested spans: SpanNear whose operands are SpanOr unions
     out["ft_spannearor_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -513,6 +524,20 @@ def fulltext_oracles() -> dict[str, str]:
         ANALYZERS["simple"]().analyze(SPANNOT[0])[0][0],
         ANALYZERS["simple"]().analyze(SPANNOT[1])[0][0],
         SPANNOT[2], SPANNOT[3], 10,
+    )
+    from .oracles import span_contain_topk_sql
+
+    _sc = (
+        ANALYZERS["simple"]().analyze(SPANCONTAIN[0])[0][0],
+        ANALYZERS["simple"]().analyze(SPANCONTAIN[1])[0][0],
+        SPANCONTAIN[2],
+        ANALYZERS["simple"]().analyze(SPANCONTAIN[3])[0][0],
+    )
+    out["ft_spancontain_topk"] = span_contain_topk_sql(
+        "simple", _sc[0], _sc[1], _sc[2], _sc[3], "containing", 10,
+    )
+    out["ft_spanwithin_topk"] = span_contain_topk_sql(
+        "simple", _sc[0], _sc[1], _sc[2], _sc[3], "within", 10,
     )
     from .oracles import span_near_or_topk_sql, span_or_topk_sql
 
@@ -802,7 +827,10 @@ PRIORITY_ORDER = [
     # span family's scored row is now the two-posting-list positional
     # exclusion matcher, strictly richer than the window-restricted tf;
     # span-first stays pass-local-gated)
-    "ft_blockjoin_source", "ft_spannot_topk", "ft_total_hits",
+    # ft_spannot_topk rotated out for ft_spancontain_topk (span-not stays
+    # pass-local-gated; containing certifies the richest span composition:
+    # NearSpansOrdered matching + ContainSpans enclosure + slop-factor freq)
+    "ft_blockjoin_source", "ft_spancontain_topk", "ft_total_hits",
     # ft_tfidf_topk rotated out for ft_funcexpr_topk in r3 (Classic TF-IDF
     # stays pass-local-gated; the similarity-dispatch family is certified by
     # ft_dfr_topk, and funcexpr certifies the NEW parsed ValueSource surface)

@@ -434,6 +434,32 @@ class DocumentsEngine:
         )
         return self._present(self.searcher.search(spec, k=k, with_keys=True))
 
+    def span_contain_topk(
+        self, big0: str, big1: str, big_slop: int, little: str,
+        mode: str = "containing", k: int = 10,
+    ) -> DataFrame:
+        """SpanContainingQuery / SpanWithinQuery top-k (``L/search/spans/
+        SpanContainingQuery``, ``SpanWithinQuery``): big = ordered two-term
+        SpanNear(big0, big1, big_slop), little = a unit term span.
+        mode='containing' scores the big spans that enclose a little
+        occurrence (freq contribution 1/(1+width) like SpanNear);
+        mode='within' scores the little occurrences enclosed by a matched
+        big span (slop factor 1 each). Weight = f32(Σ idf) over all three
+        terms (SpanContainQuery builds SimWeight from both sides).
+
+        Scale shape: identical to the phrase top-k path — three terms'
+        postings pruned at the parquet scan, per-segment exact kernel with
+        the packed-key vectorized matcher (searchsorted enclosure checks,
+        no per-doc loop), ONE TakeOrdered."""
+        from .search.query import SpanContainClause
+
+        an = self.searcher.analyzer
+        spec = BooleanSpec(must=[SpanContainClause(
+            (an.analyze(big0)[0][0], an.analyze(big1)[0][0]),
+            an.analyze(little)[0][0], int(big_slop), mode,
+        )])
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
     def span_or_topk(self, surfaces: list[str], k: int = 10) -> DataFrame:
         """SpanOrQuery top-k (``L/search/spans/SpanOrQuery`` over unit term
         spans): matches wherever ANY member occurs; tf = the doc's total

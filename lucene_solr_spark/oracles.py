@@ -1621,3 +1621,69 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
            d.doc_id, k.jscore AS score
     FROM documents d JOIN ks k ON d.{to_col} = k.jkey
 ) WHERE rank <= {k} ORDER BY rank"""
+
+
+def span_contain_topk_sql(
+    analyzer: str, big0: str, big1: str, big_slop: int, little: str,
+    mode: str, k: int,
+) -> str:
+    """SpanContainingQuery / SpanWithinQuery oracle (``L/search/spans/
+    SpanContainingQuery``, ``SpanWithinQuery``): big = ordered two-term
+    SpanNear (one candidate span per start, nearest following end, width <=
+    big_slop); containment = big.p0 <= little.q <= big.p1 (ContainSpans on
+    a unit little). mode='within': freq = count of enclosed little
+    occurrences (slop factor 1 each); mode='containing': freq = Σ f32
+    1/(1+width) over enclosing big spans, summed in DOUBLE, one f32 cast.
+    Weight = f32(Σ idf over big0, big1, little) — SpanContainQuery builds
+    its SimWeight from both sides."""
+    idf_sum = " + ".join(
+        f"CAST({_idf_expr(t)} AS DOUBLE)" for t in (big0, big1, little)
+    )
+    if mode == "within":
+        sfreq = f"""
+sfreq AS (
+    SELECT l.doc_id, count(*)::BIGINT AS freq
+    FROM snl l
+    WHERE EXISTS (
+        SELECT 1 FROM bigm b
+        WHERE b.doc_id = l.doc_id AND b.p0 <= l.pos AND l.pos <= b.p1
+    )
+    GROUP BY l.doc_id
+)"""
+        ratio = "CAST(f.freq::DOUBLE / (f.freq::DOUBLE + CAST(c.cache AS DOUBLE)) AS FLOAT)"
+    else:
+        sfreq = f"""
+sfreq AS (
+    SELECT b.doc_id,
+           CAST(sum(CAST(CAST(1.0 AS FLOAT)
+                         / (CAST(1.0 AS FLOAT) + CAST(b.p1 - b.p0 - 1 AS FLOAT))
+                     AS DOUBLE)) AS FLOAT) AS freq
+    FROM bigm b
+    WHERE EXISTS (
+        SELECT 1 FROM snl l
+        WHERE l.doc_id = b.doc_id AND b.p0 <= l.pos AND l.pos <= b.p1
+    )
+    GROUP BY b.doc_id
+)"""
+        ratio = "CAST(CAST(f.freq AS DOUBLE) / (CAST(f.freq AS DOUBLE) + CAST(c.cache AS DOUBLE)) AS FLOAT)"
+    return f"""WITH {base_ctes(analyzer)},
+sn0 AS (SELECT doc_id, pos FROM kept WHERE term = '{big0}'),
+sn1 AS (SELECT doc_id, pos FROM kept WHERE term = '{big1}'),
+snl AS (SELECT doc_id, pos FROM kept WHERE term = '{little}'),
+spans AS (
+    SELECT a.doc_id, a.pos AS p0, min(b.pos) AS p1
+    FROM sn0 a JOIN sn1 b ON b.doc_id = a.doc_id AND b.pos > a.pos
+    GROUP BY a.doc_id, a.pos
+),
+bigm AS (
+    SELECT doc_id, p0, p1 FROM spans WHERE p1 - p0 - 1 <= {big_slop}
+),{sfreq},
+schits AS (
+    SELECT f.doc_id,
+           CAST(CAST({idf_sum} AS FLOAT) * {ratio} AS FLOAT) AS score
+    FROM sfreq f JOIN cachec c USING (doc_id), statsf st
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+    FROM schits
+) WHERE rank <= {k} ORDER BY rank"""

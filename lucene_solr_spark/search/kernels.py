@@ -390,6 +390,126 @@ def _span_near_freqs_slow(
     return np.array(out_docs, dtype=np.int64), np.array(out_freqs, dtype=np.float32)
 
 
+def _span_contain_freqs(
+    parts0: tuple, parts1: tuple, big_slop: int, parts_l: tuple, mode: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """SpanContainingQuery / SpanWithinQuery matcher (``L/search/spans/
+    SpanContainingQuery``, ``SpanWithinQuery`` — both extend
+    ``SpanContainQuery``). ``big`` = ordered two-term SpanNear (one
+    candidate span per start position: nearest following second-term
+    occurrence; width = gap <= ``big_slop``); ``little`` = a unit term
+    span. Containment follows ``ContainSpans``: big.start <= little.start
+    and little.end <= big.end — for a unit little at q and a big span
+    [p0, p1+1) that is p0 <= q <= p1.
+
+    mode='within' (SpanWithinQuery): result spans are the little
+    occurrences enclosed by SOME matched big span — width-0 spans, slop
+    factor 1 each, so tf = surviving occurrence count (int64).
+    mode='containing' (SpanContainingQuery): result spans are the matched
+    big spans enclosing SOME little occurrence — each contributes
+    ``SloppySimScorer#computeSlopFactor`` 1/(1+width(big)) like SpanNear
+    (f32 factors summed in float64, one f32 cast).
+
+    Vectorized with the packed-key trick over ALL candidate docs: within a
+    doc the minimal ordered big spans have NON-DECREASING ends as starts
+    increase (nearest-following is monotone), so the predecessor matched
+    span by start carries the maximal end — one ``searchsorted`` per
+    little occurrence decides enclosure; one lo/hi pair per big span
+    counts enclosed littles."""
+    docs0, docs1, docs_l = parts0[0], parts1[0], parts_l[0]
+    cand = docs0[np.isin(docs0, docs1, assume_unique=True)]
+    cand = cand[np.isin(cand, docs_l, assume_unique=True)]
+    if cand.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    mask = (np.int64(1) << _POS_SHIFT) - 1
+    packed = []
+    for docs_t, tfs_t, pos_t in (parts0, parts1, parts_l):
+        s = np.zeros(len(tfs_t) + 1, dtype=np.int64)
+        np.cumsum(tfs_t, out=s[1:])
+        i = np.searchsorted(docs_t, cand)
+        starts, lens = s[i], s[i + 1] - s[i]
+        ci = np.repeat(np.arange(len(cand), dtype=np.int64), lens)
+        p = _gather_ranges(pos_t, starts, lens).astype(np.int64)
+        if p.size and int(p.max()) >= _POS_LIMIT:
+            # huge-doc guard (mirrors the span_near fallback)
+            return _span_contain_freqs_slow(
+                parts0, parts1, big_slop, parts_l, mode, cand
+            )
+        packed.append(((ci << _POS_SHIFT) | (p + _POS_MARGIN), ci))
+    (k0, ci0), (k1, _), (kl, cil) = packed
+    nxt = np.searchsorted(k1, k0, side="right")
+    has = nxt < k1.size
+    nc = np.minimum(nxt, k1.size - 1)
+    width = (k1[nc] & mask) - (k0 & mask) - 1
+    m = has & ((k1[nc] >> _POS_SHIFT) == ci0) & (width <= big_slop)
+    if not m.any():
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    ks, ke, wi, cis = k0[m], k1[nc[m]], width[m], ci0[m]
+    freq = np.zeros(len(cand), dtype=np.float64)
+    if mode == "within":
+        idx = np.searchsorted(ks, kl, side="right") - 1
+        idc = np.maximum(idx, 0)
+        ok = (idx >= 0) & (cis[idc] == cil) & (kl <= ke[idc])
+        np.add.at(freq, cil[ok], 1.0)
+        keep = freq > 0
+        return cand[keep], freq[keep].astype(np.int64)
+    lo = np.searchsorted(kl, ks, side="left")
+    hi = np.searchsorted(kl, ke, side="right")
+    ok = lo < hi
+    sf = (
+        np.float32(1.0) / (np.float32(1.0) + wi[ok].astype(np.float32))
+    ).astype(np.float64)
+    np.add.at(freq, cis[ok], sf)
+    keep = freq > 0
+    return cand[keep], freq[keep].astype(np.float32)
+
+
+def _span_contain_freqs_slow(
+    parts0: tuple, parts1: tuple, big_slop: int, parts_l: tuple, mode: str,
+    cand: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc fallback for _span_contain_freqs (same rule, plain loop)."""
+    slices = []
+    for docs_t, tfs_t, pos_t in (parts0, parts1, parts_l):
+        s = np.zeros(len(tfs_t) + 1, dtype=np.int64)
+        np.cumsum(tfs_t, out=s[1:])
+        slices.append((docs_t, s, pos_t))
+    out_docs, out_freqs = [], []
+    for d in cand:
+        ps = []
+        for docs_t, s, pos_t in slices:
+            i = int(np.searchsorted(docs_t, d))
+            ps.append(pos_t[s[i]:s[i + 1]].astype(np.int64))
+        p0, p1, pl = ps
+        nxt = np.searchsorted(p1, p0, side="right")
+        has = nxt < p1.size
+        end = p1[np.minimum(nxt, p1.size - 1)]
+        width = end - p0 - 1
+        m = has & (width <= big_slop)
+        if not m.any():
+            continue
+        s0, s1, w = p0[m], end[m], width[m]
+        if mode == "within":
+            idx = np.searchsorted(s0, pl, side="right") - 1
+            ok = (idx >= 0) & (pl <= s1[np.maximum(idx, 0)])
+            f = float(ok.sum())
+        else:
+            lo = np.searchsorted(pl, s0, side="left")
+            hi = np.searchsorted(pl, s1, side="right")
+            ok = lo < hi
+            f = float(
+                (np.float32(1.0) / (np.float32(1.0) + w[ok].astype(np.float32)))
+                .astype(np.float64).sum()
+            )
+        if f > 0:
+            out_docs.append(d)
+            out_freqs.append(f)
+    if not out_docs:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    dt = np.int64 if mode == "within" else np.float32
+    return np.array(out_docs, dtype=np.int64), np.array(out_freqs, dtype=dt)
+
+
 def _span_not_freqs(
     parts_inc: tuple,
     parts_exc: tuple,
@@ -675,6 +795,12 @@ def score_segment_exact(
             docs, tfs = _span_not_freqs(
                 dec(c.terms[0]), dec(c.terms[1]), c.slop, c.post
             )
+        elif c.kind in ("span_containing", "span_within"):
+            # terms = (big0, big1, little); slop = the big SpanNear's slop
+            docs, tfs = _span_contain_freqs(
+                dec(c.terms[0]), dec(c.terms[1]), c.slop, dec(c.terms[2]),
+                "within" if c.kind == "span_within" else "containing",
+            )
         elif c.kind == "span_or":
             # SpanOrQuery (L/search/spans/SpanOrQuery): every member
             # occurrence is a width-0 span (slop factor 1), positions are
@@ -793,6 +919,11 @@ def count_segment_matches(
         elif c.kind == "span_not":
             docs, _ = _span_not_freqs(
                 dec(c.terms[0]), dec(c.terms[1]), c.slop, c.post
+            )
+        elif c.kind in ("span_containing", "span_within"):
+            docs, _ = _span_contain_freqs(
+                dec(c.terms[0]), dec(c.terms[1]), c.slop, dec(c.terms[2]),
+                "within" if c.kind == "span_within" else "containing",
             )
         elif c.kind == "span_or":
             docs, _ = _span_or_freqs([dec(t) for t in c.terms])

@@ -152,6 +152,29 @@ class SpanNearOrClause:
 
 
 @dataclass(frozen=True)
+class SpanContainClause:
+    """SpanContainingQuery / SpanWithinQuery (``L/search/spans/
+    SpanContainingQuery``, ``SpanWithinQuery`` — both extend
+    ``SpanContainQuery``) over an ordered two-term SpanNear ``big`` and a
+    unit term ``little``. Containment per ``ContainSpans``: big.start <=
+    little.start and little.end <= big.end.
+
+    mode='containing': result spans are the matched big spans enclosing
+    some little occurrence — each contributes 1/(1+width(big)) to the
+    span freq like SpanNear. mode='within': result spans are the little
+    occurrences enclosed by some matched big span — width-0 spans, slop
+    factor 1 each. Weight = boost · f32(Σ idf) over big AND little terms
+    (``SpanContainQuery`` builds its SimWeight from the termStates of both
+    sides)."""
+
+    big: tuple[str, str]
+    little: str
+    big_slop: int = 0
+    mode: str = "containing"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SpanNotClause:
     """SpanNotQuery over term spans (``L/search/spans/SpanNotQuery``):
     matches occurrences of ``include`` that do NOT fall within ``pre``
@@ -202,6 +225,8 @@ class BooleanSpec:
                 out.extend(c.terms)
             elif isinstance(c, SpanNotClause):
                 out.extend((c.include, c.exclude))
+            elif isinstance(c, SpanContainClause):
+                out.extend((*c.big, c.little))
             elif isinstance(c, (MultiPhraseClause, SpanNearOrClause)):
                 for slot in c.slots:
                     out.extend(slot)
@@ -304,7 +329,8 @@ class CompiledQuery:
     def needs_positions(self) -> bool:
         return any(
             c.kind in ("phrase", "span_first", "span_near", "span_near_or",
-                       "span_not", "multiphrase")
+                       "span_not", "span_containing", "span_within",
+                       "multiphrase")
             for c in self.clauses
         )
 
@@ -561,6 +587,31 @@ def compile_query(
                     )
                 clauses.append(CompiledClause(
                     "span_or", live, (), np.float32(w), occur,
+                ))
+            elif isinstance(c, SpanContainClause):
+                if similarity in ("lm", "lmjm", "dfr", "ib"):
+                    raise ValueError(
+                        f"{similarity} span scoring not implemented; use "
+                        "bm25/classic/boolean"
+                    )
+                all_t = (*c.big, c.little)
+                if any(term_df.get(t, 0) == 0 for t in all_t):
+                    impossible |= occur == "must"
+                    continue
+                if similarity == "boolean":
+                    w = np.float32(c.boost)
+                else:
+                    # SpanContainQuery's SimWeight collects termStates from
+                    # BOTH the big and little sides
+                    w = np.float32(c.boost) * np.float32(
+                        sum(float(idf_fn(term_df[t], doc_count)) for t in all_t)
+                    )
+                kind = (
+                    "span_within" if c.mode == "within" else "span_containing"
+                )
+                clauses.append(CompiledClause(
+                    kind, all_t, (), np.float32(w), occur,
+                    slop=int(c.big_slop),
                 ))
             elif isinstance(c, SpanNotClause):
                 if similarity in ("lm", "lmjm", "dfr", "ib"):
