@@ -840,3 +840,97 @@ FROM orders WHERE o_totalprice > 100000.0"""
 
 
 register("group_ngroups", group_ngroups, GROUP_NGROUPS_SQL)
+
+
+# --- relatedness() — Semantic Knowledge Graph agg ---------------------------
+
+def facet_relatedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON facet ``relatedness(fg, bg)`` (``S/search/facet/
+    RelatednessAgg.java`` — the Semantic Knowledge Graph scoring from
+    Grainger et al. 2016, "The Semantic Knowledge Graph"): for each bucket
+    of the facet field, how related the bucket is to a FOREGROUND doc set
+    relative to the BACKGROUND set. Per bucket:
+
+        fg_prob = fg_count / fg_size,  bg_prob = bg_count / bg_size
+        z = (fg_prob − bg_prob) / sqrt(bg_prob · (1 − bg_prob))   (1e-10 floor)
+        relatedness = Σ 0.2 · sigmoid(z + o) / (s + |z + o|)
+                      over (o, s) ∈ {(−80,50), (−30,30), (0,30), (30,30), (80,50)}
+        rounded to 5 digits (floor(x·1e5 + 0.5)/1e5 — Math.round semantics)
+
+    Here fg = docs from one source, buckets = lang. Scale shape: ONE
+    hash-agg over the fact table produces every bucket's fg/bg counts
+    (map-side combined); the two scalar totals broadcast back via a 1-row
+    cross join; all the z/sigmoid math is JVM column expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    is_fg = F.when(F.col("source") == "src3", 1).otherwise(0)
+    b = docs.groupBy(F.col("lang").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("bg_count"),
+        F.sum(is_fg).cast("long").alias("fg_count"),
+    )
+    tot = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("bg_size"),
+        F.sum(is_fg).cast("double").alias("fg_size"),
+    )
+    j = b.crossJoin(F.broadcast(tot))
+    fg_prob = F.col("fg_count") / F.col("fg_size")
+    bg_prob = F.col("bg_count") / F.col("bg_size")
+    num = fg_prob - bg_prob
+    denom_raw = F.sqrt(bg_prob * (F.lit(1.0) - bg_prob))
+    z = num / F.when(denom_raw == 0.0, F.lit(1e-10)).otherwise(denom_raw)
+
+    def sig(o: float, s: float):
+        return (z + F.lit(o)) / (F.lit(s) + F.abs(z + F.lit(o)))
+
+    rel_raw = (
+        F.lit(0.2) * sig(-80.0, 50.0)
+        + F.lit(0.2) * sig(-30.0, 30.0)
+        + F.lit(0.2) * sig(0.0, 30.0)
+        + F.lit(0.2) * sig(30.0, 30.0)
+        + F.lit(0.2) * sig(80.0, 50.0)
+    )
+    rel = F.floor(rel_raw * F.lit(1e5) + F.lit(0.5)) / F.lit(1e5)
+    return (
+        j.select(
+            "bucket",
+            "fg_count",
+            "bg_count",
+            rel.alias("relatedness"),
+        )
+        .orderBy(F.desc("relatedness"), F.asc("bucket"))
+    )
+
+
+_REL_SIG = (
+    "0.2*((z + -80.0)/(50.0 + abs(z + -80.0))) "
+    "+ 0.2*((z + -30.0)/(30.0 + abs(z + -30.0))) "
+    "+ 0.2*((z + 0.0)/(30.0 + abs(z + 0.0))) "
+    "+ 0.2*((z + 30.0)/(30.0 + abs(z + 30.0))) "
+    "+ 0.2*((z + 80.0)/(50.0 + abs(z + 80.0)))"
+)
+
+FACET_RELATEDNESS_SQL = f"""
+WITH b AS (
+    SELECT lang AS bucket, count(*)::BIGINT AS bg_count,
+           sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END)::BIGINT AS fg_count
+    FROM documents GROUP BY lang
+),
+t AS (
+    SELECT count(*)::DOUBLE AS bg_size,
+           sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END)::DOUBLE AS fg_size
+    FROM documents
+),
+c AS (
+    SELECT bucket, fg_count, bg_count,
+           (fg_count / fg_size - bg_count / bg_size)
+           / (CASE WHEN sqrt((bg_count / bg_size) * (1.0 - bg_count / bg_size)) = 0
+                   THEN 1e-10
+                   ELSE sqrt((bg_count / bg_size) * (1.0 - bg_count / bg_size)) END)
+               AS z
+    FROM b, t
+)
+SELECT bucket, fg_count, bg_count,
+       floor(({_REL_SIG}) * 1e5 + 0.5) / 1e5 AS relatedness
+FROM c ORDER BY relatedness DESC, bucket"""
+
+
+register("facet_relatedness", facet_relatedness, FACET_RELATEDNESS_SQL)
