@@ -598,3 +598,101 @@ register("ann_cosine_topk", ann_cosine_topk, ANN_COSINE_SQL)
 register("ann_ivf_topk", ann_ivf_topk, ANN_IVF_SQL)
 register("embed_top_pairs", embed_top_pairs, _embed_top_pairs_sql())
 register("ann_lsh_topk", ann_lsh_topk, ANN_LSH_SQL)
+
+
+# --- SemDeDup: semantic dedup via cluster-then-compare -----------------------
+
+# tau is corpus-calibrated: the synthetic embeddings' max pairwise cosine is
+# ~0.51 (no planted near-dups), so 0.45 exercises the drop path; production
+# embedding spaces use 0.95+ (the SemDeDup paper's regime)
+SEMDEDUP_TAU = 0.45
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding space,
+    then WITHIN each cluster drop every vector whose cosine to a lower-id
+    cluster member reaches tau — the kept representative is the smallest id
+    (the paper keeps one exemplar per semantic-duplicate group; lowest id is
+    the deterministic choice). Returns (vec_id, dup_of, n_near): the dropped
+    vector, its smallest qualifying lower-id representative, and how many
+    lower-id near-members it had.
+
+    Cells are the deterministic sample centroids (same structure the IVF
+    index uses; swap in ``kmeans_centroids`` for trained cells — the paper
+    uses k-means over a sample). Scale shape: assignment = broadcast
+    centroids + ONE narrow pass; candidate pairs are WITHIN-CELL only (the
+    SemDeDup trick — pairwise cost collapses from O(N²) to Σ|cell|², and
+    ``cell`` is the self-join's shuffle key so each task compares one
+    cell); one hash-agg groups the drops."""
+    emb = _emb(spark, sf_dir)
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS)
+    assigned = _assign_cells(emb, centroids)
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea")
+    )
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb")
+    )
+    sims = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id",
+            F.round(
+                _dot(F.col("ea"), F.col("eb"))
+                / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= SEMDEDUP_TAU)
+    )
+    return (
+        sims.groupBy(F.col("b_id").alias("vec_id"))
+        .agg(
+            F.min("a_id").cast("long").alias("dup_of"),
+            F.count(F.lit(1)).cast("long").alias("n_near"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+DEDUP_SEMANTIC_SQL = f"""
+WITH ex AS (
+    SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x::DOUBLE * x::DOUBLE)) AS nrm FROM ex GROUP BY 1),
+ccos AS (
+    SELECT v.vec_id, c.vec_id AS cid,
+           round(sum(v.x::DOUBLE * c.x::DOUBLE) / (nv.nrm * nc.nrm), 9) AS ccos
+    FROM ex v JOIN ex c USING (i)
+    JOIN norms nv ON nv.vec_id = v.vec_id JOIN norms nc ON nc.vec_id = c.vec_id
+    WHERE c.vec_id < {N_CENTROIDS}
+    GROUP BY 1, 2, nv.nrm, nc.nrm
+),
+assigned AS (
+    SELECT vec_id, cid AS cell
+    FROM (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+          FROM ccos)
+    WHERE rn = 1
+),
+dots AS (
+    SELECT xa.vec_id AS a_id, xb.vec_id AS b_id,
+           sum(xa.x::DOUBLE * xb.x::DOUBLE) AS d
+    FROM ex xa JOIN ex xb USING (i)
+    JOIN assigned sa ON sa.vec_id = xa.vec_id
+    JOIN assigned sb ON sb.vec_id = xb.vec_id AND sb.cell = sa.cell
+    WHERE xa.vec_id < xb.vec_id
+    GROUP BY 1, 2
+),
+sims AS (
+    SELECT a_id, b_id, round(d / (na.nrm * nb.nrm), 6) AS cos_sim
+    FROM dots JOIN norms na ON na.vec_id = a_id JOIN norms nb ON nb.vec_id = b_id
+)
+SELECT b_id::BIGINT AS vec_id, min(a_id)::BIGINT AS dup_of, count(*)::BIGINT AS n_near
+FROM sims WHERE cos_sim >= {SEMDEDUP_TAU}
+GROUP BY b_id ORDER BY vec_id"""
+
+
+register("dedup_semantic", dedup_semantic, DEDUP_SEMANTIC_SQL)
