@@ -142,6 +142,9 @@ FUZZY_BLENDED = ("batc", 2, 50)
 # -25% → msm = 4 + int(-1.0) = 3 (SolrPluginUtils#calculateMinShouldMatch)
 EDISMAX_MM = ("merge batch scan filter", "2<-25% 9<-3")
 EDISMAX_MM_EXPECTED = 3  # hand-derived; the oracle uses this literal
+# eDisMax pf: terms score individually; the whole query re-added as one
+# boosted exact-phrase SHOULD clause (phrase never gates matching)
+EDISMAX_PF = ("table hash", 2.0)
 # Classic QueryParser string: required term, boosted should, prohibited
 # term, exact phrase, nested disjunction group (field:value filter syntax
 # is pytest-covered; FILTER execution is certified by ft_filter_topk)
@@ -339,6 +342,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_edismax_mm_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).edismax_mm_topk(EDISMAX_MM[0], EDISMAX_MM[1], k=10)
+    # eDisMax pf phrase boost: qf terms + one boosted implicit phrase clause
+    out["ft_edismax_pf_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).edismax_pf_topk(EDISMAX_PF[0], EDISMAX_PF[1], k=10)
     # Classic QueryParser: one Lucene-syntax string parsed and executed
     # end-to-end (oracle spec is HAND-BUILT, so the gate certifies parsing)
     out["ft_queryparser_topk"] = lambda spark, sf_dir: get_engine(
@@ -589,6 +596,24 @@ def fulltext_oracles() -> dict[str, str]:
             should=[_QPT(_qp(s)) for s in EDISMAX_MM[0].split()],
             min_should_match=EDISMAX_MM_EXPECTED,
         ),
+        10,
+    )
+    # pf oracle: same term SHOULD clauses + the boosted phrase clause (the
+    # phrase-branch boost rides the f32 weight exactly like the engine)
+    _pf_an = ANALYZERS["simple"]()
+    _pf_analyzed = _pf_an.analyze(EDISMAX_PF[0])
+    from .search.query import PhraseClause as _PFPhrase
+
+    out["ft_edismax_pf_topk"] = bm25_topk_sql(
+        "simple",
+        BooleanSpec(should=[
+            *[_QPT(t) for t, _ in _pf_analyzed],
+            _PFPhrase(
+                tuple(t for t, _ in _pf_analyzed),
+                tuple(p - _pf_analyzed[0][1] for _, p in _pf_analyzed),
+                boost=EDISMAX_PF[1],
+            ),
+        ]),
         10,
     )
     from .oracles import phonetic_topk_sql

@@ -502,6 +502,31 @@ class DocumentsEngine:
         )
         return self._present(self.searcher.search(spec, k=k, with_keys=True))
 
+    def edismax_pf_topk(self, q: str, pf_boost: float, k: int = 10) -> DataFrame:
+        """eDisMax ``pf`` (phrase fields) boost
+        (``S/search/ExtendedDismaxQParser#addShingledPhraseQueries``): the
+        user query's terms score individually (the qf side) and the WHOLE
+        query is re-added as one implicit exact PhraseQuery SHOULD clause
+        boosted by ``pf_boost`` — documents containing the full phrase
+        outrank bag-of-words matches, but the phrase never gates matching
+        (it's optional; mm applies to the term clauses, and any phrase
+        match already satisfies them).
+
+        Scale shape: identical to the phrase top-k path — the term postings
+        are already in the scan for the qf clauses; the phrase clause adds
+        only the positional verify."""
+        from .search.query import PhraseClause, TermClause
+
+        analyzed = self.searcher.analyzer.analyze(q)
+        base = analyzed[0][1]
+        spec = BooleanSpec(should=[TermClause(t) for t, _ in analyzed])
+        spec.should.append(PhraseClause(
+            tuple(t for t, _ in analyzed),
+            tuple(p - base for _, p in analyzed),
+            boost=float(pf_boost),
+        ))
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
     def query_string_topk(self, qstr: str, k: int = 10) -> DataFrame:
         """Classic query-string search (``L/queryparser/classic/
         QueryParser`` surface, default operator OR): parse ``qstr`` —

@@ -636,8 +636,14 @@ def _bm25_match_ctes(
                         f"AND k{j}.pos = k0.pos + {offsets[j] - offsets[0]} "
                         f"AND k{j}.term = '{terms[j]}'"
                     )
-                # weight = f32(Σ_double of per-term f32 idfs, in term order)
+                # weight = f32(boost) · f32(Σ_double of per-term f32 idfs,
+                # in term order) — boost omitted when 1.0 (engine:
+                # np.float32(c.boost) * np.float32(sum(idfs)))
                 idf_sum = " + ".join(f"CAST({_idf_expr(t)} AS DOUBLE)" for t in terms)
+                pboost = float(getattr(c, "boost", 1.0))
+                w_expr = f"CAST({idf_sum} AS FLOAT)" if pboost == 1.0 else (
+                    f"(CAST({pboost!r} AS FLOAT) * CAST({idf_sum} AS FLOAT))"
+                )
                 exists = " AND ".join(
                     f"EXISTS (SELECT 1 FROM kept WHERE term = '{t}')" for t in terms
                 )
@@ -650,7 +656,7 @@ def _bm25_match_ctes(
 ),
 {p}cs{ci} AS (
     SELECT p.doc_id,
-           CAST(CAST({idf_sum} AS FLOAT)
+           CAST({w_expr}
                 * CAST(p.tf::DOUBLE / (p.tf::DOUBLE + CAST(c.cache AS DOUBLE)) AS FLOAT)
             AS FLOAT) AS s,
            {is_must} AS is_must
