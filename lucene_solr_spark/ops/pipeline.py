@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .dedup import SHINGLE_MAX_DF, _docs, jaccard_pairs, shingles
 from .registry import register
-from .textmetrics import TOKEN_RE_SQL
+from .textmetrics import TOKEN_RE, TOKEN_RE_SQL
 
 # ---------------------------------------------------------------------------
 # dedup_clusters: connected components over near-dup pairs
@@ -399,3 +399,213 @@ register("classify_logreg", classify_logreg, CLASSIFY_LOGREG_SQL)
 register("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_SQL)
 register("sample_split", sample_split, SAMPLE_SPLIT_SQL)
 register("decontaminate", decontaminate, DECONTAMINATE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents: context-window chunking with stride (overlap)
+# ---------------------------------------------------------------------------
+
+CHUNK_WINDOW = 64    # tokens per chunk (the training context window)
+CHUNK_STRIDE = 48    # start-to-start distance; overlap = WINDOW - STRIDE
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document's token stream into
+    overlapping windows (start positions 0, STRIDE, 2·STRIDE, … < n_tokens;
+    chunk length = min(WINDOW, n − start)) — the sliding-window step every
+    pretraining / embedding pipeline runs before batching. Trailing chunks
+    shorter than the overlap are still emitted (the simple deterministic
+    rule; filter downstream if undesired).
+
+    Returns (doc_id, chunk_idx, tok_start, n_tokens, head_tok). Scale
+    shape: ONE narrow projection — tokenization, the chunk-count arithmetic
+    and the explode are all JVM expressions; no shuffle at all (the chunk
+    table inherits the doc partitioning)."""
+    d = _docs(spark, sf_dir).withColumn(
+        "toks",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0),
+    ).withColumn("n", F.size("toks")).filter(F.col("n") > 0)
+    chunks = d.select(
+        "doc_id", "toks", "n",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.col("n") - 1) / CHUNK_STRIDE))
+        ).alias("chunk_idx"),
+    )
+    s = (F.col("chunk_idx") * CHUNK_STRIDE).cast("long")
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        s.alias("tok_start"),
+        F.least(F.lit(CHUNK_WINDOW).cast("long"), F.col("n") - s).alias("n_tokens"),
+        F.element_at("toks", (s + 1).cast("int")).alias("head_tok"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH tl AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+    FROM documents
+),
+sized AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM tl WHERE len(toks) > 0),
+ch AS (
+    SELECT doc_id, toks, n, unnest(generate_series(0, ((n - 1) // {CHUNK_STRIDE})::BIGINT)) AS chunk_idx
+    FROM sized
+)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       (chunk_idx * {CHUNK_STRIDE})::BIGINT AS tok_start,
+       least({CHUNK_WINDOW}, n - chunk_idx * {CHUNK_STRIDE})::BIGINT AS n_tokens,
+       toks[(chunk_idx * {CHUNK_STRIDE} + 1)::BIGINT] AS head_tok
+FROM ch ORDER BY doc_id, chunk_idx"""
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences: concat-and-split packing map (GPT-style pretraining batches)
+# ---------------------------------------------------------------------------
+
+PACK_CAPACITY = 256   # tokens per packed training sequence
+_PACK_GROUP = 100     # doc_id range per prefix-sum group (distributed cumsum)
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: documents are laid end-to-end in
+    stable doc_id order into one global token stream, which is cut every
+    CAPACITY tokens — the packing strategy GPT-style pretraining uses
+    (documents may straddle a cut; the map records where each doc lands).
+    Returns per doc: (doc_id, tok_start, n_tokens, first_seq, last_seq).
+
+    Scale shape: the global offset is a DISTRIBUTED prefix sum, not one
+    unpartitioned window — stage 1 aggregates per doc_id-range group sums
+    (one hash-agg over #groups rows), the tiny group table is prefix-summed
+    and broadcast back, stage 2 runs the cumsum window PARTITIONED BY group
+    (each task scans only its group). No global sort, no single-partition
+    window bottleneck."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(TOKEN_RE), 0
+        )).cast("long").alias("n_tok"),
+        (F.col("doc_id") / _PACK_GROUP).cast("long").alias("grp"),
+    )
+    gsum = (
+        d.groupBy("grp").agg(F.sum("n_tok").alias("gtot"))
+    )
+    # the group table is O(#groups) rows (doc range / _PACK_GROUP — ~10^4 at
+    # 10^12 docs): the sequential prefix over it runs on the driver, exactly
+    # like a classic two-pass distributed scan's middle step, and broadcasts
+    # back. No unpartitioned window anywhere.
+    rows = sorted(
+        ((int(r.grp), int(r.gtot)) for r in gsum.collect()),
+    )
+    offs, acc = [], 0
+    for g, tot in rows:
+        offs.append((g, acc))
+        acc += tot
+    goff = spark.createDataFrame(offs, "grp long, goff long")
+    wd = (
+        Window.partitionBy("grp").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        d.join(F.broadcast(goff), "grp")
+        .withColumn(
+            "tok_start",
+            F.col("goff") + F.coalesce(F.sum("n_tok").over(wd), F.lit(0)),
+        )
+    )
+    return placed.select(
+        "doc_id",
+        "tok_start",
+        F.col("n_tok").alias("n_tokens"),
+        F.floor(F.col("tok_start") / PACK_CAPACITY).cast("long").alias("first_seq"),
+        F.floor(
+            (F.col("tok_start") + F.greatest(F.col("n_tok"), F.lit(1)) - 1)
+            / PACK_CAPACITY
+        ).cast("long").alias("last_seq"),
+    ).orderBy("doc_id")
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH sized AS (
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))::BIGINT AS n_tok
+    FROM documents
+),
+placed AS (
+    SELECT doc_id, n_tok,
+           COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS tok_start
+    FROM sized
+)
+SELECT doc_id, tok_start, n_tok AS n_tokens,
+       (tok_start // {PACK_CAPACITY})::BIGINT AS first_seq,
+       ((tok_start + greatest(n_tok, 1) - 1) // {PACK_CAPACITY})::BIGINT AS last_seq
+FROM placed ORDER BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# pii_scrub: regex redaction of emails / phone numbers (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: replace email addresses and phone-shaped numbers with
+    placeholder tokens before training — the scrub step of a compliant
+    pretraining pipeline. The synthetic corpus carries no PII, so each doc
+    gets a deterministic contact line appended FIRST (same expression on
+    both engines); the op then counts and redacts. Returns (doc_id,
+    n_emails, n_phones, scrub_md5) where scrub_md5 fingerprints the
+    redacted text (certifies the replacement itself, not just the counts).
+
+    Scale shape: pure JVM regexp expressions in one narrow projection —
+    whole-stage codegen, no shuffle, no UDF."""
+    d = _docs(spark, sf_dir).withColumn(
+        "aug",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" x555-123-4567"),
+        ),
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(F.col("aug"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE, "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("aug"), F.lit(_EMAIL_RE), 0))
+            .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("aug"), F.lit(_PHONE_RE), 0))
+            .cast("long").alias("n_phones"),
+        F.md5(scrub).alias("scrub_md5"),
+    ).orderBy("doc_id")
+
+
+PII_SCRUB_SQL = f"""
+WITH aug AS (
+    SELECT doc_id,
+           text || ' contact user' || doc_id::VARCHAR
+                || '@example.com or +1 555-01'
+                || lpad((doc_id % 100)::VARCHAR, 2, '0')
+                || ' x555-123-4567' AS aug
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(aug, '{_EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(aug, '{_PHONE_RE}'))::BIGINT AS n_phones,
+       md5(regexp_replace(
+           regexp_replace(aug, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_PHONE_RE}', '<PHONE>', 'g')) AS scrub_md5
+FROM aug ORDER BY doc_id"""
+
+
+register("chunk_documents", chunk_documents, CHUNK_DOCUMENTS_SQL)
+register("pack_sequences", pack_sequences, PACK_SEQUENCES_SQL)
+register("pii_scrub", pii_scrub, PII_SCRUB_SQL)
