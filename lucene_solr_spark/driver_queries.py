@@ -134,6 +134,8 @@ SPANOR = ["scan", "filter", "vector"]
 # SpanContaining/SpanWithin: big = ordered SpanNear(scan, filter, slop 8),
 # little = merge occurring inside a matched big span (19 docs at sf0.01)
 SPANCONTAIN = ("scan", "filter", 8, "merge")
+# Intervals.unordered + maxgaps: either order, minimal intervals
+INTERVAL_UNORD = ("filter", "scan", 6)
 # Nested spans: SpanNear over two SpanOr operand unions
 SPANNEAROR = (["merge", "scan"], ["batch", "filter"], 4)
 # Blended FuzzyQuery (the DEFAULT fuzzy rewrite): target, maxEdits, maxExp
@@ -328,6 +330,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_spanwithin_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).span_contain_topk(*SPANCONTAIN, mode="within", k=10)
+    # IntervalQuery (Intervals.unordered + maxgaps): minimal intervals
+    out["ft_interval_unordered_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).interval_unordered_topk(*INTERVAL_UNORD, k=10)
     # Nested spans: SpanNear whose operands are SpanOr unions
     out["ft_spannearor_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -545,6 +551,14 @@ def fulltext_oracles() -> dict[str, str]:
     )
     out["ft_spanwithin_topk"] = span_contain_topk_sql(
         "simple", _sc[0], _sc[1], _sc[2], _sc[3], "within", 10,
+    )
+    from .oracles import interval_unordered_topk_sql
+
+    out["ft_interval_unordered_topk"] = interval_unordered_topk_sql(
+        "simple",
+        ANALYZERS["simple"]().analyze(INTERVAL_UNORD[0])[0][0],
+        ANALYZERS["simple"]().analyze(INTERVAL_UNORD[1])[0][0],
+        INTERVAL_UNORD[2], 10,
     )
     from .oracles import span_near_or_topk_sql, span_or_topk_sql
 

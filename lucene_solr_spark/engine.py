@@ -434,6 +434,28 @@ class DocumentsEngine:
         )
         return self._present(self.searcher.search(spec, k=k, with_keys=True))
 
+    def interval_unordered_topk(
+        self, surface0: str, surface1: str, maxgaps: int, k: int = 10,
+    ) -> DataFrame:
+        """Unordered interval top-k (``lucene/queries/.../intervals/
+        Intervals.java#unordered`` + ``#maxgaps`` under ``IntervalQuery``):
+        minimal intervals containing both terms in either order (for two
+        terms: adjacent opposite-term pairs in the merged position stream),
+        matched when gaps <= maxgaps; each match contributes 1/(1+gaps) to
+        the doc freq; weight = f32(Σ idf) over both terms.
+
+        Scale shape: identical to the phrase top-k path — two pruned
+        posting scans, per-segment exact kernel (one argsort merge over the
+        packed keys, one shifted compare), ONE TakeOrdered."""
+        from .search.query import IntervalUnorderedClause
+
+        an = self.searcher.analyzer
+        spec = BooleanSpec(must=[IntervalUnorderedClause(
+            (an.analyze(surface0)[0][0], an.analyze(surface1)[0][0]),
+            int(maxgaps),
+        )])
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
     def span_contain_topk(
         self, big0: str, big1: str, big_slop: int, little: str,
         mode: str = "containing", k: int = 10,

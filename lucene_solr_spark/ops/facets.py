@@ -934,3 +934,60 @@ FROM c ORDER BY relatedness DESC, bucket"""
 
 
 register("facet_relatedness", facet_relatedness, FACET_RELATEDNESS_SQL)
+
+
+# --- range facet `other` buckets (before/after/between) ---------------------
+
+def facet_range_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range facet ``facet.range.other=all`` (``S/handler/component/
+    RangeFacetProcessor`` / SimpleFacets FacetRangeOther): alongside the
+    in-range buckets, the BEFORE (< start), AFTER (>= end) and BETWEEN
+    (whole [start, end) span) roll-up counts. Range here: o_totalprice in
+    [50000, 250000) step 50000, hardend; bucket lower bounds label the rows
+    and the three `other` rows use sentinel labels.
+
+    Scale shape: ONE pass — every bucket and all three roll-ups are
+    conditional aggregates of the same scan (no second read)."""
+    orders = _t(spark, sf_dir, "orders")
+    start, end, gap = 50000.0, 250000.0, 50000.0
+    p = F.col("o_totalprice")
+    in_range = orders.filter((p >= start) & (p < end))
+    buckets = (
+        in_range.groupBy(
+            (F.lit(start) + F.floor((p - start) / gap) * gap)
+            .cast("long").cast("string").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    other = orders.agg(
+        F.sum(F.when(p < start, 1).otherwise(0)).cast("long").alias("before"),
+        F.sum(F.when(p >= end, 1).otherwise(0)).cast("long").alias("after"),
+        F.sum(F.when((p >= start) & (p < end), 1).otherwise(0)).cast("long").alias("between"),
+    )
+    rolls = other.selectExpr(
+        "stack(3, '__before__', before, '__after__', after, '__between__', between) AS (bucket, cnt)"
+    )
+    return buckets.unionByName(rolls).orderBy("bucket")
+
+
+FACET_RANGE_OTHER_SQL = """
+WITH b AS (
+    SELECT (50000 + (floor((o_totalprice - 50000.0) / 50000.0) * 50000))::BIGINT::VARCHAR AS bucket,
+           count(*)::BIGINT AS cnt
+    FROM orders WHERE o_totalprice >= 50000.0 AND o_totalprice < 250000.0
+    GROUP BY 1
+),
+o AS (
+    SELECT sum(CASE WHEN o_totalprice < 50000.0 THEN 1 ELSE 0 END)::BIGINT AS before,
+           sum(CASE WHEN o_totalprice >= 250000.0 THEN 1 ELSE 0 END)::BIGINT AS after,
+           sum(CASE WHEN o_totalprice >= 50000.0 AND o_totalprice < 250000.0 THEN 1 ELSE 0 END)::BIGINT AS between_
+    FROM orders
+)
+SELECT bucket, cnt FROM b
+UNION ALL SELECT '__before__', before FROM o
+UNION ALL SELECT '__after__', after FROM o
+UNION ALL SELECT '__between__', between_ FROM o
+ORDER BY bucket"""
+
+
+register("facet_range_other", facet_range_other, FACET_RANGE_OTHER_SQL)

@@ -934,3 +934,32 @@ GROUP BY user_id ORDER BY user_id"""
 
 
 register("stream_update", stream_update, STREAM_UPDATE_SQL)
+
+
+def stream_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandomStream (``S/client/solrj/io/stream/RandomStream`` — the
+    `random()` streaming expression): a pseudo-random sample of matching
+    docs. Solr's is nondeterministic per request; a data engine that must
+    be resumable and oracle-checkable derives the "random" order from a
+    SEEDED hash of the doc key instead (md5(seed || doc_id)) — same
+    statistical behavior, stable across runs/engines/partitionings (the
+    sample_split discipline). Returns the 20 sampled rows for seed=42.
+
+    Scale shape: one narrow projection + TakeOrdered over the hash — no
+    rand(), no global sort of the full table."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "source", h.alias("h"))
+        .orderBy("h")
+        .limit(20)
+        .select("doc_id", "source", "h")
+    )
+
+
+STREAM_RANDOM_SQL = """
+SELECT doc_id, source, md5('seed42:' || doc_id::VARCHAR) AS h
+FROM documents ORDER BY h LIMIT 20"""
+
+
+register("stream_random", stream_random, STREAM_RANDOM_SQL)

@@ -1693,3 +1693,45 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
     FROM schits
 ) WHERE rank <= {k} ORDER BY rank"""
+
+
+def interval_unordered_topk_sql(
+    analyzer: str, t0: str, t1: str, maxgaps: int, k: int,
+) -> str:
+    """Unordered-interval oracle (``lucene/queries/.../intervals/
+    Intervals.java#unordered`` + ``#maxgaps``): minimal two-term intervals
+    = adjacent opposite-term pairs in the merged per-doc position stream
+    (one lead() window); match when gaps = next_pos − pos − 1 <= maxgaps;
+    freq = Σ f32 1/(1+gaps) in DOUBLE with one f32 cast; weight and BM25 op
+    order reuse the phrase-clause shape."""
+    idf_sum = " + ".join(
+        f"CAST({_idf_expr(t)} AS DOUBLE)" for t in (t0, t1)
+    )
+    return f"""WITH {base_ctes(analyzer)},
+iv0 AS (
+    SELECT doc_id, term, pos,
+           lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nt,
+           lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS np
+    FROM kept WHERE term IN ('{t0}', '{t1}')
+),
+ivfreq AS (
+    SELECT doc_id,
+           CAST(sum(CAST(CAST(1.0 AS FLOAT)
+                         / (CAST(1.0 AS FLOAT) + CAST(np - pos - 1 AS FLOAT))
+                     AS DOUBLE)) AS FLOAT) AS freq
+    FROM iv0
+    WHERE nt IS NOT NULL AND nt <> term AND np - pos - 1 <= {maxgaps}
+    GROUP BY doc_id
+),
+ivhits AS (
+    SELECT f.doc_id,
+           CAST(CAST({idf_sum} AS FLOAT)
+                * CAST(CAST(f.freq AS DOUBLE)
+                       / (CAST(f.freq AS DOUBLE) + CAST(c.cache AS DOUBLE)) AS FLOAT)
+            AS FLOAT) AS score
+    FROM ivfreq f JOIN cachec c USING (doc_id), statsf st
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+    FROM ivhits
+) WHERE rank <= {k} ORDER BY rank"""

@@ -390,6 +390,92 @@ def _span_near_freqs_slow(
     return np.array(out_docs, dtype=np.int64), np.array(out_freqs, dtype=np.float32)
 
 
+def _interval_unordered_freqs(
+    parts0: tuple, parts1: tuple, maxgaps: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Unordered two-term interval matcher (``lucene/queries/.../intervals/
+    Intervals.java#unordered`` + ``#maxgaps``): the MINIMAL intervals
+    containing both terms in either order. For two distinct terms the
+    minimal intervals are exactly the adjacent opposite-term pairs in the
+    doc's merged position stream (any wider pairing contains one of them),
+    so the matcher is: merge both sorted position lists, keep neighbors
+    whose term flags differ, match when gaps = end − start − 1 <= maxgaps.
+    Each match contributes 1/(1 + gaps) to the doc freq (the span family's
+    slop-factor shape), f32 factors summed in float64, one f32 cast.
+
+    Vectorized over all candidate docs with packed (ci << 21 | pos) keys:
+    one concatenate + argsort merges every doc's streams at once; the
+    adjacency test is one shifted compare."""
+    docs0, docs1 = parts0[0], parts1[0]
+    cand = docs0[np.isin(docs0, docs1, assume_unique=True)]
+    empty = np.empty(0, dtype=np.float32)
+    if cand.size == 0:
+        return cand, empty
+    keys, flags = [], []
+    for fl, (docs_t, tfs_t, pos_t) in enumerate((parts0, parts1)):
+        s = np.zeros(len(tfs_t) + 1, dtype=np.int64)
+        np.cumsum(tfs_t, out=s[1:])
+        i = np.searchsorted(docs_t, cand)
+        starts, lens = s[i], s[i + 1] - s[i]
+        ci = np.repeat(np.arange(len(cand), dtype=np.int64), lens)
+        p = _gather_ranges(pos_t, starts, lens).astype(np.int64)
+        if p.size and int(p.max()) >= _POS_LIMIT:
+            return _interval_unordered_slow(parts0, parts1, maxgaps, cand)
+        keys.append((ci << _POS_SHIFT) | (p + _POS_MARGIN))
+        flags.append(np.full(p.size, fl, dtype=np.int8))
+    k = np.concatenate(keys)
+    f = np.concatenate(flags)
+    order = np.argsort(k, kind="stable")
+    k, f = k[order], f[order]
+    same_doc = (k[1:] >> _POS_SHIFT) == (k[:-1] >> _POS_SHIFT)
+    mask = (np.int64(1) << _POS_SHIFT) - 1
+    gaps = (k[1:] & mask) - (k[:-1] & mask) - 1
+    m = same_doc & (f[1:] != f[:-1]) & (gaps <= maxgaps)
+    if not m.any():
+        return np.empty(0, dtype=np.int64), empty
+    sf = (
+        np.float32(1.0) / (np.float32(1.0) + gaps[m].astype(np.float32))
+    ).astype(np.float64)
+    freq = np.zeros(len(cand), dtype=np.float64)
+    np.add.at(freq, (k[:-1][m] >> _POS_SHIFT), sf)
+    keep = freq > 0
+    return cand[keep], freq[keep].astype(np.float32)
+
+
+def _interval_unordered_slow(
+    parts0: tuple, parts1: tuple, maxgaps: int, cand: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc fallback for _interval_unordered_freqs (same rule)."""
+    slices = []
+    for docs_t, tfs_t, pos_t in (parts0, parts1):
+        s = np.zeros(len(tfs_t) + 1, dtype=np.int64)
+        np.cumsum(tfs_t, out=s[1:])
+        slices.append((docs_t, s, pos_t))
+    out_docs, out_freqs = [], []
+    for d in cand:
+        ps, fs = [], []
+        for fl, (docs_t, s, pos_t) in enumerate(slices):
+            i = int(np.searchsorted(docs_t, d))
+            pp = pos_t[s[i]:s[i + 1]].astype(np.int64)
+            ps.append(pp)
+            fs.append(np.full(pp.size, fl, dtype=np.int8))
+        p = np.concatenate(ps)
+        f = np.concatenate(fs)
+        order = np.argsort(p, kind="stable")
+        p, f = p[order], f[order]
+        gaps = p[1:] - p[:-1] - 1
+        m = (f[1:] != f[:-1]) & (gaps <= maxgaps)
+        if m.any():
+            sf = (
+                np.float32(1.0) / (np.float32(1.0) + gaps[m].astype(np.float32))
+            ).astype(np.float64)
+            out_docs.append(d)
+            out_freqs.append(np.float32(sf.sum()))
+    if not out_docs:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    return np.array(out_docs, dtype=np.int64), np.array(out_freqs, dtype=np.float32)
+
+
 def _span_contain_freqs(
     parts0: tuple, parts1: tuple, big_slop: int, parts_l: tuple, mode: str,
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -795,6 +881,10 @@ def score_segment_exact(
             docs, tfs = _span_not_freqs(
                 dec(c.terms[0]), dec(c.terms[1]), c.slop, c.post
             )
+        elif c.kind == "interval_unordered":
+            docs, tfs = _interval_unordered_freqs(
+                dec(c.terms[0]), dec(c.terms[1]), c.slop
+            )
         elif c.kind in ("span_containing", "span_within"):
             # terms = (big0, big1, little); slop = the big SpanNear's slop
             docs, tfs = _span_contain_freqs(
@@ -919,6 +1009,10 @@ def count_segment_matches(
         elif c.kind == "span_not":
             docs, _ = _span_not_freqs(
                 dec(c.terms[0]), dec(c.terms[1]), c.slop, c.post
+            )
+        elif c.kind == "interval_unordered":
+            docs, _ = _interval_unordered_freqs(
+                dec(c.terms[0]), dec(c.terms[1]), c.slop
             )
         elif c.kind in ("span_containing", "span_within"):
             docs, _ = _span_contain_freqs(

@@ -152,6 +152,21 @@ class SpanNearOrClause:
 
 
 @dataclass(frozen=True)
+class IntervalUnorderedClause:
+    """Unordered interval query with a gap cap (``lucene/queries/.../
+    intervals/Intervals.java#unordered`` wrapped in ``#maxgaps``, executed
+    by ``IntervalQuery``): matches the MINIMAL intervals containing both
+    terms in either order with end − start − 1 <= maxgaps. Each matching
+    interval contributes 1/(1 + gaps) to the doc freq (the span family's
+    slop-factor shape); weight follows the phrase-clause SimWeight —
+    boost · f32(Σ idf over both terms)."""
+
+    terms: tuple[str, str]
+    maxgaps: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SpanContainClause:
     """SpanContainingQuery / SpanWithinQuery (``L/search/spans/
     SpanContainingQuery``, ``SpanWithinQuery`` — both extend
@@ -221,7 +236,8 @@ class BooleanSpec:
         out: list[str] = []
         for c in self.scoring_clauses:
             if isinstance(c, (PhraseClause, OrGroupClause, SpanNearClause,
-                              SpanOrClause, BlendedTermClause)):
+                              SpanOrClause, BlendedTermClause,
+                              IntervalUnorderedClause)):
                 out.extend(c.terms)
             elif isinstance(c, SpanNotClause):
                 out.extend((c.include, c.exclude))
@@ -330,7 +346,7 @@ class CompiledQuery:
         return any(
             c.kind in ("phrase", "span_first", "span_near", "span_near_or",
                        "span_not", "span_containing", "span_within",
-                       "multiphrase")
+                       "interval_unordered", "multiphrase")
             for c in self.clauses
         )
 
@@ -587,6 +603,25 @@ def compile_query(
                     )
                 clauses.append(CompiledClause(
                     "span_or", live, (), np.float32(w), occur,
+                ))
+            elif isinstance(c, IntervalUnorderedClause):
+                if similarity in ("lm", "lmjm", "dfr", "ib"):
+                    raise ValueError(
+                        f"{similarity} interval scoring not implemented; "
+                        "use bm25/classic/boolean"
+                    )
+                if any(term_df.get(t, 0) == 0 for t in c.terms):
+                    impossible |= occur == "must"
+                    continue
+                if similarity == "boolean":
+                    w = np.float32(c.boost)
+                else:
+                    w = np.float32(c.boost) * np.float32(
+                        sum(float(idf_fn(term_df[t], doc_count)) for t in c.terms)
+                    )
+                clauses.append(CompiledClause(
+                    "interval_unordered", c.terms, (), np.float32(w), occur,
+                    slop=int(c.maxgaps),
                 ))
             elif isinstance(c, SpanContainClause):
                 if similarity in ("lm", "lmjm", "dfr", "ib"):
