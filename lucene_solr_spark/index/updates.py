@@ -199,6 +199,17 @@ def atomic_update_docs(
             new = F.col(f) + opc
         elif op == "add":
             new = F.concat(F.col(f), F.lit(" "), opc)
+        elif op == "remove":
+            # remove ALL occurrences of the operand value from the
+            # multiValued (whitespace-shaped) field — AtomicUpdate 'remove'
+            new = F.array_join(
+                F.filter(F.split(F.col(f), " "), lambda x: x != opc), " "
+            )
+        elif op == "add-distinct":
+            # append only when absent — AtomicUpdate 'add-distinct'
+            new = F.when(
+                F.array_contains(F.split(F.col(f), " "), opc), F.col(f)
+            ).otherwise(F.concat(F.col(f), F.lit(" "), opc))
         else:
             raise ValueError(f"unknown atomic op {op!r} for field {f!r}")
         merged = merged.withColumn(f, new)

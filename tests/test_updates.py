@@ -241,3 +241,48 @@ def test_distributed_tombstones_above_budget(spark, corpus, tmp_path, monkeypatc
     v1 = small.total_hits(small.parse("or2", ["merge", "batch"]), threshold=10**6)
     v2 = big.total_hits(big.parse("or2", ["merge", "batch"]), threshold=10**6)
     assert v1 == v2
+
+
+def test_atomic_remove_add_distinct_equal_fresh_build(spark, corpus, tmp_path):
+    """AtomicUpdate 'remove' and 'add-distinct' (S/update/processor/
+    AtomicUpdateDocumentMerger): after both ops, search results equal a
+    FRESH build over the pandas-merged corpus; add-distinct is idempotent."""
+    from lucene_solr_spark.index.updates import atomic_update_docs
+
+    idx_u = str(tmp_path / "u")
+    idx_f = str(tmp_path / "f")
+    build_index(spark, spark.createDataFrame(corpus), idx_u, n_segments=3)
+
+    pdf = corpus.copy()
+
+    # op 1: remove every 'merge' token from rows where index % 7 == 0
+    m1 = pdf.index % 7 == 0
+    ops1 = spark.createDataFrame(
+        pdf.loc[m1, ["conv_id", "turn_idx"]].assign(text="merge")
+    )
+    atomic_update_docs(
+        spark, idx_u, ops1, {"text": "remove"},
+        spark.createDataFrame(pdf), n_segments=2,
+    )
+    pdf.loc[m1, "text"] = pdf.loc[m1, "text"].map(
+        lambda t: " ".join(w for w in t.split(" ") if w != "merge")
+    )
+
+    # op 2: add-distinct 'batch' on rows where index % 11 == 3 — rows that
+    # already contain the token must stay unchanged
+    m2 = pdf.index % 11 == 3
+    ops2 = spark.createDataFrame(
+        pdf.loc[m2, ["conv_id", "turn_idx"]].assign(text="batch")
+    )
+    atomic_update_docs(
+        spark, idx_u, ops2, {"text": "add-distinct"},
+        spark.createDataFrame(pdf), n_segments=2,
+    )
+    pdf.loc[m2, "text"] = pdf.loc[m2, "text"].map(
+        lambda t: t if "batch" in t.split(" ") else t + " batch"
+    )
+
+    build_index(spark, spark.createDataFrame(pdf), idx_f, n_segments=3)
+    upd = _result_sets(spark, idx_u)
+    fresh = _result_sets(spark, idx_f)
+    pd.testing.assert_frame_equal(upd, fresh)
