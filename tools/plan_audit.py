@@ -167,6 +167,43 @@ def main() -> None:
         must_not=[r"CartesianProduct"],
     ))
 
+    # 13. query-time join ({!join}): the gathered join values re-enter the
+    # OUTER query's pushed IN-list as keyword terms (one fused posting scan,
+    # no driver id set, no crossJoin)
+    results.append(audit(
+        "join_filter_keyword_pushdown",
+        eng.join_filter_topk(
+            "or3", ["vector", "stream", "filter"], "and2", ["dup", "merge"],
+            k=10,
+        ),
+        must=[r"PushedFilters: \[In\(term, \[.*source:"],
+        must_not=[r"CartesianProduct"],
+    ))
+
+    # 14. SemDeDup: within-cell pairs come from an EQUI-join on cell (the
+    # broadcast centroid assignment), never a cartesian product
+    from lucene_solr_spark.ops.ann import dedup_semantic
+
+    results.append(audit(
+        "dedup_semantic_cell_equijoin",
+        dedup_semantic(spark, SF_DIR),
+        must=[r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin",
+              r"BroadcastExchange"],
+        must_not=[r"CartesianProduct"],
+    ))
+
+    # 15. sequence packing: the distributed prefix sum leaves only
+    # PARTITIONED window exec (partition key = group) — no single-partition
+    # global window
+    from lucene_solr_spark.ops.pipeline import pack_sequences
+
+    results.append(audit(
+        "pack_sequences_partitioned_window",
+        pack_sequences(spark, SF_DIR),
+        must=[r"windowspecdefinition\(grp#"],
+        must_not=[r"CartesianProduct"],
+    ))
+
     n_fail = results.count(False)
     print(f"{len(results) - n_fail}/{len(results)} plan invariants hold")
     sys.exit(1 if n_fail else 0)
