@@ -89,6 +89,12 @@ MULTITERM = {
     # TermRangeQuery: lexicographic [lo, hi) over the term dictionary
     # (includeLower, excludeUpper) — expands to scan/slow/small/sort/spark
     "ft_termrange_topk": ("range", ("sc", "st"), "term >= 'sc' AND term < 'st'"),
+    # FuzzyQuery with transpositions=true — Lucene's DEFAULT: OSA distance
+    # ('bacth' → 'batch' is ONE edit; plain Levenshtein says two). At
+    # maxEdits=1 OSA ≡ unrestricted Damerau, so DuckDB's builtin is exact.
+    "ft_fuzzy_osa_topk": (
+        "fuzzy_osa", ("bacth", 1), "damerau_levenshtein(term, 'bacth') <= 1"
+    ),
 }
 
 BOOST_TERMS = [("vector", 2.5), ("stream", 1.0), ("filter", 0.5)]

@@ -122,6 +122,28 @@ def _make_search_kernel(
     return kernel
 
 
+def _osa_distance(a: str, b: str) -> int:
+    """Optimal string alignment distance (restricted Damerau–Levenshtein):
+    insert/delete/substitute cost 1, an adjacent transposition costs 1 but
+    no substring is edited twice — the distance Lucene's
+    ``LevenshteinAutomata`` with transpositions accepts."""
+    la, lb = len(a), len(b)
+    prev2: list[int] | None = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                i > 1 and j > 1
+                and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]
+            ):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
 class IndexSearcher:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
@@ -298,6 +320,31 @@ class IndexSearcher:
         elif kind == "fuzzy":
             term, max_edits = pattern
             cond = F.levenshtein(F.col("term"), F.lit(term)) <= max_edits
+        elif kind == "fuzzy_osa":
+            # FuzzyQuery's DEFAULT (transpositions=true): edit distance is
+            # optimal string alignment — a transposition counts ONE edit
+            # (``L/search/FuzzyQuery.java`` defaultTranspositions,
+            # ``L/util/automaton/LevenshteinAutomata`` withTranspositions).
+            # Spark has no OSA builtin: the dictionary is prefiltered with a
+            # JVM levenshtein <= 2·maxEdits superset scan (a transposition
+            # costs <= 2 plain edits), and the small candidate list is
+            # OSA-refined driver-side — the same bounded collect every
+            # MultiTermQuery rewrite already performs. At maxEdits <= 1 the
+            # OSA / unrestricted-Damerau distinction is vacuous (a single
+            # edit is identical in both); >= 2 diverges only on overlapping
+            # edits (documented).
+            term, max_edits = pattern
+            rows = (
+                ts.filter(
+                    F.levenshtein(F.col("term"), F.lit(term)) <= 2 * max_edits
+                )
+                .select("term").orderBy("term").limit(4 * max_expansions)
+                .collect()
+            )
+            out = [
+                t.term for t in rows if _osa_distance(t.term, term) <= max_edits
+            ]
+            return out[:max_expansions]
         elif kind == "set":
             cond = F.col("term").isin(list(pattern))
         elif kind == "range":

@@ -75,6 +75,15 @@ def test_multiterm_expansion_and_equivalence(searcher):
     # set expansion keeps only indexed terms
     got = searcher.expand_terms("set", ("error", "zzznotindexed"))
     assert got == ["error"]
+    # FuzzyQuery transpositions=true (Lucene DEFAULT): OSA distance —
+    # 'psark' (transposition of 'spark') is ONE edit, plain Levenshtein two
+    from lucene_solr_spark.search.searcher import _osa_distance
+
+    assert _osa_distance("psark", "spark") == 1
+    assert _osa_distance("ca", "abc") == 3      # OSA: no double-edit (full Damerau = 2)
+    assert _osa_distance("spark", "spark") == 0
+    assert "spark" in searcher.expand_terms("fuzzy_osa", ("psark", 1))
+    assert "spark" not in searcher.expand_terms("fuzzy", ("psark", 1))
     # TermRangeQuery [lo, hi): lexicographic, includeLower/excludeUpper
     rng = searcher.expand_terms("range", ("spark", "sparl"))
     assert rng == ["spark"]  # lower bound inclusive, upper exclusive
