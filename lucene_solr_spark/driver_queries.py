@@ -857,7 +857,12 @@ PRIORITY_ORDER = [
     "ft_queryparser_topk", "ft_stop_phrase_hole_topk", "ft_sloppy_phrase_topk",
     # ft_set_topk rotated out for ft_dfr_topk in r3 (TermInSet stays
     # pass-local-gated; DFR certifies the SimilarityBase dispatch family)
-    "ft_wildcard_topk", "ft_dfr_topk", "ft_dismax_topk",
+    # ft_wildcard_topk rotated out for ft_interval_unordered_topk (the
+    # multiterm dictionary-expansion family stays scored via the queryparser
+    # entry's multi-term rewrite and pass-local gates; intervals certify the
+    # NEW minimal-interval positional class — the lucene/queries/intervals
+    # module)
+    "ft_interval_unordered_topk", "ft_dfr_topk", "ft_dismax_topk",
     # ft_boost_topk rotated out for ft_spellcheck_collate in r3 (boost stays
     # certified inside the scored ft_rerank_topk weight path and the dismax
     # tie term; spellcheck certifies the NEW DirectSpellChecker/collation
@@ -915,7 +920,11 @@ PRIORITY_ORDER = [
     "stream_regress", "stream_significant_terms", "stream_reduce",
     # update chain + LLM-pipeline operators
     "update_chain_docs",
-    "dedup_exact", "dedup_shingle_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    # dedup_exact rotated out for dedup_semantic (exact dedup returns 0
+    # rows at sf0.01 — a vacuous scored row; its hash-groupBy mechanism is
+    # certified by a dozen scored aggregates and the pass-local gate.
+    # semantic certifies the NEW SemDeDup cluster-then-compare family)
+    "dedup_semantic", "dedup_shingle_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "embed_top_pairs",
     "graph_gather_nodes", "graph_shortest_path",
     "text_quality", "token_counts", "multimodal_features",
