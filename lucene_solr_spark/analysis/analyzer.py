@@ -408,6 +408,37 @@ class SimpleAnalyzer(_BaseAnalyzer):
     stem = False
 
 
+class _LengthPredicate:
+    """Set-like 'stop set' whose membership test is a token-LENGTH
+    predicate: ``LengthFilter`` (``LA/miscellaneous/LengthFilter.java``)
+    extends ``FilteringTokenFilter`` exactly like StopFilter — removed
+    tokens leave position holes and don't count toward the norm length —
+    so the whole stop machinery (per-row, regex-batch, and arrow-LUT
+    paths all test unique-term membership) is reused verbatim."""
+
+    def __init__(self, lo: int, hi: int) -> None:
+        self.lo, self.hi = lo, hi
+
+    def __contains__(self, tok: str) -> bool:
+        return not (self.lo <= len(tok) <= self.hi)
+
+    def __bool__(self) -> bool:  # `if self.stop_words:` must engage
+        return True
+
+
+LENGTH_MIN, LENGTH_MAX = 3, 8
+
+
+class LengthFilterAnalyzer(_BaseAnalyzer):
+    """Standard → LowerCase → LengthFilter(3, 8): tokens outside the length
+    band are dropped with position holes (FilteringTokenFilter), shrinking
+    the norm length like stopwords do."""
+
+    lowercase = True
+    stop_words = _LengthPredicate(LENGTH_MIN, LENGTH_MAX)
+    stem = False
+
+
 class StopChainAnalyzer(_BaseAnalyzer):
     """Standard → LowerCase → Stop(33) — the Lucene ``StandardAnalyzer`` with
     its English stop set (``L/analysis/standard/StandardAnalyzer.java``), i.e.

@@ -56,6 +56,7 @@ from ..analysis import (
     EnglishPossessiveAnalyzer,
     KeywordMarkerAnalyzer,
     KeywordAnalyzer,
+    LengthFilterAnalyzer,
     LuceneChainAnalyzer,
     ShingleAnalyzer,
     SimpleAnalyzer,
@@ -77,6 +78,8 @@ ANALYZERS = {
     "possessive": EnglishPossessiveAnalyzer,
     "keywordmarker": KeywordMarkerAnalyzer,
     "whitespace": WhitespaceAnalyzer,
+    "length": LengthFilterAnalyzer,
+    "length": LengthFilterAnalyzer,
     "keyword": KeywordAnalyzer,
     "cjk": CJKBigramAnalyzer,
 }

@@ -85,6 +85,14 @@ def _kept_ctes(analyzer: str) -> tuple[str, str]:
         )
     if analyzer == "whitespace":
         return "kept AS (SELECT * FROM raw_toks)", "kept"
+    if analyzer == "length":
+        from .analysis.analyzer import LENGTH_MAX, LENGTH_MIN
+
+        return (
+            f"kept AS (SELECT * FROM raw_toks "
+            f"WHERE length(term) BETWEEN {LENGTH_MIN} AND {LENGTH_MAX})",
+            "kept",
+        )
     if analyzer == "asciifold":
         # strip_accents ≡ the filter for accented Latin; ligature folds
         # (Æ/ß/Œ…) exceed it and are pytest-golden-certified instead.

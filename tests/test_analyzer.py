@@ -246,3 +246,34 @@ def test_keyword_marker_protects_from_stemming():
     for batch in (pd.Series([text]), pa.array([text])):
         frame = km.analyze_batch(batch)
         assert sorted(frame.term.astype(str)) == sorted(terms)
+
+
+def test_length_filter_goldens_and_path_parity():
+    """LengthFilter(3, 8) — LA/miscellaneous/LengthFilter.java extends
+    FilteringTokenFilter: out-of-band tokens drop with position holes and
+    shrink the norm length; all three analysis paths agree."""
+    import pandas as pd
+
+    from lucene_solr_spark.analysis.analyzer import LengthFilterAnalyzer
+
+    an = LengthFilterAnalyzer()
+    # 'a' (1), 'up'/'hi'/'x' (<3) and 'extraordinarily' (>8) drop; holes stay
+    got = an.analyze("a big extraordinarily up merge x")
+    assert got == [("big", 1), ("merge", 4)]
+    texts = pd.Series([
+        "a big extraordinarily up merge x",
+        "ok merge",
+        "",
+        "tiny is ok but beautiful stays",
+    ])
+    frame = an.analyze_batch(texts)
+    per_row = {
+        i: an.analyze(t) for i, t in texts.items()
+    }
+    for i, toks in per_row.items():
+        sub = frame[frame.row == i]
+        assert list(zip(sub.term, sub.pos)) == toks, i
+    # norm lengths count survivors only
+    assert frame.attrs["doc_len"].tolist() == [
+        len(v) for v in per_row.values()
+    ]
