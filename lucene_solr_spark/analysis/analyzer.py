@@ -408,6 +408,67 @@ class SimpleAnalyzer(_BaseAnalyzer):
     stem = False
 
 
+_HTML_BLOCK_RE = __import__("re").compile(
+    r"(?is)<(script|style)\b.*?</\1\s*>"
+)
+_HTML_TAG_RE = __import__("re").compile(r"(?s)<[^>]*>")
+_HTML_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),  # amp LAST
+)
+
+
+def _html_strip(text: str) -> str:
+    """HTMLStripCharFilter subset (``LA/charfilter/HTMLStripCharFilter.java``):
+    drop <script>/<style> elements WITH their content, drop all other tags,
+    decode the common named entities (&amp; decoded last so '&amp;lt;' does
+    not double-decode). Offset correction is moot here — positions are token
+    ordinals, not char offsets."""
+    text = _HTML_BLOCK_RE.sub(" ", text)
+    text = _HTML_TAG_RE.sub(" ", text)
+    for ent, ch in _HTML_ENTITIES:
+        if ent in text:
+            text = text.replace(ent, ch)
+    return text
+
+
+class HTMLStripAnalyzer(_BaseAnalyzer):
+    """HTMLStrip → Standard → LowerCase: the char-filter runs BEFORE the
+    tokenizer (CharFilter contract), so stripped text re-enters the normal
+    fast paths. Batch stripping is vectorized with pyarrow's C++ regex
+    replace — no per-row Python unless a document actually contains '<'."""
+
+    lowercase = True
+    stop_words = frozenset()
+    stem = False
+
+    def analyze(self, text: str):
+        return super().analyze(_html_strip(text))
+
+    def analyze_batch(self, texts):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            texts = pa.array(
+                texts.fillna("").astype(str), type=pa.string()
+            )
+        col = pc.fill_null(texts, "")
+        # cheap guard: batches with no '<' and no '&' skip the strip
+        if pc.any(pc.match_substring_regex(col, "[<&]")).as_py():
+            # RE2 has no backreferences: script and style block-drops are
+            # two separate patterns (semantically identical to the joint
+            # backreferenced form)
+            for el in ("script", "style"):
+                col = pc.replace_substring_regex(
+                    col, rf"(?is)<{el}\b[\s\S]*?</{el}\s*>", " "
+                )
+            col = pc.replace_substring_regex(col, r"(?s)<[^>]*>", " ")
+            for ent, ch in _HTML_ENTITIES:
+                col = pc.replace_substring(col, ent, ch)
+        return super().analyze_batch(col)
+
+
 class _LengthPredicate:
     """Set-like 'stop set' whose membership test is a token-LENGTH
     predicate: ``LengthFilter`` (``LA/miscellaneous/LengthFilter.java``)

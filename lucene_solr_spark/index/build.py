@@ -54,6 +54,7 @@ from ..analysis import (
     CJKBigramAnalyzer,
     EdgeNGramAnalyzer,
     EnglishPossessiveAnalyzer,
+    HTMLStripAnalyzer,
     KeywordMarkerAnalyzer,
     KeywordAnalyzer,
     LengthFilterAnalyzer,
@@ -79,7 +80,9 @@ ANALYZERS = {
     "keywordmarker": KeywordMarkerAnalyzer,
     "whitespace": WhitespaceAnalyzer,
     "length": LengthFilterAnalyzer,
+    "htmlstrip": HTMLStripAnalyzer,
     "length": LengthFilterAnalyzer,
+    "htmlstrip": HTMLStripAnalyzer,
     "keyword": KeywordAnalyzer,
     "cjk": CJKBigramAnalyzer,
 }

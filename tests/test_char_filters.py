@@ -135,3 +135,45 @@ def test_possessive_index_e2e(spark, tmp_path_factory):
         hits = s.search(s.parse("term", [surface], 0), k=10, with_keys=True).toPandas()
         assert set(hits.conv_id) == {"c0", "c1"}
         assert hits.conv_id.iloc[0] == "c1"  # tf=2 ranks first
+
+
+def test_html_strip_goldens_and_parity(spark, tmp_path):
+    """HTMLStripCharFilter subset (LA/charfilter/HTMLStripCharFilter.java):
+    tags dropped, script/style dropped WITH content, common entities
+    decoded (&amp; last); char filter runs before the tokenizer so both
+    paths agree; index e2e finds text that only exists outside markup."""
+    import pandas as pd
+
+    from lucene_solr_spark.analysis.analyzer import HTMLStripAnalyzer
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    an = HTMLStripAnalyzer()
+    assert an.analyze(
+        "<p>Hello <b>world</b> &amp; merge</p><script>var x=1;</script> ok"
+    ) == [("hello", 0), ("world", 1), ("merge", 2), ("ok", 3)]
+    # style content dropped; entities decode; &amp;lt; does NOT double-decode
+    assert an.analyze("<style>.x{}</style>keep &lt;b&gt; &amp;lt;") == [
+        ("keep", 0), ("b", 1), ("lt", 2),
+    ]
+    texts = pd.Series([
+        "<div class='x'>alpha</div> beta", "no markup here",
+        "<script>drop me</script>gamma &nbsp; delta", "",
+    ])
+    frame = an.analyze_batch(texts)
+    for i, t in texts.items():
+        sub = frame[frame.row == i]
+        assert list(zip(sub.term, sub.pos)) == an.analyze(t), i
+
+    # e2e: 'alpha' indexed, tag token 'div' and script content are NOT
+    pdf = pd.DataFrame({
+        "doc_key": [0, 1],
+        "text": ["<div>alpha beta</div><script>hidden</script>", "alpha plain"],
+    })
+    idx = str(tmp_path / "hidx")
+    build_index(spark, spark.createDataFrame(pdf), idx, key_cols=("doc_key",),
+                analyzer="htmlstrip", n_segments=1)
+    s = IndexSearcher(spark, idx)
+    assert s.search(s.parse("term", ["alpha"]), k=10).count() == 2
+    assert s.search(s.parse("term", ["div"]), k=10).count() == 0
+    assert s.search(s.parse("term", ["hidden"]), k=10).count() == 0
