@@ -183,6 +183,19 @@ def main() -> None:
             lambda: eng.span_not_topk("merge", "batch", 2, 2, k=10).collect())
         timings["q_nested_bool"] = _best_of(
             lambda: eng.nested_bool_topk(["merge"], ["batch", "stream"], k=10).collect())
+        # continuation-session operators: query-time join, span containment,
+        # unordered intervals
+        timings["q_join"] = _best_of(
+            lambda: eng.join_filter_topk(
+                "or3", ["vector", "stream", "filter"], "and2", ["dup", "merge"],
+                k=10,
+            ).collect())
+        timings["q_spancontain"] = _best_of(
+            lambda: eng.span_contain_topk(
+                "scan", "filter", 8, "merge", mode="containing", k=10
+            ).collect())
+        timings["q_interval"] = _best_of(
+            lambda: eng.interval_unordered_topk("filter", "scan", 6, k=10).collect())
 
         # --- training-pipeline ops ---
         from lucene_solr_spark.ops.dedup import dedup_minhash_lsh
@@ -192,6 +205,13 @@ def main() -> None:
         timings["dedup_minhash"] = _best_of(
             lambda: dedup_minhash_lsh(spark, SF_DIR).count())
         timings["ann_cosine"] = _best_of(lambda: ann_cosine_topk(spark, SF_DIR).collect())
+        from lucene_solr_spark.ops.ann import dedup_semantic
+        from lucene_solr_spark.ops.pipeline import pack_sequences
+
+        timings["dedup_semantic"] = _best_of(
+            lambda: dedup_semantic(spark, SF_DIR).count())
+        timings["pack_sequences"] = _best_of(
+            lambda: pack_sequences(spark, SF_DIR).count())
         timings["facet_q1"] = _best_of(lambda: facet_metrics_q1(spark, SF_DIR).collect())
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
