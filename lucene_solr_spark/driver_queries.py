@@ -146,6 +146,8 @@ SPANOR = ["scan", "filter", "vector"]
 SPANCONTAIN = ("scan", "filter", 8, "merge")
 # Intervals.unordered + maxgaps: either order, minimal intervals
 INTERVAL_UNORD = ("filter", "scan", 6)
+# Intervals.ordered: first term immediately followed by the second
+INTERVAL_ORD = ("scan", "filter", 6)
 # Nested spans: SpanNear over two SpanOr operand unions
 SPANNEAROR = (["merge", "scan"], ["batch", "filter"], 4)
 # Blended FuzzyQuery (the DEFAULT fuzzy rewrite): target, maxEdits, maxExp
@@ -344,6 +346,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_interval_unordered_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).interval_unordered_topk(*INTERVAL_UNORD, k=10)
+    # IntervalQuery (Intervals.ordered + maxgaps)
+    out["ft_interval_ordered_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).interval_unordered_topk(*INTERVAL_ORD, k=10, ordered=True)
     # Nested spans: SpanNear whose operands are SpanOr unions
     out["ft_spannearor_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -569,6 +575,12 @@ def fulltext_oracles() -> dict[str, str]:
         ANALYZERS["simple"]().analyze(INTERVAL_UNORD[0])[0][0],
         ANALYZERS["simple"]().analyze(INTERVAL_UNORD[1])[0][0],
         INTERVAL_UNORD[2], 10,
+    )
+    out["ft_interval_ordered_topk"] = interval_unordered_topk_sql(
+        "simple",
+        ANALYZERS["simple"]().analyze(INTERVAL_ORD[0])[0][0],
+        ANALYZERS["simple"]().analyze(INTERVAL_ORD[1])[0][0],
+        INTERVAL_ORD[2], 10, ordered=True,
     )
     from .oracles import span_near_or_topk_sql, span_or_topk_sql
 

@@ -436,6 +436,7 @@ class DocumentsEngine:
 
     def interval_unordered_topk(
         self, surface0: str, surface1: str, maxgaps: int, k: int = 10,
+        ordered: bool = False,
     ) -> DataFrame:
         """Unordered interval top-k (``lucene/queries/.../intervals/
         Intervals.java#unordered`` + ``#maxgaps`` under ``IntervalQuery``):
@@ -452,7 +453,7 @@ class DocumentsEngine:
         an = self.searcher.analyzer
         spec = BooleanSpec(must=[IntervalUnorderedClause(
             (an.analyze(surface0)[0][0], an.analyze(surface1)[0][0]),
-            int(maxgaps),
+            int(maxgaps), ordered,
         )])
         return self._present(self.searcher.search(spec, k=k, with_keys=True))
 

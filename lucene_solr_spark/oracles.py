@@ -1705,6 +1705,7 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
 
 def interval_unordered_topk_sql(
     analyzer: str, t0: str, t1: str, maxgaps: int, k: int,
+    ordered: bool = False,
 ) -> str:
     """Unordered-interval oracle (``lucene/queries/.../intervals/
     Intervals.java#unordered`` + ``#maxgaps``): minimal two-term intervals
@@ -1714,6 +1715,9 @@ def interval_unordered_topk_sql(
     order reuse the phrase-clause shape."""
     idf_sum = " + ".join(
         f"CAST({_idf_expr(t)} AS DOUBLE)" for t in (t0, t1)
+    )
+    pair_pred = (
+        f"term = '{t0}' AND nt = '{t1}'" if ordered else "nt <> term"
     )
     return f"""WITH {base_ctes(analyzer)},
 iv0 AS (
@@ -1728,7 +1732,7 @@ ivfreq AS (
                          / (CAST(1.0 AS FLOAT) + CAST(np - pos - 1 AS FLOAT))
                      AS DOUBLE)) AS FLOAT) AS freq
     FROM iv0
-    WHERE nt IS NOT NULL AND nt <> term AND np - pos - 1 <= {maxgaps}
+    WHERE nt IS NOT NULL AND {pair_pred} AND np - pos - 1 <= {maxgaps}
     GROUP BY doc_id
 ),
 ivhits AS (

@@ -391,7 +391,7 @@ def _span_near_freqs_slow(
 
 
 def _interval_unordered_freqs(
-    parts0: tuple, parts1: tuple, maxgaps: int,
+    parts0: tuple, parts1: tuple, maxgaps: int, ordered: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Unordered two-term interval matcher (``lucene/queries/.../intervals/
     Intervals.java#unordered`` + ``#maxgaps``): the MINIMAL intervals
@@ -420,7 +420,9 @@ def _interval_unordered_freqs(
         ci = np.repeat(np.arange(len(cand), dtype=np.int64), lens)
         p = _gather_ranges(pos_t, starts, lens).astype(np.int64)
         if p.size and int(p.max()) >= _POS_LIMIT:
-            return _interval_unordered_slow(parts0, parts1, maxgaps, cand)
+            return _interval_unordered_slow(
+                parts0, parts1, maxgaps, cand, ordered
+            )
         keys.append((ci << _POS_SHIFT) | (p + _POS_MARGIN))
         flags.append(np.full(p.size, fl, dtype=np.int8))
     k = np.concatenate(keys)
@@ -430,7 +432,14 @@ def _interval_unordered_freqs(
     same_doc = (k[1:] >> _POS_SHIFT) == (k[:-1] >> _POS_SHIFT)
     mask = (np.int64(1) << _POS_SHIFT) - 1
     gaps = (k[1:] & mask) - (k[:-1] & mask) - 1
-    m = same_doc & (f[1:] != f[:-1]) & (gaps <= maxgaps)
+    if ordered:
+        # Intervals.ordered: a minimal ordered interval is an occurrence of
+        # the FIRST source immediately followed (in the merged stream) by
+        # one of the SECOND — any wider (a, b) pairing contains it
+        pair_ok = (f[:-1] == 0) & (f[1:] == 1)
+    else:
+        pair_ok = f[1:] != f[:-1]
+    m = same_doc & pair_ok & (gaps <= maxgaps)
     if not m.any():
         return np.empty(0, dtype=np.int64), empty
     sf = (
@@ -444,6 +453,7 @@ def _interval_unordered_freqs(
 
 def _interval_unordered_slow(
     parts0: tuple, parts1: tuple, maxgaps: int, cand: np.ndarray,
+    ordered: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-doc fallback for _interval_unordered_freqs (same rule)."""
     slices = []
@@ -464,7 +474,10 @@ def _interval_unordered_slow(
         order = np.argsort(p, kind="stable")
         p, f = p[order], f[order]
         gaps = p[1:] - p[:-1] - 1
-        m = (f[1:] != f[:-1]) & (gaps <= maxgaps)
+        if ordered:
+            m = (f[:-1] == 0) & (f[1:] == 1) & (gaps <= maxgaps)
+        else:
+            m = (f[1:] != f[:-1]) & (gaps <= maxgaps)
         if m.any():
             sf = (
                 np.float32(1.0) / (np.float32(1.0) + gaps[m].astype(np.float32))
@@ -881,9 +894,10 @@ def score_segment_exact(
             docs, tfs = _span_not_freqs(
                 dec(c.terms[0]), dec(c.terms[1]), c.slop, c.post
             )
-        elif c.kind == "interval_unordered":
+        elif c.kind in ("interval_unordered", "interval_ordered"):
             docs, tfs = _interval_unordered_freqs(
-                dec(c.terms[0]), dec(c.terms[1]), c.slop
+                dec(c.terms[0]), dec(c.terms[1]), c.slop,
+                ordered=c.kind == "interval_ordered",
             )
         elif c.kind in ("span_containing", "span_within"):
             # terms = (big0, big1, little); slop = the big SpanNear's slop
@@ -1010,9 +1024,10 @@ def count_segment_matches(
             docs, _ = _span_not_freqs(
                 dec(c.terms[0]), dec(c.terms[1]), c.slop, c.post
             )
-        elif c.kind == "interval_unordered":
+        elif c.kind in ("interval_unordered", "interval_ordered"):
             docs, _ = _interval_unordered_freqs(
-                dec(c.terms[0]), dec(c.terms[1]), c.slop
+                dec(c.terms[0]), dec(c.terms[1]), c.slop,
+                ordered=c.kind == "interval_ordered",
             )
         elif c.kind in ("span_containing", "span_within"):
             docs, _ = _span_contain_freqs(

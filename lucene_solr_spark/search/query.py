@@ -163,6 +163,10 @@ class IntervalUnorderedClause:
 
     terms: tuple[str, str]
     maxgaps: int = 0
+    # ordered=True is ``Intervals.ordered``: a minimal ordered interval is
+    # an occurrence of terms[0] immediately followed in the merged stream
+    # by one of terms[1] (wider (a, b) pairings contain a smaller one)
+    ordered: bool = False
     boost: float = 1.0
 
 
@@ -346,7 +350,8 @@ class CompiledQuery:
         return any(
             c.kind in ("phrase", "span_first", "span_near", "span_near_or",
                        "span_not", "span_containing", "span_within",
-                       "interval_unordered", "multiphrase")
+                       "interval_unordered", "interval_ordered",
+                       "multiphrase")
             for c in self.clauses
         )
 
@@ -620,7 +625,8 @@ def compile_query(
                         sum(float(idf_fn(term_df[t], doc_count)) for t in c.terms)
                     )
                 clauses.append(CompiledClause(
-                    "interval_unordered", c.terms, (), np.float32(w), occur,
+                    "interval_ordered" if c.ordered else "interval_unordered",
+                    c.terms, (), np.float32(w), occur,
                     slop=int(c.maxgaps),
                 ))
             elif isinstance(c, SpanContainClause):

@@ -99,3 +99,25 @@ def test_random_parity_vs_brute_and_fallback():
         )
         np.testing.assert_array_equal(docs, sdocs)
         np.testing.assert_array_equal(tfs, stfs)
+
+
+def test_ordered_intervals():
+    """Intervals.ordered: only (first → second) adjacent pairs match."""
+    # a=[1, 9], b=[3, 7]: ordered pairs (1a,3b); (7b,9a) is b-before-a
+    docs, tfs = _interval_unordered_freqs(
+        _parts({5: [1, 9]}), _parts({5: [3, 7]}), 1, ordered=True
+    )
+    assert docs.tolist() == [5]
+    np.testing.assert_allclose(tfs, [np.float32(0.5)])
+    # only reversed order present → no match
+    docs, _ = _interval_unordered_freqs(
+        _parts({1: [10]}), _parts({1: [2]}), 100, ordered=True
+    )
+    assert docs.size == 0
+    # slow path agrees
+    sdocs, stfs = _interval_unordered_slow(
+        _parts({5: [1, 9]}), _parts({5: [3, 7]}), 1,
+        np.array([5], dtype=np.int64), ordered=True,
+    )
+    assert sdocs.tolist() == [5]
+    np.testing.assert_allclose(stfs, [np.float32(0.5)])
