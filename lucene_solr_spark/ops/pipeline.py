@@ -609,3 +609,81 @@ FROM aug ORDER BY doc_id"""
 register("chunk_documents", chunk_documents, CHUNK_DOCUMENTS_SQL)
 register("pack_sequences", pack_sequences, PACK_SEQUENCES_SQL)
 register("pii_scrub", pii_scrub, PII_SCRUB_SQL)
+
+
+# ---------------------------------------------------------------------------
+# mix_balance: deterministic source-mixing downsample (pretraining data mix)
+# ---------------------------------------------------------------------------
+
+MIX_BUCKETS = 10000
+
+
+def mix_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing rebalance — the pretraining "source mixing" step: every
+    source is downsampled toward the SMALLEST source's size with a
+    deterministic hash acceptance (bucket = first-8-md5-hex of the doc key
+    mod MIX_BUCKETS; keep when bucket < floor(min_count·MIX_BUCKETS /
+    source_count)). No rand(): the sample is a pure function of the key —
+    stable across runs, engines and partitionings, so a resumed or
+    re-partitioned job can never change the mix (the ``sample_split``
+    discipline). Integer thresholds keep the acceptance test exact on both
+    engines. Returns the audit row per source: (source, n_docs, threshold,
+    kept).
+
+    Scale shape: one tiny per-source count aggregate (rows = #sources)
+    broadcast back onto a narrow filtered pass; the doc text never
+    shuffles."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    min_cnt = counts.agg(F.min("n_docs").alias("min_cnt"))
+    thr = (
+        counts.crossJoin(F.broadcast(min_cnt))
+        .withColumn(
+            "threshold",
+            F.floor(F.col("min_cnt") * MIX_BUCKETS / F.col("n_docs")).cast("long"),
+        )
+        .select("source", "n_docs", "threshold")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % MIX_BUCKETS
+    )
+    kept = (
+        d.join(F.broadcast(thr), "source")
+        .filter(bucket < F.col("threshold"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("kept"))
+    )
+    return (
+        thr.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "threshold",
+            F.coalesce(F.col("kept"), F.lit(0)).cast("long").alias("kept"),
+        )
+        .orderBy("source")
+    )
+
+
+MIX_BALANCE_SQL = f"""
+WITH counts AS (
+    SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
+),
+thr AS (
+    SELECT source, n_docs,
+           CAST(floor(((SELECT min(n_docs) FROM counts) * {MIX_BUCKETS}) / n_docs) AS BIGINT) AS threshold
+    FROM counts
+),
+kept AS (
+    SELECT d.source, count(*)::BIGINT AS kept
+    FROM documents d JOIN thr t USING (source)
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % {MIX_BUCKETS} < t.threshold
+    GROUP BY d.source
+)
+SELECT t.source, t.n_docs, t.threshold, COALESCE(k.kept, 0)::BIGINT AS kept
+FROM thr t LEFT JOIN kept k USING (source)
+ORDER BY t.source"""
+
+
+register("mix_balance", mix_balance, MIX_BALANCE_SQL)
