@@ -222,6 +222,14 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_mlt_topk"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").mlt_topk(
         MLT_SRC_DOC, top_terms=5, k=10
     )
+    # MLT interestingTerms=details: the ranked tf·idf term list itself
+    out["ft_mlt_terms"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).mlt_terms(MLT_SRC_DOC, top_terms=8)
+    # edismax bf= (ADDITIVE function boost; distinct from multiplicative boost=)
+    out["ft_bf_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).bf_topk("and2", ["merge", "batch"], k=10)
     out["ft_page2_topk"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").search_after_page(
         PAGE2_QUERY[0], PAGE2_QUERY[1], k=10
     )
@@ -567,6 +575,14 @@ def fulltext_oracles() -> dict[str, str]:
     )
     out["ft_spanwithin_topk"] = span_contain_topk_sql(
         "simple", _sc[0], _sc[1], _sc[2], _sc[3], "within", 10,
+    )
+    from .oracles import bf_topk_sql, mlt_terms_sql
+
+    out["ft_mlt_terms"] = mlt_terms_sql("simple", MLT_SRC_DOC, 8)
+    out["ft_bf_topk"] = bf_topk_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), "and2", ["merge", "batch"], 0),
+        10,
     )
     from .oracles import interval_unordered_topk_sql
 

@@ -1530,6 +1530,79 @@ class DocumentsEngine:
             .orderBy("rank")
         )
 
+    def bf_topk(
+        self, qtype: str, surface_terms: list[str], k: int = 10
+    ) -> DataFrame:
+        """ADDITIVE boost function (edismax ``bf=`` — appended as an
+        optional FunctionQuery clause, ``S/search/ExtendedDismaxQParser``;
+        distinct from the multiplicative ``boost=``): final score =
+        f32( f64(bm25) + n_chars/2000 ) — the function value is ADDED to
+        every match's relevance score.
+
+        Scale shape: same as the multiplicative variant — unbounded doc
+        function ⇒ no WAND bound, exact hits + one broadcast column join +
+        ONE TakeOrdered."""
+        spec = self.searcher.parse(qtype, surface_terms, 0)
+        hits = self.searcher.hits(
+            self.searcher.compile(spec, k=1 << 30), mode="exact"
+        )
+        keys = self.searcher.docs.select("doc_id", "doc_key")
+        src = self.spark.read.parquet(
+            os.path.join(self.sf_dir, "documents.parquet")
+        ).select(F.col("doc_id").alias("doc_key"), "n_chars")
+        boosted = (
+            hits.join(keys, "doc_id", "left")
+            .join(F.broadcast(src), "doc_key")
+            .withColumn(
+                "bscore",
+                (
+                    F.col("score").cast("double")
+                    + F.col("n_chars").cast("double") / F.lit(2000.0)
+                ).cast("float"),
+            )
+        )
+        top = boosted.orderBy(F.desc("bscore"), F.asc("doc_key")).limit(k)
+        return (
+            top.coalesce(1)
+            .sortWithinPartitions(F.desc("bscore"), F.asc("doc_key"))
+            .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+            .select(
+                "rank",
+                F.col("doc_key").cast("long").alias("doc_id"),
+                F.col("bscore").cast("float").alias("score"),
+            )
+            .orderBy("rank")
+        )
+
+    def mlt_terms(self, src_doc_id: int, top_terms: int = 8) -> DataFrame:
+        """MoreLikeThis ``interestingTerms=details`` (``lucene/queries/.../
+        mlt/MoreLikeThis.java#retrieveInterestingTerms`` / Solr MLT handler
+        mlt.interestingTerms): the source doc's terms ranked by classic
+        tf·idf (idf = ln(N/(df+1)) + 1) — the terms the MLT disjunction is
+        built from, WITH their scores. Returns (rank, term, mlt_score f32).
+
+        Scale shape: one pruned single-doc read + one term-pruned df
+        lookup (the same stats scan every query compile does)."""
+        spec_terms = self.searcher.more_like_this_terms(
+            self._doc_text(src_doc_id), top_terms
+        )
+        import numpy as np
+
+        rows = [
+            (i + 1, t, float(np.float32(sc)))
+            for i, (t, sc) in enumerate(spec_terms)
+        ]
+        return self.spark.createDataFrame(
+            rows, "rank int, term string, mlt_score float"
+        )
+
+    def _doc_text(self, src_doc_id: int) -> str:
+        return (
+            self.spark.read.parquet(os.path.join(self.sf_dir, "documents.parquet"))
+            .filter(F.col("doc_id") == src_doc_id)
+            .select("text").collect()[0].text
+        )
+
     def docs_norms(self) -> DataFrame:
         """The per-doc (length, norm) map — Lucene's norms file as a table."""
         return (

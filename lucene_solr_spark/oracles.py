@@ -1747,3 +1747,43 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
     FROM ivhits
 ) WHERE rank <= {k} ORDER BY rank"""
+
+
+def bf_topk_sql(analyzer: str, spec: BooleanSpec, k: int) -> str:
+    """ADDITIVE boost-function oracle (edismax ``bf=`` — optional
+    FunctionQuery clause): score = f32( f64(bm25_f32) + n_chars/2000 )."""
+    frag = _bm25_match_ctes(spec, "")
+    return f"""WITH {base_ctes(analyzer)},{frag},
+boosted AS (
+    SELECT m.doc_id,
+           CAST(CAST(m.score AS DOUBLE)
+                + d.n_chars::DOUBLE / 2000.0 AS FLOAT) AS score
+    FROM match m JOIN documents d USING (doc_id)
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+    FROM boosted
+) WHERE rank <= {k} ORDER BY rank"""
+
+
+def mlt_terms_sql(analyzer: str, src_doc_id: int, top_terms: int) -> str:
+    """MLT interestingTerms=details oracle: the source doc's terms ranked
+    by classic tf·idf (idf = ln(N/(df+1)) + 1), (score desc, term asc),
+    f32 score — the exact list the MLT disjunction is built from."""
+    return f"""WITH {base_ctes(analyzer)},
+src_tf AS (
+    SELECT term, count(*)::BIGINT AS tf FROM kept WHERE doc_id = {src_doc_id} GROUP BY term
+),
+src_df AS (
+    SELECT k.term, count(DISTINCT k.doc_id)::BIGINT AS df
+    FROM kept k JOIN src_tf USING (term) GROUP BY 1
+),
+mlt AS (
+    SELECT s.term,
+           s.tf::DOUBLE * (ln(st.doc_count::DOUBLE / (d.df + 1.0)) + 1.0) AS mlt_score
+    FROM src_tf s JOIN src_df d USING (term), statsf st
+)
+SELECT rank::INTEGER AS rank, term, CAST(mlt_score AS FLOAT) AS mlt_score FROM (
+    SELECT row_number() OVER (ORDER BY mlt_score DESC, term ASC) AS rank, term, mlt_score
+    FROM mlt
+) WHERE rank <= {top_terms} ORDER BY rank"""

@@ -381,10 +381,19 @@ class IndexSearcher:
         classic tf·idf (idf = ln(N/(df+1)) + 1, ClassicSimilarity-style),
         keep the top ``top_terms`` (score desc, term asc), and build the
         interesting-terms disjunction."""
+        from .query import TermClause
+
+        scored = self.more_like_this_terms(text, top_terms)
+        return BooleanSpec(should=[TermClause(t) for t, _ in scored])
+
+    def more_like_this_terms(
+        self, text: str, top_terms: int = 5
+    ) -> list[tuple[str, float]]:
+        """The MLT interesting-terms list WITH scores —
+        ``MoreLikeThis#retrieveInterestingTerms``: [(term, tf·idf)] by
+        (score desc, term asc), top ``top_terms``."""
         import math
         from collections import Counter
-
-        from .query import TermClause
 
         tf = Counter(t for t, _ in self.analyzer.analyze(text))
         dfs = self.term_stats(sorted(tf))
@@ -394,7 +403,7 @@ class IndexSearcher:
             for t, c in tf.items() if dfs.get(t, 0) > 0
         ]
         scored.sort(key=lambda x: (-x[0], x[1]))
-        return BooleanSpec(should=[TermClause(t) for _, t in scored[:top_terms]])
+        return [(t, sc) for sc, t in scored[:top_terms]]
 
     def explain(self, spec: BooleanSpec, global_doc_id: int) -> pd.DataFrame:
         """``IndexSearcher#explain`` / Solr debugQuery analog: the per-clause
