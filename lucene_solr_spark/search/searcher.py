@@ -541,6 +541,32 @@ class IndexSearcher:
             for r in layout
         }
 
+    def cached_filter_map(
+        self, keys: DataFrame, cache_key: str
+    ) -> dict[int, np.ndarray]:
+        """Solr filterCache analog (``S/search/SolrIndexSearcher`` filterCache
+        / ``L/search/LRUQueryCache``): the per-segment allowed-doc sets a
+        non-indexed filter compiles to are memoized by ``cache_key`` for the
+        searcher's lifetime — repeated fq's skip the evaluation pass
+        entirely, exactly like the reference caching a filter's DocSet per
+        reader (this searcher IS one reader: the cache never outlives the
+        index view it was computed against). Bounded FIFO eviction keeps
+        driver memory O(CACHE_MAX · matched docs)."""
+        hit = self._filter_cache.get(cache_key)
+        if hit is not None:
+            return hit
+        out = self.filter_map(keys)
+        if len(self._filter_cache) >= self._FILTER_CACHE_MAX:
+            self._filter_cache.pop(next(iter(self._filter_cache)))
+        self._filter_cache[cache_key] = out
+        return out
+
+    _FILTER_CACHE_MAX = 64
+
+    @cached_property
+    def _filter_cache(self) -> dict:
+        return {}
+
     def search(
         self,
         spec: BooleanSpec | CompiledQuery,

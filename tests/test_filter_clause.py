@@ -69,3 +69,24 @@ def test_empty_filter_matches_nothing(searcher):
     spec = searcher.parse("or2", ["error", "spark"])
     out = searcher.search(spec, k=10, filter_by_base={}).toPandas()
     assert len(out) == 0
+
+
+def test_cached_filter_map_is_memoized_and_correct(spark, searcher, even_filter):
+    """filterCache analog: same cache_key returns the SAME compiled map
+    (no recompute); results identical to the uncached path."""
+    from pyspark.sql import functions as F
+
+    keys = searcher.docs.filter(
+        (F.crc32(F.col("conv_id")) % 2) == 0
+    ).select("conv_id", "turn_idx").distinct()
+    a = searcher.cached_filter_map(keys, "even")
+    b = searcher.cached_filter_map(keys, "even")
+    assert a is b  # cache hit — no second evaluation pass
+    for base, arr in even_filter.items():
+        import numpy as np
+        np.testing.assert_array_equal(a[base], arr)
+    spec = searcher.parse("and2", ["merge", "batch"])
+    got = searcher.search(spec, k=15, filter_by_base=a).toPandas()
+    want = searcher.search(spec, k=15, filter_by_base=even_filter).toPandas()
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, want)
