@@ -599,6 +599,59 @@ class ShingleAnalyzer(_BaseAnalyzer):
         return out
 
 
+class CommonGramsAnalyzer(_BaseAnalyzer):
+    """Standard → LowerCase → CommonGramsFilter
+    (``LA/commongrams/CommonGramsFilter.java``): for every adjacent token
+    pair where EITHER member is a common word (the English stop set), emit
+    the joined bigram ``a_b`` (the filter's '_' separator) at the first
+    token's position with posIncrement 0 — unigrams (including the common
+    words) pass through, bigrams are discounted from norms
+    (discountOverlaps). Phrase-heavy stopword queries then hit one posting
+    list instead of a positional intersect; the same chain at query time
+    expands the query identically."""
+
+    lowercase = True
+    common_words = ENGLISH_STOP_WORDS
+
+    def postprocess_tokens(self, toks):
+        out = list(toks)
+        for i in range(len(toks) - 1):
+            if toks[i + 1][1] == toks[i][1] + 1 and (
+                toks[i][0] in self.common_words
+                or toks[i + 1][0] in self.common_words
+            ):
+                out.append((f"{toks[i][0]}_{toks[i + 1][0]}", toks[i][1]))
+        return out
+
+    def postprocess_frame(self, frame: pd.DataFrame) -> pd.DataFrame:
+        if len(frame) < 2:
+            return frame
+        row = frame["row"].to_numpy()
+        pos = frame["pos"].to_numpy()
+        vals = _term_values(frame)
+        codes, uniq = pd.factorize(vals)
+        is_common = np.array([u in self.common_words for u in uniq], dtype=bool)
+        adj = np.flatnonzero(
+            (row[1:] == row[:-1]) & (pos[1:] == pos[:-1] + 1)
+            & (is_common[codes[1:]] | is_common[codes[:-1]])
+        )
+        if not adj.size:
+            return frame
+        v = len(uniq)
+        pairc = codes[adj].astype(np.int64) * v + codes[adj + 1]
+        up, inv = np.unique(pairc, return_inverse=True)
+        pair_str = np.array(
+            [f"{uniq[p // v]}_{uniq[p % v]}" for p in up], dtype=object
+        )
+        out = pd.DataFrame({
+            "row": np.concatenate([row, row[adj]]),
+            "term": np.concatenate([vals, pair_str[inv]]),
+            "pos": np.concatenate([pos, pos[adj]]).astype(np.int32),
+        })
+        out.attrs["doc_len"] = frame.attrs["doc_len"]  # discountOverlaps
+        return out
+
+
 class EdgeNGramAnalyzer(_BaseAnalyzer):
     """Standard → LowerCase → EdgeNGram(2, 4): each token replaced by its
     leading-edge grams, all at the token's position (one position increment

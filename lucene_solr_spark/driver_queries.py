@@ -64,6 +64,10 @@ FULLTEXT_TOPK = {
     "ft_possessive_topk": ("possessive", "and2", ["merge's", "batch’s"], 0, 10),
     # WhitespaceAnalyzer (case + punctuation preserved, no filters)
     "ft_whitespace_topk": ("whitespace", "and2", ["merge", "batch"], 0, 10),
+    # CommonGramsFilter: 'hash the' analyzed through the SAME chain yields
+    # unigrams + the hash_the common-gram — one posting list replaces the
+    # stopword positional intersect
+    "ft_commongrams_topk": ("commongrams", "term", ["hash the"], 0, 10),
     # LengthFilter(3, 8): tokens outside the band drop with position holes
     # and shrink norms (FilteringTokenFilter) — 'a'/long tokens vanish, so
     # every BM25 norm differs from the simple chain's

@@ -54,6 +54,7 @@ from ..analysis import (
     CJKBigramAnalyzer,
     EdgeNGramAnalyzer,
     EnglishPossessiveAnalyzer,
+    CommonGramsAnalyzer,
     HTMLStripAnalyzer,
     KeywordMarkerAnalyzer,
     KeywordAnalyzer,
@@ -81,8 +82,10 @@ ANALYZERS = {
     "whitespace": WhitespaceAnalyzer,
     "length": LengthFilterAnalyzer,
     "htmlstrip": HTMLStripAnalyzer,
+    "commongrams": CommonGramsAnalyzer,
     "length": LengthFilterAnalyzer,
     "htmlstrip": HTMLStripAnalyzer,
+    "commongrams": CommonGramsAnalyzer,
     "keyword": KeywordAnalyzer,
     "cjk": CJKBigramAnalyzer,
 }

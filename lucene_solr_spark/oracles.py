@@ -85,6 +85,21 @@ def _kept_ctes(analyzer: str) -> tuple[str, str]:
         )
     if analyzer == "whitespace":
         return "kept AS (SELECT * FROM raw_toks)", "kept"
+    if analyzer == "commongrams":
+        # unigrams (stopwords kept) + '_'-joined bigrams where either member
+        # is a common word, at the first token's position; norms count the
+        # unigram stream only (discountOverlaps)
+        return (
+            f"""kept AS (
+    SELECT * FROM raw_toks
+    UNION ALL
+    SELECT a.doc_id, a.term || '_' || b.term AS term, a.pos
+    FROM raw_toks a JOIN raw_toks b
+      ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.term IN ({_STOP_LIST_SQL}) OR b.term IN ({_STOP_LIST_SQL})
+)""",
+            "raw_toks",
+        )
     if analyzer == "length":
         from .analysis.analyzer import LENGTH_MAX, LENGTH_MIN
 
