@@ -178,6 +178,17 @@ FRANGE = ("sum(termfreq(text,'merge'), product(0.5, termfreq(text,'batch')))",
           2.0, 5.0)
 # LTR LinearModel: (main query, feature term, (w_orig, w_tf, w_field))
 LTR = ("or3", ["vector", "stream", "filter"], "merge", (1.0, 0.75, 0.5))
+# LTR MultipleAdditiveTrees: two weighted regression trees over the
+# LinearModel feature vector (orig BM25 / termfreq / n_chars); thresholds
+# are representable halves so the <= compare is exact on both engines
+LTR_TREES = (
+    (1.0, {"feature": "orig", "threshold": 0.5,
+           "left": {"feature": "tf", "threshold": 1.5,
+                    "left": {"value": 0.1}, "right": {"value": 0.4}},
+           "right": {"value": 0.8}}),
+    (0.5, {"feature": "n_chars", "threshold": 400.0,
+           "left": {"value": 0.05}, "right": {"value": 0.3}}),
+)
 # CommonTerms: "dup" is index-rare (required); merge/vector exceed the df
 # ratio and demote to the optional group — a genuinely mixed split
 COMMONTERMS = (["dup", "merge", "vector"], 0.2)
@@ -401,6 +412,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_ltr_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).ltr_rescore_topk(LTR[0], LTR[1], LTR[2], LTR[3], rerank_docs=50, k=10)
+    # LTR tree-ensemble rescore (MultipleAdditiveTreesModel)
+    out["ft_ltr_trees_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).ltr_trees_topk(LTR[0], LTR[1], LTR[2], LTR_TREES, rerank_docs=50, k=10)
     # CommonTermsQuery: df-based required/optional split from index stats
     out["ft_commonterms_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -697,6 +712,13 @@ def fulltext_oracles() -> dict[str, str]:
         "simple",
         parse_fixture_query(ANALYZERS["simple"](), LTR[0], LTR[1], 0),
         ANALYZERS["simple"]().analyze(LTR[2])[0][0], LTR[3], 50, 10,
+    )
+    from .oracles import ltr_trees_sql
+
+    out["ft_ltr_trees_topk"] = ltr_trees_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), LTR[0], LTR[1], 0),
+        ANALYZERS["simple"]().analyze(LTR[2])[0][0], LTR_TREES, 50, 10,
     )
     from .oracles import common_terms_topk_sql
 

@@ -1319,6 +1319,72 @@ class DocumentsEngine:
             .orderBy("rank")
         )
 
+    def ltr_trees_topk(
+        self,
+        qtype: str,
+        surface_terms: list[str],
+        feature_term: str,
+        trees: tuple,
+        rerank_docs: int = 50,
+        k: int = 10,
+    ) -> DataFrame:
+        """LTR tree-ensemble rescore (Solr ``contrib/ltr/.../model/
+        MultipleAdditiveTreesModel.java`` — the LambdaMART deployment
+        shape): first-pass top-N candidates get the same feature vector as
+        the LinearModel path (orig BM25, termfreq, n_chars); each weighted
+        regression tree walks ``feature <= threshold ? left : right`` to a
+        leaf; score = f32( Σ_double weight_i · tree_i(x) ).
+
+        Scale shape: the whole ensemble compiles to ONE nested CASE WHEN
+        column tree (whole-stage codegen — exactly how the reference
+        evaluates the ensemble per candidate in the JVM); the feature join
+        stays the distributed broadcast shape of ``ltr_rescore_topk``."""
+        s = self.searcher
+        an = s.analyzer
+        first = s.search(
+            s.parse(qtype, surface_terms), k=rerank_docs, with_keys=True
+        ).select("doc_id", "doc_key", F.col("score").alias("orig"))
+        term = an.analyze(feature_term)[0][0]
+        tfd = s.termfreq_df(term)
+        src = self.spark.read.parquet(
+            os.path.join(self.sf_dir, "documents.parquet")
+        ).select(F.col("doc_id").alias("doc_key"), "n_chars")
+        feat = (
+            first.join(tfd, "doc_id", "left")
+            .join(src, "doc_key")
+            .withColumn("tf", F.coalesce(F.col("tf"), F.lit(0)))
+        )
+
+        def node_col(node):
+            if "value" in node:
+                return F.lit(float(node["value"])).cast("double")
+            return F.when(
+                F.col(node["feature"]).cast("double")
+                <= F.lit(float(node["threshold"])),
+                node_col(node["left"]),
+            ).otherwise(node_col(node["right"]))
+
+        total = None
+        for weight, root in trees:
+            t = F.lit(float(weight)) * node_col(root)
+            total = t if total is None else total + t
+        top = (
+            feat.withColumn("ltr_score", total.cast("float"))
+            .orderBy(F.desc("ltr_score"), F.asc("doc_key"))
+            .limit(k)
+        )
+        return (
+            top.coalesce(1)
+            .sortWithinPartitions(F.desc("ltr_score"), F.asc("doc_key"))
+            .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+            .select(
+                "rank",
+                F.col("doc_key").cast("long").alias("doc_id"),
+                F.col("ltr_score").cast("float").alias("ltr_score"),
+            )
+            .orderBy("rank")
+        )
+
     def rerank_topk(
         self,
         main_qtype: str,

@@ -1802,3 +1802,52 @@ SELECT rank::INTEGER AS rank, term, CAST(mlt_score AS FLOAT) AS mlt_score FROM (
     SELECT row_number() OVER (ORDER BY mlt_score DESC, term ASC) AS rank, term, mlt_score
     FROM mlt
 ) WHERE rank <= {top_terms} ORDER BY rank"""
+
+
+def _ltr_tree_sql(node, fmap) -> str:
+    if "value" in node:
+        return repr(float(node["value"]))
+    f = fmap[node["feature"]]
+    return (
+        f"(CASE WHEN {f} <= {float(node['threshold'])!r} "
+        f"THEN {_ltr_tree_sql(node['left'], fmap)} "
+        f"ELSE {_ltr_tree_sql(node['right'], fmap)} END)"
+    )
+
+
+def ltr_trees_sql(
+    analyzer: str, spec: BooleanSpec, feature_term: str,
+    trees: tuple, rerank_docs: int, k: int,
+) -> str:
+    """LTR tree-ensemble oracle (``MultipleAdditiveTreesModel``): same
+    candidate set and features as the LinearModel oracle; the ensemble is
+    the identical nested CASE tree, weighted double sum, one f32 cast."""
+    mfrag = _bm25_match_ctes(spec, "m")
+    fmap = {
+        "orig": "CAST(c.score AS DOUBLE)",
+        "tf": "COALESCE(f.tf, 0)::DOUBLE",
+        "n_chars": "d.n_chars::DOUBLE",
+    }
+    ens = " + ".join(
+        f"({float(w)!r} * {_ltr_tree_sql(root, fmap)})" for w, root in trees
+    )
+    return f"""WITH {base_ctes(analyzer)},{mfrag},
+mranked AS (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r, doc_id, score
+    FROM mmatch
+),
+cand AS (SELECT doc_id, score FROM mranked WHERE r <= {rerank_docs}),
+ftf AS (
+    SELECT doc_id, count(*)::BIGINT AS tf FROM kept
+    WHERE term = '{feature_term}' GROUP BY 1
+),
+scored AS (
+    SELECT c.doc_id, CAST({ens} AS FLOAT) AS ltr_score
+    FROM cand c
+    LEFT JOIN ftf f ON f.doc_id = c.doc_id
+    JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, ltr_score::FLOAT AS ltr_score FROM (
+    SELECT row_number() OVER (ORDER BY ltr_score DESC, doc_id ASC) AS rank, doc_id, ltr_score
+    FROM scored
+) WHERE rank <= {k} ORDER BY rank"""
