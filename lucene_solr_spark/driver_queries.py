@@ -412,6 +412,11 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_ltr_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).ltr_rescore_topk(LTR[0], LTR[1], LTR[2], LTR[3], rerank_docs=50, k=10)
+    # Search-result clustering (ClusteringComponent analog): the top-50
+    # page grouped by each doc's dominant tf·idf term
+    out["ft_result_clusters"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).result_clusters("or3", ["vector", "stream", "filter"], n_docs=50)
     # LTR tree-ensemble rescore (MultipleAdditiveTreesModel)
     out["ft_ltr_trees_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -712,6 +717,15 @@ def fulltext_oracles() -> dict[str, str]:
         "simple",
         parse_fixture_query(ANALYZERS["simple"](), LTR[0], LTR[1], 0),
         ANALYZERS["simple"]().analyze(LTR[2])[0][0], LTR[3], 50, 10,
+    )
+    from .oracles import result_clusters_sql
+
+    out["ft_result_clusters"] = result_clusters_sql(
+        "simple",
+        parse_fixture_query(
+            ANALYZERS["simple"](), "or3", ["vector", "stream", "filter"], 0
+        ),
+        50,
     )
     from .oracles import ltr_trees_sql
 

@@ -1471,6 +1471,57 @@ class DocumentsEngine:
             rows, "rank int, doc_id long, elevated int"
         )
 
+    def result_clusters(
+        self, qtype: str, surface_terms: list[str], n_docs: int = 50,
+    ) -> DataFrame:
+        """Search-result clustering (Solr clustering contrib /
+        ``S/handler/clustering/ClusteringComponent.java`` — the
+        Carrot2-backed on-page clusterer, here the deterministic
+        dominant-term variant): the top-N result page's docs are grouped by
+        each doc's highest classic-tf·idf term (the same MLT scoring,
+        argmax per doc, ties → term asc). Like the reference, clustering
+        runs ON THE RETURNED PAGE ONLY (N is API-bounded), so the label
+        step costs one pruned stats lookup — the corpus is never
+        re-scanned. Returns (label, n_docs, best_rank) by (n_docs desc,
+        label asc)."""
+        import math
+
+        s = self.searcher
+        top = (
+            s.search(s.parse(qtype, surface_terms, 0), k=n_docs, with_keys=True)
+            .select("rank", "doc_key").collect()
+        )
+        keys = [int(r.doc_key) for r in top]
+        ranks = {int(r.doc_key): int(r.rank) for r in top}
+        texts = {
+            int(r.doc_id): r.text
+            for r in self.spark.read.parquet(
+                os.path.join(self.sf_dir, "documents.parquet")
+            ).filter(F.col("doc_id").isin(keys)).select("doc_id", "text").collect()
+        }
+        from collections import Counter
+
+        per_doc_tf = {k: Counter(t for t, _ in s.analyzer.analyze(texts[k])) for k in keys}
+        all_terms = sorted({t for c in per_doc_tf.values() for t in c})
+        dfs = s.term_stats(all_terms)
+        n = s.stats.doc_count
+        rows: dict[str, list] = {}
+        for k in keys:
+            scored = [
+                (float(c) * (math.log(n / (dfs[t] + 1.0)) + 1.0), t)
+                for t, c in per_doc_tf[k].items() if dfs.get(t, 0) > 0
+            ]
+            scored.sort(key=lambda x: (-x[0], x[1]))
+            label = scored[0][1]
+            rows.setdefault(label, []).append(ranks[k])
+        out = sorted(
+            ((lbl, len(rs), min(rs)) for lbl, rs in rows.items()),
+            key=lambda x: (-x[1], x[0]),
+        )
+        return self.spark.createDataFrame(
+            out, "label string, n_docs long, best_rank int"
+        )
+
     def total_hits(
         self, qtype: str, surface_terms: list[str], threshold: int = 1000,
         min_should: int = 0,

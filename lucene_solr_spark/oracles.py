@@ -1851,3 +1851,41 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, ltr_score::FLOAT AS ltr_
     SELECT row_number() OVER (ORDER BY ltr_score DESC, doc_id ASC) AS rank, doc_id, ltr_score
     FROM scored
 ) WHERE rank <= {k} ORDER BY rank"""
+
+
+def result_clusters_sql(
+    analyzer: str, spec: BooleanSpec, n_docs: int,
+) -> str:
+    """Result-clustering oracle (ClusteringComponent analog): top-N page,
+    per-doc dominant classic-tf·idf term (argmax, ties → term asc),
+    clusters grouped by label with size + best first-pass rank."""
+    frag = _bm25_match_ctes(spec, "")
+    return f"""WITH {base_ctes(analyzer)},{frag},
+page AS (
+    SELECT doc_id, rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        FROM match
+    ) WHERE rank <= {n_docs}
+),
+dtf AS (
+    SELECT k.doc_id, k.term, count(*)::BIGINT AS tf
+    FROM kept k JOIN page USING (doc_id) GROUP BY 1, 2
+),
+ddf AS (
+    SELECT k.term, count(DISTINCT k.doc_id)::BIGINT AS df
+    FROM kept k WHERE k.term IN (SELECT DISTINCT term FROM dtf) GROUP BY 1
+),
+lab AS (
+    SELECT doc_id, term AS label FROM (
+        SELECT t.doc_id, t.term,
+               row_number() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY t.tf::DOUBLE * (ln(st.doc_count::DOUBLE / (d.df + 1.0)) + 1.0) DESC,
+                            t.term ASC
+               ) AS rn
+        FROM dtf t JOIN ddf d USING (term), statsf st
+    ) WHERE rn = 1
+)
+SELECT label, count(*)::BIGINT AS n_docs, min(p.rank)::INTEGER AS best_rank
+FROM lab JOIN page p USING (doc_id)
+GROUP BY label ORDER BY n_docs DESC, label ASC"""
