@@ -220,6 +220,13 @@ MULTIPHRASE = [["merge"], ["batch", "stream"]]
 PHRASE_PREFIX = (["merge"], "bat")
 # Nested boolean: +merge +(batch stream) — inner disjunction as one clause
 NESTED_BOOL = (["merge"], ["batch", "stream"])
+# FeatureField.newSaturationQuery: (query, pivot, boost) — feature x=n_chars
+FEATURE_Q = ("or3", ["vector", "stream", "filter"], 200.0, 1.8)
+# ToParentBlockJoin score modes over the same child query as blockjoin
+BLOCKJOIN_SCORES_Q = ("or2", ["dup", "vector"], 5)
+# Reciprocal Rank Fusion: two retriever legs, top-n each, k0=60 (the
+# canonical constant), fused top-10
+RRF_Q = ("or3", ["vector", "stream", "filter"], "and2", ["merge", "batch"], 40, 60)
 
 
 def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -251,6 +258,22 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_blockjoin_source"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).blockjoin_by_source("or2", BLOCKJOIN_TERMS, n_groups=5)
+    # ToParentBlockJoin ScoreMode.Max/Total/Avg side by side (ordered
+    # deterministic double fold for Total; Avg = total/count)
+    out["ft_blockjoin_scores"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).blockjoin_scores(BLOCKJOIN_SCORES_Q[0], BLOCKJOIN_SCORES_Q[1],
+                       n_groups=BLOCKJOIN_SCORES_Q[2])
+    # FeatureField saturation query: bm25 + boost*x/(x+pivot) static boost
+    out["ft_feature_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).feature_topk(FEATURE_Q[0], FEATURE_Q[1], pivot=FEATURE_Q[2],
+                   boost=FEATURE_Q[3], k=10)
+    # Reciprocal Rank Fusion of two WAND top-n retriever legs
+    out["ft_rrf_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).rrf_topk(RRF_Q[0], RRF_Q[1], RRF_Q[2], RRF_Q[3],
+               n=RRF_Q[4], k0=RRF_Q[5], k=10)
     # BoostQuery (per-clause boosts folded into weights)
     out["ft_boost_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -787,6 +810,26 @@ def fulltext_oracles() -> dict[str, str]:
         offset=10,
     )
     out["ft_blockjoin_source"] = blockjoin_sql("simple", BLOCKJOIN_TERMS, 5)
+    from .oracles import blockjoin_scores_sql, feature_topk_sql, rrf_topk_sql
+
+    out["ft_blockjoin_scores"] = blockjoin_scores_sql(
+        "simple",
+        parse_fixture_query(
+            ANALYZERS["simple"](), BLOCKJOIN_SCORES_Q[0], BLOCKJOIN_SCORES_Q[1], 0
+        ),
+        BLOCKJOIN_SCORES_Q[2],
+    )
+    out["ft_feature_topk"] = feature_topk_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), FEATURE_Q[0], FEATURE_Q[1], 0),
+        FEATURE_Q[2], FEATURE_Q[3], 10,
+    )
+    out["ft_rrf_topk"] = rrf_topk_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), RRF_Q[0], RRF_Q[1], 0),
+        parse_fixture_query(ANALYZERS["simple"](), RRF_Q[2], RRF_Q[3], 0),
+        RRF_Q[4], RRF_Q[5], 10,
+    )
     sloppy_spec = parse_fixture_query(
         ANALYZERS["simple"](), "phrase2", ["table", "hash"], 0, slop=3
     )

@@ -756,6 +756,162 @@ class DocumentsEngine:
             .limit(n_groups)
         )
 
+    def blockjoin_scores(
+        self, qtype: str, surface_terms: list[str], n_groups: int = 5
+    ) -> DataFrame:
+        """ToParentBlockJoinQuery with ALL score modes side by side
+        (``lucene/join/src/java/.../ToParentBlockJoinQuery.java`` ScoreMode
+        Max / Total / Avg, Solr ``{!parent score=...}``): child (doc) BM25
+        hits roll up to the parent ``source`` group; Max is the f32 max
+        (summation-order independent), Total folds the child f32 scores in
+        doc_key order with DOUBLE accumulation (a deterministic left fold —
+        Lucene's ParentScorer likewise accumulates ``double score``), and
+        Avg = total / childCount in double, one final f32 cast each.
+
+        Scale shape: unranked per-segment hits → ONE broadcast join to the
+        pruned (doc_id, source) column → ONE partial+final hash-agg keyed
+        on the parent (output bounded by parent cardinality). The ordered
+        fold runs inside ``F.aggregate`` over the grouped child list — JVM
+        columnar, no UDF; child lists are per-parent (bounded block size),
+        not per-corpus."""
+        spec = self.searcher.parse(qtype, surface_terms, 0)
+        hits = self.searcher.hits(self.searcher.compile(spec, k=1 << 30), mode="exact")
+        keys = self.searcher.docs.select("doc_id", "doc_key")
+        src = self.spark.read.parquet(
+            os.path.join(self.sf_dir, "documents.parquet")
+        ).select(F.col("doc_id").alias("doc_key"), "source")
+        g = hits.join(keys, "doc_id", "left").join(F.broadcast(src), "doc_key")
+        agg = (
+            g.groupBy("source")
+            .agg(
+                F.max("score").cast("float").alias("score_max"),
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("doc_key").alias("k"),
+                                F.col("score").cast("double").alias("s"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["s"],
+                ).alias("total_d"),
+                F.count(F.lit(1)).alias("n_children"),
+            )
+            .select(
+                "source",
+                "score_max",
+                F.col("total_d").cast("float").alias("score_total"),
+                (F.col("total_d") / F.col("n_children").cast("double"))
+                .cast("float")
+                .alias("score_avg"),
+                F.col("n_children").cast("long").alias("n_children"),
+            )
+        )
+        return agg.orderBy(F.desc("score_total"), F.asc("source")).limit(n_groups)
+
+    def feature_topk(
+        self,
+        qtype: str,
+        surface_terms: list[str],
+        pivot: float = 200.0,
+        boost: float = 1.8,
+        k: int = 10,
+    ) -> DataFrame:
+        """FeatureField saturation query (``lucene/document/FeatureField.java``
+        ``newSaturationQuery`` + ``FeatureQuery``): a static document rank
+        feature (here x = n_chars, a docvalues-style column) combined with
+        relevance as an additive SHOULD clause — final score =
+        f32( f64(bm25) + boost · x/(x+pivot) ), the classic saturation
+        S(x) = x/(x+pivot) from the FeatureField javadoc. Deviation noted:
+        Lucene re-encodes the feature into the term-freq slot with reduced
+        float precision; we keep the full column value (no freq bottleneck
+        to squeeze through on this engine).
+
+        Scale shape: the saturation term is bounded by ``boost``, but we
+        score exact hits (like FunctionScoreQuery) + ONE broadcast join to
+        the pruned feature column + ONE TakeOrdered; a WAND upper bound of
+        max-impact + boost is the documented upgrade."""
+        spec = self.searcher.parse(qtype, surface_terms, 0)
+        hits = self.searcher.hits(
+            self.searcher.compile(spec, k=1 << 30), mode="exact"
+        )
+        keys = self.searcher.docs.select("doc_id", "doc_key")
+        src = self.spark.read.parquet(
+            os.path.join(self.sf_dir, "documents.parquet")
+        ).select(F.col("doc_id").alias("doc_key"), "n_chars")
+        x = F.col("n_chars").cast("double")
+        scored = (
+            hits.join(keys, "doc_id", "left")
+            .join(F.broadcast(src), "doc_key")
+            .withColumn(
+                "fscore",
+                (
+                    F.col("score").cast("double")
+                    + F.lit(float(boost)) * (x / (x + F.lit(float(pivot))))
+                ).cast("float"),
+            )
+        )
+        top = scored.orderBy(F.desc("fscore"), F.asc("doc_key")).limit(k)
+        return (
+            top.coalesce(1)
+            .sortWithinPartitions(F.desc("fscore"), F.asc("doc_key"))
+            .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+            .select(
+                "rank",
+                F.col("doc_key").cast("long").alias("doc_id"),
+                F.col("fscore").cast("float").alias("score"),
+            )
+            .orderBy("rank")
+        )
+
+    def rrf_topk(
+        self,
+        q1_type: str,
+        q1_terms: list[str],
+        q2_type: str,
+        q2_terms: list[str],
+        n: int = 40,
+        k0: int = 60,
+        k: int = 10,
+    ) -> DataFrame:
+        """Reciprocal Rank Fusion of two ranked retrievers (Solr 9.8's
+        ``combiner=rrf`` hybrid-search surface; Cormack/Clarke/Buettcher,
+        SIGIR 2009): each leg contributes 1/(k0 + rank) for docs inside its
+        top-n, fused score = the double sum, ties broken by doc_id. Ranks
+        are integers, so the fused double arithmetic is bitwise
+        deterministic on both engines.
+
+        Scale shape: each leg is an independent block-max WAND top-n (all
+        the pruning of the scored path applies per leg); the fusion joins
+        two ≤n-row frames — driver-free, broadcast-trivial, ONE final
+        sort of ≤2n rows."""
+        r1 = self.topk(q1_type, q1_terms, k=n).select(
+            "doc_id", F.col("rank").alias("r1")
+        )
+        r2 = self.topk(q2_type, q2_terms, k=n).select(
+            "doc_id", F.col("rank").alias("r2")
+        )
+        kd = F.lit(float(k0))
+        fused = r1.join(r2, "doc_id", "full_outer").withColumn(
+            "score",
+            F.coalesce(F.lit(1.0) / (kd + F.col("r1").cast("double")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (kd + F.col("r2").cast("double")), F.lit(0.0)),
+        )
+        top = fused.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return (
+            top.coalesce(1)
+            .sortWithinPartitions(F.desc("score"), F.asc("doc_id"))
+            .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+            .select(
+                "rank",
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("score").cast("double").alias("score"),
+            )
+            .orderBy("rank")
+        )
+
     def facet_on_query(
         self, qtype: str, surface_terms: list[str], facet_col: str,
         limit: int = 10,

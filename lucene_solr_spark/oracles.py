@@ -1429,6 +1429,88 @@ SELECT doc_id::BIGINT AS doc_id, CAST({float(boost)!r} AS FLOAT) AS score
 FROM match ORDER BY doc_id ASC LIMIT {k}"""
 
 
+def blockjoin_scores_sql(analyzer: str, spec: BooleanSpec, n_groups: int) -> str:
+    """ToParentBlockJoin score-mode oracle (ScoreMode Max/Total/Avg):
+    Total reproduces the engine's deterministic left fold — child f32
+    scores widened to DOUBLE, summed in doc_id order via ``list_reduce``
+    over an ordered ``list()`` aggregate (0.0 + x == x in IEEE, so the
+    fold seeds agree); Avg = total/count in double; one f32 cast each."""
+    frag = _bm25_match_ctes(spec, "")
+    return f"""WITH {base_ctes(analyzer)},{frag},
+children AS (
+    SELECT d.source, m.doc_id, m.score::FLOAT AS score
+    FROM match m JOIN documents d USING (doc_id)
+),
+agg AS (
+    SELECT source,
+           max(score)::FLOAT AS score_max,
+           list_reduce(list(CAST(score AS DOUBLE) ORDER BY doc_id),
+                       (a, b) -> a + b) AS total_d,
+           count(*)::BIGINT AS n_children
+    FROM children GROUP BY source
+)
+SELECT source, score_max,
+       CAST(total_d AS FLOAT) AS score_total,
+       CAST(total_d / n_children::DOUBLE AS FLOAT) AS score_avg,
+       n_children
+FROM agg ORDER BY score_total DESC, source ASC LIMIT {n_groups}"""
+
+
+def feature_topk_sql(
+    analyzer: str, spec: BooleanSpec, pivot: float, boost: float, k: int
+) -> str:
+    """FeatureField saturation-query oracle: score =
+    f32( f64(bm25_f32) + boost · x/(x+pivot) ), x = n_chars — double IEEE
+    ops on both engines, one final f32 cast."""
+    frag = _bm25_match_ctes(spec, "")
+    return f"""WITH {base_ctes(analyzer)},{frag},
+feat AS (
+    SELECT m.doc_id,
+           CAST(CAST(m.score AS DOUBLE)
+                + {float(boost)!r} * (d.n_chars::DOUBLE
+                    / (d.n_chars::DOUBLE + {float(pivot)!r})) AS FLOAT) AS score
+    FROM match m JOIN documents d USING (doc_id)
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+    FROM feat
+) WHERE rank <= {k} ORDER BY rank"""
+
+
+def rrf_topk_sql(
+    analyzer: str, spec1: BooleanSpec, spec2: BooleanSpec,
+    n: int, k0: int, k: int,
+) -> str:
+    """Reciprocal Rank Fusion oracle: each leg's rank is the BM25 oracle's
+    row_number (score desc, doc_id asc) cut at n; fused =
+    Σ 1/(k0 + rank) in double (integer ranks ⇒ bitwise-deterministic)."""
+    frag1 = _bm25_match_ctes(spec1, "a")
+    frag2 = _bm25_match_ctes(spec2, "b")
+    return f"""WITH {base_ctes(analyzer)},{frag1},{frag2},
+ar AS (
+    SELECT doc_id, rnk FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM amatch
+    ) WHERE rnk <= {n}
+),
+br AS (
+    SELECT doc_id, rnk FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM bmatch
+    ) WHERE rnk <= {n}
+),
+fused AS (
+    SELECT doc_id,
+           COALESCE(1.0 / ({float(k0)!r} + x.rnk::DOUBLE), 0.0)
+         + COALESCE(1.0 / ({float(k0)!r} + y.rnk::DOUBLE), 0.0) AS score
+    FROM ar x FULL OUTER JOIN br y USING (doc_id)
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::DOUBLE AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+    FROM fused
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def ltr_rescore_sql(
     analyzer: str, spec: BooleanSpec, feature_term: str,
     weights: tuple, rerank_docs: int, k: int,
