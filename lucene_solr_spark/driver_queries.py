@@ -227,6 +227,12 @@ BLOCKJOIN_SCORES_Q = ("or2", ["dup", "vector"], 5)
 # Reciprocal Rank Fusion: two retriever legs, top-n each, k0=60 (the
 # canonical constant), fused top-10
 RRF_Q = ("or3", ["vector", "stream", "filter"], "and2", ["merge", "batch"], 40, 60)
+# FreeTextSuggester: (completed context token, typed prefix, k) — prefix
+# 'd' yields BOTH orders at sf0.01: 'data' follows 'merge' (bigram path)
+# while 'dup' never does (ALPHA-discounted unigram backoff path)
+FREETEXT_Q = ("merge", "d", 8)
+# WordBreakSpellChecker: (run-together break input, adjacent combine pair)
+WORDBREAK_Q = ("mergebatch", ("bat", "ch"))
 
 
 def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -518,6 +524,16 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_suggest_infix"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).suggest("infix", "or", k=10)
+    # FreeTextSuggester: 2-gram LM with stupid backoff (context 'merge',
+    # typed prefix 'b')
+    out["ft_suggest_freetext"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).suggest_freetext(FREETEXT_Q[0], FREETEXT_Q[1], k=FREETEXT_Q[2])
+    # WordBreakSpellChecker: break a run-together input + combine adjacent
+    # query terms against the term dictionary
+    out["ft_wordbreak"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).word_break(WORDBREAK_Q[0], WORDBREAK_Q[1])
     out["ft_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").docs_norms()
     out["ft_stop_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "stop").docs_norms()
     out["ft_term_stats"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").term_stats_df()
@@ -911,6 +927,12 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     out["ft_lmjm_topk"] = lmjm_topk_sql("simple", bool_terms, 10)
     out["ft_suggest"] = suggest_sql("simple", "term LIKE 's%'", 10)
     out["ft_suggest_infix"] = suggest_sql("simple", "term LIKE '%or%'", 10)
+    from .oracles import suggest_freetext_sql, word_break_sql
+
+    out["ft_suggest_freetext"] = suggest_freetext_sql(
+        "simple", FREETEXT_Q[0], FREETEXT_Q[1], FREETEXT_Q[2]
+    )
+    out["ft_wordbreak"] = word_break_sql("simple", WORDBREAK_Q[0], WORDBREAK_Q[1])
     out["ft_spellcheck"] = suggest_sql(
         "simple", "levenshtein(term, 'batc') <= 1", 10
     )

@@ -1757,6 +1757,137 @@ class DocumentsEngine:
             .orderBy("rank")
         )
 
+    def suggest_freetext(
+        self, context: str, prefix: str, k: int = 8, alpha: float = 0.4
+    ) -> DataFrame:
+        """FreeTextSuggester (``lucene/suggest/.../analyzing/
+        FreeTextSuggester.java``): a 2-gram language model with
+        stupid-backoff smoothing (Brants et al. 2007, ALPHA=0.4) over the
+        analyzed corpus — NOT the search index; like the reference, the
+        suggester builds its own n-gram model from the token stream.
+        Given a completed context token and the typed prefix of the next
+        word: bigram candidates score count(ctx,w)/count(ctx); unigram
+        backoff candidates (not already suggested by the higher order)
+        score ALPHA · count(w)/totalTokens.
+
+        Scale shape: tokenization + bigram pairing are pure JVM column ops
+        (``zip_with`` over the token array — zero shuffle), then ONE
+        groupBy each for the bigram and unigram count tables
+        (partial+final agg); candidate filtering is a pushed prefix
+        predicate. No UDF, no driver-side text."""
+        an = self.searcher.analyzer
+        ctx = an.analyze(context)[0][0]
+        pfx = prefix.lower()
+        from .ops.textmetrics import TOKEN_RE
+
+        docs = self.spark.read.parquet(
+            os.path.join(self.sf_dir, "documents.parquet")
+        ).select(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+            .alias("toks")
+        )
+        uni = (
+            docs.select(F.explode("toks").alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        big = (
+            docs.select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(toks) >= 2 THEN "
+                        "zip_with(slice(toks, 1, size(toks)-1), "
+                        "         slice(toks, 2, size(toks)-1), "
+                        "         (a, b) -> struct(a AS w1, b AS w2)) "
+                        "ELSE array() END"
+                    )
+                ).alias("bg")
+            )
+            .select("bg.w1", "bg.w2")
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        ctx_cnt = uni.filter(F.col("term") == ctx).select(
+            F.col("cnt").alias("ctx_cnt")
+        )
+        total = uni.agg(F.sum("cnt").alias("tot"))
+        big_sc = (
+            big.filter((F.col("w1") == ctx) & F.col("w2").startswith(pfx))
+            .crossJoin(F.broadcast(ctx_cnt))
+            .select(
+                F.col("w2").alias("term"),
+                (F.col("cnt").cast("double") / F.col("ctx_cnt").cast("double"))
+                .alias("score"),
+                F.lit(2).alias("grams"),
+            )
+        )
+        uni_sc = (
+            uni.filter(F.col("term").startswith(pfx))
+            .join(big_sc.select("term"), "term", "left_anti")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "term",
+                (F.lit(float(alpha))
+                 * (F.col("cnt").cast("double") / F.col("tot").cast("double")))
+                .alias("score"),
+                F.lit(1).alias("grams"),
+            )
+        )
+        top = big_sc.unionByName(uni_sc).orderBy(
+            F.desc("score"), F.asc("term")
+        ).limit(k)
+        return (
+            top.coalesce(1)
+            .sortWithinPartitions(F.desc("score"), F.asc("term"))
+            .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+            .select("rank", "term", F.col("score").cast("double").alias("score"),
+                    F.col("grams").cast("int").alias("grams"))
+            .orderBy("rank")
+        )
+
+    def word_break(
+        self, break_input: str, combine_inputs: tuple[str, str],
+    ) -> DataFrame:
+        """WordBreakSpellChecker (``lucene/suggest/.../spell/
+        WordBreakSpellChecker.java``): ``suggestWordBreaks`` tries every
+        split point of a run-together input and keeps splits whose BOTH
+        halves exist in the term dictionary (maxChanges=1 — one break);
+        ``suggestWordCombinations`` concatenates adjacent query terms and
+        keeps combinations the dictionary contains. Break frequency =
+        min(df_left, df_right) (the rarer half bounds the evidence, like
+        SuggestWordFrequencyComparator on the weaker member); combine
+        frequency = the combined term's df.
+
+        Scale shape: the split-point list is O(len(word)) rows broadcast
+        against the distributed term dictionary — two broadcast hash joins
+        + one pushed equality filter; the dictionary never moves."""
+        ts = self.term_stats_df(min_df=1)
+        splits = [
+            (break_input[:i], break_input[i:])
+            for i in range(1, len(break_input))
+        ]
+        sdf = self.spark.createDataFrame(splits, "lterm string, rterm string")
+        l = ts.select(F.col("term").alias("lterm"), F.col("df").alias("ldf"))
+        r = ts.select(F.col("term").alias("rterm"), F.col("df").alias("rdf"))
+        brk = (
+            l.join(F.broadcast(sdf), "lterm")
+            .join(r, "rterm")
+            .select(
+                F.lit("break").alias("kind"),
+                F.concat_ws(" ", "lterm", "rterm").alias("suggestion"),
+                F.least("ldf", "rdf").cast("long").alias("freq"),
+            )
+        )
+        cat = combine_inputs[0] + combine_inputs[1]
+        comb = ts.filter(F.col("term") == cat).select(
+            F.lit("combine").alias("kind"),
+            F.col("term").alias("suggestion"),
+            F.col("df").cast("long").alias("freq"),
+        )
+        return brk.unionByName(comb).orderBy(
+            F.asc("kind"), F.desc("freq"), F.asc("suggestion")
+        )
+
     def boostfunc_topk(
         self, qtype: str, surface_terms: list[str], k: int = 10
     ) -> DataFrame:

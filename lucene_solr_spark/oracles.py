@@ -1001,6 +1001,65 @@ SELECT rank::INTEGER AS rank, term, df FROM (
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def suggest_freetext_sql(
+    analyzer: str, ctx: str, prefix: str, k: int, alpha: float = 0.4
+) -> str:
+    """FreeTextSuggester oracle: bigram counts from a positional self-join
+    (pos+1 within doc), stupid backoff ALPHA·unigram for prefix matches
+    the bigram order didn't already suggest — double divisions in the same
+    op order as the engine."""
+    return f"""WITH {base_ctes(analyzer)},
+uni AS (SELECT term, count(*)::BIGINT AS cnt FROM kept GROUP BY term),
+tot AS (SELECT sum(cnt)::BIGINT AS t FROM uni),
+big AS (
+    SELECT a.term AS w1, b.term AS w2, count(*)::BIGINT AS cnt
+    FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY a.term, b.term
+),
+cands AS (
+    SELECT w2 AS term,
+           cnt::DOUBLE / (SELECT cnt FROM uni WHERE term = '{ctx}')::DOUBLE AS score,
+           2 AS grams
+    FROM big WHERE w1 = '{ctx}' AND w2 LIKE '{prefix}%'
+    UNION ALL
+    SELECT u.term, {float(alpha)!r} * (u.cnt::DOUBLE / t.t::DOUBLE), 1
+    FROM uni u, tot t
+    WHERE u.term LIKE '{prefix}%'
+      AND NOT EXISTS (SELECT 1 FROM big WHERE w1 = '{ctx}' AND w2 = u.term)
+)
+SELECT rank::INTEGER AS rank, term, score::DOUBLE AS score, grams::INTEGER AS grams FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, term ASC) AS rank, term, score, grams
+    FROM cands
+) WHERE rank <= {k} ORDER BY rank"""
+
+
+def word_break_sql(
+    analyzer: str, break_input: str, combine_inputs: tuple[str, str]
+) -> str:
+    """WordBreakSpellChecker oracle: every split point joined twice against
+    the term dictionary; combine = concatenation membership lookup."""
+    splits = ", ".join(
+        f"('{break_input[:i]}', '{break_input[i:]}')"
+        for i in range(1, len(break_input))
+    )
+    cat = combine_inputs[0] + combine_inputs[1]
+    return f"""WITH {base_ctes(analyzer)},
+tsx AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM kept GROUP BY term),
+splits(lterm, rterm) AS (VALUES {splits}),
+brk AS (
+    SELECT 'break' AS kind, s.lterm || ' ' || s.rterm AS suggestion,
+           least(l.df, r.df)::BIGINT AS freq
+    FROM splits s JOIN tsx l ON l.term = s.lterm JOIN tsx r ON r.term = s.rterm
+),
+comb AS (
+    SELECT 'combine' AS kind, term AS suggestion, df::BIGINT AS freq
+    FROM tsx WHERE term = '{cat}'
+)
+SELECT kind, suggestion, freq FROM (
+    SELECT * FROM brk UNION ALL SELECT * FROM comb
+) ORDER BY kind ASC, freq DESC, suggestion ASC"""
+
+
 def rerank_topk_sql(
     analyzer: str, main_spec: BooleanSpec, rr_spec: BooleanSpec,
     rerank_docs: int, weight: float, k: int,

@@ -1,0 +1,59 @@
+"""FreeTextSuggester (2-gram stupid backoff) and WordBreakSpellChecker
+(``lucene/suggest/.../analyzing/FreeTextSuggester.java``,
+``lucene/suggest/.../spell/WordBreakSpellChecker.java``). The driver gate
+certifies bitwise oracle parity; these tests pin the LM semantics the SQL
+equivalence alone can't: backoff discount ordering and break/combine
+dictionary membership."""
+
+import pytest
+
+from lucene_solr_spark.engine import get_engine
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return get_engine(spark, SF, "simple")
+
+
+def test_freetext_bigram_beats_backoff_and_alpha_applied(eng):
+    rows = eng.suggest_freetext("merge", "d", k=8).collect()
+    assert rows
+    by_gram = {}
+    for r in rows:
+        by_gram.setdefault(r.grams, []).append(r)
+    if 2 in by_gram and 1 in by_gram:
+        # conditional bigram probabilities dominate ALPHA-discounted
+        # unigram rates on this corpus (dense co-occurrence)
+        assert min(r.score for r in by_gram[2]) > max(r.score for r in by_gram[1])
+    for r in rows:
+        assert 0.0 < r.score <= 1.0
+        assert r.term.startswith("d")
+
+
+def test_freetext_no_duplicate_terms(eng):
+    rows = eng.suggest_freetext("merge", "s", k=20).collect()
+    terms = [r.term for r in rows]
+    # higher order suppresses the backoff duplicate (Lucene's seen set)
+    assert len(terms) == len(set(terms))
+
+
+def test_wordbreak_break_and_combine(eng):
+    rows = eng.word_break("mergebatch", ("bat", "ch")).collect()
+    kinds = {r.kind for r in rows}
+    assert "break" in kinds and "combine" in kinds
+    brk = [r for r in rows if r.kind == "break"]
+    assert any(r.suggestion == "merge batch" for r in brk)
+    comb = [r for r in rows if r.kind == "combine"]
+    assert comb[0].suggestion == "batch" and comb[0].freq >= 1
+    # break freq = min of the two halves' dfs — bounded by either df
+    ts = {r.term: r.df for r in eng.term_stats_df().collect()}
+    for r in brk:
+        lft, rgt = r.suggestion.split(" ")
+        assert r.freq == min(ts[lft], ts[rgt])
+
+
+def test_wordbreak_rejects_nondictionary_splits(eng):
+    rows = eng.word_break("mergexyz", ("zz", "qq")).collect()
+    assert rows == []  # no split half nor combination is in the dictionary
