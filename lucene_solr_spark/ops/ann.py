@@ -593,6 +593,63 @@ SELECT vec_id, qdot::BIGINT AS qdot, round(dot / (na * npv), 6) AS cos_sim
 FROM rer, np ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""
 
 
+# --- hard-negative mining ----------------------------------------------------
+
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: the top-k
+    most-similar vectors that carry a DIFFERENT label than the probe — the
+    negatives closest to the decision boundary, the ones a trainer actually
+    wants in the batch (the in-batch-negatives upgrade every retrieval
+    recipe documents). Exactly the brute cosine kernel plus one pushed
+    label-inequality predicate.
+
+    Scale shape: identical to ``ann_cosine_topk`` — JVM ``zip_with`` dot
+    products, probe broadcast as a literal array, label filter pushed to
+    the parquet scan, ONE TakeOrdered. The LSH/IVF variants compose the
+    same way (filter the candidate set) when brute force stops fitting."""
+    emb = _emb(spark, sf_dir)
+    row = emb.filter(F.col("vec_id") == PROBE_VEC_ID).select("embedding", "label").head()
+    probe, plabel = [float(x) for x in row.embedding], int(row.label)
+    pv = F.array(*[F.lit(float(x)) for x in probe])
+    return (
+        emb.filter(F.col("label") != plabel)
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            F.round(
+                _dot(F.col("embedding"), pv)
+                / (_norm(F.col("embedding")) * _norm(pv)),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+ANN_HARD_NEG_SQL = f"""
+WITH probe AS (
+    SELECT embedding AS pv, label AS plabel FROM embeddings
+    WHERE vec_id = {PROBE_VEC_ID}
+),
+pe AS (SELECT unnest(pv) AS p, generate_subscripts(pv, 1) AS i FROM probe),
+ex AS (
+    SELECT e.vec_id, e.label, unnest(e.embedding) AS x,
+           generate_subscripts(e.embedding, 1) AS i
+    FROM embeddings e, probe WHERE e.label != probe.plabel
+),
+np AS (SELECT sqrt(sum(p::DOUBLE * p::DOUBLE)) AS npv FROM pe),
+dots AS (
+    SELECT vec_id, any_value(label) AS label, sum(x::DOUBLE * p::DOUBLE) AS dot,
+           sqrt(sum(x::DOUBLE * x::DOUBLE)) AS na
+    FROM ex JOIN pe USING (i) GROUP BY vec_id
+)
+SELECT vec_id, label::INTEGER AS label, round(dot / (na * npv), 6) AS cos_sim
+FROM dots, np
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""
+
+
+register("ann_hard_negatives", ann_hard_negatives, ANN_HARD_NEG_SQL)
 register("ann_sq_topk", ann_sq_topk, ANN_SQ_SQL)
 register("ann_cosine_topk", ann_cosine_topk, ANN_COSINE_SQL)
 register("ann_ivf_topk", ann_ivf_topk, ANN_IVF_SQL)

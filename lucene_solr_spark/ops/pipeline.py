@@ -686,4 +686,181 @@ FROM thr t LEFT JOIN kept k USING (source)
 ORDER BY t.source"""
 
 
+# ---------------------------------------------------------------------------
+# ngram_hotspots: boilerplate n-gram detection
+# ---------------------------------------------------------------------------
+
+HOTSPOT_N = 5
+HOTSPOT_K = 15
+
+
+def ngram_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: the corpus-wide hottest token 5-grams by
+    document frequency AND total occurrence count — the repeated templates
+    / headers / license blocks a C4-style cleaner strips before training
+    (the n-gram analog of CCNet's paragraph-hash dedup).
+
+    Scale shape: the n-gram build is an ARRAY ``transform`` over each
+    row's token array (zero shuffle — no window over positions), then ONE
+    (shingle) hash-aggregate counting total occurrences and distinct docs;
+    top-k is a TakeOrdered. At 100 TB the aggregate output is
+    vocabulary-of-5-grams-bounded and map-side combined."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0).alias("toks"),
+    )
+    n = HOTSPOT_N
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {n} THEN "
+                f"transform(sequence(1, size(toks) - {n - 1}), "
+                f"          i -> array_join(slice(toks, i, {n}), ' ')) "
+                "ELSE array() END"
+            )
+        ).alias("shingle"),
+    )
+    return (
+        grams.groupBy("shingle")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .orderBy(F.desc("df"), F.desc("total"), F.asc("shingle"))
+        .limit(HOTSPOT_K)
+        .select("shingle", F.col("df").cast("long").alias("df"),
+                F.col("total").cast("long").alias("total"))
+    )
+
+
+NGRAM_HOTSPOTS_SQL = f"""
+WITH tl AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+    FROM tl
+),
+grams AS (
+    SELECT doc_id,
+           term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+                || ' ' || lead(term, 3) OVER w || ' ' || lead(term, 4) OVER w
+               AS shingle,
+           lead(term, {HOTSPOT_N - 1}) OVER w AS tail
+    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT shingle, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS total
+FROM grams WHERE tail IS NOT NULL
+GROUP BY shingle
+ORDER BY df DESC, total DESC, shingle ASC LIMIT {HOTSPOT_K}"""
+
+
+# ---------------------------------------------------------------------------
+# features_ig: information-gain term selection (FeaturesSelectionStream)
+# ---------------------------------------------------------------------------
+
+IG_POS_SOURCE = "src1"
+IG_K = 15
+IG_MIN_DF = 5
+
+
+def features_ig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-gain feature selection (``SJ/io/stream/
+    FeaturesSelectionStream`` — the term scorer behind Solr's ``features()``
+    / ``train()`` text-classification streams): for a binary outcome
+    (doc.source == positive class) each term scores
+    IG = H(C) − P(t)·H(C|t) − P(¬t)·H(C|¬t) from its document-presence
+    contingency counts. Rounded to 6 decimals on both engines (libm log2
+    ULP guard — same discipline as the ANN cosine entries).
+
+    Scale shape: distinct (doc, term) → ONE term-keyed hash-agg for the
+    contingency counts (map-side combined), corpus totals broadcast; the
+    entropy arithmetic is pure JVM column expressions."""
+    docs = _docs(spark, sf_dir)
+    pos = (F.col("source") == IG_POS_SOURCE).cast("long")
+    dt = docs.select(
+        "doc_id", pos.alias("y"),
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+            )
+        ).alias("term"),
+    )
+    counts = dt.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n1"),        # docs containing term
+        F.sum("y").alias("n11"),              # positive docs containing term
+    )
+    totals = docs.agg(
+        F.count(F.lit(1)).alias("nn"), F.sum(pos).alias("npos")
+    )
+
+    def h2(p):  # binary entropy of a probability column, 0·log0 = 0
+        def plogp(q):
+            return F.when((q > 0) & (q < 1), -q * F.log2(q)).otherwise(F.lit(0.0))
+
+        return plogp(p) + plogp(F.lit(1.0) - p)
+
+    nn = F.col("nn").cast("double")
+    n1 = F.col("n1").cast("double")
+    n0 = nn - n1
+    p1 = F.col("n11").cast("double") / n1
+    p0 = (F.col("npos").cast("double") - F.col("n11").cast("double")) / n0
+    hc = h2(F.col("npos").cast("double") / nn)
+    ig = hc - (n1 / nn) * h2(p1) - (n0 / nn) * h2(p0)
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .filter(F.col("n1") >= IG_MIN_DF)
+        .select(
+            "term",
+            F.col("n1").cast("long").alias("df"),
+            F.col("n11").cast("long").alias("pos_df"),
+            F.round(ig, 6).alias("ig"),
+        )
+        .orderBy(F.desc("ig"), F.asc("term"))
+        .limit(IG_K)
+    )
+
+
+FEATURES_IG_SQL = f"""
+WITH dt AS (
+    SELECT DISTINCT doc_id,
+           (source = '{IG_POS_SOURCE}')::BIGINT AS y,
+           unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS term
+    FROM documents
+),
+counts AS (
+    SELECT term, count(*)::BIGINT AS n1, sum(y)::BIGINT AS n11 FROM dt GROUP BY term
+),
+tot AS (
+    SELECT count(*)::BIGINT AS nn,
+           sum((source = '{IG_POS_SOURCE}')::BIGINT)::BIGINT AS npos
+    FROM documents
+),
+scored AS (
+    SELECT term, n1 AS df, n11 AS pos_df,
+           (CASE WHEN npos > 0 AND npos < nn
+                 THEN -(npos::DOUBLE/nn) * log2(npos::DOUBLE/nn)
+                      - (1.0 - npos::DOUBLE/nn) * log2(1.0 - npos::DOUBLE/nn)
+                 ELSE 0.0 END)
+         - (n1::DOUBLE/nn) * (
+               (CASE WHEN n11 > 0 AND n11 < n1
+                     THEN -(n11::DOUBLE/n1) * log2(n11::DOUBLE/n1)
+                          - (1.0 - n11::DOUBLE/n1) * log2(1.0 - n11::DOUBLE/n1)
+                     ELSE 0.0 END))
+         - ((nn - n1)::DOUBLE/nn) * (
+               (CASE WHEN (npos - n11) > 0 AND (npos - n11) < (nn - n1)
+                     THEN -((npos - n11)::DOUBLE/(nn - n1)) * log2((npos - n11)::DOUBLE/(nn - n1))
+                          - (1.0 - (npos - n11)::DOUBLE/(nn - n1)) * log2(1.0 - (npos - n11)::DOUBLE/(nn - n1))
+                     ELSE 0.0 END))
+           AS ig_raw
+    FROM counts, tot WHERE n1 >= {IG_MIN_DF}
+)
+SELECT term, df, pos_df, round(ig_raw, 6) AS ig
+FROM scored ORDER BY ig DESC, term ASC LIMIT {IG_K}"""
+
+
+register("ngram_hotspots", ngram_hotspots, NGRAM_HOTSPOTS_SQL)
+register("features_ig", features_ig, FEATURES_IG_SQL)
 register("mix_balance", mix_balance, MIX_BALANCE_SQL)

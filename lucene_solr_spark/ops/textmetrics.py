@@ -301,6 +301,85 @@ SELECT doc_id, t2::BIGINT AS n_2grams,
 FROM wide ORDER BY doc_id"""
 
 
+# --- unigram-LM perplexity quality score -------------------------------------
+
+def text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bits-per-token under the corpus unigram language model —
+    the CCNet-style LM-perplexity quality signal (docs whose token
+    distribution diverges from the corpus score high and get filtered):
+    H(d) = −(1/|d|) Σ_term tf·log2(count(term)/totalTokens).
+
+    Float discipline: each term's contribution tf·log2(p) is computed in
+    double and ROUNDED TO f32 (absorbing libm log2 ULP differences between
+    engines), then summed in a DETERMINISTIC term-ordered double fold
+    (``F.aggregate`` over a sorted collect_list — same discipline as the
+    block-join Total mode); final bits/token takes one more f32 cast.
+
+    Scale shape: one tokenize pass → ONE (doc,term) hash-agg for tfs, ONE
+    term hash-agg for the LM (vocab-bounded, broadcast back), ONE per-doc
+    fold. No UDF, no driver-side text."""
+    d = _toks(_docs(spark, sf_dir))
+    dt = d.select("doc_id", F.explode("toks").alias("term")).groupBy(
+        "doc_id", "term"
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    uni = dt.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    tot = uni.agg(F.sum("cnt").alias("tot"))
+    contrib = (
+        dt.join(F.broadcast(uni), "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id", "term", "tf",
+            (
+                F.col("tf").cast("double")
+                * F.log2(F.col("cnt").cast("double") / F.col("tot").cast("double"))
+            ).cast("float").alias("c32"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(F.struct("term", F.col("c32").cast("double").alias("c")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("sum_d"),
+        )
+        .select(
+            "doc_id", "n_tokens",
+            (-F.col("sum_d") / F.col("n_tokens").cast("double"))
+            .cast("float").alias("bits_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_UNIGRAM_PPL_SQL = f"""
+WITH t AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS term
+    FROM documents
+),
+dt AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+uni AS (SELECT term, sum(tf)::BIGINT AS cnt FROM dt GROUP BY 1),
+tot AS (SELECT sum(cnt)::BIGINT AS tot FROM uni),
+contrib AS (
+    SELECT dt.doc_id, dt.term, dt.tf,
+           CAST(dt.tf::DOUBLE * log2(u.cnt::DOUBLE / tot.tot::DOUBLE) AS FLOAT) AS c32
+    FROM dt JOIN uni u USING (term), tot
+),
+agg AS (
+    SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+           list_reduce(list(CAST(c32 AS DOUBLE) ORDER BY term), (a, b) -> a + b) AS sum_d
+    FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(-sum_d / n_tokens::DOUBLE AS FLOAT) AS bits_per_token
+FROM agg ORDER BY doc_id"""
+
+
+register("text_unigram_ppl", text_unigram_ppl, TEXT_UNIGRAM_PPL_SQL)
 register("text_repetition", text_repetition, TEXT_REPETITION_SQL)
 register("text_quality", text_quality, TEXT_QUALITY_SQL)
 register("text_langid", text_langid, TEXT_LANGID_SQL)

