@@ -233,6 +233,11 @@ RRF_Q = ("or3", ["vector", "stream", "filter"], "and2", ["merge", "batch"], 40, 
 FREETEXT_Q = ("merge", "d", 8)
 # WordBreakSpellChecker: (run-together break input, adjacent combine pair)
 WORDBREAK_Q = ("mergebatch", ("bat", "ch"))
+# SynonymGraphFilter multi-word rule: "table hash" => dup (query-time graph
+# → OR(phrase, term) via QueryBuilder#analyzeGraphBoolean)
+SYNGRAPH_Q = (["table", "hash"], "dup")
+# /analysis/field debug: per-stage token stream of the stop chain
+ANALYSIS_TEXT = "The Table HASH the Window"
 
 
 def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -534,6 +539,14 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_wordbreak"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).word_break(WORDBREAK_Q[0], WORDBREAK_Q[1])
+    # SynonymGraph multi-word rule: OR(phrase("table hash"), term(dup))
+    out["ft_syngraph_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).syngraph_topk(SYNGRAPH_Q[0], SYNGRAPH_Q[1], k=10)
+    # /analysis/field handler: per-stage token stream over a literal
+    out["ft_analysis_debug"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "stop"
+    ).analysis_debug(ANALYSIS_TEXT)
     out["ft_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").docs_norms()
     out["ft_stop_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "stop").docs_norms()
     out["ft_term_stats"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").term_stats_df()
@@ -933,6 +946,21 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
         "simple", FREETEXT_Q[0], FREETEXT_Q[1], FREETEXT_Q[2]
     )
     out["ft_wordbreak"] = word_break_sql("simple", WORDBREAK_Q[0], WORDBREAK_Q[1])
+    from .oracles import analysis_debug_sql
+    from .search.query import BooleanSpec, PhraseClause, TermClause
+
+    out["ft_syngraph_topk"] = bm25_topk_sql(
+        "simple",
+        BooleanSpec(
+            should=[
+                PhraseClause(tuple(SYNGRAPH_Q[0]), tuple(range(len(SYNGRAPH_Q[0])))),
+                TermClause(SYNGRAPH_Q[1]),
+            ],
+            min_should_match=1,
+        ),
+        10,
+    )
+    out["ft_analysis_debug"] = analysis_debug_sql(ANALYSIS_TEXT)
     out["ft_spellcheck"] = suggest_sql(
         "simple", "levenshtein(term, 'batc') <= 1", 10
     )

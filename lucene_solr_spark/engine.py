@@ -1757,6 +1757,66 @@ class DocumentsEngine:
             .orderBy("rank")
         )
 
+    def syngraph_topk(
+        self, phrase_words: list[str], synonym: str, k: int = 10
+    ) -> DataFrame:
+        """Query-time MULTI-WORD synonym (``lucene/analysis/.../synonym/
+        SynonymGraphFilter.java`` + ``L/util/QueryBuilder#analyzeGraphBoolean``):
+        a rule ``"w1 w2" => syn`` makes the query analyzer emit a token
+        GRAPH, and QueryBuilder lowers each graph path to one Boolean
+        branch — OR( phrase("w1 w2"), term(syn) ), minShouldMatch=1. The
+        index side stays untouched (graph filters are query-time only in
+        Lucene because indexed graphs would corrupt positions).
+
+        Scale shape: nothing new executes — the phrase branch rides the
+        packed-key phrase kernel and the term branch the ordinary scorer;
+        one WAND top-k over the two-clause disjunction."""
+        from .search.query import PhraseClause, TermClause
+
+        an = self.searcher.analyzer
+        terms = tuple(an.analyze(w)[0][0] for w in phrase_words)
+        syn = an.analyze(synonym)[0][0]
+        spec = BooleanSpec(
+            should=[
+                PhraseClause(terms, tuple(range(len(terms)))),
+                TermClause(syn),
+            ],
+            min_should_match=1,
+        )
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
+    def analysis_debug(self, text: str) -> DataFrame:
+        """Field-analysis debug handler (Solr ``/analysis/field`` —
+        ``S/handler/AnalysisRequestHandlerBase#analyzeValue``): the token
+        stream after EACH stage of the ``stop`` chain (tokenizer →
+        lowercase → stopfilter), positions preserved across the stop holes
+        exactly as FilteringTokenFilter increments them. Runs as JVM column
+        expressions over a one-row literal (this is a per-request debug
+        surface, not a corpus op) — which makes the entry a driver-checked
+        SQL-equivalence certificate for the chain itself."""
+        from .analysis import ENGLISH_STOP_WORDS
+        from .ops.textmetrics import TOKEN_RE
+
+        base = self.spark.range(1).select(F.lit(text).alias("text")).select(
+            F.posexplode(
+                F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
+            ).alias("pos", "raw")
+        )
+        tok = base.select(F.lit("1_tokenizer").alias("stage"),
+                          F.col("pos").cast("int").alias("pos"),
+                          F.col("raw").alias("token"))
+        low = base.select(F.lit("2_lowercase").alias("stage"),
+                          F.col("pos").cast("int").alias("pos"),
+                          F.lower("raw").alias("token"))
+        stop_arr = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
+        stp = (
+            base.select(F.col("pos").cast("int").alias("pos"),
+                        F.lower("raw").alias("token"))
+            .filter(~F.array_contains(stop_arr, F.col("token")))
+            .select(F.lit("3_stopfilter").alias("stage"), "pos", "token")
+        )
+        return tok.unionByName(low).unionByName(stp).orderBy("stage", "pos")
+
     def suggest_freetext(
         self, context: str, prefix: str, k: int = 8, alpha: float = 0.4
     ) -> DataFrame:

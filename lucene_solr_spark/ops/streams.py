@@ -963,3 +963,51 @@ FROM documents ORDER BY h LIMIT 20"""
 
 
 register("stream_random", stream_random, STREAM_RANDOM_SQL)
+
+
+def stream_facet2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet2D streaming expression (``SJ/io/stream/Facet2DStream`` —
+    `facet2D(collection, x=..., y=..., dimensions="a,b", count(*))`): a
+    two-dimension facet keeping the top-2 y buckets per x bucket, with
+    count and an exact-decimal sum metric.
+
+    Scale shape: ONE (x, y) hash-aggregate (partial+final, map-side
+    combined), then a window rank over the tiny bucket table partitioned
+    by x — the full-table pass is the single aggregate; the window never
+    sees raw rows. Sum is DECIMAL so combine order can't change it."""
+    ev = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    buckets = (
+        ev.groupBy(
+            F.col("event_type").alias("x"),
+            F.dayofweek("ts").cast("int").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(dec).cast("double").alias("sum_value"))
+    )
+    w = Window.partitionBy("x").orderBy(F.desc("n"), F.asc("y"))
+    return (
+        buckets.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 2)
+        .select("x", "y", "n", "sum_value")
+        .orderBy("x", F.desc("n"), "y")
+    )
+
+
+STREAM_FACET2D_SQL = """
+WITH buckets AS (
+    SELECT event_type AS x, dayofweek(ts)::INTEGER + 1 AS y,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT x, y, n, sum_value,
+           row_number() OVER (PARTITION BY x ORDER BY n DESC, y ASC) AS r
+    FROM buckets
+)
+SELECT x, y, n, sum_value FROM ranked WHERE r <= 2
+ORDER BY x, n DESC, y"""
+
+
+register("stream_facet2d", stream_facet2d, STREAM_FACET2D_SQL)

@@ -1001,6 +1001,26 @@ SELECT rank::INTEGER AS rank, term, df FROM (
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def analysis_debug_sql(text: str) -> str:
+    """Field-analysis handler oracle: per-stage token stream of the stop
+    chain over a literal string (tokenizer → lowercase → stopfilter,
+    positions preserved across holes)."""
+    esc = text.replace("'", "''")
+    return f"""WITH base AS (
+    SELECT unnest(regexp_extract_all('{esc}', '{TOKEN_RE_SQL}')) AS raw,
+           generate_subscripts(regexp_extract_all('{esc}', '{TOKEN_RE_SQL}'), 1) - 1 AS pos
+),
+stages AS (
+    SELECT '1_tokenizer' AS stage, pos::INTEGER AS pos, raw AS token FROM base
+    UNION ALL
+    SELECT '2_lowercase', pos::INTEGER, lower(raw) FROM base
+    UNION ALL
+    SELECT '3_stopfilter', pos::INTEGER, lower(raw) FROM base
+    WHERE lower(raw) NOT IN ({_STOP_LIST_SQL})
+)
+SELECT stage, pos, token FROM stages ORDER BY stage, pos"""
+
+
 def suggest_freetext_sql(
     analyzer: str, ctx: str, prefix: str, k: int, alpha: float = 0.4
 ) -> str:
