@@ -238,6 +238,8 @@ WORDBREAK_Q = ("mergebatch", ("bat", "ch"))
 SYNGRAPH_Q = (["table", "hash"], "dup")
 # /analysis/field debug: per-stage token stream of the stop chain
 ANALYSIS_TEXT = "The Table HASH the Window"
+# cursorMark deep paging: (query, sort field) — page 2 by keyset cursor
+CURSOR_Q = ("or3", ["vector", "stream", "filter"], "n_chars")
 
 
 def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -547,6 +549,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_analysis_debug"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "stop"
     ).analysis_debug(ANALYSIS_TEXT)
+    # cursorMark: page 2 on a field sort via keyset continuation
+    out["ft_cursor_page2"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).cursor_page2(CURSOR_Q[0], CURSOR_Q[1], CURSOR_Q[2], k=10)
     out["ft_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").docs_norms()
     out["ft_stop_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "stop").docs_norms()
     out["ft_term_stats"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").term_stats_df()
@@ -961,6 +967,13 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
         10,
     )
     out["ft_analysis_debug"] = analysis_debug_sql(ANALYSIS_TEXT)
+    from .oracles import cursor_page2_sql
+
+    out["ft_cursor_page2"] = cursor_page2_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), CURSOR_Q[0], CURSOR_Q[1], 0),
+        CURSOR_Q[2], 10,
+    )
     out["ft_spellcheck"] = suggest_sql(
         "simple", "levenshtein(term, 'batc') <= 1", 10
     )
@@ -1045,7 +1058,11 @@ PRIORITY_ORDER = [
     # ft_spannot_topk rotated out for ft_spancontain_topk (span-not stays
     # pass-local-gated; containing certifies the richest span composition:
     # NearSpansOrdered matching + ContainSpans enclosure + slop-factor freq)
-    "ft_blockjoin_source", "ft_spancontain_topk", "ft_total_hits",
+    # ft_blockjoin_source rotated out for ft_blockjoin_scores (r3-cont):
+    # the scores entry is strictly richer — same child query and parent
+    # roll-up, plus ScoreMode Total/Avg's deterministic ordered fold;
+    # ScoreMode.Max and the child count appear in both
+    "ft_blockjoin_scores", "ft_spancontain_topk", "ft_total_hits",
     # ft_tfidf_topk rotated out for ft_funcexpr_topk in r3 (Classic TF-IDF
     # stays pass-local-gated; the similarity-dispatch family is certified by
     # ft_dfr_topk, and funcexpr certifies the NEW parsed ValueSource surface)
@@ -1067,7 +1084,11 @@ PRIORITY_ORDER = [
     # collapse window shuffle stays scored inside collapse_expand, which
     # contains the collapse step; clusters certify the NEW connected-
     # components assembly over the near-dup pair generator)
-    "stats_component", "dedup_clusters", "collapse_expand", "group_topk",
+    # group_topk rotated out for ft_rrf_topk (r3-cont): top-k-per-group
+    # stays scored inside collapse_expand (the same single window shuffle)
+    # and pass-local; RRF certifies the NEW hybrid rank-fusion surface
+    # (two WAND legs fused by reciprocal rank)
+    "stats_component", "dedup_clusters", "collapse_expand", "ft_rrf_topk",
     # streaming expressions (jdbc = the Derby round-trip source);
     # stream_rollup rotated out for ft_facet_on_query late in r3 (grouped
     # aggregation stays scored via stream_reduce and the facet family;

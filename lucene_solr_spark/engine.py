@@ -1711,6 +1711,72 @@ class DocumentsEngine:
             .select("term", F.col("df").cast("long"), F.col("ttf").cast("long"))
         )
 
+    def cursor_page(
+        self,
+        qtype: str,
+        surface_terms: list[str],
+        sort_field: str = "n_chars",
+        cursor: tuple[int, int] | None = None,
+        k: int = 10,
+    ) -> DataFrame:
+        """cursorMark deep paging (Solr ``CursorMark`` /
+        ``S/search/CursorMark.java`` + the searchAfter machinery under it):
+        the cursor IS the last row's sort key ``(sortval, doc_id)``, and
+        the next page filters strictly past it — keyset pagination. Unlike
+        ``start=N`` offset paging, page P costs the same as page 1 at any
+        depth: the cursor predicate prunes BEFORE the top-k, nothing
+        re-scans the skipped rows (exactly why upstream tells users to
+        export with cursorMark, not offsets).
+
+        Scale shape: the exact-match kernel + ONE broadcast column join;
+        the cursor tuple-compare is a pushed filter and the page is ONE
+        TakeOrdered of k rows — depth-independent."""
+        spec = self.searcher.parse(qtype, surface_terms, 0)
+        hits = self.searcher.hits(
+            self.searcher.compile(spec, k=1 << 30), mode="exact"
+        ).select("doc_id")
+        keys = self.searcher.docs.select("doc_id", "doc_key")
+        src = self.spark.read.parquet(
+            os.path.join(self.sf_dir, "documents.parquet")
+        ).select(F.col("doc_id").alias("doc_key"), sort_field)
+        j = hits.join(keys, "doc_id", "left").join(F.broadcast(src), "doc_key")
+        if cursor is not None:
+            cv, ck = int(cursor[0]), int(cursor[1])
+            # strictly after (sortval DESC, doc_key ASC) position (cv, ck)
+            j = j.filter(
+                (F.col(sort_field) < cv)
+                | ((F.col(sort_field) == cv) & (F.col("doc_key") > ck))
+            )
+        top = j.orderBy(F.desc(sort_field), F.asc("doc_key")).limit(k)
+        return (
+            top.coalesce(1)
+            .sortWithinPartitions(F.desc(sort_field), F.asc("doc_key"))
+            .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+            .select(
+                "rank",
+                F.col("doc_key").cast("long").alias("doc_id"),
+                F.col(sort_field).cast("long").alias("sortval"),
+            )
+            .orderBy("rank")
+        )
+
+    def cursor_page2(
+        self, qtype: str, surface_terms: list[str],
+        sort_field: str = "n_chars", k: int = 10,
+    ) -> DataFrame:
+        """Second page via cursorMark continuation: run page 1, lift its
+        last row's (sortval, doc_id) as the cursor, fetch the next page
+        with the keyset predicate. The one-row cursor hand-off is the only
+        driver-side state — identical to what a Solr client carries
+        between requests."""
+        p1 = self.cursor_page(qtype, surface_terms, sort_field, None, k).collect()
+        if len(p1) < k:
+            return self.cursor_page(qtype, surface_terms, sort_field, None, 0)
+        last = p1[-1]
+        return self.cursor_page(
+            qtype, surface_terms, sort_field, (last.sortval, last.doc_id), k
+        )
+
     def sorted_topk(
         self,
         qtype: str,

@@ -1218,6 +1218,23 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, sortval::BIGINT AS sortv
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def cursor_page2_sql(
+    analyzer: str, spec: BooleanSpec, sort_field: str, k: int,
+) -> str:
+    """cursorMark page-2 oracle: cursor continuation over a TOTAL order
+    (field desc, doc_id asc) is exactly ranks (k, 2k] — the offset window
+    reproduces the keyset page."""
+    frag = _bm25_match_ctes(spec, "")
+    return f"""WITH {base_ctes(analyzer)},{frag}
+SELECT (rank - {k})::INTEGER AS rank, doc_id::BIGINT AS doc_id, sortval::BIGINT AS sortval FROM (
+    SELECT row_number() OVER (
+               ORDER BY d.{sort_field} DESC, m.doc_id ASC
+           ) AS rank,
+           m.doc_id, d.{sort_field} AS sortval
+    FROM match m JOIN documents d USING (doc_id)
+) WHERE rank > {k} AND rank <= {2 * k} ORDER BY rank"""
+
+
 def boostfunc_topk_sql(analyzer: str, spec: BooleanSpec, k: int) -> str:
     """Multiplicative boost-function oracle (edismax ``boost=`` /
     ``L/queries/function/FunctionScoreQuery``): score =
