@@ -196,6 +196,17 @@ def main() -> None:
             ).collect())
         timings["q_interval"] = _best_of(
             lambda: eng.interval_unordered_topk("filter", "scan", 6, k=10).collect())
+        timings["q_rrf"] = _best_of(
+            lambda: eng.rrf_topk("or3", ["vector", "stream", "filter"],
+                                 "and2", ["merge", "batch"], n=40, k=10).collect())
+        timings["q_feature"] = _best_of(
+            lambda: eng.feature_topk("or3", ["vector", "stream", "filter"],
+                                     k=10).collect())
+        timings["q_freetext_suggest"] = _best_of(
+            lambda: eng.suggest_freetext("merge", "d", k=8).collect())
+        timings["q_cursor_page2"] = _best_of(
+            lambda: eng.cursor_page2("or3", ["vector", "stream", "filter"],
+                                     "n_chars", k=10).collect())
 
         # --- training-pipeline ops ---
         from lucene_solr_spark.ops.dedup import dedup_minhash_lsh
@@ -213,6 +224,13 @@ def main() -> None:
         timings["pack_sequences"] = _best_of(
             lambda: pack_sequences(spark, SF_DIR).count())
         timings["facet_q1"] = _best_of(lambda: facet_metrics_q1(spark, SF_DIR).collect())
+        from lucene_solr_spark.ops.pipeline import ngram_hotspots
+        from lucene_solr_spark.ops.textmetrics import text_unigram_ppl
+
+        timings["ngram_hotspots"] = _best_of(
+            lambda: ngram_hotspots(spark, SF_DIR).collect())
+        timings["text_unigram_ppl"] = _best_of(
+            lambda: text_unigram_ppl(spark, SF_DIR).count())
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
