@@ -240,6 +240,8 @@ SYNGRAPH_Q = (["table", "hash"], "dup")
 ANALYSIS_TEXT = "The Table HASH the Window"
 # cursorMark deep paging: (query, sort field) — page 2 by keyset cursor
 CURSOR_Q = ("or3", ["vector", "stream", "filter"], "n_chars")
+# MLT over a posted free-text body (stream.body): mixed known/novel tokens
+MLT_TEXT = "the merge merge batch stream pipeline zzzunknown"
 
 
 def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -553,6 +555,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_cursor_page2"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).cursor_page2(CURSOR_Q[0], CURSOR_Q[1], CURSOR_Q[2], k=10)
+    # MLT with a posted text body (ContentStream path, no doc exclusion)
+    out["ft_mlt_text_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).mlt_text_topk(MLT_TEXT, top_terms=4, k=10)
     out["ft_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").docs_norms()
     out["ft_stop_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "stop").docs_norms()
     out["ft_term_stats"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").term_stats_df()
@@ -974,6 +980,9 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
         parse_fixture_query(ANALYZERS["simple"](), CURSOR_Q[0], CURSOR_Q[1], 0),
         CURSOR_Q[2], 10,
     )
+    from .oracles import mlt_text_topk_sql
+
+    out["ft_mlt_text_topk"] = mlt_text_topk_sql("simple", MLT_TEXT, 4, 10)
     out["ft_spellcheck"] = suggest_sql(
         "simple", "levenshtein(term, 'batc') <= 1", 10
     )

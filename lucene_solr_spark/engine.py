@@ -2104,6 +2104,22 @@ class DocumentsEngine:
             .orderBy("rank")
         )
 
+    def mlt_text_topk(
+        self, text: str, top_terms: int = 5, k: int = 10
+    ) -> DataFrame:
+        """MoreLikeThis over a FREE-TEXT body (Solr MLT handler with a
+        posted document / ``mlt.interestingTerms`` on ``stream.body`` —
+        ``S/handler/MoreLikeThisHandler`` ContentStream path): the query is
+        not an indexed doc, so there is nothing to exclude; the posted
+        text's terms rank by classic tf·idf against the INDEX's stats and
+        the top terms form the disjunction.
+
+        Scale shape: identical to doc-MLT minus the source-doc fetch — the
+        df lookup is one term-pruned scan of the small term_stats table;
+        execution is the ordinary WAND disjunction."""
+        spec = self.searcher.more_like_this_spec(text, top_terms)
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
     def mlt_terms(self, src_doc_id: int, top_terms: int = 8) -> DataFrame:
         """MoreLikeThis ``interestingTerms=details`` (``lucene/queries/.../
         mlt/MoreLikeThis.java#retrieveInterestingTerms`` / Solr MLT handler

@@ -593,6 +593,167 @@ SELECT vec_id, qdot::BIGINT AS qdot, round(dot / (na * npv), 6) AS cos_sim
 FROM rer, np ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""
 
 
+# --- IVF-PQ-style product quantization ---------------------------------------
+
+PQ_M = 8          # subspaces (64 dims → 8 per subspace)
+PQ_K = 16         # codes per subspace; codebook donors = vec_id < PQ_K
+PQ_SUB = 8        # dims per subspace
+PQ_CAND = 50      # ADC candidates surviving to the exact rerank
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou/Douze/Schmid PAMI 2011 — the PQ/ADC
+    path of FAISS IVF-PQ, and the idea behind Lucene 9.x vector-format
+    compression work): each vector's 64 dims split into ``PQ_M``=8
+    subspaces; per subspace the vector is replaced by the id of its nearest
+    codebook entry (4 bits here: ``PQ_K``=16 codes) — 64 f32 → 8 nibbles,
+    a 32× memory-traffic cut on the candidate pass. Query time builds one
+    Asymmetric Distance Computation (ADC) lookup table — dot(query_sub,
+    code) per (subspace, code) — and candidate score = Σ_m LUT[m][code_m],
+    pure table lookups. Top ``PQ_CAND`` ADC candidates get the exact f32
+    cosine rerank. Codebooks here are the deterministic donor discipline
+    the IVF entry already uses (subvectors of vec_id < PQ_K); the
+    k-means-trained upgrade is `kmeans_centroids` run per subspace.
+
+    Float discipline: every dot/L2 fold is an IN-ORDER left fold
+    (``F.aggregate`` over array order ≡ DuckDB ``list_reduce`` over
+    ``ORDER BY`` lists) so encodings, ADC scores, and ties are bitwise
+    identical on both engines; ties in the argmin take the FIRST minimal
+    code (array_position/list_position agree). Scale shape: codebook +
+    probe are bounded driver reads (16+1 rows); encode + ADC are JVM
+    column expressions per row (no UDF, no shuffle); ONE TakeOrdered for
+    candidates; rerank on ``PQ_CAND`` rows."""
+    emb = _emb(spark, sf_dir)
+    donors = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < PQ_K).collect()
+    }
+    probe = _probe_vector(spark, sf_dir, PROBE_VEC_ID)
+
+    def lit_arr(vals):
+        return F.array(*[F.lit(float(v)) for v in vals])
+
+    def fold_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+
+    def fold_l2(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a, b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+
+    adc_terms = []
+    for m in range(PQ_M):
+        lo = m * PQ_SUB
+        sub = F.slice(F.col("embedding"), lo + 1, PQ_SUB)
+        dists = F.array(*[
+            fold_l2(sub, lit_arr(donors[j][lo:lo + PQ_SUB])) for j in range(PQ_K)
+        ])
+        code = F.array_position(dists, F.array_min(dists))  # 1-based, first min
+        lut = F.array(*[
+            fold_dot(lit_arr(probe[lo:lo + PQ_SUB]),
+                     lit_arr(donors[j][lo:lo + PQ_SUB]))
+            for j in range(PQ_K)
+        ])
+        adc_terms.append(F.element_at(lut, code.cast("int")))
+    adc = adc_terms[0]
+    for t in adc_terms[1:]:
+        adc = adc + t
+
+    pv = lit_arr(probe)
+    cands = (
+        emb.filter(F.col("vec_id") != PROBE_VEC_ID)
+        .select("vec_id", "embedding", adc.alias("adc"))
+        .orderBy(F.desc("adc"), F.asc("vec_id"))
+        .limit(PQ_CAND)
+    )
+    return (
+        cands.select(
+            "vec_id",
+            F.round("adc", 9).alias("adc"),
+            F.round(
+                _dot(F.col("embedding"), pv)
+                / (_norm(F.col("embedding")) * _norm(pv)),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+ANN_PQ_SQL = f"""
+WITH ex AS (
+    SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+),
+dims AS (
+    SELECT vec_id, x, i, (i - 1) // {PQ_SUB} AS m, (i - 1) % {PQ_SUB} AS k
+    FROM ex
+),
+donor AS (SELECT vec_id AS j, x AS c, m, k FROM dims WHERE vec_id < {PQ_K}),
+-- per (vector, subspace, code): IN-ORDER L2 fold (bitwise = engine's
+-- F.aggregate left fold over array order)
+dist AS (
+    SELECT d.vec_id, d.m, dn.j,
+           list_reduce(
+               list((d.x::DOUBLE - dn.c::DOUBLE) * (d.x::DOUBLE - dn.c::DOUBLE)
+                    ORDER BY d.k),
+               (a, b) -> a + b) AS l2
+    FROM dims d JOIN donor dn ON dn.m = d.m AND dn.k = d.k
+    GROUP BY d.vec_id, d.m, dn.j
+),
+codes AS (
+    SELECT vec_id, m, j AS code FROM (
+        SELECT vec_id, m, j,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY l2 ASC, j ASC) AS rn
+        FROM dist
+    ) WHERE rn = 1
+),
+pdims AS (SELECT x AS p, m, k FROM dims WHERE vec_id = {PROBE_VEC_ID}),
+lut AS (
+    SELECT dn.m, dn.j,
+           list_reduce(list(pd.p::DOUBLE * dn.c::DOUBLE ORDER BY dn.k),
+                       (a, b) -> a + b) AS dot
+    FROM donor dn JOIN pdims pd ON pd.m = dn.m AND pd.k = dn.k
+    GROUP BY dn.m, dn.j
+),
+adcs AS (
+    SELECT c.vec_id,
+           list_reduce(list(l.dot ORDER BY c.m), (a, b) -> a + b) AS adc
+    FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.code
+    WHERE c.vec_id != {PROBE_VEC_ID}
+    GROUP BY c.vec_id
+),
+cands AS (
+    SELECT vec_id, adc FROM adcs ORDER BY adc DESC, vec_id ASC LIMIT {PQ_CAND}
+),
+pe AS (
+    SELECT unnest(embedding) AS p, generate_subscripts(embedding, 1) AS i
+    FROM embeddings WHERE vec_id = {PROBE_VEC_ID}
+),
+np AS (SELECT sqrt(sum(p::DOUBLE * p::DOUBLE)) AS npv FROM pe),
+rer AS (
+    SELECT e.vec_id, any_value(c.adc) AS adc,
+           sum(e.x::DOUBLE * pe.p::DOUBLE) AS dot,
+           sqrt(sum(e.x::DOUBLE * e.x::DOUBLE)) AS na
+    FROM ex e JOIN cands c USING (vec_id) JOIN pe USING (i)
+    GROUP BY e.vec_id
+)
+SELECT vec_id, round(adc, 9) AS adc, round(dot / (na * npv), 6) AS cos_sim
+FROM rer, np ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""
+
+
+register("ann_pq_topk", ann_pq_topk, ANN_PQ_SQL)
+
+
 # --- hard-negative mining ----------------------------------------------------
 
 def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:

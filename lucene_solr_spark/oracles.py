@@ -311,6 +311,37 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def mlt_text_topk_sql(analyzer: str, text: str, top_terms: int, k: int) -> str:
+    """MoreLikeThis over a posted free-text body: tf from the literal
+    text's analyzed tokens, df/idf from the corpus, no source exclusion."""
+    esc = text.replace("'", "''")
+    return f"""WITH {base_ctes(analyzer)},
+src_tf AS (
+    SELECT term, count(*)::BIGINT AS tf FROM (
+        SELECT unnest(regexp_extract_all(lower('{esc}'), '{TOKEN_RE_SQL}')) AS term
+    ) GROUP BY term
+),
+src_df AS (
+    SELECT k.term, count(DISTINCT k.doc_id)::BIGINT AS df
+    FROM kept k JOIN src_tf USING (term) GROUP BY 1
+),
+mlt AS (
+    SELECT s.term,
+           s.tf::DOUBLE * (ln(st.doc_count::DOUBLE / (d.df + 1.0)) + 1.0) AS mlt_score
+    FROM src_tf s JOIN src_df d USING (term), statsf st
+),
+top_terms AS (
+    SELECT term FROM mlt ORDER BY mlt_score DESC, term ASC LIMIT {top_terms}
+),{_disjunction_core("term IN (SELECT term FROM top_terms)")},
+hits AS (
+    SELECT doc_id, CAST(sum(CAST(s AS DOUBLE)) AS FLOAT) AS score
+    FROM sc GROUP BY doc_id
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score FROM hits
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def blockjoin_sql(analyzer: str, terms: list[str], n_groups: int) -> str:
     """ToParentBlockJoin(ScoreMode.Max) by the ``source`` parent key."""
     pred = "term IN (" + ", ".join(f"'{t}'" for t in terms) + ")"
