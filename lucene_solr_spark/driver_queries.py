@@ -242,6 +242,14 @@ ANALYSIS_TEXT = "The Table HASH the Window"
 CURSOR_Q = ("or3", ["vector", "stream", "filter"], "n_chars")
 # MLT over a posted free-text body (stream.body): mixed known/novel tokens
 MLT_TEXT = "the merge merge batch stream pipeline zzzunknown"
+# lucene/monitor stored-query registry: query_id → (qtype, terms, msm) —
+# one conjunction, one msm disjunction, one phrase, one NOT
+MONITOR_QUERIES = {
+    "alert_and": ("and2", ("merge", "batch"), 0),
+    "alert_msm": ("or_minshould", ("vector", "stream", "filter"), 2),
+    "alert_phrase": ("phrase2", ("table", "hash"), 0),
+    "alert_not": ("and_not", ("scan", "join"), 0),
+}
 
 
 def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -559,6 +567,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_mlt_text_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).mlt_text_topk(MLT_TEXT, top_terms=4, k=10)
+    # lucene/monitor (Luwak): stored-query registry matched against docs
+    out["ft_monitor"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).monitor_matches(MONITOR_QUERIES)
     out["ft_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").docs_norms()
     out["ft_stop_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "stop").docs_norms()
     out["ft_term_stats"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").term_stats_df()
@@ -983,6 +995,15 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     from .oracles import mlt_text_topk_sql
 
     out["ft_mlt_text_topk"] = mlt_text_topk_sql("simple", MLT_TEXT, 4, 10)
+    from .oracles import monitor_matches_sql
+
+    out["ft_monitor"] = monitor_matches_sql(
+        "simple",
+        {
+            qid: parse_fixture_query(ANALYZERS["simple"](), qt, list(terms), msm)
+            for qid, (qt, terms, msm) in MONITOR_QUERIES.items()
+        },
+    )
     out["ft_spellcheck"] = suggest_sql(
         "simple", "levenshtein(term, 'batc') <= 1", 10
     )

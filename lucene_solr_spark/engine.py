@@ -1823,6 +1823,35 @@ class DocumentsEngine:
             .orderBy("rank")
         )
 
+    def monitor_matches(self, stored: dict[str, tuple]) -> DataFrame:
+        """Stored-query matching — the ``lucene/monitor`` module (né Luwak;
+        ``lucene/monitor/src/java/.../monitor/Monitor.java#match``): a
+        registry of standing queries is evaluated against documents, and
+        each doc reports WHICH stored queries it matches (alerting,
+        routing, classification-by-query). ``stored`` maps query_id →
+        (qtype, terms, min_should).
+
+        Scale shape: the whole registry compiles with ONE stats job and
+        executes as ONE batched per-segment kernel pass
+        (``searcher.search_many`` — the same shape Monitor's QueryIndex
+        batching has), so cost is one corpus scan regardless of registry
+        size; matching is unranked (no top-k truncation — a monitor must
+        not drop matches)."""
+        specs = {
+            qid: (self.searcher.parse(qt, list(terms), msm), 1 << 30)
+            for qid, (qt, terms, msm) in stored.items()
+        }
+        compiled = self.searcher.compile_many(specs)
+        hits = self.searcher.search_many(compiled, mode="exact")
+        keys = self.searcher.docs.select("doc_id", "doc_key")
+        return (
+            hits.join(keys, "doc_id", "left")
+            .select(
+                "query_id", F.col("doc_key").cast("long").alias("doc_id")
+            )
+            .orderBy("query_id", "doc_id")
+        )
+
     def syngraph_topk(
         self, phrase_words: list[str], synonym: str, k: int = 10
     ) -> DataFrame:

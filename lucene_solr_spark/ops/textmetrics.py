@@ -171,6 +171,62 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id"""
 
 
+def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility stats per (source, lang) stratum — the budgeting
+    numbers a pretraining run needs before committing a mix: bytes per
+    BPE-ish token and subword tokens per whitespace word (high fertility =
+    the tokenizer fragments this stratum; a mix weighted by documents
+    silently over/under-weights its TOKEN contribution). Ratios are exact
+    BIGINT sums divided once in double, so both engines agree bitwise.
+
+    Scale shape: one narrow projection computing per-row counts (JVM
+    regex), ONE (source, lang) hash-aggregate, map-side combined — output
+    is stratum-bounded."""
+    d = _docs(spark, sf_dir)
+    per = d.select(
+        "source", "lang",
+        F.length("text").cast("long").alias("nb"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("nw"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
+        .cast("long").alias("nt"),
+    )
+    agg = per.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nb").alias("bytes"),
+        F.sum("nw").alias("words"),
+        F.sum("nt").alias("tokens"),
+    )
+    return agg.select(
+        "source", "lang", "n_docs", "bytes", "tokens",
+        (F.col("bytes").cast("double") / F.col("tokens").cast("double"))
+        .alias("bytes_per_token"),
+        (F.col("tokens").cast("double") / F.col("words").cast("double"))
+        .alias("fertility"),
+    ).orderBy("source", "lang")
+
+
+TOKEN_FERTILITY_SQL = f"""
+WITH per AS (
+    SELECT source, lang, length(text)::BIGINT AS nb,
+           len(string_split(text, ' '))::BIGINT AS nw,
+           len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS nt
+    FROM documents
+),
+agg AS (
+    SELECT source, lang, count(*)::BIGINT AS n_docs,
+           sum(nb)::BIGINT AS bytes, sum(nw)::BIGINT AS words,
+           sum(nt)::BIGINT AS tokens
+    FROM per GROUP BY 1, 2
+)
+SELECT source, lang, n_docs, bytes, tokens,
+       bytes::DOUBLE / tokens::DOUBLE AS bytes_per_token,
+       tokens::DOUBLE / words::DOUBLE AS fertility
+FROM agg ORDER BY source, lang"""
+
+
+register("token_fertility", token_fertility, TOKEN_FERTILITY_SQL)
+
+
 # --- document fingerprint ---------------------------------------------------
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1032,6 +1032,21 @@ SELECT rank::INTEGER AS rank, term, df FROM (
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def monitor_matches_sql(analyzer: str, specs: dict) -> str:
+    """lucene/monitor oracle: per stored query, the full (unranked) match
+    set via the shared boolean-match CTEs, tagged with its query_id."""
+    frags, selects = [], []
+    for i, (qid, spec) in enumerate(sorted(specs.items())):
+        p = f"mq{i}"
+        frags.append(_bm25_match_ctes(spec, p))
+        selects.append(
+            f"SELECT '{qid}' AS query_id, doc_id FROM {p}match"
+        )
+    return f"""WITH {base_ctes(analyzer)},{','.join(frags)}
+SELECT query_id, doc_id::BIGINT AS doc_id FROM ({' UNION ALL '.join(selects)})
+ORDER BY query_id, doc_id"""
+
+
 def analysis_debug_sql(text: str) -> str:
     """Field-analysis handler oracle: per-stage token stream of the stop
     chain over a literal string (tokenizer → lowercase → stopfilter,
