@@ -204,6 +204,47 @@ def main() -> None:
         must_not=[r"CartesianProduct"],
     ))
 
+    # 16. PQ/ADC: encode + ADC are pure JVM column expressions over ONE
+    # scan — no Python UDF in the candidate pass, no join to build codes
+    from lucene_solr_spark.ops.ann import ann_pq_topk
+
+    results.append(audit(
+        "ann_pq_jvm_encode_no_crossjoin",
+        ann_pq_topk(spark, SF_DIR),
+        must=[r"TakeOrderedAndProject"],
+        must_not=[r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+    ))
+
+    # 17. block-join score modes: ONE partial+final hash-agg on the parent
+    # key (objectHashAggregate for the collect_list fold), broadcast doc map
+    results.append(audit(
+        "blockjoin_scores_single_agg_broadcast",
+        eng.blockjoin_scores("or2", ["dup", "vector"], n_groups=5),
+        must=[r"ObjectHashAggregate|SortAggregate", r"BroadcastHashJoin|BroadcastNestedLoop"],
+        must_not=[r"CartesianProduct"],
+    ))
+
+    # 18. ngram hotspots: the 5-gram build is an array transform — NO
+    # window exec (zero shuffle before the single hash-agg)
+    from lucene_solr_spark.ops.pipeline import ngram_hotspots
+
+    results.append(audit(
+        "ngram_hotspots_no_window",
+        ngram_hotspots(spark, SF_DIR),
+        must=[r"HashAggregate"],
+        must_not=[r"Window", r"CartesianProduct", r"BatchEvalPython"],
+    ))
+
+    # 19. RRF: both legs keep the term-IN-list pushdown; fusion is a join of
+    # two bounded frames with ONE final TakeOrdered
+    results.append(audit(
+        "rrf_legs_pushed_bounded_fusion",
+        eng.rrf_topk("or3", ["vector", "stream", "filter"],
+                     "and2", ["merge", "batch"], n=40, k=10),
+        must=[r"PushedFilters: \[In\(term", r"TakeOrderedAndProject|GlobalLimit"],
+        must_not=[r"CartesianProduct"],
+    ))
+
     n_fail = results.count(False)
     print(f"{len(results) - n_fail}/{len(results)} plan invariants hold")
     sys.exit(1 if n_fail else 0)
