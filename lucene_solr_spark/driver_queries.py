@@ -208,6 +208,13 @@ RECIP_EXPR = (
     "sum(linear(termfreq(text,'merge'), 2, 0.25),"
     " recip(n_chars, 0.01, 100, 1))"
 )
+# index-statistic ValueSources: ttf() (TotalTermFreqValueSource),
+# sumtotaltermfreq(), docfreq(), maxdoc() composed in one expression
+STATS_EXPR = (
+    "sum(product(termfreq(text,'merge'),"
+    " div(ttf(text,'batch'), sumtotaltermfreq(text))),"
+    " div(docfreq(text,'scan'), maxdoc()))"
+)
 # Query-time join ({!join from=source to=source} / lucene/join JoinUtil):
 # inner and2(dup, merge) matches docs spanning HALF the sources (10 of 20)
 # — the join filter genuinely restricts the outer or3 ranking; the scoring
@@ -342,6 +349,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_recip_boost_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).function_expr_topk(RECIP_EXPR, k=10)
+    # ttf()/sumtotaltermfreq() index-statistic ValueSources
+    out["ft_funcexpr_stats_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).function_expr_topk(STATS_EXPR, k=10)
     # MultiPhraseQuery: a phrase slot admitting several terms
     out["ft_multiphrase_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -917,6 +928,10 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, tf FROM (
     out["ft_recip_boost_topk"] = funcexpr_topk_sql(
         "simple", RECIP_EXPR, 10,
         {"merge": an_s.analyze("merge")[0][0]},
+    )
+    out["ft_funcexpr_stats_topk"] = funcexpr_topk_sql(
+        "simple", STATS_EXPR, 10,
+        {s: an_s.analyze(s)[0][0] for s in ("merge", "batch", "scan")},
     )
     from .oracles import phrase_prefix_topk_sql
     from .search.query import BooleanSpec as _BS, MultiPhraseClause as _MPC

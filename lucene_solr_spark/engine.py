@@ -1324,15 +1324,20 @@ class DocumentsEngine:
             tf_env[(field, surface)] = F.coalesce(F.col(f"tf_{i}"), F.lit(0))
         scalars = {}
         for key in collect_scalars(ast):
-            if key[0] in ("docfreq", "idf"):
+            if key[0] in ("docfreq", "idf", "ttf"):
                 term = an.analyze(key[2])[0][0]
                 rows = self.term_stats_df().filter(F.col("term") == term).collect()
+                if key[0] == "ttf":  # TotalTermFreqValueSource
+                    scalars[key] = float(rows[0].ttf) if rows else 0.0
+                    continue
                 df = float(rows[0].df) if rows else 0.0
                 if key[0] == "idf":  # BM25 idf, double (IDFValueSource analog)
                     n = float(s.stats.doc_count)
                     scalars[key] = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
                 else:
                     scalars[key] = df
+            elif key[0] == "sumtotaltermfreq":  # SumTotalTermFreqValueSource
+                scalars[key] = float(s.stats.sum_total_term_freq)
             else:  # numdocs / maxdoc (equal here: dense ids, live stats)
                 scalars[key] = float(s.stats.doc_count)
         decoded = F.element_at(

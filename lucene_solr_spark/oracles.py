@@ -956,6 +956,12 @@ def _funcexpr_scored_with(analyzer: str, expr: str, analyzed: dict) -> str:
                 else "ln(1.0 + ((SELECT doc_count FROM statsf)::DOUBLE "
                      f"- {df_sql} + 0.5) / ({df_sql} + 0.5))"
             )
+        elif key[0] == "ttf":
+            scalars[key] = (
+                f"(SELECT count(*) FROM kept WHERE term = '{analyzed[key[2]]}')"
+            )
+        elif key[0] == "sumtotaltermfreq":
+            scalars[key] = "(SELECT sum_ttf FROM statsf)"
         else:  # numdocs / maxdoc
             scalars[key] = "(SELECT doc_count FROM statsf)"
     env = FuncEnv(

@@ -41,6 +41,10 @@ _FUNCTIONS: dict[str, object] = {
     "if": 3, "map": 4, "scale": 3, "recip": 4, "linear": 3,
     "termfreq": 2, "docfreq": 2, "idf": 2, "norm": 1, "field": 1,
     "numdocs": 0, "maxdoc": 0,
+    # index-statistic scalars (TotalTermFreqValueSource /
+    # SumTotalTermFreqValueSource — S/search/ValueSourceParser "ttf",
+    # "sumtotaltermfreq")
+    "ttf": 2, "sumtotaltermfreq": 1,
 }
 
 
@@ -121,9 +125,11 @@ def parse_expr(text: str):
             if not isinstance(args[0], Field):
                 raise ValueError("function query: field() takes a field name")
             return args[0]
-        if fn in ("termfreq", "docfreq", "idf"):
+        if fn in ("termfreq", "docfreq", "idf", "ttf"):
             if not isinstance(args[0], Field) or not isinstance(args[1], (Str, Field)):
                 raise ValueError(f"function query: {fn}(field, term)")
+        if fn == "sumtotaltermfreq" and not isinstance(args[0], Field):
+            raise ValueError("function query: sumtotaltermfreq(field)")
         if fn == "scale" and not (
             isinstance(args[1], Num) and isinstance(args[2], Num)
         ):
@@ -162,10 +168,12 @@ def collect_scalars(ast) -> list[tuple[str, ...]]:
     out: list[tuple[str, ...]] = []
     for n in _walk(ast):
         key = None
-        if isinstance(n, Call) and n.fn in ("docfreq", "idf"):
+        if isinstance(n, Call) and n.fn in ("docfreq", "idf", "ttf"):
             key = (n.fn, n.args[0].name, _term_text(n.args[1]))
         elif isinstance(n, Call) and n.fn in ("numdocs", "maxdoc"):
             key = (n.fn,)
+        elif isinstance(n, Call) and n.fn == "sumtotaltermfreq":
+            key = (n.fn, n.args[0].name)
         if key is not None and key not in out:
             out.append(key)
     return out
@@ -222,7 +230,8 @@ def compile_spark(ast, env: FuncEnv) -> Column:
             return env.tf[(n.args[0].name, _term_text(n.args[1]))].cast(D)
         if n.fn == "norm":
             return env.norms[n.args[0].name].cast(D)
-        if n.fn in ("docfreq", "idf", "numdocs", "maxdoc"):
+        if n.fn in ("docfreq", "idf", "numdocs", "maxdoc", "ttf",
+                    "sumtotaltermfreq"):
             key = collect_scalars(n)[0]
             return F.lit(float(env.scalars[key])).cast(D)
         a = [c(x) for x in n.args]
@@ -287,7 +296,8 @@ def compile_sql(ast, env: FuncEnv) -> str:
             return f"CAST({env.tf[(n.args[0].name, _term_text(n.args[1]))]} AS DOUBLE)"
         if n.fn == "norm":
             return f"CAST({env.norms[n.args[0].name]} AS DOUBLE)"
-        if n.fn in ("docfreq", "idf", "numdocs", "maxdoc"):
+        if n.fn in ("docfreq", "idf", "numdocs", "maxdoc", "ttf",
+                    "sumtotaltermfreq"):
             key = collect_scalars(n)[0]
             v = env.scalars[key]  # SQL fragment (scalar subquery) or number
             return (
