@@ -138,6 +138,8 @@ SORTFIELD_Q = ("or3", ["vector", "stream", "filter"])
 BOOSTFUNC_Q = ("and2", ["merge", "batch"])
 # SpanFirst: term must end within the first SPANFIRST_END positions
 SPANFIRST = ("merge", 12)
+# SpanPositionRange: term occurrences inside positions [start, end)
+SPANPOSRANGE = ("merge", 6, 30)
 # SpanNear (inOrder=true): second term follows the first within <= slop
 # intervening positions
 SPANNEAR = ("scan", "filter", 3)
@@ -402,6 +404,11 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_spanfirst_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).span_first_topk(SPANFIRST[0], SPANFIRST[1], k=10)
+    # SpanPositionRangeQuery: the general [start, end) window
+    out["ft_spanposrange_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).span_position_range_topk(SPANPOSRANGE[0], SPANPOSRANGE[1],
+                               SPANPOSRANGE[2], k=10)
     # SpanNearQuery (ordered): NearSpansOrdered slop-factor freq scoring
     out["ft_spannear_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -660,6 +667,10 @@ def fulltext_oracles() -> dict[str, str]:
     out["ft_spanfirst_topk"] = span_first_topk_sql(
         "simple", ANALYZERS["simple"]().analyze(SPANFIRST[0])[0][0],
         SPANFIRST[1], 10,
+    )
+    out["ft_spanposrange_topk"] = span_first_topk_sql(
+        "simple", ANALYZERS["simple"]().analyze(SPANPOSRANGE[0])[0][0],
+        SPANPOSRANGE[2], 10, start=SPANPOSRANGE[1],
     )
     out["ft_spannear_topk"] = span_near_topk_sql(
         "simple",

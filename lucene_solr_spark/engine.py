@@ -322,6 +322,22 @@ class DocumentsEngine:
         spec = BooleanSpec(must=[SpanFirstClause(toks[0][0], int(end))])
         return self._present(self.searcher.search(spec, k=k, with_keys=True))
 
+    def span_position_range_topk(
+        self, surface_term: str, start: int, end: int, k: int = 10
+    ) -> DataFrame:
+        """SpanPositionRangeQuery (``L/search/spans/SpanPositionRangeQuery``
+        — the general form SpanFirstQuery subclasses with start=0): the
+        term's qualifying occurrences lie in position window [start, end);
+        tf = the window-restricted count, scored like a TermQuery."""
+        from .search.query import SpanFirstClause
+
+        an = self.searcher.analyzer
+        term = an.analyze(surface_term)[0][0]
+        spec = BooleanSpec(should=[
+            SpanFirstClause(term, int(end), start=int(start))
+        ], min_should_match=1)
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
     def span_near_topk(
         self, surface0: str, surface1: str, slop: int, k: int = 10
     ) -> DataFrame:

@@ -1339,12 +1339,15 @@ SELECT q.qpos::INTEGER AS qpos, q.doc_key::BIGINT AS doc_key,
 FROM q LEFT JOIN live l USING (doc_key) ORDER BY qpos"""
 
 
-def span_first_topk_sql(analyzer: str, term: str, end: int, k: int) -> str:
-    """SpanFirstQuery oracle (``L/search/spans/SpanFirstQuery`` +
-    ``SpanScorer#setFreqCurrentDoc``): tf = occurrences with span end <=
-    ``end`` (term span at pos p ends at p+1 → keep pos < end); score = BM25
-    with that window tf and weight = idf(term) — identical f32 op order to
-    the engine kernel."""
+def span_first_topk_sql(
+    analyzer: str, term: str, end: int, k: int, start: int = 0,
+) -> str:
+    """SpanFirstQuery / SpanPositionRangeQuery oracle
+    (``L/search/spans/SpanFirstQuery``, ``SpanPositionRangeQuery`` +
+    ``SpanScorer#setFreqCurrentDoc``): tf = occurrences in position window
+    [start, end) (term span at pos p ends at p+1 → keep pos < end); score =
+    BM25 with that window tf and weight = idf(term) — identical f32 op
+    order to the engine kernel."""
     return f"""WITH {base_ctes(analyzer)},
 sfq AS (
     SELECT k.doc_id,
@@ -1352,7 +1355,7 @@ sfq AS (
                 * CAST(count(*)::DOUBLE / (count(*)::DOUBLE + CAST(any_value(c.cache) AS DOUBLE)) AS FLOAT)
             AS FLOAT) AS score
     FROM kept k JOIN cachec c USING (doc_id), statsf st
-    WHERE k.term = '{term}' AND k.pos < {end}
+    WHERE k.term = '{term}' AND k.pos >= {start} AND k.pos < {end}
     GROUP BY k.doc_id, st.doc_count
 )
 SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (

@@ -872,8 +872,11 @@ def score_segment_exact(
                 di = np.repeat(
                     np.arange(docs_all.size, dtype=np.int64), tfs_all
                 )
+                # position-range mask: [c.post, c.slop) — SpanFirstQuery is
+                # the start=0 (c.post==0) case of SpanPositionRangeQuery
                 cnt = np.bincount(
-                    di[pos < c.slop], minlength=docs_all.size
+                    di[(pos >= c.post) & (pos < c.slop)],
+                    minlength=docs_all.size,
                 )
                 keep = cnt > 0
                 docs, tfs = docs_all[keep], cnt[keep]
@@ -1044,7 +1047,10 @@ def count_segment_matches(
                 di = np.repeat(
                     np.arange(docs_all.size, dtype=np.int64), tfs_all
                 )
-                cnt = np.bincount(di[pos < c.slop], minlength=docs_all.size)
+                cnt = np.bincount(
+                    di[(pos >= c.post) & (pos < c.slop)],
+                    minlength=docs_all.size,
+                )
                 docs = docs_all[cnt > 0]
         elif c.kind == "multiphrase":
             per = [

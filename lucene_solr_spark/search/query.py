@@ -82,6 +82,10 @@ class SpanFirstClause:
     term: str
     end: int
     boost: float = 1.0
+    # SpanPositionRangeQuery generalization (``L/search/spans/
+    # SpanPositionRangeQuery`` — SpanFirstQuery IS its start=0 subclass):
+    # qualifying occurrences additionally satisfy pos >= start.
+    start: int = 0
 
 
 @dataclass(frozen=True)
@@ -686,7 +690,7 @@ def compile_query(
                 w = np.float32(c.boost) * idf_fn(df, doc_count)
                 clauses.append(CompiledClause(
                     "span_first", (c.term,), (), np.float32(w), occur,
-                    slop=int(c.end),
+                    slop=int(c.end), post=int(c.start),
                 ))
             else:
                 df = term_df.get(c.term, 0)
