@@ -300,6 +300,44 @@ SELECT o_orderpriority, rnk::INTEGER AS rnk, o_orderkey, o_totalprice FROM (
 ) WHERE rnk <= 3 ORDER BY o_orderpriority, rnk"""
 
 
+def group_func_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping by a FUNCTION of the document rather than a stored field —
+    Solr ``group.func`` (``S/search/Grouping.java`` grouped-by-ValueSource
+    mode): the group key is a computed bucket (here floor(o_totalprice /
+    50000), a price band), top-2 rows per band by (price desc, key asc).
+
+    Scale shape: the bucket is a JVM column expression fused into the scan
+    projection; the ONLY shuffle is the window's partition-by-bucket — same
+    single-shuffle shape as field grouping."""
+    orders = _t(spark, sf_dir, "orders")
+    band = F.floor(
+        F.col("o_totalprice").cast("decimal(18,2)") / F.lit(50000)
+    ).cast("long")
+    w = Window.partitionBy("band").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("band", band)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("band", F.col("rnk").cast("int").alias("rnk"),
+                "o_orderkey", "o_totalprice")
+        .orderBy("band", "rnk")
+    )
+
+
+GROUP_FUNC_SQL = """
+SELECT band, rnk::INTEGER AS rnk, o_orderkey, o_totalprice FROM (
+    SELECT floor(CAST(o_totalprice AS DECIMAL(18,2)) / 50000)::BIGINT AS band,
+           o_orderkey, o_totalprice,
+           row_number() OVER (
+               PARTITION BY floor(CAST(o_totalprice AS DECIMAL(18,2)) / 50000)
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+           ) AS rnk
+    FROM orders
+) WHERE rnk <= 2 ORDER BY band, rnk"""
+
+
 # --- heatmap facet: 2D grid counts (FacetHeatmap / facet.heatmap) -----------
 # Reference computes a spatial grid over lat/lon; the operator is "bucket two
 # dimensions on fixed grids, count each cell, return rows of per-cell counts".
@@ -506,6 +544,7 @@ register("facet_unique_hll", facet_unique_hll, FACET_UNIQUE_HLL_SQL)
 register("collapse_best_order", collapse_best_order, COLLAPSE_SQL)
 register("collapse_expand", collapse_expand, COLLAPSE_EXPAND_SQL)
 register("group_topk", group_topk, GROUP_TOPK_SQL)
+register("group_func_topk", group_func_topk, GROUP_FUNC_SQL)
 
 
 # --- terms facet request params: prefix / mincount / limit / missing --------
