@@ -279,6 +279,62 @@ SELECT o_custkey, rn::INTEGER AS expand_rank, o_orderkey, o_totalprice FROM (
 ) WHERE rn BETWEEN 2 AND {1 + EXPAND_N} ORDER BY o_custkey, expand_rank"""
 
 
+def collapse_min_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollapsingQParserPlugin with a ``min=field`` selector
+    (``S/search/CollapsingQParserPlugin`` min/max field selectors — the
+    non-score collapse mode): one surviving row per group, chosen by the
+    MINIMUM of a numeric field (ties → lowest key), here the cheapest
+    order per customer. Same single window shuffle as score collapse."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+        .limit(COLLAPSE_MIN_LIMIT)
+    )
+
+
+COLLAPSE_MIN_LIMIT = 200
+
+COLLAPSE_MIN_SQL = f"""
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+    FROM orders
+) WHERE rn = 1 ORDER BY o_custkey LIMIT {COLLAPSE_MIN_LIMIT}"""
+
+
+def facet_terms_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms-facet bucket paging (``facet.offset``/``facet.limit`` request
+    params — FacetFieldProcessor offset handling): skip the first 2 buckets
+    of the (count desc, bucket asc) order, return the next 3. The offset
+    applies to the AGGREGATED bucket table (tiny), never to raw rows."""
+    orders = _t(spark, sf_dir, "orders")
+    buckets = orders.groupBy(F.col("o_orderpriority").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("bucket"))
+    return (
+        buckets.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") >= 3) & (F.col("rn") <= 5))
+        .select("bucket", "cnt", F.col("rn").cast("int").alias("rn"))
+        .orderBy("rn")
+    )
+
+
+FACET_TERMS_OFFSET_SQL = """
+SELECT bucket, cnt, rn::INTEGER AS rn FROM (
+    SELECT bucket, cnt,
+           row_number() OVER (ORDER BY cnt DESC, bucket ASC) AS rn
+    FROM (SELECT o_orderpriority AS bucket, count(*)::BIGINT AS cnt
+          FROM orders GROUP BY 1)
+) WHERE rn BETWEEN 3 AND 5 ORDER BY rn"""
+
+
 # --- grouping: top-k docs per group (lucene/grouping) -----------------------
 
 def group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -545,6 +601,8 @@ register("collapse_best_order", collapse_best_order, COLLAPSE_SQL)
 register("collapse_expand", collapse_expand, COLLAPSE_EXPAND_SQL)
 register("group_topk", group_topk, GROUP_TOPK_SQL)
 register("group_func_topk", group_func_topk, GROUP_FUNC_SQL)
+register("collapse_min_field", collapse_min_field, COLLAPSE_MIN_SQL)
+register("facet_terms_offset", facet_terms_offset, FACET_TERMS_OFFSET_SQL)
 
 
 # --- terms facet request params: prefix / mincount / limit / missing --------
