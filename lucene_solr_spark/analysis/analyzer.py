@@ -652,15 +652,30 @@ class CommonGramsAnalyzer(_BaseAnalyzer):
         return out
 
 
+def _all_ngrams(t: str) -> list[str]:
+    """ALL substrings of lengths EDGE_MIN..EDGE_MAX (``LA/ngram/
+    NGramTokenFilter``, minGram=2 maxGram=4); tokens shorter than EDGE_MIN
+    pass through (preserveOriginal for the sub-min case, matching the edge
+    chain's convention)."""
+    if len(t) < EDGE_MIN:
+        return [t]
+    return [
+        t[s:s + g]
+        for g in range(EDGE_MIN, EDGE_MAX + 1)
+        for s in range(0, len(t) - g + 1)
+    ]
+
+
 class EdgeNGramAnalyzer(_BaseAnalyzer):
     """Standard → LowerCase → EdgeNGram(2, 4): each token replaced by its
     leading-edge grams, all at the token's position (one position increment
     per source token ⇒ norms count source tokens)."""
 
     lowercase = True
+    _grams = staticmethod(_edge_grams)
 
     def postprocess_tokens(self, toks):
-        return [(g, p) for t, p in toks for g in _edge_grams(t)]
+        return [(g, p) for t, p in toks for g in type(self)._grams(t)]
 
     def postprocess_frame(self, frame: pd.DataFrame) -> pd.DataFrame:
         if not len(frame):
@@ -668,7 +683,8 @@ class EdgeNGramAnalyzer(_BaseAnalyzer):
         row = frame["row"].to_numpy()
         pos = frame["pos"].to_numpy()
         codes, uniq = pd.factorize(_term_values(frame))
-        gram_lists = [np.array(_edge_grams(u), dtype=object) for u in uniq]
+        grams_fn = type(self)._grams
+        gram_lists = [np.array(grams_fn(u), dtype=object) for u in uniq]
         counts_u = np.array([len(g) for g in gram_lists], dtype=np.int64)
         flat_u = (
             np.concatenate(gram_lists) if gram_lists else np.empty(0, dtype=object)
@@ -684,6 +700,16 @@ class EdgeNGramAnalyzer(_BaseAnalyzer):
         })
         out.attrs["doc_len"] = frame.attrs["doc_len"]  # 1 increment per source
         return out
+
+
+class NGramAnalyzer(EdgeNGramAnalyzer):
+    """Standard → LowerCase → NGram(2, 4) (``LA/ngram/NGramTokenFilter``):
+    each token replaced by ALL its 2–4-grams at the token's position —
+    the substring-search / noisy-text-matching chain (edge grams only
+    cover prefixes). Same vectorized gram expansion as the edge chain,
+    different gram function."""
+
+    _grams = staticmethod(_all_ngrams)
 
 
 # --- char-normalizing filters (ASCII folding / English possessive) -----------

@@ -55,6 +55,9 @@ FULLTEXT_TOPK = {
     "ft_synonym_topk": ("synonym", "term", ["row"], 0, 10),
     "ft_shingle_topk": ("shingle", "term", ["table hash"], 0, 10),
     "ft_edgegram_topk": ("edgegram", "term", ["merge"], 0, 10),
+    # NGramTokenFilter(2,4): query 'erg' rides the SAME chain → the er/rg/
+    # erg gram disjunction (substring matching — finds 'merge' interiors)
+    "ft_ngram_topk": ("ngram", "term", ["erg"], 0, 10),
     # char-normalizing filters (ASCIIFolding / EnglishPossessive): the query
     # surfaces carry the accents/possessives and the SAME chain runs on both
     # sides; the driver corpus is pure ASCII (both filters are index-side

@@ -60,6 +60,7 @@ from ..analysis import (
     KeywordAnalyzer,
     LengthFilterAnalyzer,
     LuceneChainAnalyzer,
+    NGramAnalyzer,
     ShingleAnalyzer,
     SimpleAnalyzer,
     StopChainAnalyzer,
@@ -83,9 +84,7 @@ ANALYZERS = {
     "length": LengthFilterAnalyzer,
     "htmlstrip": HTMLStripAnalyzer,
     "commongrams": CommonGramsAnalyzer,
-    "length": LengthFilterAnalyzer,
-    "htmlstrip": HTMLStripAnalyzer,
-    "commongrams": CommonGramsAnalyzer,
+    "ngram": NGramAnalyzer,
     "keyword": KeywordAnalyzer,
     "cjk": CJKBigramAnalyzer,
 }

@@ -83,6 +83,27 @@ def _kept_ctes(analyzer: str) -> tuple[str, str]:
 )""",
             "raw_toks",
         )
+    if analyzer == "ngram":
+        # NGramTokenFilter(2, 4): ALL substrings of each token at the
+        # token's position; sub-min tokens pass through (edge-chain
+        # convention); norms count source tokens (discountOverlaps)
+        from .analysis.analyzer import EDGE_MAX, EDGE_MIN
+
+        return (
+            f"""kept AS (
+    SELECT doc_id,
+           unnest(CASE WHEN length(term) < {EDGE_MIN} THEN [term]
+                  ELSE flatten(list_transform(
+                       generate_series({EDGE_MIN}, {EDGE_MAX}),
+                       g -> list_transform(
+                            generate_series(1, length(term) - g + 1),
+                            s -> substr(term, CAST(s AS INT), CAST(g AS INT)))))
+                  END) AS term,
+           pos
+    FROM raw_toks
+)""",
+            "raw_toks",
+        )
     if analyzer == "whitespace":
         return "kept AS (SELECT * FROM raw_toks)", "kept"
     if analyzer == "commongrams":
