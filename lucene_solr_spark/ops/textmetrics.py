@@ -224,6 +224,124 @@ SELECT source, lang, n_docs, bytes, tokens,
 FROM agg ORDER BY source, lang"""
 
 
+# --- composite quality-filter decision ---------------------------------------
+
+QF_MIN_TOKENS = 20
+QF_MAX_TOKENS = 100000
+QF_MIN_MEAN_LEN = 2.0
+QF_MAX_MEAN_LEN = 12.0
+QF_MIN_STOP = 1
+QF_MAX_DUP2 = 0.30
+
+
+def quality_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed C4/Gopher accept/reject DECISION — the step a cleaning
+    pipeline actually ships after computing signals: per doc, boolean flags
+    for each failure mode (too short/long, degenerate mean token length,
+    no stopwords, repetitious bigrams) and the final ``accept``. One
+    tokenize pass computes the length/stopword signals as array
+    expressions; the bigram-duplication signal reuses the repetition
+    zip_with (one (doc, gram) hash-agg). Every signal is a ratio of exact
+    BIGINT counts, so the flag comparisons are deterministic on both
+    engines.
+
+    Scale shape: two narrow passes (per-row expressions + ONE gram
+    hash-agg), one broadcast-free join on doc_id, no UDF — at 100 TB this
+    is the same cost class as text_quality + text_repetition fused."""
+    d = _toks(_docs(spark, sf_dir))
+    n = F.size("toks")
+    stop_arr = F.array(*[F.lit(w) for w in _STOP33])
+    sum_len = F.aggregate(
+        F.transform(F.col("toks"), lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    base = d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        (sum_len.cast("double") / n).alias("mean_len"),
+        F.size(F.array_intersect(F.col("toks"), stop_arr)).cast("long")
+        .alias("n_stop"),
+    )
+    g2 = F.zip_with(
+        F.slice("toks", 1, n - 1), F.slice("toks", 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    dup2 = (
+        d.select("doc_id", F.explode(g2).alias("g"))
+        .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("t2"), F.count(F.lit(1)).alias("d2"))
+        .select(
+            "doc_id",
+            ((F.col("t2") - F.col("d2")).cast("double") / F.col("t2"))
+            .alias("dup2_frac"),
+        )
+    )
+    j = base.join(dup2, "doc_id", "left").select(
+        "doc_id", "n_tokens", "mean_len", "n_stop",
+        F.coalesce("dup2_frac", F.lit(0.0)).alias("dup2_frac"),
+    )
+    too_short = F.col("n_tokens") < QF_MIN_TOKENS
+    too_long = F.col("n_tokens") > QF_MAX_TOKENS
+    bad_len = (F.col("mean_len") < QF_MIN_MEAN_LEN) | (
+        F.col("mean_len") > QF_MAX_MEAN_LEN
+    )
+    no_stop = F.col("n_stop") < QF_MIN_STOP
+    repetitive = F.col("dup2_frac") > QF_MAX_DUP2
+    return j.select(
+        "doc_id",
+        too_short.alias("too_short"), too_long.alias("too_long"),
+        bad_len.alias("bad_mean_len"), no_stop.alias("no_stopwords"),
+        repetitive.alias("repetitive"),
+        (~(too_short | too_long | bad_len | no_stop | repetitive))
+        .alias("accept"),
+    ).orderBy("doc_id")
+
+
+QUALITY_FILTER_SQL = f"""
+WITH t AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+    FROM documents
+),
+base AS (
+    SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / len(toks) AS mean_len,
+           len(list_intersect(list_distinct(toks), [{_STOP_IN}]))::BIGINT AS n_stop
+    FROM t
+),
+g AS (
+    SELECT doc_id, a.term || ' ' || b.term AS gram FROM (
+        SELECT doc_id, unnest(toks) AS term,
+               generate_subscripts(toks, 1) AS i FROM t
+    ) a JOIN (
+        SELECT doc_id, unnest(toks) AS term,
+               generate_subscripts(toks, 1) AS i FROM t
+    ) b USING (doc_id) WHERE b.i = a.i + 1
+),
+dup AS (
+    SELECT doc_id, CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup2_frac
+    FROM (SELECT doc_id, gram, count(*)::BIGINT AS c FROM g GROUP BY 1, 2)
+    GROUP BY doc_id
+),
+j AS (
+    SELECT b.doc_id, b.n_tokens, b.mean_len, b.n_stop,
+           COALESCE(d.dup2_frac, 0.0) AS dup2_frac
+    FROM base b LEFT JOIN dup d USING (doc_id)
+)
+SELECT doc_id,
+       n_tokens < {QF_MIN_TOKENS} AS too_short,
+       n_tokens > {QF_MAX_TOKENS} AS too_long,
+       (mean_len < {QF_MIN_MEAN_LEN!r} OR mean_len > {QF_MAX_MEAN_LEN!r}) AS bad_mean_len,
+       n_stop < {QF_MIN_STOP} AS no_stopwords,
+       dup2_frac > {QF_MAX_DUP2!r} AS repetitive,
+       NOT (n_tokens < {QF_MIN_TOKENS} OR n_tokens > {QF_MAX_TOKENS}
+            OR mean_len < {QF_MIN_MEAN_LEN!r} OR mean_len > {QF_MAX_MEAN_LEN!r}
+            OR n_stop < {QF_MIN_STOP} OR dup2_frac > {QF_MAX_DUP2!r}) AS accept
+FROM j ORDER BY doc_id"""
+
+
+register("quality_filter_flags", quality_filter_flags, QUALITY_FILTER_SQL)
 register("token_fertility", token_fertility, TOKEN_FERTILITY_SQL)
 
 
