@@ -654,9 +654,12 @@ class CommonGramsAnalyzer(_BaseAnalyzer):
 
 def _all_ngrams(t: str) -> list[str]:
     """ALL substrings of lengths EDGE_MIN..EDGE_MAX (``LA/ngram/
-    NGramTokenFilter``, minGram=2 maxGram=4); tokens shorter than EDGE_MIN
-    pass through (preserveOriginal for the sub-min case, matching the edge
-    chain's convention)."""
+    NGramTokenFilter``, minGram=2 maxGram=4). Tokens shorter than EDGE_MIN
+    pass through unchanged — this deliberately models
+    ``preserveOriginal=true``; the upstream DEFAULT (preserveOriginal=false)
+    drops sub-minGram tokens entirely. Engine and oracle agree on the
+    preserveOriginal=true semantics; the deviation from the upstream default
+    is recorded in COVERAGE.md next to the ft_ngram_topk row."""
     if len(t) < EDGE_MIN:
         return [t]
     return [
@@ -978,6 +981,159 @@ class CJKBigramAnalyzer(_BaseAnalyzer):
             out["row"].to_numpy(),
             minlength=len(frame.attrs["doc_len"]),
         ).astype(np.int64)
+        return out
+
+
+# --- WordDelimiterGraphFilter (subset) ---------------------------------------
+
+# Intra-token boundary passes (``LA/miscellaneous/WordDelimiterGraphFilter``
+# with generateWordParts=1, generateNumberParts=1, splitOnCaseChange=1,
+# splitOnNumerics=1, catenate*=0, preserveOriginal=0 — the Solr
+# text_en_splitting defaults minus catenation). A \x00 separator is injected
+# at every subword boundary, then ASCII-alphanumeric runs are the parts
+# (non-alphanumerics are delimiter type, like the upstream char-type table;
+# non-ASCII letters are treated as delimiters here — documented deviation,
+# the upstream type table spans Unicode).
+_WD_BOUNDARY = (
+    (re.compile(r"([a-z])([A-Z])"), "\\1\x00\\2"),        # case change
+    (re.compile(r"([A-Z])([A-Z][a-z])"), "\\1\x00\\2"),   # upper-run end: ABCDef
+    (re.compile(r"([A-Za-z])([0-9])"), "\\1\x00\\2"),     # letter→digit
+    (re.compile(r"([0-9])([A-Za-z])"), "\\1\x00\\2"),     # digit→letter
+)
+_WD_PART_RE = re.compile(r"[A-Za-z0-9]+")
+
+
+def _wd_parts(tok: str) -> list[str]:
+    """Subword parts of one whitespace token, lowered. 'Wi-Fi2' → [wi, fi, 2];
+    'PowerShot' → [power, shot]; '++' → [] (all-delimiter tokens vanish)."""
+    for rx, rep in _WD_BOUNDARY:
+        tok = rx.sub(rep, tok)
+    return [p.lower() for p in _WD_PART_RE.findall(tok)]
+
+
+class WordDelimiterGraphAnalyzer(_BaseAnalyzer):
+    """Whitespace → WordDelimiterGraph(subset) → LowerCase
+    (``LA/miscellaneous/WordDelimiterGraphFilter.java``): each whitespace
+    token splits into subword parts on case changes, letter/digit
+    transitions, and non-alphanumeric delimiters; parts advance the position
+    by 1 each (the graph's posInc discipline for generated parts), so a
+    split token occupies consecutive positions and phrase queries match
+    across the split ('Merge-Batch' ≡ phrase "merge batch"). A token that
+    is ALL delimiters emits nothing but still advances the position by 1
+    (the filter's accumulated posIncrement — a hole). Norm length = emitted
+    part count (parts are position-advancing tokens, not overlaps).
+
+    The whitespace tokenizer (not Standard) feeds the filter, matching the
+    upstream usage note: StandardTokenizer would already have stripped the
+    intra-word punctuation WDGF exists to handle."""
+
+    lowercase = False  # case is MEANINGFUL to the splitter; parts lower after
+    token_re = re.compile(r"\S{1,255}")
+    istok_lut = _WS_LUT
+    uni_token_re = token_re
+
+    def postprocess_tokens(self, toks):
+        out: list[tuple[str, int]] = []
+        cur = 0
+        for t, _ in toks:
+            parts = _wd_parts(t)
+            out.extend((p, cur + i) for i, p in enumerate(parts))
+            cur += max(1, len(parts))
+        return out
+
+    def postprocess_frame(self, frame: pd.DataFrame) -> pd.DataFrame:
+        n_base = len(frame.attrs["doc_len"])
+        if not len(frame):
+            return frame
+        row = frame["row"].to_numpy()
+        codes, uniq = pd.factorize(_term_values(frame))
+        part_lists = [np.array(_wd_parts(u), dtype=object) for u in uniq]
+        counts_u = np.array([len(p) for p in part_lists], dtype=np.int64)
+        flat_u = (
+            np.concatenate(part_lists) if part_lists else np.empty(0, dtype=object)
+        )
+        offs_u = np.cumsum(counts_u) - counts_u
+        cnt = counts_u[codes]                      # parts per source token
+        inc = np.maximum(cnt, 1)                   # position increments
+        # exclusive per-row cumulative start position (frame is (row, pos)
+        # sorted — the base analyzer emits row-major)
+        cum = np.cumsum(inc) - inc
+        row_change = np.empty(len(row), dtype=bool)
+        row_change[0] = True
+        row_change[1:] = row[1:] != row[:-1]
+        row_base = np.maximum.accumulate(np.where(row_change, cum, 0))
+        start = cum - row_base
+        starts_emit = np.cumsum(cnt) - cnt
+        within = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+            starts_emit, cnt
+        )
+        out = pd.DataFrame({
+            "row": np.repeat(row, cnt),
+            "term": flat_u[np.repeat(offs_u[codes], cnt) + within],
+            "pos": (np.repeat(start, cnt) + within).astype(np.int32),
+        })
+        out.attrs["doc_len"] = np.bincount(
+            out["row"].to_numpy(), minlength=n_base
+        ).astype(np.int64)
+        return out
+
+
+# --- KeywordRepeat → EnglishMinimalStem → RemoveDuplicates -------------------
+
+
+def english_minimal_stem(t: str) -> str:
+    """``LA/en/EnglishMinimalStemmer.java`` verbatim rule: strip one
+    trailing 's' when length ≥ 3 and the preceding char is not 's'/'u'."""
+    if len(t) < 3 or not t.endswith("s") or t[-2] in ("s", "u"):
+        return t
+    return t[:-1]
+
+
+class KeywordRepeatAnalyzer(_BaseAnalyzer):
+    """Standard → LowerCase → KeywordRepeat → EnglishMinimalStem →
+    RemoveDuplicates (``LA/miscellaneous/KeywordRepeatFilter`` +
+    ``LA/en/EnglishMinimalStemFilter`` + ``LA/miscellaneous/
+    RemoveDuplicatesTokenFilter``): every token is emitted twice — once
+    keyword-protected (unstemmed) and once through the stemmer — at the
+    SAME position (posInc 0 on the repeat), then exact (term, position)
+    duplicates collapse, so tokens the stemmer leaves unchanged emit once.
+    Norm length counts source tokens only (discountOverlaps — the repeat is
+    an overlap). Query-side, a surface analyzing to two same-position terms
+    compiles to a SynonymQuery (QueryBuilder's position-graph rule)."""
+
+    lowercase = True
+
+    def postprocess_tokens(self, toks):
+        out: list[tuple[str, int]] = []
+        for t, p in toks:
+            out.append((t, p))
+            s = english_minimal_stem(t)
+            if s != t:
+                out.append((s, p))
+        return out
+
+    def postprocess_frame(self, frame: pd.DataFrame) -> pd.DataFrame:
+        if not len(frame):
+            return frame
+        codes, uniq = pd.factorize(_term_values(frame))
+        stemmed_u = np.array(
+            [english_minimal_stem(u) for u in uniq], dtype=object
+        )
+        changed_u = stemmed_u != np.asarray(uniq, dtype=object)
+        sel = np.flatnonzero(changed_u[codes])
+        if not sel.size:
+            return frame
+        extra = pd.DataFrame({
+            "row": frame["row"].to_numpy()[sel],
+            "term": stemmed_u[codes[sel]],
+            "pos": frame["pos"].to_numpy()[sel],
+        })
+        base = frame[["row", "term", "pos"]].copy()
+        base["term"] = np.asarray(_term_values(frame), dtype=object)
+        out = pd.concat([base, extra], ignore_index=True).sort_values(
+            ["row", "pos"], kind="mergesort"
+        ).reset_index(drop=True)
+        out.attrs["doc_len"] = frame.attrs["doc_len"]  # discountOverlaps
         return out
 
 

@@ -75,6 +75,13 @@ FULLTEXT_TOPK = {
     # and shrink norms (FilteringTokenFilter) — 'a'/long tokens vanish, so
     # every BM25 norm differs from the simple chain's
     "ft_lengthfilter_topk": ("length", "and2", ["merge", "batch"], 0, 10),
+    # WordDelimiterGraphFilter: the query surface carries the case+hyphen
+    # ('Merge-Batch' splits to consecutive-position parts → an exact
+    # phrase across the split); the driver corpus is plain lowercase (the
+    # filter is index-side identity there) — corpus-side splitting is
+    # certified by pytest goldens (tests/test_worddelim.py), the
+    # ft_asciifold/ft_possessive precedent
+    "ft_worddelim_topk": ("worddelim", "phrase2", ["Merge-Batch"], 0, 10),
 }
 
 
@@ -248,6 +255,17 @@ WORDBREAK_Q = ("mergebatch", ("bat", "ch"))
 # SynonymGraphFilter multi-word rule: "table hash" => dup (query-time graph
 # → OR(phrase, term) via QueryBuilder#analyzeGraphBoolean)
 SYNGRAPH_Q = (["table", "hash"], "dup")
+# Surround query (W=ordered / N=unordered distance ops over span kernels):
+# distances 2 and 3 → span slops 1 and 2 (DistanceQuery's opDistance-1)
+SURROUND_Q = "2W(merge, batch) OR 3N(vector, filter)"
+SURROUND_CLAUSES = [("w", "merge", "batch", 1), ("n", "vector", "filter", 2)]
+# SynonymQuery: explicit query-time synonyms scored as ONE pseudo-term
+# (tf summed, df = max) — both members live in the corpus so the merge
+# semantics (not just the degenerate single-term case) are hash-gated
+SYNONYMQ = ["merge", "join"]
+# KeywordRepeat chain graph query: 'tables' analyzes to original+stem at
+# one position → SynonymQuery(tables, table) via the QueryBuilder rule
+KEYWORDREPEAT_Q = "tables"
 # /analysis/field debug: per-stage token stream of the stop chain
 ANALYSIS_TEXT = "The Table HASH the Window"
 # cursorMark deep paging: (query, sort field) — page 2 by keyset cursor
@@ -273,6 +291,19 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda spark, sf_dir, kind=kind, pattern=pattern:
             get_engine(spark, sf_dir, "simple").multiterm_topk(kind, pattern, k=10)
         )
+    # Surround parser: ordered + unordered distance operators
+    out["ft_surround_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).surround_topk(SURROUND_Q, k=10)
+    # SynonymQuery (explicit query-time synonyms, tf summed / df = max)
+    out["ft_synonymquery_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).synonym_topk(SYNONYMQ, k=10)
+    # KeywordRepeat chain + QueryBuilder position-graph rule: same-position
+    # original+stem query tokens → one SynonymQuery
+    out["ft_keywordrepeat_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "keywordrepeat"
+    ).synonym_term_topk(KEYWORDREPEAT_Q, k=10)
     out["ft_dismax_topk"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").dismax_topk(
         DISMAX_TERMS, DISMAX_TIE, k=10
     )
@@ -290,6 +321,11 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_page2_topk"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").search_after_page(
         PAGE2_QUERY[0], PAGE2_QUERY[1], k=10
     )
+    # ToChildBlockJoin: children of the top-2 parents, parent score
+    # propagated to every child
+    out["ft_blockjoin_children"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).blockjoin_children("or2", BLOCKJOIN_TERMS, n_parents=2)
     out["ft_blockjoin_source"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).blockjoin_by_source("or2", BLOCKJOIN_TERMS, n_groups=5)
@@ -562,8 +598,8 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_suggest_infix"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).suggest("infix", "or", k=10)
-    # FreeTextSuggester: 2-gram LM with stupid backoff (context 'merge',
-    # typed prefix 'b')
+    # FreeTextSuggester: 2-gram LM with stupid backoff (context and typed
+    # prefix come from FREETEXT_Q; rationale at its definition)
     out["ft_suggest_freetext"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).suggest_freetext(FREETEXT_Q[0], FREETEXT_Q[1], k=FREETEXT_Q[2])
@@ -608,6 +644,28 @@ def fulltext_oracles() -> dict[str, str]:
     }
     for name, (_kind, _pattern, pred) in MULTITERM.items():
         out[name] = multiterm_topk_sql("simple", pred, 10)
+    from .oracles import surround_or_topk_sql, synonym_topk_sql
+
+    out["ft_surround_topk"] = surround_or_topk_sql(
+        "simple", SURROUND_CLAUSES, 10
+    )
+    out["ft_synonymquery_topk"] = synonym_topk_sql(
+        "simple",
+        [tuple(
+            ANALYZERS["simple"]().analyze(s)[0][0] for s in SYNONYMQ
+        )],
+        10,
+    )
+    # groups recovered from the SAME chain analysis the engine runs: terms
+    # sharing a position form one synonym group (QueryBuilder graph rule)
+    _kr_by_pos: dict[int, list[str]] = {}
+    for _t, _p in ANALYZERS["keywordrepeat"]().analyze(KEYWORDREPEAT_Q):
+        _kr_by_pos.setdefault(_p, []).append(_t)
+    out["ft_keywordrepeat_topk"] = synonym_topk_sql(
+        "keywordrepeat",
+        [tuple(dict.fromkeys(_kr_by_pos[p])) for p in sorted(_kr_by_pos)],
+        10,
+    )
     from .search.query import BooleanSpec, TermClause
 
     an = ANALYZERS["simple"]()
@@ -888,6 +946,11 @@ def fulltext_oracles() -> dict[str, str]:
         offset=10,
     )
     out["ft_blockjoin_source"] = blockjoin_sql("simple", BLOCKJOIN_TERMS, 5)
+    from .oracles import blockjoin_children_sql
+
+    out["ft_blockjoin_children"] = blockjoin_children_sql(
+        "simple", BLOCKJOIN_TERMS, 2
+    )
     from .oracles import blockjoin_scores_sql, feature_topk_sql, rrf_topk_sql
 
     out["ft_blockjoin_scores"] = blockjoin_scores_sql(

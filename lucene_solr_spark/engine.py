@@ -406,6 +406,62 @@ class DocumentsEngine:
         )])
         return self._present(self.searcher.search(spec, k=k, with_keys=True))
 
+    def synonym_topk(self, surfaces: list[str], k: int = 10) -> DataFrame:
+        """Explicit SynonymQuery top-k (``L/search/SynonymQuery.java`` — the
+        query-time synonym shape): the given surfaces analyze to terms that
+        score as ONE pseudo-term — per doc tf = Σ member termFreqs, docFreq
+        = max member df (SynonymWeight's TermStatistics merge), one BM25
+        score. Unlike a SHOULD disjunction, a doc containing several
+        members is NOT rewarded with per-member idf; unlike
+        BlendedTermQuery, members do not score separately.
+
+        Scale shape: member posting lists pruned at one parquet scan
+        (term IN-list pushdown); the per-segment merge is one concatenate +
+        unique + add.at (``kernels._sum_postings``) — no positions."""
+        from .search.query import BooleanSpec, SynonymClause
+
+        an = self.searcher.analyzer
+        terms = tuple(dict.fromkeys(
+            an.analyze(s)[0][0] for s in surfaces if an.analyze(s)
+        ))
+        spec = BooleanSpec(should=[SynonymClause(terms)])
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
+    def synonym_term_topk(self, surface: str, k: int = 10) -> DataFrame:
+        """Position-graph term query (``L/util/QueryBuilder#
+        analyzeGraphBoolean``): the surface analyzes through the index
+        chain; tokens landing on the SAME position (posInc-0 emissions —
+        e.g. the KeywordRepeat chain's original+stem pair) compile to one
+        SynonymQuery, single tokens to TermQuery, positions combine as
+        SHOULD. 'tables' through the keywordrepeat chain → SynonymQuery
+        (tables, table) — matching docs with either form under one
+        merged-stats score."""
+        from .search.query import BooleanSpec, SynonymClause, TermClause
+
+        by_pos: dict[int, list[str]] = {}
+        for t, p in self.searcher.analyzer.analyze(surface):
+            by_pos.setdefault(p, []).append(t)
+        should = []
+        for p in sorted(by_pos):
+            ts = tuple(dict.fromkeys(by_pos[p]))
+            should.append(
+                SynonymClause(ts) if len(ts) > 1 else TermClause(ts[0])
+            )
+        spec = BooleanSpec(should=should)
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
+    def surround_topk(self, query: str, k: int = 10) -> DataFrame:
+        """Surround query-language top-k (``lucene/queryparser/surround``):
+        ``kW(a,b)`` = ordered span near, ``kN(a,b)`` = unordered span near
+        (both with slop = k−1, the DistanceQuery mapping), bare terms, one
+        level of AND/OR/NOT. Runs on the exact positional kernels; the
+        unordered matcher is the vectorized NearSpansUnordered walk
+        (``kernels._span_near_unordered_freqs_2term``)."""
+        from .search.surround import parse_surround
+
+        spec = parse_surround(query, self.searcher.analyzer)
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
     def span_near_or_topk(
         self, surfaces0: list[str], surfaces1: list[str], slop: int,
         k: int = 10,
@@ -770,6 +826,46 @@ class DocumentsEngine:
             )
             .orderBy(F.desc("parent_score"), F.asc("source"))
             .limit(n_groups)
+        )
+
+    def blockjoin_children(
+        self, qtype: str, surface_terms: list[str], n_parents: int = 2
+    ) -> DataFrame:
+        """ToChildBlockJoinQuery analog (``lucene/join/.../
+        ToChildBlockJoinQuery.java``, Solr ``{!child of=...}``): children
+        of matching parents, each carrying the PARENT's score. The parent
+        query is the composite ``{!child}{!parent}q`` sibling-retrieval
+        shape: parents (source groups) scored by ScoreMode.Max roll-up of
+        the child query, then every child of the top parents returned with
+        parentScore propagated (ToChildBlockJoin's doScores mode).
+
+        Scale shape: the roll-up reuses the unranked per-segment hits (no
+        global sort before the group-by); the top-parent set is tiny and
+        broadcast to the child fan-out join — children never shuffle."""
+        spec = self.searcher.parse(qtype, surface_terms, 0)
+        hits = self.searcher.hits(
+            self.searcher.compile(spec, k=1 << 30), mode="exact"
+        )
+        keys = self.searcher.docs.select("doc_id", *self.searcher.meta.key_cols)
+        hits = hits.join(keys, "doc_id", "left")
+        src = self.spark.read.parquet(
+            os.path.join(self.sf_dir, "documents.parquet")
+        ).select(F.col("doc_id").alias("doc_key"), "source")
+        parents = (
+            hits.join(F.broadcast(src), "doc_key")
+            .groupBy("source")
+            .agg(F.max("score").cast("float").alias("parent_score"))
+            .orderBy(F.desc("parent_score"), F.asc("source"))
+            .limit(n_parents)
+        )
+        return (
+            src.join(F.broadcast(parents), "source")
+            .select(
+                "source",
+                F.col("doc_key").cast("long").alias("doc_id"),
+                F.col("parent_score").cast("float").alias("parent_score"),
+            )
+            .orderBy(F.desc("parent_score"), "source", "doc_id")
         )
 
     def blockjoin_scores(

@@ -66,6 +66,8 @@ from ..analysis import (
     StopChainAnalyzer,
     SynonymAnalyzer,
     WhitespaceAnalyzer,
+    WordDelimiterGraphAnalyzer,
+    KeywordRepeatAnalyzer,
 )
 from ..util.smallfloat import encode_lengths
 from .codec import encode_posting_blocks
@@ -87,6 +89,8 @@ ANALYZERS = {
     "ngram": NGramAnalyzer,
     "keyword": KeywordAnalyzer,
     "cjk": CJKBigramAnalyzer,
+    "worddelim": WordDelimiterGraphAnalyzer,
+    "keywordrepeat": KeywordRepeatAnalyzer,
 }
 
 MANIFEST_SCHEMA = (

@@ -22,7 +22,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .codec import decode_block, decode_block_docs
+from .codec import decode_block
 
 
 def _check_segment(index_dir: str, seg: int, positions: bool) -> dict:
@@ -73,13 +73,18 @@ def _check_segment(index_dir: str, seg: int, positions: bool) -> dict:
                 viol.append(f"term {term!r} block {bi}: docIDs not strictly increasing")
             if len(docs) and docs[0] <= prev_last:
                 viol.append(f"term {term!r} block {bi}: overlaps previous block")
-            if len(docs) and (docs[0] < 0 or docs[-1] >= n_docs):
+            docs_in_range = not (len(docs) and (docs[0] < 0 or docs[-1] >= n_docs))
+            if not docs_in_range:
                 viol.append(f"term {term!r} block {bi}: docID out of segment range")
             if np.any(tfs < 1):
                 viol.append(f"term {term!r} block {bi}: tf < 1")
             if len(tfs) and int(tfs.max()) != blk["max_tf"]:
                 viol.append(f"term {term!r} block {bi}: impact max_tf wrong")
-            if len(docs) and int(norms_col[docs].min()) != blk["min_norm"]:
+            # min_norm indexes norms_col by docID — only safe when every
+            # docID is in segment range; a checker must survive corrupt
+            # input (CheckIndex reports, it doesn't crash), so the range
+            # violation above subsumes this check for bad blocks.
+            if docs_in_range and len(docs) and int(norms_col[docs].min()) != blk["min_norm"]:
                 viol.append(f"term {term!r} block {bi}: impact min_norm wrong")
             if pos is not None:
                 if len(pos) != int(tfs.sum()):

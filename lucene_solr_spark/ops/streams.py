@@ -1011,3 +1011,117 @@ ORDER BY x, n DESC, y"""
 
 
 register("stream_facet2d", stream_facet2d, STREAM_FACET2D_SQL)
+
+
+def stream_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corr`` evaluator (``SJ/io/eval/CorrelationEvaluator``, Pearson):
+    correlation of event value against hour-of-day, per event_type.
+
+    Float discipline (the stream_regress pattern): the five sufficient
+    statistics are EXACT — x is an integer hour, y a DECIMAL(18,2) — so
+    both engines reduce to identical doubles before the closed-form
+    r = (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²)), bit-deterministic
+    regardless of row order. One map-side-combined aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.select(
+            "event_type",
+            F.hour("ts").cast("long").alias("x"),
+            F.col("value").cast("decimal(18,2)").alias("y"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+            F.sum(F.col("y") * F.col("x")).cast("double").alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        )
+    )
+    cov = s.n * s.sxy - s.sx * s.sy
+    vx = s.n * s.sxx - s.sx * s.sx
+    vy = s.n * s.syy - s.sy * s.sy
+    return s.select(
+        "event_type",
+        s.n.cast("long").alias("n_obs"),
+        (cov / F.sqrt(vx * vy)).alias("corr"),
+    ).orderBy("event_type")
+
+
+STREAM_CORR_SQL = """
+WITH s AS (
+    SELECT event_type,
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(x) AS DOUBLE) AS sx,
+           CAST(sum(y) AS DOUBLE) AS sy,
+           CAST(sum(x * x) AS DOUBLE) AS sxx,
+           CAST(sum(y * x) AS DOUBLE) AS sxy,
+           CAST(sum(y * y) AS DOUBLE) AS syy
+    FROM (
+        SELECT event_type, hour(ts)::BIGINT AS x,
+               CAST(value AS DECIMAL(18,2)) AS y
+        FROM events
+    ) GROUP BY 1
+)
+SELECT event_type, n::BIGINT AS n_obs,
+       (n * sxy - sx * sy)
+           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr
+FROM s ORDER BY event_type"""
+
+
+def stream_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``describe`` evaluator (``SJ/io/eval/DescribeEvaluator`` backed by
+    commons-math DescriptiveStatistics): N, min, max, sum, mean, sample
+    stddev of event value, per event_type.
+
+    min/max/sum/count aggregate on DECIMAL(18,2) — exact, order-free;
+    mean and the (n−1)-denominator sample variance derive from the exact
+    sums in closed form, so every double is bit-deterministic under any
+    partitioning. One map-side-combined aggregate pass."""
+    ev = _t(spark, sf_dir, "events")
+    y = F.col("value").cast("decimal(18,2)")
+    s = (
+        ev.select("event_type", y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("y").alias("mn"),
+            F.max("y").alias("mx"),
+            F.sum("y").alias("sm"),
+            F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        )
+    )
+    nd = s.n.cast("double")
+    sd = s.sm.cast("double")
+    var = (s.syy - sd * sd / nd) / (nd - F.lit(1.0))
+    return s.select(
+        "event_type",
+        s.n.cast("long").alias("n_obs"),
+        s.mn.cast("double").alias("min_v"),
+        s.mx.cast("double").alias("max_v"),
+        sd.alias("sum_v"),
+        (sd / nd).alias("mean_v"),
+        F.sqrt(var).alias("stddev_v"),
+    ).orderBy("event_type")
+
+
+STREAM_DESCRIBE_SQL = """
+WITH s AS (
+    SELECT event_type, count(*)::BIGINT AS n,
+           min(y) AS mn, max(y) AS mx, sum(y) AS sm,
+           CAST(sum(y * y) AS DOUBLE) AS syy
+    FROM (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS y FROM events)
+    GROUP BY 1
+)
+SELECT event_type, n AS n_obs,
+       CAST(mn AS DOUBLE) AS min_v, CAST(mx AS DOUBLE) AS max_v,
+       CAST(sm AS DOUBLE) AS sum_v,
+       CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mean_v,
+       sqrt((syy - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+            / (CAST(n AS DOUBLE) - 1.0)) AS stddev_v
+FROM s ORDER BY event_type"""
+
+
+register("stream_corr", stream_corr, STREAM_CORR_SQL)
+register("stream_describe", stream_describe, STREAM_DESCRIBE_SQL)

@@ -142,6 +142,59 @@ def _kept_ctes(analyzer: str) -> tuple[str, str]:
             "regexp_replace(term, '[''’]s$', '') AS term, pos FROM raw_toks)",
             "kept",
         )
+    if analyzer == "worddelim":
+        # WordDelimiterGraph(subset): '-' separators injected at case-change
+        # / letter-digit boundaries (any non-alnum is already a delimiter,
+        # so the separator char cannot create a false part), then
+        # alphanumeric runs are the lowered parts; each part advances the
+        # position by 1, an all-delimiter token leaves a 1-position hole
+        # (greatest(1, n_parts) increments), positions re-based per doc.
+        bounded = (
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            "term, '([a-z])([A-Z])', '\\1-\\2', 'g'),"
+            " '([A-Z])([A-Z][a-z])', '\\1-\\2', 'g'),"
+            " '([A-Za-z])([0-9])', '\\1-\\2', 'g'),"
+            " '([0-9])([A-Za-z])', '\\1-\\2', 'g')"
+        )
+        return (
+            f"""wd_parts AS (
+    SELECT doc_id, pos AS opos,
+           list_transform(regexp_extract_all({bounded}, '[A-Za-z0-9]+'),
+                          x -> lower(x)) AS parts
+    FROM raw_toks
+),
+wd_base AS (
+    SELECT doc_id, opos, parts,
+           coalesce(sum(greatest(1, len(parts))) OVER (
+               PARTITION BY doc_id ORDER BY opos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+    FROM wd_parts
+),
+kept AS (
+    SELECT doc_id, unnest(parts) AS term,
+           start + generate_subscripts(parts, 1) - 1 AS pos
+    FROM wd_base
+)""",
+            "kept",
+        )
+    if analyzer == "keywordrepeat":
+        # KeywordRepeat → EnglishMinimalStem → RemoveDuplicates: original +
+        # minimal-stemmed form at the SAME position; UNION collapses exact
+        # (doc, term, pos) duplicates (RemoveDuplicatesTokenFilter);
+        # norms count source tokens only (discountOverlaps)
+        return (
+            """kept AS (
+    SELECT doc_id, term, pos FROM raw_toks
+    UNION
+    SELECT doc_id,
+           CASE WHEN length(term) >= 3 AND term LIKE '%s'
+                     AND substr(term, length(term) - 1, 1) NOT IN ('s', 'u')
+                THEN substr(term, 1, length(term) - 1) ELSE term END AS term,
+           pos
+    FROM raw_toks
+)""",
+            "raw_toks",
+        )
     raise ValueError(f"no SQL oracle for analyzer {analyzer!r} (porter not in DuckDB)")
 
 
@@ -155,7 +208,9 @@ def base_ctes(analyzer: str) -> str:
     # tokenizer swap: WhitespaceAnalyzer keeps case + punctuation (maximal
     # non-whitespace runs, 255-split); everything else is StandardTokenizer
     # semantics (word-char runs, lowered)
-    if analyzer == "whitespace":
+    if analyzer in ("whitespace", "worddelim"):
+        # worddelim feeds the whitespace tokenizer too (case preserved —
+        # it is meaningful to the splitter; parts lower inside the chain)
         tok_pattern, term_expr = r"[^ \t\n\r\f\v]{1,255}", "unnest(toks)"
     else:
         tok_pattern, term_expr = TOKEN_RE_SQL, "lower(unnest(toks))"
@@ -374,6 +429,32 @@ SELECT d.source, max(h.score)::FLOAT AS parent_score, count(*)::BIGINT AS n_chil
 FROM hits h JOIN documents d USING (doc_id)
 GROUP BY d.source
 ORDER BY parent_score DESC, source ASC LIMIT {n_groups}"""
+
+
+def blockjoin_children_sql(
+    analyzer: str, terms: list[str], n_parents: int
+) -> str:
+    """ToChildBlockJoinQuery oracle (``lucene/join/.../
+    ToChildBlockJoinQuery.java``, Solr ``{!child of=...}``): the parent
+    query here is the composite ``{!child}{!parent}q`` sibling-retrieval
+    shape — parents scored by ScoreMode.Max child roll-up, then EVERY
+    child of the top parents is returned carrying its parent's score
+    (ToChildBlockJoin propagates parentScore to each child when
+    doScores)."""
+    pred = "term IN (" + ", ".join(f"'{t}'" for t in terms) + ")"
+    return f"""WITH {base_ctes(analyzer)},{_disjunction_core(pred)},
+hits AS (
+    SELECT doc_id, CAST(sum(CAST(s AS DOUBLE)) AS FLOAT) AS score FROM sc GROUP BY doc_id
+),
+parents AS (
+    SELECT d.source, max(h.score)::FLOAT AS parent_score
+    FROM hits h JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    ORDER BY parent_score DESC, source ASC LIMIT {n_parents}
+)
+SELECT p.source, d.doc_id::BIGINT AS doc_id, p.parent_score::FLOAT AS parent_score
+FROM parents p JOIN documents d USING (source)
+ORDER BY parent_score DESC, source, doc_id"""
 
 
 def explain_sql(analyzer: str, terms: list[str], doc_id: int) -> str:
@@ -861,6 +942,32 @@ SELECT t.rank::INTEGER AS rank, t.doc_id::BIGINT AS doc_id, t.score::FLOAT AS sc
        array_to_string(h.toks[b.s + 1 : b.s + {window}], ' ') AS snippet
 FROM topk t JOIN best b USING (doc_id) JOIN htl h USING (doc_id)
 ORDER BY rank"""
+
+
+def synonym_topk_sql(
+    analyzer: str, groups: list[tuple[str, ...]], k: int
+) -> str:
+    """SynonymQuery top-k oracle (``L/search/SynonymQuery``): each group of
+    terms scores as ONE pseudo-term — tf = Σ member tfs per doc, idf from
+    the MAX member df — f32 per clause, Σ in double across groups, one
+    final f32 cast ((score desc, doc asc) tiebreak). Singleton groups
+    degenerate to ordinary term clauses (same expression)."""
+    sels = []
+    for terms in groups:
+        tin = ", ".join(f"'{t}'" for t in terms)
+        sels.append(f"""
+    SELECT t.doc_id, CAST(
+        (SELECT CAST(ln(1.0 + (st.doc_count - mx.df + 0.5) / (mx.df + 0.5)) AS FLOAT)
+         FROM statsf st,
+              (SELECT max(df) AS df FROM (
+                   SELECT count(DISTINCT doc_id) AS df FROM kept
+                   WHERE term IN ({tin}) GROUP BY term)) mx)
+        * CAST(t.tf::DOUBLE / (t.tf::DOUBLE + CAST(c.cache AS DOUBLE)) AS FLOAT)
+        AS FLOAT) AS s
+    FROM (SELECT doc_id, count(*)::BIGINT AS tf FROM kept
+          WHERE term IN ({tin}) GROUP BY doc_id) t
+    JOIN cachec c USING (doc_id)""")
+    return _sim_family_topk_sql(analyzer, sels, k)
 
 
 def _sim_family_topk_sql(analyzer: str, clause_selects: list[str], k: int) -> str:
@@ -1425,6 +1532,79 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
     FROM snhits
 ) WHERE rank <= {k} ORDER BY rank"""
+
+
+def surround_or_topk_sql(
+    analyzer: str, clauses: list[tuple], k: int
+) -> str:
+    """Surround OR-query oracle: each clause is ``("w", t0, t1, slop)``
+    (ordered span near — the span_near_topk_sql spans rule), ``("n", t0,
+    t1, slop)`` (unordered — each occurrence of t0 pairs with the first
+    t1 ≥ it, each t1 with the first t0 strictly after it, width = gap − 1
+    clamped at 0 for the slop factor: the NearSpansUnordered start-order
+    walk), or ``("term", t)``. Per clause: f32 slop factors summed in
+    DOUBLE → f32 freq → f32(w · f32(freq/(freq+cache))) with w = f32(Σ idf)
+    over the clause terms; clause scores Σ in DOUBLE per doc, one final
+    f32 cast, (score desc, doc asc)."""
+    sels = []
+    for ci, cl in enumerate(clauses):
+        if cl[0] == "term":
+            t = cl[1]
+            sels.append(f"""
+    SELECT t.doc_id, CAST(
+        CAST({_idf_expr(t)} AS FLOAT)
+        * CAST(t.tf::DOUBLE / (t.tf::DOUBLE + CAST(c.cache AS DOUBLE)) AS FLOAT)
+        AS FLOAT) AS s
+    FROM (SELECT doc_id, count(*)::BIGINT AS tf FROM kept
+          WHERE term = '{t}' GROUP BY doc_id) t
+    JOIN cachec c USING (doc_id), statsf st""")
+            continue
+        kind, t0, t1, slop = cl
+        idf_sum = " + ".join(
+            f"CAST({_idf_expr(t)} AS DOUBLE)" for t in (t0, t1)
+        )
+        if kind == "w":
+            matches = f"""
+        SELECT a.doc_id, mn.p1 - a.pos - 1 AS width
+        FROM (SELECT doc_id, pos FROM kept WHERE term = '{t0}') a
+        JOIN LATERAL (
+            SELECT min(b.pos) AS p1 FROM kept b
+            WHERE b.term = '{t1}' AND b.doc_id = a.doc_id AND b.pos > a.pos
+        ) mn ON mn.p1 IS NOT NULL
+        WHERE mn.p1 - a.pos - 1 <= {slop}"""
+        else:
+            matches = f"""
+        SELECT a.doc_id, mn.pb - a.pos - 1 AS width
+        FROM (SELECT doc_id, pos FROM kept WHERE term = '{t0}') a
+        JOIN LATERAL (
+            SELECT min(b.pos) AS pb FROM kept b
+            WHERE b.term = '{t1}' AND b.doc_id = a.doc_id AND b.pos >= a.pos
+        ) mn ON mn.pb IS NOT NULL
+        WHERE mn.pb - a.pos - 1 <= {slop}
+        UNION ALL
+        SELECT b.doc_id, mn.pa - b.pos - 1 AS width
+        FROM (SELECT doc_id, pos FROM kept WHERE term = '{t1}') b
+        JOIN LATERAL (
+            SELECT min(a.pos) AS pa FROM kept a
+            WHERE a.term = '{t0}' AND a.doc_id = b.doc_id AND a.pos > b.pos
+        ) mn ON mn.pa IS NOT NULL
+        WHERE mn.pa - b.pos - 1 <= {slop}"""
+        sels.append(f"""
+    SELECT f.doc_id, CAST(
+        CAST({idf_sum} AS FLOAT)
+        * CAST(CAST(f.freq AS DOUBLE)
+               / (CAST(f.freq AS DOUBLE) + CAST(c.cache AS DOUBLE)) AS FLOAT)
+        AS FLOAT) AS s
+    FROM (
+        SELECT doc_id,
+               CAST(sum(CAST(CAST(1.0 AS FLOAT)
+                             / (CAST(1.0 AS FLOAT)
+                                + CAST(greatest(width, 0) AS FLOAT))
+                         AS DOUBLE)) AS FLOAT) AS freq
+        FROM ({matches}) m{ci} GROUP BY doc_id
+    ) f
+    JOIN cachec c USING (doc_id), statsf st""")
+    return _sim_family_topk_sql(analyzer, sels, k)
 
 
 def fuzzy_blended_topk_sql(

@@ -105,6 +105,26 @@ def _union_postings(
     return docs, tfs.astype(np.int64), pp
 
 
+def _sum_postings(
+    parts: list[tuple[np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Doc-level MERGE of several terms' postings summing term freqs — the
+    ``L/search/SynonymQuery`` FreqBoostTermScorer-over-DisiPriorityQueue
+    analog: docs = union, tf = Σ member tfs per doc. No positions needed."""
+    live = [(d, t) for d, t in parts if d.size]
+    if not live:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    if len(live) == 1:
+        return live[0]
+    alld = np.concatenate([d for d, _ in live])
+    allt = np.concatenate([t for _, t in live])
+    docs, inv = np.unique(alld, return_inverse=True)
+    tfs = np.zeros(len(docs), dtype=np.int64)
+    np.add.at(tfs, inv, allt)
+    return docs, tfs
+
+
 def _phrase_freqs(
     docs_per_term: list[np.ndarray],
     pos_flat_per_term: list[np.ndarray],
@@ -357,6 +377,111 @@ def _span_near_freqs_2term(
     np.add.at(freq, cis[0][m], sf)
     keep = freq > 0
     return cand[keep], freq[keep].astype(np.float32)
+
+
+def _span_near_unordered_freqs_2term(
+    parts0: tuple,
+    parts1: tuple,
+    slop: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """NearSpansUnordered over two unit-length term spans
+    (``L/search/spans/NearSpansUnordered``): spans are consumed in start
+    order (the DisiPriorityQueue discipline, two-element case); at each
+    step the min-start span pairs with the other operand's current head —
+    equivalently, each occurrence a of term0 pairs with the first b ≥ a of
+    term1 and each b with the first a > b (ties consume term0 first).
+    Match when width = |gap| − 1 ≤ slop; each match contributes
+    1/(1 + max(0, width)) (``SloppySimScorer#computeSlopFactor``; width
+    −1 = same-position overlap clamps to factor 1).
+
+    Same packed-key vectorization as the ordered kernel: one global
+    ``searchsorted`` per direction, f32 slop factors summed in float64
+    (exact — f32 values are exact in f64 and the magnitudes stay far below
+    the 53-bit mantissa), one final f32 cast. Returns (docs, span freqs)."""
+    docs0, tfs0, pos0 = parts0
+    docs1, tfs1, pos1 = parts1
+    cand = docs0[np.isin(docs0, docs1, assume_unique=True)]
+    empty = np.empty(0, dtype=np.float32)
+    if cand.size == 0:
+        return cand, empty
+    mask = (np.int64(1) << _POS_SHIFT) - 1
+    keys, cis = [], []
+    for docs_t, tfs_t, pos_t in ((docs0, tfs0, pos0), (docs1, tfs1, pos1)):
+        s = np.zeros(len(tfs_t) + 1, dtype=np.int64)
+        np.cumsum(tfs_t, out=s[1:])
+        i = np.searchsorted(docs_t, cand)
+        starts, lens = s[i], s[i + 1] - s[i]
+        ci = np.repeat(np.arange(len(cand), dtype=np.int64), lens)
+        p = _gather_ranges(pos_t, starts, lens).astype(np.int64)
+        if p.size and int(p.max()) >= _POS_LIMIT:
+            return _span_near_unordered_freqs_slow(parts0, parts1, cand, slop)
+        keys.append((ci << _POS_SHIFT) | (p + _POS_MARGIN))
+        cis.append(ci)
+    freq = np.zeros(len(cand), dtype=np.float64)
+    # (ka, kb, side): 'left' = first partner ≥ (term0 side), 'right' =
+    # first partner strictly > (term1 side — equal positions were consumed
+    # by the term0 step already)
+    for ka, kb, ca, side in (
+        (keys[0], keys[1], cis[0], "left"),
+        (keys[1], keys[0], cis[1], "right"),
+    ):
+        if not ka.size or not kb.size:
+            continue
+        nxt = np.searchsorted(kb, ka, side=side)
+        has = nxt < kb.size
+        nc = np.minimum(nxt, kb.size - 1)
+        width = (kb[nc] & mask) - (ka & mask) - 1
+        m = has & ((kb[nc] >> _POS_SHIFT) == ca) & (width <= slop)
+        if not m.any():
+            continue
+        sf = (
+            np.float32(1.0)
+            / (np.float32(1.0) + np.maximum(width[m], 0).astype(np.float32))
+        ).astype(np.float64)
+        np.add.at(freq, ca[m], sf)
+    keep = freq > 0
+    if not keep.any():
+        return np.empty(0, dtype=np.int64), empty
+    return cand[keep], freq[keep].astype(np.float32)
+
+
+def _span_near_unordered_freqs_slow(
+    parts0: tuple, parts1: tuple, cand: np.ndarray, slop: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc fallback for the unordered kernel (same rule, plain loop —
+    the literal two-pointer NearSpansUnordered walk)."""
+    docs0, tfs0, pos0 = parts0
+    docs1, tfs1, pos1 = parts1
+    s0 = np.zeros(len(tfs0) + 1, dtype=np.int64)
+    np.cumsum(tfs0, out=s0[1:])
+    s1 = np.zeros(len(tfs1) + 1, dtype=np.int64)
+    np.cumsum(tfs1, out=s1[1:])
+    out_docs, out_freqs = [], []
+    for d in cand:
+        i0 = int(np.searchsorted(docs0, d))
+        i1 = int(np.searchsorted(docs1, d))
+        a = pos0[s0[i0]:s0[i0 + 1]].astype(np.int64)
+        b = pos1[s1[i1]:s1[i1 + 1]].astype(np.int64)
+        i = j = 0
+        f = 0.0
+        while i < a.size and j < b.size:
+            width = int(abs(a[i] - b[j])) - 1
+            if width <= slop:
+                f += float(
+                    np.float32(1.0)
+                    / (np.float32(1.0) + np.float32(max(0, width)))
+                )
+            if a[i] <= b[j]:
+                i += 1
+            else:
+                j += 1
+        if f > 0:
+            out_docs.append(d)
+            out_freqs.append(np.float32(f))
+    return (
+        np.array(out_docs, dtype=np.int64),
+        np.array(out_freqs, dtype=np.float32),
+    )
 
 
 def _span_near_freqs_slow(
@@ -880,8 +1005,16 @@ def score_segment_exact(
                 )
                 keep = cnt > 0
                 docs, tfs = docs_all[keep], cnt[keep]
+        elif c.kind == "synonym":
+            # SynonymQuery: merged postings, summed tf, one score under the
+            # clause's max-df weight (the generic scoring call below)
+            docs, tfs = _sum_postings([dec(t)[:2] for t in c.terms])
         elif c.kind == "span_near":
             docs, tfs = _span_near_freqs_2term(
+                dec(c.terms[0]), dec(c.terms[1]), c.slop
+            )
+        elif c.kind == "span_near_unordered":
+            docs, tfs = _span_near_unordered_freqs_2term(
                 dec(c.terms[0]), dec(c.terms[1]), c.slop
             )
         elif c.kind == "span_near_or":
@@ -1006,7 +1139,7 @@ def count_segment_matches(
     for c in q.clauses:
         if c.kind == "term":
             docs = dec(c.terms[0])[0]
-        elif c.kind == "or_group":
+        elif c.kind in ("or_group", "synonym"):
             parts = [dec(t)[0] for t in c.terms]
             parts = [d for d in parts if d.size]
             docs = (
@@ -1015,6 +1148,10 @@ def count_segment_matches(
             )
         elif c.kind == "span_near":
             docs, _ = _span_near_freqs_2term(
+                dec(c.terms[0]), dec(c.terms[1]), c.slop
+            )
+        elif c.kind == "span_near_unordered":
+            docs, _ = _span_near_unordered_freqs_2term(
                 dec(c.terms[0]), dec(c.terms[1]), c.slop
             )
         elif c.kind == "span_near_or":

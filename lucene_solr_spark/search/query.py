@@ -139,6 +139,36 @@ class BlendedTermClause:
 
 
 @dataclass(frozen=True)
+class SpanNearUnorderedClause:
+    """Unordered SpanNearQuery over two unit term spans
+    (``L/search/spans/SpanNearQuery`` with ordered=false →
+    ``NearSpansUnordered``): spans consumed in start order; each match's
+    width = gap − 1, slop factor 1/(1+max(0,width)), f32 factors summed
+    per doc. Weight = boost · f32(Σ idf) over both terms (SpanWeight).
+    The surround parser's ``kN(a, b)`` operator compiles to this with
+    slop = k − 1 (``lucene/queryparser/surround/query/DistanceQuery``)."""
+
+    terms: tuple[str, str]
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SynonymClause:
+    """SynonymQuery (``L/search/SynonymQuery.java``): several terms scored
+    as ONE pseudo-term — per doc tf = Σ member termFreqs (SynonymScorer over
+    a DisiPriorityQueue of the member postings), collection stats merged as
+    docFreq = max member df (SynonymWeight's TermStatistics merge). This is
+    what ``QueryBuilder#analyzeGraphBoolean`` emits for same-position query
+    tokens (posInc-0 graphs — e.g. the KeywordRepeat chain's original +
+    stem pair). One score per doc: boost · idf(df_max) applied to the
+    SUMMED tf — unlike BlendedTermQuery, members do NOT score separately."""
+
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SpanNearOrClause:
     """Nested spans: ordered SpanNearQuery whose two operands are
     SpanOrQuery unions of unit term spans (``L/search/spans/SpanNearQuery``
@@ -244,6 +274,7 @@ class BooleanSpec:
         out: list[str] = []
         for c in self.scoring_clauses:
             if isinstance(c, (PhraseClause, OrGroupClause, SpanNearClause,
+                              SpanNearUnorderedClause, SynonymClause,
                               SpanOrClause, BlendedTermClause,
                               IntervalUnorderedClause)):
                 out.extend(c.terms)
@@ -321,8 +352,9 @@ class CompiledClause:
                               # alternative term sets (terms = flattened)
     member_weights: tuple = ()  # or_group only: per-member f32 weight
                               # aligned with terms (weight field unused)
-    post: int = 0             # span_not only: exclusion window after the
-                              # include position (slop carries `pre`)
+    post: int = 0             # span_not: exclusion window after the include
+                              # position (slop carries `pre`); span_first /
+                              # position-range: window start position
 
 
 @dataclass
@@ -353,6 +385,7 @@ class CompiledQuery:
     def needs_positions(self) -> bool:
         return any(
             c.kind in ("phrase", "span_first", "span_near", "span_near_or",
+                       "span_near_unordered",
                        "span_not", "span_containing", "span_within",
                        "interval_unordered", "interval_ordered",
                        "multiphrase")
@@ -368,7 +401,7 @@ class CompiledQuery:
         does span_or (summed-tf-under-one-weight has no per-member block
         bound fold, though it needs no positions)."""
         return self.needs_positions or any(
-            c.kind == "span_or" for c in self.clauses
+            c.kind in ("span_or", "synonym") for c in self.clauses
         )
 
     @property
@@ -540,6 +573,25 @@ def compile_query(
                     "span_near", c.terms, (), np.float32(w), occur,
                     slop=int(c.slop),
                 ))
+            elif isinstance(c, SpanNearUnorderedClause):
+                if similarity in ("lm", "lmjm", "dfr", "ib"):
+                    raise ValueError(
+                        f"{similarity} span scoring not implemented; use "
+                        "bm25/classic/boolean"
+                    )
+                if any(term_df.get(t, 0) == 0 for t in c.terms):
+                    impossible |= occur == "must"
+                    continue
+                if similarity == "boolean":
+                    w = np.float32(c.boost)
+                else:
+                    w = np.float32(c.boost) * np.float32(
+                        sum(float(idf_fn(term_df[t], doc_count)) for t in c.terms)
+                    )
+                clauses.append(CompiledClause(
+                    "span_near_unordered", c.terms, (), np.float32(w), occur,
+                    slop=int(c.slop),
+                ))
             elif isinstance(c, BlendedTermClause):
                 if similarity not in ("bm25", "classic"):
                     raise ValueError(
@@ -564,6 +616,24 @@ def compile_query(
                 clauses.append(CompiledClause(
                     "or_group", tuple(t for t, _ in live), (),
                     np.float32(0.0), occur, member_weights=weights,
+                ))
+            elif isinstance(c, SynonymClause):
+                if similarity not in ("bm25", "classic", "boolean"):
+                    raise ValueError(
+                        f"{similarity} synonym scoring not implemented; "
+                        "use bm25/classic/boolean"
+                    )
+                live = tuple(t for t in c.terms if term_df.get(t, 0) > 0)
+                if not live:
+                    impossible |= occur == "must"
+                    continue
+                # merged collection stats: docFreq = max over live members
+                # (SynonymWeight builds ONE TermStatistics with max df); the
+                # summed tf then scores through the ordinary SimScorer
+                df_merged = max(term_df[t] for t in live)
+                w = np.float32(c.boost) * idf_fn(df_merged, doc_count)
+                clauses.append(CompiledClause(
+                    "synonym", live, (), np.float32(w), occur,
                 ))
             elif isinstance(c, SpanNearOrClause):
                 if similarity in ("lm", "lmjm", "dfr", "ib"):

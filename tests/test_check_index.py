@@ -58,6 +58,21 @@ def test_detects_wrong_stated_df(spark, corruptible_index):
     assert any("stated df" in v for vs in rep["violations"] for v in vs)
 
 
+def test_survives_out_of_range_docids(spark, corruptible_index):
+    """A segment whose postings reference docIDs beyond the docs table must
+    be REPORTED, not crash the job: the min_norm impact check indexes the
+    norm table by docID and would IndexError on such a segment if it ran
+    unguarded (CheckIndex's contract is to survive corrupt input)."""
+    p = sorted(glob.glob(os.path.join(
+        corruptible_index, "docs", "seg=*", "*.parquet")))[0]
+    t = pq.read_table(p)
+    pq.write_table(t.slice(0, max(1, len(t) // 2)), p)  # truncate the seg
+    rep = _report(spark, corruptible_index)  # must not raise
+    assert any(
+        "out of segment range" in v for vs in rep["violations"] for v in vs
+    )
+
+
 def test_detects_norm_table_mismatch(spark, corruptible_index):
     p = sorted(glob.glob(os.path.join(
         corruptible_index, "seg_norms", "seg=*", "*.parquet")))[0]
