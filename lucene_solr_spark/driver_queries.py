@@ -255,6 +255,11 @@ WORDBREAK_Q = ("mergebatch", ("bat", "ch"))
 # SynonymGraphFilter multi-word rule: "table hash" => dup (query-time graph
 # → OR(phrase, term) via QueryBuilder#analyzeGraphBoolean)
 SYNGRAPH_Q = (["table", "hash"], "dup")
+# SimpleQueryParser: +/- operators, an analyzed phrase, never-throws grammar
+SIMPLEQP_Q = '+merge +batch -scan "table hash"'
+# SpanMultiTermQueryWrapper: prefix 's' rewrites against the dictionary
+# into a SpanOr union, then ordered span-near with 'merge' at slop 3
+SPANMULTI_Q = ("s", "merge", 3)
 # Surround query (W=ordered / N=unordered distance ops over span kernels):
 # distances 2 and 3 → span slops 1 and 2 (DistanceQuery's opDistance-1)
 SURROUND_Q = "2W(merge, batch) OR 3N(vector, filter)"
@@ -291,6 +296,14 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda spark, sf_dir, kind=kind, pattern=pattern:
             get_engine(spark, sf_dir, "simple").multiterm_topk(kind, pattern, k=10)
         )
+    # SimpleQueryParser (never-throws end-user grammar)
+    out["ft_simpleqp_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).simple_query_topk(SIMPLEQP_Q, k=10)
+    # SpanMultiTermQueryWrapper: dictionary-rewritten span operand
+    out["ft_spanmulti_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).span_multiterm_topk(SPANMULTI_Q[0], SPANMULTI_Q[1], SPANMULTI_Q[2], k=10)
     # Surround parser: ordered + unordered distance operators
     out["ft_surround_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -644,8 +657,16 @@ def fulltext_oracles() -> dict[str, str]:
     }
     for name, (_kind, _pattern, pred) in MULTITERM.items():
         out[name] = multiterm_topk_sql("simple", pred, 10)
-    from .oracles import surround_or_topk_sql, synonym_topk_sql
+    from .oracles import (
+        span_multiterm_topk_sql,
+        surround_or_topk_sql,
+        synonym_topk_sql,
+    )
 
+    out["ft_spanmulti_topk"] = span_multiterm_topk_sql(
+        "simple", f"term LIKE '{SPANMULTI_Q[0]}%'", SPANMULTI_Q[1],
+        SPANMULTI_Q[2], 10,
+    )
     out["ft_surround_topk"] = surround_or_topk_sql(
         "simple", SURROUND_CLAUSES, 10
     )
@@ -818,6 +839,22 @@ def fulltext_oracles() -> dict[str, str]:
                 _QPT(_qp("batch"), 2.0),
                 _QPPH((_qp("table"), _qp("hash")), (0, 1)),
                 _QPOG((_qp("vector"), _qp("stream"))),
+            ],
+            must_not=[_QPT(_qp("scan"))],
+        ),
+        10,
+    )
+    # SimpleQueryParser oracle: spec HAND-BUILT from the documented parse of
+    # SIMPLEQP_Q (the ft_queryparser precedent — a parse bug on the Spark
+    # side cannot cancel out): '+' promotes all atoms to MUST (incl. the
+    # analyzed phrase), '-scan' prohibits
+    out["ft_simpleqp_topk"] = bm25_topk_sql(
+        "simple",
+        BooleanSpec(
+            must=[
+                _QPT(_qp("merge")),
+                _QPT(_qp("batch")),
+                _QPPH((_qp("table"), _qp("hash")), (0, 1)),
             ],
             must_not=[_QPT(_qp("scan"))],
         ),
@@ -1169,7 +1206,13 @@ PRIORITY_ORDER = [
     # surface). ft_page2_topk rotated out for ft_termvectors (searchAfter
     # rides the identical top-k kernel as ft_term_topk and stays
     # pass-local-gated; termvectors certifies the NEW postings-read surface).
-    "ft_spellcheck_collate", "ft_filter_topk", "ft_mlt_topk", "ft_termvectors",
+    # ft_termvectors rotated out for ft_synonymquery_topk in r4 (the
+    # term-vector postings-read surface was driver-certified green in r3
+    # and stays pass-local-gated; SynonymQuery certifies the NEW
+    # merged-statistics scoring class — tf summed across members under one
+    # max-df weight, the QueryBuilder position-graph rule)
+    "ft_spellcheck_collate", "ft_filter_topk", "ft_mlt_topk",
+    "ft_synonymquery_topk",
     # ft_andnot_topk's slot family (boolean occurs) keeps MUST_NOT scored;
     # ft_docs_norms rotated out for ft_spanfirst_topk late in r3 (norms are
     # certified transitively by every bitwise BM25 row + the pass-local
@@ -1224,16 +1267,26 @@ PRIORITY_ORDER = [
     # pass-local gates; ft_join_topk certifies the NEW query-time join
     # surface — JoinUtil from-value gather + TermsInSet-under-FILTER — which
     # contains a distributed join in its gather step)
+    # stream_reduce rotated out for ft_payload_topk in r4 (the generic
+    # grouped-reduce shape stays scored via stream_regress's sufficient-
+    # statistics aggregate and the facet family, and pass-local; payloads
+    # certify the NEW DelimitedPayload + PayloadScoreQuery family —
+    # per-position payload parse and the f32 ordered payload fold)
     "ft_join_topk", "stream_jdbc_source", "ft_facet_on_query",
-    "stream_regress", "stream_significant_terms", "stream_reduce",
+    "stream_regress", "stream_significant_terms", "ft_payload_topk",
     # update chain + LLM-pipeline operators
     "update_chain_docs",
     # dedup_exact rotated out for dedup_semantic (exact dedup returns 0
     # rows at sf0.01 — a vacuous scored row; its hash-groupBy mechanism is
     # certified by a dozen scored aggregates and the pass-local gate.
     # semantic certifies the NEW SemDeDup cluster-then-compare family)
+    # embed_top_pairs rotated out for ft_surround_topk in r4 (its LSH
+    # band-candidate generator is exactly ann_lsh_topk's scored path — the
+    # r1 quadratic-baseline complaint it fixed stays certified there and
+    # pass-local; surround certifies the NEW distance-operator parse
+    # surface AND the new NearSpansUnordered kernel in one scored row)
     "dedup_semantic", "dedup_shingle_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "embed_top_pairs",
+    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ft_surround_topk",
     "graph_gather_nodes", "graph_shortest_path",
     "text_quality", "token_counts", "multimodal_features",
 ]

@@ -450,6 +450,43 @@ class DocumentsEngine:
         spec = BooleanSpec(should=should)
         return self._present(self.searcher.search(spec, k=k, with_keys=True))
 
+    def span_multiterm_topk(
+        self, prefix: str, other: str, slop: int, k: int = 10
+    ) -> DataFrame:
+        """SpanMultiTermQueryWrapper (``L/search/spans/
+        SpanMultiTermQueryWrapper.java``): a multi-term pattern (here
+        PrefixQuery — the wildcard-in-phrase case) wrapped as a span
+        operand: the pattern rewrites against the term dictionary into a
+        SpanOrQuery union (SpanRewriteMethod), then feeds an ordered
+        SpanNearQuery with the trailing term. Weight = f32(Σ idf) over the
+        expansion + the other term (every expansion member is live by
+        construction — it came from the dictionary).
+
+        Scale shape: ONE pruned term_stats scan for the rewrite (JVM
+        startswith filter), then the existing span_near_or kernel — the
+        union + packed-key matcher, no new shuffle."""
+        from .search.query import BooleanSpec, SpanNearOrClause
+
+        exp = tuple(self.searcher.expand_terms("prefix", prefix))
+        other_t = self.searcher.analyzer.analyze(other)[0][0]
+        spec = BooleanSpec(should=[
+            SpanNearOrClause((exp, (other_t,)), slop)
+        ])
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
+    def simple_query_topk(self, query: str, k: int = 10) -> DataFrame:
+        """SimpleQueryParser top-k (``L/queryparser/simple/
+        SimpleQueryParser.java``): the end-user-safe grammar — ``+`` AND,
+        ``|`` OR, ``-`` NOT, quoted phrases with ``~slop``, trailing-``*``
+        prefix expansion, one level of groups — whose contract is that NO
+        input string ever raises (malformed operators degrade to text)."""
+        from .search.simpleparser import parse_simple
+
+        spec = parse_simple(
+            query, self.searcher.analyzer, expand=self.searcher.expand_terms
+        )
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
     def surround_topk(self, query: str, k: int = 10) -> DataFrame:
         """Surround query-language top-k (``lucene/queryparser/surround``):
         ``kW(a,b)`` = ordered span near, ``kN(a,b)`` = unordered span near

@@ -493,7 +493,27 @@ def build_index(
 
     key_types = {c: to_arrow_type(df.schema[c].dataType) for c in key_cols}
     manifest = dfp.mapInPandas(_make_kernel(meta, index_dir, key_types), MANIFEST_SCHEMA)
-    out = manifest.toPandas().sort_values("seg").reset_index(drop=True)
+    try:
+        out = manifest.toPandas().sort_values("seg").reset_index(drop=True)
+    except Exception as exc:  # noqa: BLE001 — Py4J wraps the kernel's error
+        if "resume refused" not in str(exc):
+            raise
+        # Range boundaries shifted between sessions: RangePartitioner's
+        # sampling seed derives from the RDD id, i.e. from SESSION HISTORY —
+        # the same data partitions identically within one session but can
+        # shift across sessions (or after unrelated jobs). A committed-seg
+        # resume would mis-seam (rows moved between segments), which is
+        # exactly what the kernel's key-range validation refuses. The safe
+        # recovery is a fresh full build, not a crash: wipe and re-run once
+        # with no committed markers (the validation then has nothing to
+        # refuse). Lineage note: this trades the resume saving for
+        # correctness only when boundaries actually moved.
+        import shutil as _sh
+
+        _sh.rmtree(index_dir, ignore_errors=True)
+        os.makedirs(index_dir, exist_ok=True)
+        meta.save(index_dir)
+        out = manifest.toPandas().sort_values("seg").reset_index(drop=True)
     out["base"] = out["n_docs"].cumsum() - out["n_docs"]
     _fixup_bases(index_dir, out)
 

@@ -1704,6 +1704,57 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def span_multiterm_topk_sql(
+    analyzer: str, pred: str, other: str, slop: int, k: int
+) -> str:
+    """SpanMultiTermQueryWrapper oracle: slot0 is derived FROM the token
+    stream's own dictionary by ``pred`` (the rewrite is reproduced in SQL —
+    nothing fed from the engine side), slot1 is the single trailing term;
+    matching is the nested-span union rule (span_near_or). Weight =
+    f32(Σ idf) over the expansion + other; the Σ runs in DOUBLE over f32
+    idfs — exact regardless of order (f32 values are exact in f64), so the
+    set-sum here equals the engine's tuple-ordered fold bitwise."""
+    idf_from_df = (
+        "CAST(ln(1.0 + (st.doc_count - df + 0.5) / (df + 0.5)) AS FLOAT)"
+    )
+    return f"""WITH {base_ctes(analyzer)},
+smd AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM kept GROUP BY term),
+sms AS (SELECT term, df FROM smd WHERE {pred}),
+smw AS (
+    SELECT CAST(
+        (SELECT sum(CAST({idf_from_df} AS DOUBLE)) FROM sms, statsf st)
+        + (SELECT CAST({idf_from_df} AS DOUBLE)
+           FROM smd, statsf st WHERE term = '{other}')
+    AS FLOAT) AS w
+),
+sm0 AS (SELECT DISTINCT doc_id, pos FROM kept
+        WHERE term IN (SELECT term FROM sms)),
+sm1 AS (SELECT doc_id, pos FROM kept WHERE term = '{other}'),
+smspans AS (
+    SELECT a.doc_id, a.pos AS p0, min(b.pos) AS p1
+    FROM sm0 a JOIN sm1 b ON b.doc_id = a.doc_id AND b.pos > a.pos
+    GROUP BY a.doc_id, a.pos
+),
+smfreq AS (
+    SELECT doc_id,
+           CAST(sum(CAST(CAST(1.0 AS FLOAT)
+                         / (CAST(1.0 AS FLOAT) + CAST(p1 - p0 - 1 AS FLOAT))
+                     AS DOUBLE)) AS FLOAT) AS freq
+    FROM smspans WHERE p1 - p0 - 1 <= {slop} GROUP BY doc_id
+),
+smhits AS (
+    SELECT f.doc_id,
+           CAST(w.w * CAST(CAST(f.freq AS DOUBLE)
+                           / (CAST(f.freq AS DOUBLE) + CAST(c.cache AS DOUBLE))
+                       AS FLOAT) AS FLOAT) AS score
+    FROM smfreq f JOIN cachec c USING (doc_id), smw w
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+    FROM smhits
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def span_not_topk_sql(
     analyzer: str, include: str, exclude: str, pre: int, post: int, k: int
 ) -> str:

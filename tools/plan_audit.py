@@ -245,6 +245,39 @@ def main() -> None:
         must_not=[r"CartesianProduct"],
     ))
 
+    # 20. payloads: the whole annotate→parse→score pipeline stays JVM-side
+    # (no Python eval), aggregates with ONE hash-agg pair, no window
+    from lucene_solr_spark.ops.payloads import payload_score_topk
+
+    results.append(audit(
+        "payload_fold_jvm_one_agg",
+        payload_score_topk(spark, SF_DIR),
+        must=[r"HashAggregate", r"TakeOrderedAndProject|GlobalLimit"],
+        must_not=[r"BatchEvalPython", r"ArrowEvalPython", r"Window",
+                  r"CartesianProduct"],
+    ))
+
+    # 21. ToChildBlockJoin: the tiny parent set broadcasts to the child
+    # fan-out, term IN-list still pushed. (The hits↔doc-keys join inside
+    # the roll-up is ALLOWED to sort-merge — both sides are large at scale
+    # and SMJ is the right strategy there; only the fan-out must broadcast
+    # and nothing may cross-join.)
+    results.append(audit(
+        "blockjoin_children_broadcast_fanout",
+        eng.blockjoin_children("or2", ["dup", "vector"], n_parents=2),
+        must=[r"BroadcastHashJoin", r"PushedFilters: \[In\(term"],
+        must_not=[r"CartesianProduct"],
+    ))
+
+    # 22. surround spans: both distance clauses ride the SAME pruned
+    # postings scan (term IN-list pushed), one TakeOrdered
+    results.append(audit(
+        "surround_spans_pushed_scan",
+        eng.surround_topk("2W(merge, batch) OR 3N(vector, filter)", k=10),
+        must=[r"PushedFilters: \[In\(term", r"TakeOrderedAndProject|GlobalLimit"],
+        must_not=[r"CartesianProduct"],
+    ))
+
     n_fail = results.count(False)
     print(f"{len(results) - n_fail}/{len(results)} plan invariants hold")
     sys.exit(1 if n_fail else 0)
