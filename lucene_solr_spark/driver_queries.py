@@ -257,6 +257,9 @@ WORDBREAK_Q = ("mergebatch", ("bat", "ch"))
 SYNGRAPH_Q = (["table", "hash"], "dup")
 # SimpleQueryParser: +/- operators, an analyzed phrase, never-throws grammar
 SIMPLEQP_Q = '+merge +batch -scan "table hash"'
+# MatchAllDocsQuery under fq: q=*:* fq=source:src3 — constant score 1.0,
+# doc-key order (the most common Solr request shape)
+MATCHALL_FQ = ("source", "src3")
 # SpanMultiTermQueryWrapper: prefix 's' rewrites against the dictionary
 # into a SpanOr union, then ordered span-near with 'merge' at slop 3
 SPANMULTI_Q = ("s", "merge", 3)
@@ -296,6 +299,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda spark, sf_dir, kind=kind, pattern=pattern:
             get_engine(spark, sf_dir, "simple").multiterm_topk(kind, pattern, k=10)
         )
+    # MatchAllDocsQuery + fq (q=*:* — keyword posting gates, score 1.0)
+    out["ft_matchall_fq"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).matchall_topk(MATCHALL_FQ[0], MATCHALL_FQ[1], k=10)
     # SimpleQueryParser (never-throws end-user grammar)
     out["ft_simpleqp_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -844,6 +851,12 @@ def fulltext_oracles() -> dict[str, str]:
         ),
         10,
     )
+    # MatchAllDocs + fq oracle: the fq semantics straight off the source
+    # table (score constant 1.0, doc-key order)
+    out["ft_matchall_fq"] = f"""
+SELECT doc_id::BIGINT AS doc_id, CAST(1.0 AS FLOAT) AS score
+FROM documents WHERE source = '{MATCHALL_FQ[1]}'
+ORDER BY doc_id LIMIT 10"""
     # SimpleQueryParser oracle: spec HAND-BUILT from the documented parse of
     # SIMPLEQP_Q (the ft_queryparser precedent — a parse bug on the Spark
     # side cannot cancel out): '+' promotes all atoms to MUST (incl. the

@@ -1183,6 +1183,50 @@ class DocumentsEngine:
             .limit(k)
         )
 
+    def matchall_topk(
+        self, filter_field: str | None = None, filter_value=None,
+        k: int = 10,
+    ) -> DataFrame:
+        """MatchAllDocsQuery (``L/search/MatchAllDocsQuery``) — Solr's
+        ``q=*:*``, optionally under an ``fq``: every live doc matches with
+        constant score 1.0; the fq is a non-scoring FILTER over the
+        keyword-field posting list. Order degenerates to doc key asc
+        (score is constant), exactly Lucene's docID-order tiebreak.
+
+        Scale shape: with an fq, matching reads ONLY the one keyword
+        posting list (term-pruned scan — no text postings touched, no
+        scoring); without, it is a pruned scan of the docs table (the
+        live-docs bitset analog). Either way: no shuffle before the
+        TakeOrdered on the key."""
+        from .index.build import keyword_term
+        from .search.query import BooleanSpec, TermClause
+
+        if filter_field is None:
+            keys = self.searcher.docs.select("doc_key")
+            return (
+                keys.select(
+                    F.col("doc_key").cast("long").alias("doc_id"),
+                    F.lit(1.0).cast("float").alias("score"),
+                )
+                .orderBy("doc_id")
+                .limit(k)
+            )
+        kw = keyword_term(filter_field, filter_value)
+        spec = BooleanSpec(filter=[TermClause(kw)])
+        hits = self.searcher.hits(
+            self.searcher.compile(spec, k=1 << 30), mode="exact"
+        )
+        keys = self.searcher.docs.select("doc_id", "doc_key")
+        return (
+            hits.join(keys, "doc_id")
+            .select(
+                F.col("doc_key").cast("long").alias("doc_id"),
+                F.lit(1.0).cast("float").alias("score"),
+            )
+            .orderBy("doc_id")
+            .limit(k)
+        )
+
     def common_terms_topk(
         self, surface_terms: list[str], max_df_ratio: float = 0.05,
         k: int = 10,
