@@ -10,10 +10,13 @@ can't show (case/hyphen/digit splitting, plural stem repeats, the
 duplicate-collapse rule) and the summed-tf/max-df synonym scoring math.
 """
 
+import string
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
+from hypothesis import given, settings, strategies as st
 
 from lucene_solr_spark.analysis import (
     KeywordRepeatAnalyzer,
@@ -66,6 +69,24 @@ def test_worddelim_phrase_across_split():
     (ph,) = spec.must
     assert ph.terms == ("merge", "batch")
     assert ph.offsets == (0, 1)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(
+    st.text(alphabet=string.ascii_letters + string.digits + "-_'+./ ",
+            max_size=24),
+    max_size=6,
+))
+def test_worddelim_batch_row_parity_property(texts):
+    """Random ASCII inputs: the vectorized frame path must agree with the
+    per-row reference path token-for-token, position-for-position."""
+    a = WordDelimiterGraphAnalyzer()
+    f = a.analyze_batch(pd.Series(texts, dtype=object))
+    got = {i: [] for i in range(len(texts))}
+    for r in f.itertuples():
+        got[r.row].append((str(r.term), int(r.pos)))
+    for i, t in enumerate(texts):
+        assert got[i] == a.analyze(t), (i, t)
 
 
 MINSTEM_GOLDENS = [
