@@ -260,6 +260,8 @@ SIMPLEQP_Q = '+merge +batch -scan "table hash"'
 # MatchAllDocsQuery under fq: q=*:* fq=source:src3 — constant score 1.0,
 # doc-key order (the most common Solr request shape)
 MATCHALL_FQ = ("source", "src3")
+# CoveringQuery: 3 SHOULD clauses, per-doc threshold 1 + (docID % 3)
+COVERING_Q = (["vector", "stream", "filter"], 3)
 # SpanMultiTermQueryWrapper: prefix 's' rewrites against the dictionary
 # into a SpanOr union, then ordered span-near with 'merge' at slop 3
 SPANMULTI_Q = ("s", "merge", 3)
@@ -299,6 +301,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda spark, sf_dir, kind=kind, pattern=pattern:
             get_engine(spark, sf_dir, "simple").multiterm_topk(kind, pattern, k=10)
         )
+    # CoveringQuery: per-doc dynamic minimumNumberMatched
+    out["ft_covering_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).covering_topk(COVERING_Q[0], COVERING_Q[1], k=10)
     # MatchAllDocsQuery + fq (q=*:* — keyword posting gates, score 1.0)
     out["ft_matchall_fq"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -849,6 +855,14 @@ def fulltext_oracles() -> dict[str, str]:
             ],
             must_not=[_QPT(_qp("scan"))],
         ),
+        10,
+    )
+    from .oracles import covering_topk_sql
+
+    out["ft_covering_topk"] = covering_topk_sql(
+        "simple",
+        [ANALYZERS["simple"]().analyze(s)[0][0] for s in COVERING_Q[0]],
+        COVERING_Q[1],
         10,
     )
     # MatchAllDocs + fq oracle: the fq semantics straight off the source

@@ -474,6 +474,29 @@ class DocumentsEngine:
         ])
         return self._present(self.searcher.search(spec, k=k, with_keys=True))
 
+    def covering_topk(
+        self, surfaces: list[str], mod: int = 3, k: int = 10
+    ) -> DataFrame:
+        """CoveringQuery top-k (``L/search/CoveringQuery.java``): SHOULD
+        clauses with a PER-DOC dynamic ``minimumNumberMatched`` read from a
+        LongValuesSource — here the dense doc-key-rank docvalue (== global
+        docID by construction): threshold(doc) = 1 + (docID mod ``mod``).
+        A doc matches when at least that many clauses match it; score =
+        Σ matching clause scores (CoveringScorer sums its sub-scorers).
+
+        Scale shape: identical to the boolean kernel — the only addition is
+        one per-doc modulo compare inside the segment combine; no extra
+        scan, no shuffle. Routed exact (a per-doc msm has no WAND bound
+        fold)."""
+        from .search.query import BooleanSpec, TermClause
+
+        an = self.searcher.analyzer
+        spec = BooleanSpec(
+            should=[TermClause(an.analyze(s)[0][0]) for s in surfaces],
+            covering_mod=mod,
+        )
+        return self._present(self.searcher.search(spec, k=k, with_keys=True))
+
     def simple_query_topk(self, query: str, k: int = 10) -> DataFrame:
         """SimpleQueryParser top-k (``L/queryparser/simple/
         SimpleQueryParser.java``): the end-user-safe grammar — ``+`` AND,

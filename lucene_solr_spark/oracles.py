@@ -1534,6 +1534,29 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def covering_topk_sql(
+    analyzer: str, terms: list[str], mod: int, k: int
+) -> str:
+    """CoveringQuery oracle: per-doc matching-clause count gated by the
+    LongValuesSource threshold 1 + (docID mod ``mod``); the engine's
+    numeric docvalue is the dense doc-key rank, which equals ``doc_id`` on
+    this corpus (dense 0..N−1 keys → rank = key), so the oracle reads the
+    threshold straight off ``doc_id``. Score = Σ matching clause f32
+    scores in DOUBLE, one final f32 cast (CoveringScorer sums its
+    sub-scorers, the boolean-combine discipline)."""
+    pred = "term IN (" + ", ".join(f"'{t}'" for t in terms) + ")"
+    return f"""WITH {base_ctes(analyzer)},{_disjunction_core(pred)},
+hits AS (
+    SELECT doc_id, CAST(sum(CAST(s AS DOUBLE)) AS FLOAT) AS score
+    FROM sc GROUP BY doc_id
+    HAVING count(*) >= 1 + (doc_id % {mod})
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+    FROM hits
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def surround_or_topk_sql(
     analyzer: str, clauses: list[tuple], k: int
 ) -> str:

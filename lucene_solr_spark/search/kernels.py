@@ -879,6 +879,7 @@ def _combine(
     combine: str = "sum",
     tie: float = 0.0,
     incl_docs: np.ndarray | None = None,
+    covering: tuple | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Boolean combine: MUST intersect, SHOULD sum, minShouldMatch, MUST_NOT.
 
@@ -909,6 +910,12 @@ def _combine(
     keep = must_cnt == n_must
     if msm > 0:
         keep &= should_cnt >= msm
+    if covering is not None:
+        # CoveringQuery (L/search/CoveringQuery): the per-doc minimum
+        # matched count comes from a LongValuesSource — here the dense
+        # doc-key-rank docvalue (global docID = base + local)
+        base, mod = covering
+        keep &= should_cnt >= 1 + ((base + udocs) % mod)
     if excl_docs is not None and excl_docs.size:
         keep &= ~np.isin(udocs, excl_docs, assume_unique=True)
     if incl_docs is not None:  # FILTER occur: non-scoring candidate restriction
@@ -1108,9 +1115,11 @@ def score_segment_exact(
             dec(t)[0] for t in q.must_not_terms
         ])) if any(term_blocks.get(t) for t in q.must_not_terms) else None
     excl = _merge_excl(excl, deleted)
+    cov_mod = getattr(q, "covering_mod", 0)
     docs, scores = _combine(
         clause_docs, clause_scores, occurs, q.n_must, q.min_should_match, excl,
         getattr(q, "combine", "sum"), getattr(q, "tie", 0.0), incl,
+        covering=(base, cov_mod) if cov_mod else None,
     )
     docs, scores = _apply_after(docs, scores, after)
     return _topk(docs, scores, q.k)

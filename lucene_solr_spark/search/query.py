@@ -265,6 +265,12 @@ class BooleanSpec:
     min_should_match: int = 0
     dismax: bool = False
     tie: float = 0.0
+    # CoveringQuery (L/search/CoveringQuery): per-doc DYNAMIC
+    # minimumNumberMatched from a LongValuesSource. The engine's numeric
+    # docvalue here is the dense doc-key rank (== global docID by
+    # construction); threshold(doc) = 1 + (docID mod covering_mod).
+    # 0 = ordinary static minShouldMatch.
+    covering_mod: int = 0
 
     @property
     def scoring_clauses(self) -> list:
@@ -380,6 +386,8 @@ class CompiledQuery:
     # DocIdSet/BitSet); None = no filter. Segments absent from the map
     # contribute nothing.
     filter_by_base: dict | None = None
+    # CoveringQuery: 0 = off; else per-doc threshold = 1 + (docID mod this)
+    covering_mod: int = 0
 
     @property
     def needs_positions(self) -> bool:
@@ -400,8 +408,10 @@ class CompiledQuery:
         tests/test_nested_bool.py); positional clauses need exact, and so
         does span_or (summed-tf-under-one-weight has no per-member block
         bound fold, though it needs no positions)."""
-        return self.needs_positions or any(
-            c.kind in ("span_or", "synonym") for c in self.clauses
+        return (
+            self.needs_positions
+            or self.covering_mod > 0  # per-doc msm has no WAND bound fold
+            or any(c.kind in ("span_or", "synonym") for c in self.clauses)
         )
 
     @property
@@ -807,4 +817,5 @@ def compile_query(
         combine="dismax" if getattr(spec, "dismax", False) else "sum",
         tie=float(getattr(spec, "tie", 0.0)),
         sim=similarity,
+        covering_mod=int(getattr(spec, "covering_mod", 0)),
     )
