@@ -1138,6 +1138,13 @@ def count_segment_matches(
     the scoring kernels via ``_combine`` with zero scores."""
     decoded: dict = {}
     need_pos = q.needs_positions
+    if getattr(q, "covering_mod", 0):
+        # the count path has no per-doc threshold fold — refuse loudly
+        # rather than overcount (CoveringQuery rides the scoring kernel)
+        raise NotImplementedError(
+            "TotalHits count for CoveringQuery is not implemented; use the "
+            "scoring kernel (score_segment_exact applies the per-doc gate)"
+        )
 
     def dec(term):
         if term not in decoded:
