@@ -606,6 +606,12 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_lmjm_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).sim_topk("lmjm", "or3", ["vector", "stream", "filter"], k=10)
+    # AxiomaticF2EXP — the axiomatic retrieval family (Fang & Zhai 2005;
+    # L/search/similarities/AxiomaticF2EXP.java), similarity number eight
+    # over the same index/norm bytes
+    out["ft_f2exp_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).sim_topk("f2exp", "or3", ["vector", "stream", "filter"], k=10)
     # Highlighting (UnifiedHighlighter analog): top-k + best-window snippet,
     # fetch-fields-late (snippet extraction touches the k hit rows only)
     out["ft_highlight_topk"] = lambda spark, sf_dir: get_engine(
@@ -1118,6 +1124,9 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     out["ft_dfr_topk"] = dfr_topk_sql("simple", bool_terms, 10)
     out["ft_ib_topk"] = ib_topk_sql("simple", bool_terms, 10)
     out["ft_lmjm_topk"] = lmjm_topk_sql("simple", bool_terms, 10)
+    from .oracles import f2exp_topk_sql
+
+    out["ft_f2exp_topk"] = f2exp_topk_sql("simple", bool_terms, 10)
     out["ft_suggest"] = suggest_sql("simple", "term LIKE 's%'", 10)
     out["ft_suggest_infix"] = suggest_sql("simple", "term LIKE '%or%'", 10)
     from .oracles import suggest_freetext_sql, word_break_sql

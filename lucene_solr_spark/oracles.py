@@ -1053,6 +1053,35 @@ GROUP BY k.doc_id, st.sum_ttf""")
     return _sim_family_topk_sql(analyzer, clause_selects, k)
 
 
+def f2exp_topk_sql(
+    analyzer: str, terms: list[str], k: int, s: float = 0.5, kk: float = 0.35
+) -> str:
+    """AxiomaticF2EXP top-k — exact float discipline of the engine's
+    ``score_postings_f2exp``: idf = ((N+1)/df)^k, tfln denominator addend
+    = s + s·dl/avgdl (avgdl FLOAT then double ops), score = boost · idf ·
+    tf/(tf + addend), clamped at 0, one f32 cast per clause, Σ double,
+    one f32 cast."""
+    clause_selects = []
+    for t in terms:
+        aux = (
+            f"pow(( st.doc_count::DOUBLE + 1.0 )"
+            f" / (SELECT count(DISTINCT doc_id) FROM kept WHERE term = '{t}')::DOUBLE,"
+            f" {kk!r})"
+        )
+        addend = (
+            f"({s!r} + ({s!r} * any_value(n.decoded)::DOUBLE)"
+            " / CAST(any_value(st2.avgdl) AS DOUBLE))"
+        )
+        clause_selects.append(f"""
+SELECT k.doc_id,
+       CAST(greatest({aux} * (count(*)::DOUBLE / (count(*)::DOUBLE + {addend})), 0.0)
+            AS FLOAT) AS s
+FROM kept k JOIN norms n USING (doc_id), statsf st, statsf st2
+WHERE k.term = '{t}'
+GROUP BY k.doc_id, st.doc_count""")
+    return _sim_family_topk_sql(analyzer, clause_selects, k)
+
+
 def _funcexpr_scored_with(analyzer: str, expr: str, analyzed: dict) -> str:
     """Shared WITH-prefix for function-expression oracles: emits every CTE
     through ``scored(doc_id, fscore)`` — used by both the ranking oracle

@@ -211,6 +211,56 @@ def block_max_score_lm(
     return np.float32(max(s, 0.0))
 
 
+# --- AxiomaticF2EXP (L/search/similarities/AxiomaticF2EXP.java — the
+# axiomatic retrieval family of Fang & Zhai 2005, primitive-weighting
+# function F2-EXP; SimilarityBase subclass, defaults s=0.5, k=0.35) --------
+#   idf  = ((N + 1) / df)^k                       (Axiomatic#idf, double)
+#   tfln = freq / (freq + s + s·dl/avgdl)          (Axiomatic#tfln, double;
+#          tf = ln = 1, gamma = 0 for F2EXP)
+#   score = boost · idf · tfln     (double math, clamped at 0, one f32 cast
+#           — SimilarityBase#BasicSimScorer discipline, same as LM/DFR/IB)
+# dl = decoded norm length; the dl-dependent denominator addend
+# (s + s·dl/avgdl) precomputes into a 256-entry per-norm-byte double table;
+# the per-clause ((N+1)/df)^k rides ``aux``; weight = boost. avgdl enters
+# as float32 (the oracle's FLOAT statsf.avgdl), then double ops — op order
+# mirrored bitwise in oracles.f2exp_topk_sql.
+
+F2EXP_S = 0.5
+F2EXP_K = 0.35
+
+
+def f2exp_norm_cache(avgdl: float, s: float = F2EXP_S) -> np.ndarray:
+    """256-entry double table: s + s·dl/avgdl (the tfln denominator addend);
+    the dl=0 byte never appears in postings, slot holds the freq-only limit
+    s (harmless)."""
+    dl = LENGTH_TABLE.astype(np.float64)
+    return s + (s * dl) / np.float64(np.float32(avgdl))
+
+
+def score_postings_f2exp(
+    tfs: np.ndarray,
+    norm_bytes: np.ndarray,
+    weight: np.float32,
+    cache: np.ndarray,
+    aux: float = 0.0,
+) -> np.ndarray:
+    """aux = ((N+1)/df)^k (double). weight = boost (f32)."""
+    freq = tfs.astype(np.float64)
+    denom_add = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+    s = np.float64(weight) * aux * (freq / (freq + denom_add))
+    return np.maximum(s, 0.0).astype(np.float32)
+
+
+def block_max_score_f2exp(
+    max_tf: int, min_norm: int, weight: np.float32, cache: np.ndarray, aux: float = 0.0
+) -> np.float32:
+    """freq/(freq+c) is ↑freq and ↓c, c is ↑dl ⇒ (max_tf, min_norm byte)
+    bounds every posting in the block (WAND safety)."""
+    f = np.float64(max_tf)
+    s = np.float64(weight) * aux * (f / (f + cache[min_norm & 0xFF]))
+    return np.float32(max(s, 0.0))
+
+
 def sum_scores_f32(per_clause: list[np.ndarray]) -> np.ndarray:
     """Σ in float64, one float32 cast (Disjunction/ConjunctionScorer)."""
     acc = np.zeros(per_clause[0].shape, dtype=np.float64)

@@ -454,7 +454,7 @@ def compile_query(
             # member posting lists gates matching, every member weight is 0
             # so the group contributes +0.0 to the f64 score sum (IEEE
             # no-op) and a 0 WAND block bound.
-            if similarity in ("lm", "lmjm", "dfr", "ib"):
+            if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp"):
                 raise ValueError(
                     f"{similarity} or_group filter not implemented; "
                     "use bm25/classic/boolean"
@@ -486,20 +486,21 @@ def compile_query(
         from .bm25 import classic_idf as idf_fn
     elif similarity == "boolean":
         from .bm25 import boolean_idf as idf_fn
-    elif similarity in ("lm", "lmjm", "dfr", "ib"):
+    elif similarity in ("lm", "lmjm", "dfr", "ib", "f2exp"):
         # SimilarityBase family: no idf in the weight (weight = boost); the
         # per-term collection stat rides the clause as `aux` —
         #   lm:   mu · collectionProbability
         #   lmjm: λ · collectionProbability
         #   dfr:  log2((N+1)/(df+0.5))      (BasicModelIN)
         #   ib:   (df+1)/(N+1)              (LambdaDF)
+        #   f2exp: ((N+1)/df)^0.35          (Axiomatic#idf)
         idf_fn = lambda df, n: np.float32(1.0)  # noqa: E731
     else:
         raise ValueError(f"unknown similarity {similarity!r}")
     for occur, group in (("must", spec.must), ("should", spec.should)):
         for c in group:
             if isinstance(c, PhraseClause):
-                if similarity in ("lm", "lmjm", "dfr", "ib"):
+                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp"):
                     raise ValueError(
                         f"{similarity} phrase scoring not implemented (needs "
                         "pseudo-term collection stats); use bm25/classic"
@@ -563,7 +564,7 @@ def compile_query(
                     slots=live_slots,
                 ))
             elif isinstance(c, SpanNearClause):
-                if similarity in ("lm", "lmjm", "dfr", "ib"):
+                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp"):
                     raise ValueError(
                         f"{similarity} span scoring not implemented; use "
                         "bm25/classic/boolean"
@@ -584,7 +585,7 @@ def compile_query(
                     slop=int(c.slop),
                 ))
             elif isinstance(c, SpanNearUnorderedClause):
-                if similarity in ("lm", "lmjm", "dfr", "ib"):
+                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp"):
                     raise ValueError(
                         f"{similarity} span scoring not implemented; use "
                         "bm25/classic/boolean"
@@ -646,7 +647,7 @@ def compile_query(
                     "synonym", live, (), np.float32(w), occur,
                 ))
             elif isinstance(c, SpanNearOrClause):
-                if similarity in ("lm", "lmjm", "dfr", "ib"):
+                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp"):
                     raise ValueError(
                         f"{similarity} span scoring not implemented; use "
                         "bm25/classic/boolean"
@@ -673,7 +674,7 @@ def compile_query(
                     slop=int(c.slop), slots=live_slots,
                 ))
             elif isinstance(c, SpanOrClause):
-                if similarity in ("lm", "lmjm", "dfr", "ib"):
+                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp"):
                     raise ValueError(
                         f"{similarity} span scoring not implemented; use "
                         "bm25/classic/boolean"
@@ -694,7 +695,7 @@ def compile_query(
                     "span_or", live, (), np.float32(w), occur,
                 ))
             elif isinstance(c, IntervalUnorderedClause):
-                if similarity in ("lm", "lmjm", "dfr", "ib"):
+                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp"):
                     raise ValueError(
                         f"{similarity} interval scoring not implemented; "
                         "use bm25/classic/boolean"
@@ -714,7 +715,7 @@ def compile_query(
                     slop=int(c.maxgaps),
                 ))
             elif isinstance(c, SpanContainClause):
-                if similarity in ("lm", "lmjm", "dfr", "ib"):
+                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp"):
                     raise ValueError(
                         f"{similarity} span scoring not implemented; use "
                         "bm25/classic/boolean"
@@ -739,7 +740,7 @@ def compile_query(
                     slop=int(c.big_slop),
                 ))
             elif isinstance(c, SpanNotClause):
-                if similarity in ("lm", "lmjm", "dfr", "ib"):
+                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp"):
                     raise ValueError(
                         f"{similarity} span scoring not implemented; use "
                         "bm25/classic/boolean"
@@ -755,7 +756,7 @@ def compile_query(
                     occur, slop=int(c.pre), post=int(c.post),
                 ))
             elif isinstance(c, SpanFirstClause):
-                if similarity in ("lm", "lmjm", "dfr", "ib"):
+                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp"):
                     raise ValueError(
                         f"{similarity} span scoring not implemented; use "
                         "bm25/classic/boolean"
@@ -795,6 +796,10 @@ def compile_query(
                     aux = float(np.log2((doc_count + 1.0) / (df + 0.5)))
                 elif similarity == "ib":
                     aux = (df + 1.0) / (doc_count + 1.0)
+                elif similarity == "f2exp":
+                    from .bm25 import F2EXP_K
+
+                    aux = ((doc_count + 1.0) / float(df)) ** F2EXP_K
                 clauses.append(
                     CompiledClause("term", (c.term,), (), np.float32(w), occur, aux=aux)
                 )

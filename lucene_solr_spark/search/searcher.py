@@ -196,6 +196,12 @@ class IndexSearcher:
         return lmjm_norm_cache()
 
     @cached_property
+    def f2exp_cache(self) -> np.ndarray:
+        from .bm25 import f2exp_norm_cache
+
+        return f2exp_norm_cache(self.stats.avgdl)
+
+    @cached_property
     def _tomb_df(self) -> DataFrame | None:
         import glob as _glob
 
@@ -272,6 +278,8 @@ class IndexSearcher:
             cache = self.dfr_cache
         elif similarity == "lmjm":
             cache = self.lmjm_cache
+        elif similarity == "f2exp":
+            cache = self.f2exp_cache
         else:
             cache = self.classic_cache
         df_map, ttf_map = self.term_stats_rows(spec.all_terms())

@@ -161,6 +161,19 @@ def test_lm_dirichlet_wand_equals_exact(searcher):
     assert (a.score.to_numpy() >= 0).all()
 
 
+def test_f2exp_wand_equals_exact(searcher):
+    """AxiomaticF2EXP: the clamped block bound (max_tf, min_norm) must keep
+    WAND rank+score identical to brute force (same discipline as LM/DFR)."""
+    import pandas as pd
+
+    spec = searcher.parse("or3", ["merge", "batch", "stream"], 0)
+    q = searcher.compile(spec, k=25, similarity="f2exp")
+    a = searcher.search(q, k=25, mode="wand").toPandas()
+    b = searcher.search(q, k=25, mode="exact").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.score.to_numpy() > 0).all()
+
+
 def test_lm_phrase_unsupported_is_loud(searcher):
     import pytest as _pytest
 

@@ -10,13 +10,18 @@ import numpy as np
 import pytest
 
 from lucene_solr_spark.search.bm25 import (
+    F2EXP_K,
+    F2EXP_S,
     LMJM_LAMBDA,
     block_max_score_dfr,
+    block_max_score_f2exp,
     block_max_score_ib,
     block_max_score_lmjm,
     dfr_h2_cache,
+    f2exp_norm_cache,
     lmjm_norm_cache,
     score_postings_dfr,
+    score_postings_f2exp,
     score_postings_ib,
     score_postings_lmjm,
 )
@@ -72,12 +77,31 @@ def test_lmjm_hand_computed():
         assert got == want
 
 
+def test_f2exp_hand_computed():
+    """AxiomaticF2EXP (Fang & Zhai 2005; L/search/similarities/
+    AxiomaticF2EXP.java): score = ((N+1)/df)^0.35 · tf/(tf + s + s·dl/avgdl),
+    s = 0.5 — hand-recomputed from the published formula."""
+    cache = f2exp_norm_cache(AVGDL)
+    df = 37
+    aux = ((N_DOCS + 1.0) / df) ** F2EXP_K
+    for tf, b in [(1, 40), (3, 100), (17, 200)]:
+        dl = float(LENGTH_TABLE[b])
+        addend = F2EXP_S + (F2EXP_S * dl) / float(np.float32(AVGDL))
+        want = np.float32(max(1.0 * aux * (tf / (tf + addend)), 0.0))
+        got = score_postings_f2exp(
+            np.array([tf]), np.array([b]), np.float32(1.0), cache, aux
+        )[0]
+        assert got == want
+
+
 @pytest.mark.parametrize(
     "score_fn,bound_fn,cache_fn,aux",
     [
         (score_postings_dfr, block_max_score_dfr, lambda: dfr_h2_cache(AVGDL), 3.1),
         (score_postings_ib, block_max_score_ib, lambda: dfr_h2_cache(AVGDL), 0.038),
         (score_postings_lmjm, block_max_score_lmjm, lmjm_norm_cache, 0.7 * 0.002),
+        (score_postings_f2exp, block_max_score_f2exp,
+         lambda: f2exp_norm_cache(AVGDL), 11.2 ** 0.35),
     ],
 )
 def test_block_bound_dominates(score_fn, bound_fn, cache_fn, aux):
@@ -102,3 +126,7 @@ def test_monotone_in_tf_and_doclen():
     assert (np.diff(s2) < 0).all()
     s3 = score_postings_lmjm(np.array([3] * 3), np.array([40, 120, 250]), np.float32(1.0), lmjm_norm_cache(), 0.001)
     assert (np.diff(s3) < 0).all()
+    s4 = score_postings_f2exp(np.array([1, 2, 5, 20]), np.array([50] * 4), np.float32(1.0), f2exp_norm_cache(AVGDL), 2.0)
+    assert (np.diff(s4) > 0).all()
+    s5 = score_postings_f2exp(np.array([3] * 3), np.array([40, 120, 250]), np.float32(1.0), f2exp_norm_cache(AVGDL), 2.0)
+    assert (np.diff(s5) < 0).all()
