@@ -500,6 +500,45 @@ class LengthFilterAnalyzer(_BaseAnalyzer):
     stem = False
 
 
+LIMIT_TOKEN_COUNT = 40
+
+
+class LimitTokenCountAnalyzer(_BaseAnalyzer):
+    """Standard → LowerCase → LimitTokenCount(40)
+    (``LA/miscellaneous/LimitTokenCountFilter.java``, consumeAllTokens
+    irrelevant here — Solr's ``limitTokenCount`` guard against pathological
+    huge documents): only the first N tokens are indexed; later tokens
+    vanish entirely (no holes past the cut — the stream simply ends), so
+    the norm length is min(doc tokens, N). With no upstream filtering the
+    token ordinal equals its position, so the cut is the vectorized
+    ``pos < N`` mask on all three analysis paths."""
+
+    lowercase = True
+    stop_words = frozenset()
+    stem = False
+    limit = LIMIT_TOKEN_COUNT
+
+    def postprocess_tokens(self, toks: list[tuple[str, int]]) -> list[tuple[str, int]]:
+        return [(t, p) for t, p in toks if p < self.limit]
+
+    def postprocess_frame(self, frame: pd.DataFrame) -> pd.DataFrame:
+        n_rows = len(frame.attrs["doc_len"])
+        keep = frame["pos"].to_numpy() < self.limit
+        if keep.all():
+            return frame
+        out = frame[keep].reset_index(drop=True)
+        if isinstance(out["term"].dtype, pd.CategoricalDtype):
+            # the invert kernel iterates the category dictionary as the
+            # term vocabulary — categories whose every occurrence was cut
+            # must leave it (the pre-categorical filter paths never
+            # produce unused categories; this postprocessor can)
+            out["term"] = out["term"].cat.remove_unused_categories()
+        out.attrs["doc_len"] = np.bincount(
+            out["row"].to_numpy(), minlength=n_rows
+        ).astype(np.int64)
+        return out
+
+
 class StopChainAnalyzer(_BaseAnalyzer):
     """Standard → LowerCase → Stop(33) — the Lucene ``StandardAnalyzer`` with
     its English stop set (``L/analysis/standard/StandardAnalyzer.java``), i.e.

@@ -75,6 +75,10 @@ FULLTEXT_TOPK = {
     # and shrink norms (FilteringTokenFilter) — 'a'/long tokens vanish, so
     # every BM25 norm differs from the simple chain's
     "ft_lengthfilter_topk": ("length", "and2", ["merge", "batch"], 0, 10),
+    # LimitTokenCountFilter(40): only the first 40 tokens index — 329/500
+    # sf0.01 docs exceed the cut, so late-doc matches vanish AND every
+    # truncated doc's norm shrinks to 40 (both effects certified bitwise)
+    "ft_limitcount_topk": ("limitcount", "and2", ["merge", "batch"], 0, 10),
     # WordDelimiterGraphFilter: the query surface carries the case+hyphen
     # ('Merge-Batch' splits to consecutive-position parts → an exact
     # phrase across the split); the driver corpus is plain lowercase (the

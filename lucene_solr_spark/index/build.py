@@ -59,6 +59,7 @@ from ..analysis import (
     KeywordMarkerAnalyzer,
     KeywordAnalyzer,
     LengthFilterAnalyzer,
+    LimitTokenCountAnalyzer,
     LuceneChainAnalyzer,
     NGramAnalyzer,
     ShingleAnalyzer,
@@ -91,6 +92,7 @@ ANALYZERS = {
     "cjk": CJKBigramAnalyzer,
     "worddelim": WordDelimiterGraphAnalyzer,
     "keywordrepeat": KeywordRepeatAnalyzer,
+    "limitcount": LimitTokenCountAnalyzer,
 }
 
 MANIFEST_SCHEMA = (

@@ -50,6 +50,16 @@ def _kept_ctes(analyzer: str) -> tuple[str, str]:
             f"kept AS (SELECT * FROM raw_toks WHERE term NOT IN ({_STOP_LIST_SQL}))",
             "kept",
         )
+    if analyzer == "limitcount":
+        # LimitTokenCountFilter(40): only the first N tokens index; with no
+        # upstream filtering, ordinal == pos, so the cut is pos < N; norms
+        # count the kept tokens (min(len, N))
+        from .analysis.analyzer import LIMIT_TOKEN_COUNT
+
+        return (
+            f"kept AS (SELECT * FROM raw_toks WHERE pos < {LIMIT_TOKEN_COUNT})",
+            "kept",
+        )
     if analyzer == "synonym":
         from .analysis.analyzer import SYNONYMS
 

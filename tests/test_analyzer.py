@@ -277,3 +277,31 @@ def test_length_filter_goldens_and_path_parity():
     assert frame.attrs["doc_len"].tolist() == [
         len(v) for v in per_row.values()
     ]
+
+
+def test_limit_token_count_goldens_and_path_parity():
+    """LimitTokenCount(40) — LA/miscellaneous/LimitTokenCountFilter.java:
+    only the first N tokens index (no holes past the cut, the stream just
+    ends); the norm length is min(tokens, N); all three paths agree,
+    including the pure-Arrow dictionary path (unused categories must leave
+    the vocabulary when a term's every occurrence is cut)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from lucene_solr_spark.analysis.analyzer import LimitTokenCountAnalyzer
+
+    an = LimitTokenCountAnalyzer()
+    long = " ".join(f"tok{i}" for i in range(50)) + " zzuniq"
+    got = an.analyze(long)
+    assert len(got) == 40 and got[-1] == ("tok39", 39)
+    texts = pd.Series([long, "short doc", ""])
+    for batch in (texts, pa.array(texts, type=pa.string())):
+        frame = an.analyze_batch(batch)
+        per_row = {i: an.analyze(t) for i, t in texts.items()}
+        for i, toks in per_row.items():
+            sub = frame[frame.row == i]
+            assert list(zip(sub.term, sub.pos)) == toks, i
+        assert frame.attrs["doc_len"].tolist() == [40, 2, 0]
+        # zzuniq occurs only past the cut: it must not linger in the
+        # term vocabulary (categorical dictionary) either
+        assert "zzuniq" not in set(map(str, frame.term.unique()))
