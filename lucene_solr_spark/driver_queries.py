@@ -231,6 +231,13 @@ STATS_EXPR = (
     " div(ttf(text,'batch'), sumtotaltermfreq(text))),"
     " div(docfreq(text,'scan'), maxdoc()))"
 )
+# strdist() (StrDistValueSource, 'edit' measure): rank by normalized
+# Levenshtein similarity of the source field to 'src1' (src0..src19 give
+# a full spread of distances) + a termfreq tiebreaker
+STRDIST_EXPR = (
+    "sum(product(2, strdist('src1', source)),"
+    " div(termfreq(text,'merge'), 100))"
+)
 # Query-time join ({!join from=source to=source} / lucene/join JoinUtil):
 # inner and2(dup, merge) matches docs spanning HALF the sources (10 of 20)
 # — the join filter genuinely restricts the outer or3 ranking; the scoring
@@ -424,6 +431,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_funcexpr_stats_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).function_expr_topk(STATS_EXPR, k=10)
+    # strdist() string-distance ValueSource (StrDistValueSource, 'edit')
+    out["ft_strdist_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).function_expr_topk(STRDIST_EXPR, k=10)
     # MultiPhraseQuery: a phrase slot admitting several terms
     out["ft_multiphrase_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -1083,6 +1094,10 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, tf FROM (
     out["ft_funcexpr_stats_topk"] = funcexpr_topk_sql(
         "simple", STATS_EXPR, 10,
         {s: an_s.analyze(s)[0][0] for s in ("merge", "batch", "scan")},
+    )
+    out["ft_strdist_topk"] = funcexpr_topk_sql(
+        "simple", STRDIST_EXPR, 10,
+        {"merge": an_s.analyze("merge")[0][0]},
     )
     from .oracles import phrase_prefix_topk_sql
     from .search.query import BooleanSpec as _BS, MultiPhraseClause as _MPC

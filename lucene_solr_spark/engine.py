@@ -1530,7 +1530,7 @@ class DocumentsEngine:
         base = s.docs.select("doc_id", "doc_key", "norm")
         src = self.spark.read.parquet(
             os.path.join(self.sf_dir, "documents.parquet")
-        ).select(F.col("doc_id").alias("doc_key"), "n_chars")
+        ).select(F.col("doc_id").alias("doc_key"), "n_chars", "source", "lang")
         base = base.join(src, "doc_key")
         tf_env = {}
         for i, (field, surface) in enumerate(collect_termfreqs(ast)):
@@ -1560,7 +1560,14 @@ class DocumentsEngine:
             F.array(*[F.lit(int(x)) for x in LENGTH_TABLE]), F.col("norm") + 1
         )
         env = FuncEnv(
-            tf=tf_env, fields={"n_chars": F.col("n_chars")},
+            tf=tf_env,
+            fields={
+                "n_chars": F.col("n_chars"),
+                # string fields for strdist() — keyed off the numeric
+                # namespace (numeric Field refs double-cast; these must not)
+                ("str", "source"): F.col("source"),
+                ("str", "lang"): F.col("lang"),
+            },
             norms={"text": decoded}, scalars=scalars,
         )
         raw = compile_spark(ast, env)

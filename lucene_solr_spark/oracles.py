@@ -1132,7 +1132,12 @@ def _funcexpr_scored_with(analyzer: str, expr: str, analyzed: dict) -> str:
         else:  # numdocs / maxdoc
             scalars[key] = "(SELECT doc_count FROM statsf)"
     env = FuncEnv(
-        tf=tf_env, fields={"n_chars": "d.n_chars"},
+        tf=tf_env,
+        fields={
+            "n_chars": "d.n_chars",
+            ("str", "source"): "d.source",
+            ("str", "lang"): "d.lang",
+        },
         norms={"text": "n.decoded"}, scalars=scalars,
     )
     expr_sql = compile_sql(ast, env)

@@ -19,7 +19,10 @@ Functions (names and semantics per ValueSourceParser):
   exp, pow, max, min, if (cond != 0), map(x, lo, hi, target),
   termfreq(field, term), docfreq(field, term), norm(field) (the
   SmallFloat-DECODED quantized length the similarity sees), field(name) /
-  bare field name, numdocs(), maxdoc().
+  bare field name, numdocs(), maxdoc(),
+  strdist(s1, s2) (StrDistValueSource, Solr-default 'edit' measure:
+  normalized Levenshtein similarity 1 − d/max(len), f32 like the
+  reference's float return).
 
 Grammar:  expr := NUMBER | NAME | NAME '(' [expr (',' expr)*] ')' | 'str'
 """
@@ -45,6 +48,11 @@ _FUNCTIONS: dict[str, object] = {
     # SumTotalTermFreqValueSource — S/search/ValueSourceParser "ttf",
     # "sumtotaltermfreq")
     "ttf": 2, "sumtotaltermfreq": 1,
+    # strdist(s1, s2) — StrDistValueSource with the Solr-default 'edit'
+    # measure (lucene/spell LevenshteinDistance#getDistance): normalized
+    # similarity (float) 1 − levenshtein/max(len); args are string
+    # literals or string fields
+    "strdist": 2,
 }
 
 
@@ -130,6 +138,13 @@ def parse_expr(text: str):
                 raise ValueError(f"function query: {fn}(field, term)")
         if fn == "sumtotaltermfreq" and not isinstance(args[0], Field):
             raise ValueError("function query: sumtotaltermfreq(field)")
+        if fn == "strdist" and not all(
+            isinstance(a, (Str, Field)) for a in args
+        ):
+            raise ValueError(
+                "function query: strdist(s1, s2) takes string literals "
+                "or string fields"
+            )
         if fn == "scale" and not (
             isinstance(args[1], Num) and isinstance(args[2], Num)
         ):
@@ -234,6 +249,24 @@ def compile_spark(ast, env: FuncEnv) -> Column:
                     "sumtotaltermfreq"):
             key = collect_scalars(n)[0]
             return F.lit(float(env.scalars[key])).cast(D)
+        if n.fn == "strdist":
+            # LevenshteinDistance#getDistance: 1f − dist/max(len) — a FLOAT
+            # result (one f32 round, both compilers), then double onward
+            def _s(x):
+                if isinstance(x, Str):
+                    return F.lit(x.value)
+                if ("str", x.name) not in env.fields:
+                    raise ValueError(
+                        f"function query: unknown string field {x.name!r}"
+                    )
+                return env.fields[("str", x.name)]
+
+            c1, c2 = _s(n.args[0]), _s(n.args[1])
+            sim = F.lit(1.0).cast(D) - (
+                F.levenshtein(c1, c2).cast(D)
+                / F.greatest(F.length(c1), F.length(c2)).cast(D)
+            )
+            return sim.cast("float").cast(D)
         a = [c(x) for x in n.args]
         if n.fn == "sum":
             out = a[0]
@@ -303,6 +336,22 @@ def compile_sql(ast, env: FuncEnv) -> str:
             return (
                 f"CAST({v} AS DOUBLE)" if isinstance(v, str)
                 else f"CAST({float(v)!r} AS DOUBLE)"
+            )
+        if n.fn == "strdist":
+            def _s(x):
+                if isinstance(x, Str):
+                    return "'" + x.value.replace("'", "''") + "'"
+                if ("str", x.name) not in env.fields:
+                    raise ValueError(
+                        f"function query: unknown string field {x.name!r}"
+                    )
+                return env.fields[("str", x.name)]
+
+            s1, s2 = _s(n.args[0]), _s(n.args[1])
+            return (
+                f"CAST(CAST(1.0 - levenshtein({s1}, {s2})::DOUBLE"
+                f" / greatest(length({s1}), length({s2}))::DOUBLE"
+                " AS FLOAT) AS DOUBLE)"
             )
         a = [c(x) for x in n.args]
         if n.fn == "sum":

@@ -103,3 +103,35 @@ def test_recip_linear_spark_sql_parity(spark):
     env_q = FuncEnv(tf={}, fields={"x": "4.0"}, norms={}, scalars={})
     want = duckdb.sql(f"SELECT {compile_sql(ast, env_q)} AS v").fetchone()[0]
     assert got == want == (10.0 / (2 * 4.0 + 1) + (3 * 4.0 + 0.5))
+
+
+def test_strdist_spark_sql_parity(spark):
+    """strdist(s1, s2) — StrDistValueSource 'edit' measure: normalized
+    Levenshtein similarity 1 − d/max(len), f32-rounded like the reference's
+    float return; literal-vs-field and both compilers agree."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.search.funcquery import (
+        FuncEnv, compile_spark, compile_sql,
+    )
+
+    expr = "strdist('src1', s)"
+    ast = parse_expr(expr)
+    for val, dist in [("src12", 1), ("src1", 0), ("other", 5)]:
+        env_s = FuncEnv(
+            tf={}, fields={("str", "s"): F.lit(val)}, norms={}, scalars={}
+        )
+        got = spark.range(1).select(
+            compile_spark(ast, env_s).alias("v")
+        ).collect()[0].v
+        env_q = FuncEnv(tf={}, fields={("str", "s"): f"'{val}'"}, norms={}, scalars={})
+        want = duckdb.sql(f"SELECT {compile_sql(ast, env_q)} AS v").fetchone()[0]
+        ref = float(np.float32(1.0 - dist / max(4, len(val))))
+        assert got == want == ref, (val, got, want, ref)
+
+
+def test_strdist_validation_is_loud():
+    with pytest.raises(ValueError, match="strdist"):
+        parse_expr("strdist(1, source)")
