@@ -890,6 +890,56 @@ ORDER BY dist_km ASC, event_id ASC LIMIT 20"""
 register("spatial_geofilt", spatial_geofilt, SPATIAL_GEOFILT_SQL)
 
 
+# fixed box for the bbox entry — a plain [lo, hi] box (LatLonPoint#
+# newBoxQuery's simple case; the antimeridian-crossing box upstream
+# rewrites into an OR of two such boxes, which composes here the same way)
+BBOX_LAT_LO, BBOX_LAT_HI = -30.0, 45.0
+BBOX_LON_LO, BBOX_LON_HI = -60.0, 90.0
+
+
+def spatial_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounding-box query (``L/document/LatLonPoint#newBoxQuery``; Solr
+    ``&fq={!bbox}`` / RptWithGeometry rectangle): events whose derived
+    lat/lon fall inside [lat_lo, lat_hi] × [lon_lo, lon_hi], in event order.
+
+    Same deterministic event_id → lat/lon mapping as ``spatial_geofilt``.
+
+    Scale shape: the box is TWO range predicates on JVM columns — exactly
+    what the BKD tree evaluates, and what parquet min/max pruning + zone
+    maps would skip-scan at 100 TB (with real materialized lat/lon columns
+    the predicates push down to the scan; here they run post-derive in
+    whole-stage codegen). No trig, no distance — the box is the cheap
+    first phase of every geo query."""
+    ev = _t(spark, sf_dir, "events")
+    lat = (F.col("event_id") * 57 % 18000) / 100.0 - 90.0
+    lon = (F.col("event_id") * 101 % 36000) / 100.0 - 180.0
+    return (
+        ev.withColumn("lat", lat.cast("double"))
+        .withColumn("lon", lon.cast("double"))
+        .filter(
+            (F.col("lat") >= F.lit(BBOX_LAT_LO)) & (F.col("lat") <= F.lit(BBOX_LAT_HI))
+            & (F.col("lon") >= F.lit(BBOX_LON_LO)) & (F.col("lon") <= F.lit(BBOX_LON_HI))
+        )
+        .orderBy(F.asc("event_id"))
+        .limit(25)
+        .select("event_id", "user_id", "lat", "lon")
+    )
+
+
+SPATIAL_BBOX_SQL = f"""
+SELECT event_id, user_id, lat, lon FROM (
+    SELECT event_id, user_id,
+           CAST((event_id * 57 % 18000) / 100.0 - 90.0 AS DOUBLE) AS lat,
+           CAST((event_id * 101 % 36000) / 100.0 - 180.0 AS DOUBLE) AS lon
+    FROM events
+) WHERE lat BETWEEN {BBOX_LAT_LO} AND {BBOX_LAT_HI}
+  AND lon BETWEEN {BBOX_LON_LO} AND {BBOX_LON_HI}
+ORDER BY event_id ASC LIMIT 25"""
+
+
+register("spatial_bbox", spatial_bbox, SPATIAL_BBOX_SQL)
+
+
 # --- update stream: push tuples into a destination collection ---------------
 
 def stream_update(spark: SparkSession, sf_dir: str) -> DataFrame:
