@@ -864,3 +864,152 @@ FROM scored ORDER BY ig DESC, term ASC LIMIT {IG_K}"""
 register("ngram_hotspots", ngram_hotspots, NGRAM_HOTSPOTS_SQL)
 register("features_ig", features_ig, FEATURES_IG_SQL)
 register("mix_balance", mix_balance, MIX_BALANCE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# dsir_select: importance-resampling data selection (DSIR)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 512      # hashed-feature dimensionality (paper uses 10^4;
+                        # 512 keeps the sf0.01 LMs dense enough to be
+                        # discriminative — the state is O(B) either way)
+DSIR_ALPHA = 0.5        # add-alpha smoothing on both LMs
+DSIR_TARGET_LANG = "en"
+DSIR_K = 15
+
+
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): hashed-unigram bag-of-words
+    features; a target-domain LM p and a raw-corpus LM q, both add-alpha
+    smoothed over B hash buckets; per-doc importance log-weight
+
+        log w(d) = SUM_b count_b(d) * (log2 p_b - log2 q_b)
+
+    and the top-K docs by weight are selected for training. Upstream DSIR
+    adds Gumbel noise for a soft resample; the deterministic top-K here is
+    the temperature->0 limit — the ranking signal is identical and
+    engine-stable (no rand(), same discipline as sample_split/mix_balance).
+
+    Target here = docs with lang = 'en'; raw = the whole corpus. Feature
+    hashing is md5-mod-B over the term bytes (identical in both engines).
+
+    Float discipline: each bucket's contribution count*(log2 p - log2 q)
+    is f32-rounded (absorbing libm log2 ULP drift), then summed in a
+    DETERMINISTIC bucket-ordered double fold; the final weight takes one
+    more f32 cast (the text_unigram_ppl discipline).
+
+    Scale shape: one tokenize pass -> ONE (doc, bucket) hash-agg -> ONE
+    B-bounded hash-agg for both LMs off the same aggregate (broadcast
+    back) -> ONE per-doc ordered fold -> one global top-K. No UDF, no
+    driver-side text; the hashed features keep LM state O(B) regardless
+    of vocabulary size — exactly why DSIR hashes at pretraining scale."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    toks = d.select(
+        "doc_id", "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("term"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
+        .cast("bigint") % DSIR_BUCKETS
+    ).alias("bucket")
+    db = toks.select("doc_id", "lang", bucket).groupBy(
+        "doc_id", "lang", "bucket"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    lm = db.groupBy("bucket").agg(
+        F.sum("cnt").alias("rcnt"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("cnt")).otherwise(F.lit(0))
+        ).alias("tcnt"),
+    )
+    tot = lm.agg(
+        F.sum("rcnt").alias("rtot"), F.sum("tcnt").alias("ttot")
+    )
+    ab = float(DSIR_ALPHA) * DSIR_BUCKETS
+    p_b = (F.col("tcnt").cast("double") + F.lit(float(DSIR_ALPHA))) / (
+        F.col("ttot").cast("double") + F.lit(ab)
+    )
+    q_b = (F.col("rcnt").cast("double") + F.lit(float(DSIR_ALPHA))) / (
+        F.col("rtot").cast("double") + F.lit(ab)
+    )
+    contrib = (
+        db.join(F.broadcast(lm), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id", "lang", "bucket", "cnt",
+            (
+                F.col("cnt").cast("double") * (F.log2(p_b) - F.log2(q_b))
+            ).cast("float").alias("c32"),
+        )
+    )
+    weighted = (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("lang")).alias("lang"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("bucket", F.col("c32").cast("double").alias("c"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).cast("float").alias("log_w"),
+        )
+    )
+    return (
+        weighted.orderBy(F.desc("log_w"), F.asc("doc_id"))
+        .limit(DSIR_K)
+        .coalesce(1)
+        .sortWithinPartitions(F.desc("log_w"), F.asc("doc_id"))
+        .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+        .select("rank", "doc_id", "lang", "n_tokens", "log_w")
+        .orderBy("rank")
+    )
+
+
+DSIR_SELECT_SQL = f"""
+WITH t AS (
+    SELECT doc_id, lang,
+           unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS term
+    FROM documents
+),
+db AS (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5(term), 1, 8))::BIGINT % {DSIR_BUCKETS} AS bucket,
+           count(*)::BIGINT AS cnt
+    FROM t GROUP BY 1, 2, 3
+),
+lm AS (
+    SELECT bucket, sum(cnt)::BIGINT AS rcnt,
+           sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN cnt ELSE 0 END)::BIGINT AS tcnt
+    FROM db GROUP BY 1
+),
+tot AS (SELECT sum(rcnt)::BIGINT AS rtot, sum(tcnt)::BIGINT AS ttot FROM lm),
+contrib AS (
+    SELECT db.doc_id, db.lang, db.bucket, db.cnt,
+           CAST(db.cnt::DOUBLE * (
+               log2((lm.tcnt::DOUBLE + {DSIR_ALPHA!r}) / (tot.ttot::DOUBLE + {float(DSIR_ALPHA) * DSIR_BUCKETS!r}))
+             - log2((lm.rcnt::DOUBLE + {DSIR_ALPHA!r}) / (tot.rtot::DOUBLE + {float(DSIR_ALPHA) * DSIR_BUCKETS!r}))
+           ) AS FLOAT) AS c32
+    FROM db JOIN lm USING (bucket), tot
+),
+weighted AS (
+    SELECT doc_id, any_value(lang) AS lang, sum(cnt)::BIGINT AS n_tokens,
+           CAST(list_reduce(
+               list_prepend(0.0::DOUBLE, list(CAST(c32 AS DOUBLE) ORDER BY bucket)),
+               (a, b) -> a + b
+           ) AS FLOAT) AS log_w
+    FROM contrib GROUP BY doc_id
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, lang, n_tokens, log_w FROM (
+    SELECT row_number() OVER (ORDER BY log_w DESC, doc_id ASC) AS rank,
+           doc_id, lang, n_tokens, log_w
+    FROM weighted
+) WHERE rank <= {DSIR_K} ORDER BY rank"""
+
+
+register("dsir_select", dsir_select, DSIR_SELECT_SQL)

@@ -216,3 +216,22 @@ def test_mlt_text_matches_doc_variant_on_same_text(spark):
     via_doc = eng.mlt_topk(42, top_terms=5, k=10).collect()
     text_ids = [r.doc_id for r in via_text if r.doc_id != 42][:10]
     assert text_ids == [r.doc_id for r in via_doc]
+
+
+def test_dsir_select_ranks_target_lang_up(spark):
+    """DSIR importance weights (hashed-unigram log p/q ratio) must rank the
+    target-domain (lang='en') docs above the rest on average: the top-K
+    majority is 'en', weights are non-increasing, and every doc's weight is
+    finite. (Bitwise engine≡oracle equality is the driver gate; this pins
+    the SEMANTIC selection signal.)"""
+    import numpy as np
+
+    from lucene_solr_spark.ops.pipeline import DSIR_K, dsir_select
+
+    out = dsir_select(spark, SF).toPandas()
+    assert len(out) == DSIR_K
+    w = out.log_w.to_numpy()
+    assert np.isfinite(w).all()
+    assert (np.diff(w) <= 0).all()
+    assert (out.lang == "en").sum() > DSIR_K // 2
+    assert out["rank"].tolist() == list(range(1, DSIR_K + 1))
