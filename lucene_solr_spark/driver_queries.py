@@ -1343,7 +1343,13 @@ PRIORITY_ORDER = [
     "dedup_semantic", "dedup_shingle_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ft_surround_topk",
     "graph_gather_nodes", "graph_shortest_path",
-    "text_quality", "token_counts", "multimodal_features",
+    # token_counts rotated out for dsir_select (r4-cont): the ws/std/BPE-ish
+    # token counting stays scored inside text_quality's token/char/stopword
+    # signals and pass-local; dsir_select certifies the NEW importance-
+    # resampling selection family (DSIR hashed-ngram target/raw LM log-ratio
+    # weights — the data-selection step of a pretraining pipeline, which no
+    # other scored row exercises)
+    "text_quality", "dsir_select", "multimodal_features",
 ]
 
 
