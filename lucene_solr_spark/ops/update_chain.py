@@ -64,6 +64,39 @@ def signature(cols: list[str], dst: str = "signature") -> Processor:
     return lambda df: df.withColumn(dst, F.md5(F.concat_ws("|", *cols)))
 
 
+def uuid_field(key_col: str, dst: str = "id") -> Processor:
+    """UUIDUpdateProcessorFactory analog. Upstream generates a RANDOM
+    UUID v4; random ids break resume idempotence and engine parity (the
+    stream_random / sample_split rationale), so this emits a NAME-BASED
+    v3-layout UUID instead — md5 of the doc key with the RFC 4122 version
+    nibble (3) and variant bits (10xx) patched in. Deterministic: the same
+    doc always gets the same id on every engine and every rerun — which is
+    also why Solr users who need idempotent ingest use the Signature
+    processor over the random UUID; this processor fuses the two."""
+
+    def proc(df: DataFrame) -> DataFrame:
+        h = F.md5(F.col(key_col).cast("string"))
+        variant = F.lower(
+            F.hex(
+                F.conv(F.substring(h, 17, 2), 16, 10).cast("int")
+                .bitwiseAND(F.lit(0x3F)).bitwiseOR(F.lit(0x80))
+            )
+        )
+        return df.withColumn(
+            dst,
+            F.concat_ws(
+                "-",
+                F.substring(h, 1, 8),
+                F.substring(h, 9, 4),
+                F.concat(F.lit("3"), F.substring(h, 14, 3)),
+                F.concat(variant, F.substring(h, 19, 2)),
+                F.substring(h, 21, 12),
+            ),
+        )
+
+    return proc
+
+
 def apply_chain(df: DataFrame, chain: list[Processor]) -> DataFrame:
     for p in chain:
         df = p(df)
@@ -108,3 +141,37 @@ FROM step ORDER BY doc_id"""
 
 
 register("update_chain_docs", update_chain_docs, UPDATE_CHAIN_SQL)
+
+
+def update_chain_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UUID processor as its own chain entry (kept separate so the
+    long-scored ``update_chain_docs`` fixture stays byte-stable): every doc
+    gets a deterministic v3-layout UUID from its key; the entry returns the
+    id column plus the RFC 4122 shape witnesses (version nibble, variant
+    class) so a format regression cannot hash-cancel."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = apply_chain(docs, [uuid_field("doc_id", "id")])
+    return out.select(
+        "doc_id", "id",
+        F.substring("id", 15, 1).alias("version"),
+        F.substring("id", 20, 1).alias("variant_nibble"),
+    ).orderBy("doc_id")
+
+
+UPDATE_CHAIN_UUID_SQL = """
+WITH h AS (SELECT doc_id, md5(doc_id::VARCHAR) AS x FROM documents),
+u AS (
+    SELECT doc_id,
+           substr(x, 1, 8) || '-' || substr(x, 9, 4) || '-' ||
+           '3' || substr(x, 14, 3) || '-' ||
+           lower(to_hex((('0x' || substr(x, 17, 2))::INTEGER & 63) | 128)) ||
+           substr(x, 19, 2) || '-' || substr(x, 21, 12) AS id
+    FROM h
+)
+SELECT doc_id, id,
+       substr(id, 15, 1) AS version,
+       substr(id, 20, 1) AS variant_nibble
+FROM u ORDER BY doc_id"""
+
+
+register("update_chain_uuid", update_chain_uuid, UPDATE_CHAIN_UUID_SQL)
