@@ -231,6 +231,10 @@ STATS_EXPR = (
     " div(ttf(text,'batch'), sumtotaltermfreq(text))),"
     " div(docfreq(text,'scan'), maxdoc()))"
 )
+# Text Tagger (/tag handler) posted text: one out-of-dictionary token
+# (drops from the tag stream) and one repeated dictionary token (tagged at
+# BOTH positions — per-occurrence emission, not per-term)
+TAGGER_TEXT = "merge the batch stream zzznotaword merge scan"
 # strdist() (StrDistValueSource, 'edit' measure): rank by normalized
 # Levenshtein similarity of the source field to 'src1' (src0..src19 give
 # a full spread of distances) + a termfreq tiebreaker
@@ -435,6 +439,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_strdist_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).function_expr_topk(STRDIST_EXPR, k=10)
+    # Text Tagger (/tag handler): dictionary annotation of a posted text
+    out["ft_tagger"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).tagger(TAGGER_TEXT)
     # MultiPhraseQuery: a phrase slot admitting several terms
     out["ft_multiphrase_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -1098,6 +1106,11 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, tf FROM (
     out["ft_strdist_topk"] = funcexpr_topk_sql(
         "simple", STRDIST_EXPR, 10,
         {"merge": an_s.analyze("merge")[0][0]},
+    )
+    from .oracles import tagger_sql
+
+    out["ft_tagger"] = tagger_sql(
+        "simple", [(p, t) for t, p in an_s.analyze(TAGGER_TEXT)]
     )
     from .oracles import phrase_prefix_topk_sql
     from .search.query import BooleanSpec as _BS, MultiPhraseClause as _MPC

@@ -2438,6 +2438,33 @@ class DocumentsEngine:
             (F.col("sum_ttf").cast("double") / F.col("doc_count")).cast("float").alias("avgdl"),
         )
 
+    def tagger(self, text: str) -> DataFrame:
+        """Text Tagger (Solr ``/tag`` handler — ``S/handler/tagger/
+        TaggerRequestHandler``, the SolrTextTagger contrib): run the posted
+        text through the index analyzer and emit every token position whose
+        term exists in the index's term dictionary, with its docFreq — the
+        dictionary-annotation primitive (entity linking / gazetteer tagging
+        against a corpus-derived dictionary). Upstream matches multi-word
+        dictionary entries longest-first through an FST; this dictionary is
+        unigram (the text index's terms), where longest-match degenerates
+        to per-token lookup — a shingle-analyzer index would supply
+        multi-word entries through the identical join.
+
+        Scale shape: the posted text is O(request) and analyzed driver-side
+        (like every query string); the dictionary lookup is ONE term-pruned
+        scan of the small term_stats table (IN-list pushed to parquet), no
+        broadcast of anything corpus-sized, no posting decode."""
+        toks = self.searcher.analyzer.analyze(text)
+        pairs = [(int(p), t) for t, p in toks]
+        q = self.spark.createDataFrame(pairs, "pos int, term string")
+        terms = sorted({t for _, t in pairs})
+        ts = self.term_stats_df().filter(F.col("term").isin(terms)).select("term", "df")
+        return (
+            q.join(ts, "term")
+            .select(F.col("pos").cast("int"), "term", F.col("df").cast("long"))
+            .orderBy("pos")
+        )
+
 
 def get_engine(spark: SparkSession, sf_dir: str, analyzer: str = "simple") -> DocumentsEngine:
     key = (os.path.abspath(sf_dir), analyzer)

@@ -1092,6 +1092,21 @@ GROUP BY k.doc_id, st.doc_count""")
     return _sim_family_topk_sql(analyzer, clause_selects, k)
 
 
+def tagger_sql(analyzer: str, toks: list[tuple[int, str]]) -> str:
+    """Text Tagger oracle (Solr /tag handler): the analyzed (pos, term)
+    stream of the posted text — computed once at oracle-build time, the
+    parse_fixture discipline — inner-joined to the dictionary docFreq the
+    kept-CTE recomputes; non-dictionary tokens drop out of the join
+    exactly like the engine's term_stats miss."""
+    values = ", ".join(f"({p}, '{t}')" for p, t in toks)
+    return f"""WITH {base_ctes(analyzer)},
+q(pos, term) AS (VALUES {values}),
+dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM kept GROUP BY 1)
+SELECT q.pos::INTEGER AS pos, q.term AS term, dfs.df AS df
+FROM q JOIN dfs USING (term)
+ORDER BY q.pos"""
+
+
 def _funcexpr_scored_with(analyzer: str, expr: str, analyzed: dict) -> str:
     """Shared WITH-prefix for function-expression oracles: emits every CTE
     through ``scored(doc_id, fscore)`` — used by both the ranking oracle
