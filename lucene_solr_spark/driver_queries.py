@@ -640,6 +640,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_highlight_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).highlight_topk("and2", HIGHLIGHT_TERMS, k=10)
+    # hl.snippets=2 — two non-overlapping passages per hit, doc order
+    out["ft_highlight_passages"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).highlight_passages("and2", HIGHLIGHT_TERMS, k=10)
     # Suggest / spellcheck (Lookup / SpellCheckComponent): term-dictionary
     # candidates ranked by docFreq
     out["ft_suggest"] = lambda spark, sf_dir: get_engine(
@@ -1074,6 +1078,13 @@ ORDER BY doc_id LIMIT 10"""
     from .oracles import highlight_topk_sql
 
     out["ft_highlight_topk"] = highlight_topk_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), "and2", HIGHLIGHT_TERMS, 0),
+        10,
+    )
+    from .oracles import highlight_passages_sql
+
+    out["ft_highlight_passages"] = highlight_passages_sql(
         "simple",
         parse_fixture_query(ANALYZERS["simple"](), "and2", HIGHLIGHT_TERMS, 0),
         10,

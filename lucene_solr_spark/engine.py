@@ -849,6 +849,90 @@ class DocumentsEngine:
             .orderBy("rank")
         )
 
+    def highlight_passages(
+        self,
+        qtype: str,
+        surface_terms: list[str],
+        k: int = 10,
+        min_should: int = 0,
+        window: int = 8,
+    ) -> DataFrame:
+        """Multi-passage highlighting — ``hl.snippets=2`` /
+        ``UnifiedHighlighter#highlight(maxPassages=2)``: up to TWO
+        non-overlapping best windows per hit, rendered in document order
+        joined by ``" ... "`` (the passage-separator convention).
+
+        Passage 1 = the ``highlight_topk`` best window (max query-term
+        occurrences, tie → leftmost). Passage 2 = the best window whose
+        start is at least ``window`` positions away from passage 1's (no
+        token overlap), same tie-break; omitted when no candidate remains
+        — upstream likewise returns fewer passages than requested when the
+        doc runs out of distinct match regions.
+
+        Scale shape: identical to ``highlight_topk`` — fetch-fields-late,
+        the extraction UDF touches only the k hit rows."""
+        from .analysis.analyzer import _TOKEN_RE
+
+        spec = self.searcher.parse(qtype, surface_terms, min_should)
+        from .search.query import PhraseClause
+
+        qset = {
+            t
+            for c in spec.scoring_clauses
+            for t in (c.terms if isinstance(c, PhraseClause) else (c.term,))
+        }
+        hits = self.searcher.search(spec, k=k, with_keys=True)
+        src = self.spark.read.parquet(
+            os.path.join(self.sf_dir, "documents.parquet")
+        ).select(F.col("doc_id").alias("doc_key"), "text")
+        joined = src.join(F.broadcast(hits), "doc_key")
+        W = int(window)
+
+        @F.pandas_udf("string")
+        def _snippets(texts: pd.Series) -> pd.Series:
+            import bisect
+
+            out = []
+            for txt in texts:
+                toks = _TOKEN_RE.findall(txt or "")
+                mpos = [i for i, t in enumerate(toks) if t.lower() in qset]
+                if not mpos:
+                    out.append("")
+                    continue
+
+                def wcount(s: int) -> int:
+                    return bisect.bisect_right(mpos, s + W - 1) - bisect.bisect_left(mpos, s)
+
+                best_s, best_c = mpos[0], -1
+                for s in mpos:
+                    c = wcount(s)
+                    if c > best_c:
+                        best_c, best_s = c, s
+                second_s, second_c = None, -1
+                for s in mpos:
+                    if abs(s - best_s) < W:
+                        continue
+                    c = wcount(s)
+                    if c > second_c:
+                        second_c, second_s = c, s
+                spans = sorted(
+                    [best_s] + ([second_s] if second_s is not None else [])
+                )
+                out.append(
+                    " ... ".join(" ".join(toks[s:s + W]) for s in spans)
+                )
+            return pd.Series(out)
+
+        return (
+            joined.select(
+                F.col("rank").cast("int").alias("rank"),
+                F.col("doc_key").cast("long").alias("doc_id"),
+                F.col("score").cast("float").alias("score"),
+                _snippets(F.col("text")).alias("snippet"),
+            )
+            .orderBy("rank")
+        )
+
     def search_after_page(
         self, qtype: str, surface_terms: list[str], k: int = 10, min_should: int = 0
     ) -> DataFrame:

@@ -954,6 +954,72 @@ FROM topk t JOIN best b USING (doc_id) JOIN htl h USING (doc_id)
 ORDER BY rank"""
 
 
+def highlight_passages_sql(
+    analyzer: str, spec: BooleanSpec, k: int, window: int = 8
+) -> str:
+    """Two-passage highlighting oracle (hl.snippets=2 — mirrors
+    ``DocumentsEngine.highlight_passages`` exactly): passage 1 = the
+    single-window best; passage 2 = best window ≥ ``window`` starts away
+    (non-overlapping), LEFT-joined so single-region docs emit one passage;
+    render in document order joined by ' ... '."""
+    qterms = sorted({
+        t
+        for c in [*spec.must, *spec.should]
+        for t in (c.terms if isinstance(c, PhraseClause) else (c.term,))
+    })
+    terms_in = ", ".join(f"'{t}'" for t in qterms)
+    inner = bm25_topk_sql(analyzer, spec, k)
+    W = window
+    return f"""WITH topk AS ({inner}),
+htl AS (
+    SELECT d.doc_id, regexp_extract_all(d.text, '{TOKEN_RE_SQL}') AS toks
+    FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM topk)
+),
+hrt AS (
+    SELECT doc_id, lower(unnest(toks)) AS term,
+           generate_subscripts(toks, 1) - 1 AS pos
+    FROM htl
+),
+mpos AS (SELECT doc_id, pos FROM hrt WHERE term IN ({terms_in})),
+wins AS (
+    SELECT a.doc_id, a.pos AS s, count(*)::BIGINT AS cnt
+    FROM mpos a JOIN mpos b
+      ON b.doc_id = a.doc_id AND b.pos BETWEEN a.pos AND a.pos + {W - 1}
+    GROUP BY a.doc_id, a.pos
+),
+best1 AS (
+    SELECT doc_id, s FROM (
+        SELECT doc_id, s,
+               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, s ASC) AS rn
+        FROM wins
+    ) WHERE rn = 1
+),
+best2 AS (
+    SELECT doc_id, s FROM (
+        SELECT w.doc_id, w.s,
+               row_number() OVER (PARTITION BY w.doc_id ORDER BY w.cnt DESC, w.s ASC) AS rn
+        FROM wins w JOIN best1 b ON b.doc_id = w.doc_id
+        WHERE abs(w.s - b.s) >= {W}
+    ) WHERE rn = 1
+)
+SELECT t.rank::INTEGER AS rank, t.doc_id::BIGINT AS doc_id, t.score::FLOAT AS score,
+       CASE
+           WHEN b2.s IS NULL THEN
+               array_to_string(h.toks[b1.s + 1 : b1.s + {W}], ' ')
+           WHEN b2.s < b1.s THEN
+               array_to_string(h.toks[b2.s + 1 : b2.s + {W}], ' ')
+               || ' ... ' || array_to_string(h.toks[b1.s + 1 : b1.s + {W}], ' ')
+           ELSE
+               array_to_string(h.toks[b1.s + 1 : b1.s + {W}], ' ')
+               || ' ... ' || array_to_string(h.toks[b2.s + 1 : b2.s + {W}], ' ')
+       END AS snippet
+FROM topk t
+JOIN best1 b1 USING (doc_id)
+LEFT JOIN best2 b2 USING (doc_id)
+JOIN htl h USING (doc_id)
+ORDER BY rank"""
+
+
 def synonym_topk_sql(
     analyzer: str, groups: list[tuple[str, ...]], k: int
 ) -> str:
