@@ -278,6 +278,19 @@ def main() -> None:
         must_not=[r"CartesianProduct"],
     ))
 
+    # 23. DSIR selection: the O(B) hashed LMs broadcast back onto the
+    # (doc, bucket) aggregate — corpus-side rows never shuffle for the
+    # join; no Python in the weight computation; one TakeOrdered top-K
+    from lucene_solr_spark.ops.pipeline import dsir_select
+
+    results.append(audit(
+        "dsir_lm_broadcast_no_corpus_shuffle_join",
+        dsir_select(spark, SF_DIR),
+        must=[r"BroadcastHashJoin", r"HashAggregate",
+              r"TakeOrderedAndProject|GlobalLimit"],
+        must_not=[r"SortMergeJoin", r"CartesianProduct", r"BatchEvalPython"],
+    ))
+
     n_fail = results.count(False)
     print(f"{len(results) - n_fail}/{len(results)} plan invariants hold")
     sys.exit(1 if n_fail else 0)
