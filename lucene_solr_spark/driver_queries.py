@@ -657,6 +657,12 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_suggest_infix"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).suggest("infix", "or", k=10)
+    # BlendedInfixSuggester: same contains-match, but POSITION_LINEAR
+    # blending — a match at char 0 keeps full df weight, later matches
+    # decay 10%/position (so 'order' outranks 'vector' at equal df)
+    out["ft_suggest_blended"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).suggest_blended_infix("or", k=10)
     # FreeTextSuggester: 2-gram LM with stupid backoff (context and typed
     # prefix come from FREETEXT_Q; rationale at its definition)
     out["ft_suggest_freetext"] = lambda spark, sf_dir: get_engine(
@@ -1172,6 +1178,9 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     out["ft_f2exp_topk"] = f2exp_topk_sql("simple", bool_terms, 10)
     out["ft_suggest"] = suggest_sql("simple", "term LIKE 's%'", 10)
     out["ft_suggest_infix"] = suggest_sql("simple", "term LIKE '%or%'", 10)
+    from .oracles import suggest_blended_infix_sql
+
+    out["ft_suggest_blended"] = suggest_blended_infix_sql("simple", "or", 10)
     from .oracles import suggest_freetext_sql, word_break_sql
 
     out["ft_suggest_freetext"] = suggest_freetext_sql(

@@ -1448,6 +1448,46 @@ class DocumentsEngine:
             .orderBy("rank")
         )
 
+    def suggest_blended_infix(self, pattern: str, k: int = 10) -> DataFrame:
+        """BlendedInfixSuggester (``lucene/suggest/.../analyzing/
+        BlendedInfixSuggester.java``, BlenderType.POSITION_LINEAR):
+        infix matches are re-weighted by WHERE the match occurs —
+        ``score = weight · (1 − 0.10 · position)`` — so suggestions
+        matching earlier outrank equally-popular later matches. Upstream
+        positions are token indexes inside multi-word suggestions; this
+        dictionary's suggestions are single terms, so position is the
+        matched character offset within the term (the same
+        earlier-is-better signal at the granularity this dictionary has —
+        documented deviation). weight = docFreq, the popularity weight the
+        plain infix suggester uses; ties → term asc.
+
+        Scale shape: one pruned term_stats scan with a pushed contains
+        predicate; the blend is a JVM column expression; one TakeOrdered."""
+        from .index.build import KEYWORD_PREFIX
+
+        ts = (
+            self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+            .filter(~F.col("term").startswith(KEYWORD_PREFIX))
+            .filter(F.col("term").contains(pattern))
+        )
+        pos = (F.instr(F.col("term"), F.lit(pattern)) - 1).cast("double")
+        score = F.col("df").cast("double") * (
+            F.lit(1.0) - F.lit(0.10) * pos
+        )
+        top = ts.withColumn("score", score).orderBy(
+            F.desc("score"), F.asc("term")
+        ).limit(k)
+        return (
+            top.coalesce(1)
+            .sortWithinPartitions(F.desc("score"), F.asc("term"))
+            .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+            .select(
+                "rank", "term", F.col("df").cast("long").alias("df"),
+                F.col("score").cast("double").alias("score"),
+            )
+            .orderBy("rank")
+        )
+
     def spellcheck_collate(
         self, surface_terms: list[str], max_edits: int = 2
     ) -> DataFrame:

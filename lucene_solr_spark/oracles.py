@@ -1291,6 +1291,24 @@ SELECT rank::INTEGER AS rank, term, df FROM (
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def suggest_blended_infix_sql(analyzer: str, pattern: str, k: int) -> str:
+    """BlendedInfixSuggester oracle (POSITION_LINEAR blender): score =
+    df · (1 − 0.10 · matched-char-offset), the exact double expression the
+    engine computes (instr is 1-based in both engines)."""
+    return f"""WITH {base_ctes(analyzer)},
+tsx AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM kept GROUP BY term),
+blend AS (
+    SELECT term, df,
+           df::DOUBLE * (1.0 - 0.10 * (instr(term, '{pattern}') - 1)::DOUBLE) AS score
+    FROM tsx WHERE term LIKE '%{pattern}%'
+)
+SELECT rank::INTEGER AS rank, term, df, score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, term ASC) AS rank,
+           term, df, score
+    FROM blend
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def monitor_matches_sql(analyzer: str, specs: dict) -> str:
     """lucene/monitor oracle: per stored query, the full (unranked) match
     set via the shared boolean-match CTEs, tagged with its query_id."""
