@@ -564,6 +564,11 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_ltr_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).ltr_rescore_topk(LTR[0], LTR[1], LTR[2], LTR[3], rerank_docs=50, k=10)
+    # LTR feature logging ([features] doc transformer — the training-set
+    # emission half of the LTR loop; same extractors as the rescorer)
+    out["ft_ltr_features"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).ltr_feature_log(LTR[0], LTR[1], LTR[2], k=10)
     # Search-result clustering (ClusteringComponent analog): the top-50
     # page grouped by each doc's dominant tf·idf term
     out["ft_result_clusters"] = lambda spark, sf_dir: get_engine(
@@ -979,6 +984,13 @@ ORDER BY doc_id LIMIT 10"""
         "simple",
         parse_fixture_query(ANALYZERS["simple"](), LTR[0], LTR[1], 0),
         ANALYZERS["simple"]().analyze(LTR[2])[0][0], LTR[3], 50, 10,
+    )
+    from .oracles import ltr_feature_log_sql
+
+    out["ft_ltr_features"] = ltr_feature_log_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), LTR[0], LTR[1], 0),
+        ANALYZERS["simple"]().analyze(LTR[2])[0][0], 10,
     )
     from .oracles import result_clusters_sql
 

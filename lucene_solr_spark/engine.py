@@ -1767,6 +1767,49 @@ class DocumentsEngine:
             )
         )
 
+    def ltr_feature_log(
+        self,
+        qtype: str,
+        surface_terms: list[str],
+        feature_term: str,
+        k: int = 10,
+    ) -> DataFrame:
+        """LTR feature logging — Solr's ``fl=[features store=...]`` doc
+        transformer (``contrib/ltr/.../response/transform/
+        LTRFeatureLoggerTransformerFactory``): the first-pass top-k with
+        every extracted feature VALUE as a column. This is the
+        training-set emission half of the LTR loop — log features on live
+        traffic, train offline, deploy the model ``ltr_rescore_topk``
+        serves — so the logged values must be exactly what the deployed
+        model will see (same extractors, same f32 rounding).
+
+        Features (f32 each, the rescorer's extractors): OriginalScore
+        (first-pass BM25), ln(1+termfreq), FieldValue n_chars/1000.
+
+        Scale shape: identical to the rescorer — the k-row candidate set
+        broadcast-joins one term-pruned termfreq scan and one pruned
+        stored-field read; no Python, no full-corpus feature pass."""
+        s = self.searcher
+        an = s.analyzer
+        first = s.search(s.parse(qtype, surface_terms), k=k, with_keys=True)
+        term = an.analyze(feature_term)[0][0]
+        tfd = s.termfreq_df(term)
+        src = self.spark.read.parquet(
+            os.path.join(self.sf_dir, "documents.parquet")
+        ).select(F.col("doc_id").alias("doc_key"), "n_chars")
+        feat = (
+            first.join(tfd, "doc_id", "left")
+            .join(src, "doc_key")
+            .withColumn("tf", F.coalesce(F.col("tf"), F.lit(0)))
+        )
+        return feat.select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("doc_key").cast("long").alias("doc_id"),
+            F.col("score").cast("float").alias("f_original"),
+            F.log(F.lit(1.0) + F.col("tf").cast("double")).cast("float").alias("f_logtf"),
+            (F.col("n_chars").cast("double") / F.lit(1000.0)).cast("float").alias("f_nchars"),
+        ).orderBy("rank")
+
     def ltr_rescore_topk(
         self,
         qtype: str,

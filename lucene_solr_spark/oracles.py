@@ -2116,6 +2116,33 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, ltr_score::FLOAT AS ltr_
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def ltr_feature_log_sql(
+    analyzer: str, spec: BooleanSpec, feature_term: str, k: int,
+) -> str:
+    """LTR feature-logging oracle ([features] transformer): first-pass
+    BM25 top-k with each extractor's f32 value as a column — the exact
+    doubles the LinearModel oracle consumes, logged instead of combined."""
+    mfrag = _bm25_match_ctes(spec, "m")
+    return f"""WITH {base_ctes(analyzer)},{mfrag},
+mranked AS (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+    FROM mmatch
+),
+cand AS (SELECT rank, doc_id, score FROM mranked WHERE rank <= {k}),
+ftf AS (
+    SELECT doc_id, count(*)::BIGINT AS tf FROM kept
+    WHERE term = '{feature_term}' GROUP BY 1
+)
+SELECT c.rank::INTEGER AS rank, c.doc_id::BIGINT AS doc_id,
+       c.score::FLOAT AS f_original,
+       CAST(ln(1.0 + COALESCE(f.tf, 0)::DOUBLE) AS FLOAT) AS f_logtf,
+       CAST(d.n_chars::DOUBLE / 1000.0 AS FLOAT) AS f_nchars
+FROM cand c
+LEFT JOIN ftf f ON f.doc_id = c.doc_id
+JOIN documents d ON d.doc_id = c.doc_id
+ORDER BY rank"""
+
+
 def common_terms_topk_sql(
     analyzer: str, qterms: list[str], max_df_ratio: float, k: int,
 ) -> str:
