@@ -15,7 +15,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .engine import (
-    get_atomic_engine, get_engine, get_rtg_engine, get_updated_engine,
+    get_atomic_engine, get_dbq_engine, get_engine, get_rtg_engine,
+    get_updated_engine,
 )
 from .index.build import ANALYZERS
 from .oracles import (
@@ -416,6 +417,12 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # atomic partial update (AtomicUpdateDocumentMerger): field-level `add`
     # op resolved against the live doc, then the same tombstone+re-add path
     out["ft_after_atomic_update_topk"] = lambda spark, sf_dir: get_atomic_engine(
+        spark, sf_dir, "simple"
+    ).topk("or3", AFTER_UPDATE_TERMS, k=10)
+    # delete-by-query: tombstone the whole match set of a query
+    # (distributed hit-set path, no driver collect), then search — surviving
+    # docs score with the SHRUNKEN global stats (docCount/avgdl/df)
+    out["ft_after_dbq_topk"] = lambda spark, sf_dir: get_dbq_engine(
         spark, sf_dir, "simple"
     ).topk("or3", AFTER_UPDATE_TERMS, k=10)
     # ValueSource function query as the ranking function (termfreq sort)
@@ -1265,6 +1272,13 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
         10,
         ATOMIC_MOD,
         " " + ATOMIC_OPERAND,
+    )
+    from .engine import DBQ_TERM
+    from .oracles import after_dbq_topk_sql
+
+    out["ft_after_dbq_topk"] = after_dbq_topk_sql(
+        "simple", DBQ_TERM,
+        [t for s in AFTER_UPDATE_TERMS for t, _ in an_s.analyze(s)], 10,
     )
     out["ft_docs_norms"] = docs_norms_sql("simple")
     out["ft_stop_docs_norms"] = docs_norms_sql("stop")

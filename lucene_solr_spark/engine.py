@@ -2691,6 +2691,50 @@ def get_updated_engine(
     return eng  # type: ignore[return-value]
 
 
+DBQ_TERM = "dup"                     # deleteByQuery target: matches 25/500
+                                     # sf0.01 docs — enough to shift the
+                                     # global stats every survivor scores by
+
+
+class DbqDocumentsEngine(DocumentsEngine):
+    """The base documents index, then a DELETE-BY-QUERY
+    (``S/update/DirectUpdateHandler2#deleteByQuery``): every doc matching
+    ``DBQ_TERM`` is tombstoned via the distributed match-set path
+    (``index/updates.delete_by_query_hits`` — the hit set never touches
+    the driver) and stats refresh, so surviving docs score exactly as a
+    fresh build over the post-delete corpus (docCount, avgdl, and every
+    df shrink)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, analyzer: str = "simple") -> None:
+        super().__init__(spark, sf_dir, analyzer, variant="dbq")
+        marker = os.path.join(self.index_dir, "dbq_done")
+        if not os.path.exists(marker):
+            from .index.updates import delete_by_query_hits
+
+            # k = unbounded: DBQ needs the FULL match set, and hits()
+            # keeps the compiled k as its per-segment cap
+            q = self.searcher.compile(
+                self.searcher.parse("term", [DBQ_TERM]), k=1 << 30
+            )
+            delete_by_query_hits(
+                spark, self.index_dir, self.searcher.hits(q, mode="exact")
+            )
+            with open(marker, "w") as f:
+                f.write("done")
+        self.searcher = IndexSearcher(spark, self.index_dir)  # rebind post-DBQ
+
+
+def get_dbq_engine(
+    spark: SparkSession, sf_dir: str, analyzer: str = "simple"
+) -> DbqDocumentsEngine:
+    key = (os.path.abspath(sf_dir), analyzer + "+dbq")
+    eng = _ENGINES.get(key)
+    if eng is None:
+        eng = DbqDocumentsEngine(spark, sf_dir, analyzer)
+        _ENGINES[key] = eng
+    return eng  # type: ignore[return-value]
+
+
 ATOMIC_MOD = 89                      # docs with doc_id % MOD == 0 get the op
 ATOMIC_OPERAND = "atomic vector refresh"
 

@@ -85,9 +85,47 @@ def delete_docs(
         docs.join(F.broadcast(keys.select(*meta.key_cols)), list(meta.key_cols))
         .select(F.col("seg").cast("int").alias("seg"), F.col("doc_local").cast("long").alias("doc_local"))
     )
-    # Anti-join out docs already tombstoned so the return value means NEWLY
-    # deleted and the table stays O(distinct deleted docs) under repeated
-    # deletes of the same keys (IndexWriter#deleteDocuments is idempotent).
+    return _commit_tombstones(spark, index_dir, hit, refresh=refresh)
+
+
+def delete_by_query_hits(
+    spark: SparkSession,
+    index_dir: str,
+    hits: DataFrame,
+    *,
+    refresh: bool = True,
+) -> int:
+    """Delete-by-query (``S/update/DirectUpdateHandler2#deleteByQuery``):
+    tombstone every doc in ``hits`` — the UNRANKED match set of a query
+    (``IndexSearcher.hits``). Unlike key deletes, a broad DBQ can match a
+    large fraction of the corpus, so the global-docID → (seg, doc_local)
+    mapping joins DISTRIBUTED against the docs table (only the tiny
+    per-segment bases broadcast; the hit set itself never touches the
+    driver)."""
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    bases = (
+        spark.read.parquet(os.path.join(index_dir, "seg_norms"))
+        .select("seg", "base")
+    )
+    hit = (
+        docs.join(F.broadcast(bases), "seg")
+        .withColumn("doc_id", F.col("doc_local") + F.col("base"))
+        .join(hits.select("doc_id"), "doc_id")
+        .select(
+            F.col("seg").cast("int").alias("seg"),
+            F.col("doc_local").cast("long").alias("doc_local"),
+        )
+    )
+    return _commit_tombstones(spark, index_dir, hit, refresh=refresh)
+
+
+def _commit_tombstones(
+    spark: SparkSession, index_dir: str, hit: DataFrame, *, refresh: bool
+) -> int:
+    """Shared delete tail: anti-join out docs already tombstoned (so the
+    return value means NEWLY deleted and the table stays O(distinct deleted
+    docs) under repeated deletes — IndexWriter#deleteDocuments is
+    idempotent), append, refresh stats."""
     if glob.glob(os.path.join(tombstones_path(index_dir), "*.parquet")) or glob.glob(
         os.path.join(tombstones_path(index_dir), "*", "*.parquet")
     ):

@@ -600,6 +600,35 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def after_dbq_topk_sql(
+    analyzer: str, dbq_term: str, terms: list[str], k: int
+) -> str:
+    """Top-k oracle for the delete-by-query fixture: BM25 over the
+    POST-DBQ corpus — every doc whose analyzed token stream contains
+    ``dbq_term`` is gone, and doc_count/avgdl/df all shrink accordingly
+    (the engine's refresh_stats discipline). No re-adds, so internal ids
+    stay the doc keys (plain (score desc, doc_id asc) tiebreak). The
+    deleted set is derived by tokenizing the ORIGINAL corpus with the
+    same simple-analyzer expression base_ctes uses."""
+    body = base_ctes(analyzer).replace("FROM documents", "FROM docs_eff")
+    pred = "term IN (" + ", ".join(f"'{t}'" for t in terms) + ")"
+    return f"""WITH deleted AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, lower(unnest(regexp_extract_all(text, '{TOKEN_RE_SQL}'))) AS term
+        FROM documents
+    ) WHERE term = '{dbq_term}'
+),
+docs_eff AS (
+    SELECT doc_id, text FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM deleted)
+),{body},{_disjunction_core(pred)},
+hits AS (
+    SELECT doc_id, CAST(sum(CAST(s AS DOUBLE)) AS FLOAT) AS score FROM sc GROUP BY doc_id
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score FROM hits
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def sloppy_phrase_topk_sql(
     analyzer: str, terms: tuple[str, ...], offsets: tuple[int, ...], slop: int, k: int
 ) -> str:

@@ -96,6 +96,42 @@ def test_delete_hides_docs_and_refreshes_stats(spark, corpus, tmp_path):
     assert (hits.turn_idx != 1).all()
 
 
+def test_delete_by_query_equals_fresh_build_without_matches(spark, corpus, tmp_path):
+    """deleteByQuery(term) ≡ fresh build over the corpus minus the term's
+    match set (DirectUpdateHandler2#deleteByQuery): the FULL match set is
+    tombstoned (not a per-segment top-k), stats shrink, and the WAND query
+    suite returns identical float32 results on both indexes."""
+    from lucene_solr_spark.index.updates import delete_by_query_hits
+
+    dbq_dir = str(tmp_path / "dbq")
+    fresh_dir = str(tmp_path / "fresh")
+    build_index(spark, spark.createDataFrame(corpus), dbq_dir, n_segments=4)
+
+    s0 = IndexSearcher(spark, dbq_dir)
+    term = "merge"
+    q = s0.compile(s0.parse("term", [term]), k=1 << 30)
+    n_matches = s0.hits(q, mode="exact").count()
+    matched_keys = (
+        s0.hits(q, mode="exact")
+        .join(s0.docs.select("doc_id", "conv_id", "turn_idx"), "doc_id")
+        .select("conv_id", "turn_idx")
+        .toPandas()
+    )
+    n_del = delete_by_query_hits(spark, dbq_dir, s0.hits(q, mode="exact"))
+    assert n_del == n_matches > 0  # the WHOLE match set, not top-k
+
+    gone = set(map(tuple, matched_keys.to_numpy()))
+    survivors = corpus[
+        ~corpus[["conv_id", "turn_idx"]].apply(tuple, axis=1).isin(gone)
+    ]
+    assert len(survivors) == len(corpus) - n_del
+    build_index(spark, spark.createDataFrame(survivors), fresh_dir, n_segments=4)
+
+    a = _result_sets(spark, dbq_dir)
+    b = _result_sets(spark, fresh_dir)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
 def test_total_hits_relation(spark, corpus, tmp_path):
     idx = str(tmp_path / "th")
     build_index(spark, spark.createDataFrame(corpus), idx, n_segments=3)
