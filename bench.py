@@ -243,6 +243,16 @@ def main() -> None:
 
         timings["q_payload"] = _best_of(
             lambda: payload_score_topk(spark, SF_DIR).collect())
+        # round-4 continuation operators: AxiomaticF2EXP similarity,
+        # multi-passage highlighting
+        timings["q_f2exp"] = _best_of(
+            lambda: eng.sim_topk(
+                "f2exp", "or3", ["vector", "stream", "filter"], k=10
+            ).collect())
+        timings["q_highlight2"] = _best_of(
+            lambda: eng.highlight_passages(
+                "and2", ["merge", "batch"], k=10
+            ).collect())
 
         # --- training-pipeline ops ---
         from lucene_solr_spark.ops.dedup import dedup_minhash_lsh
@@ -267,6 +277,10 @@ def main() -> None:
             lambda: ngram_hotspots(spark, SF_DIR).collect())
         timings["text_unigram_ppl"] = _best_of(
             lambda: text_unigram_ppl(spark, SF_DIR).count())
+        from lucene_solr_spark.ops.pipeline import dsir_select
+
+        timings["dsir_select"] = _best_of(
+            lambda: dsir_select(spark, SF_DIR).collect())
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -647,6 +647,12 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_f2exp_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).sim_topk("f2exp", "or3", ["vector", "stream", "filter"], k=10)
+    # BM25Similarity(k1=0.9, b=0.4) — the classic web-search tuning; the
+    # norm bytes store lengths (not b-baked values), so retuning needs no
+    # reindex — only the 256-entry cache rebuilds
+    out["ft_bm25_tuned_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).bm25_tuned_topk("or3", ["vector", "stream", "filter"], k1=0.9, b=0.4, k=10)
     # Highlighting (UnifiedHighlighter analog): top-k + best-window snippet,
     # fetch-fields-late (snippet extraction touches the k hit rows only)
     out["ft_highlight_topk"] = lambda spark, sf_dir: get_engine(
@@ -1195,6 +1201,11 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     from .oracles import f2exp_topk_sql
 
     out["ft_f2exp_topk"] = f2exp_topk_sql("simple", bool_terms, 10)
+    out["ft_bm25_tuned_topk"] = bm25_topk_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), "or3", bool_terms, 0),
+        10, k1=0.9, b=0.4,
+    )
     out["ft_suggest"] = suggest_sql("simple", "term LIKE 's%'", 10)
     out["ft_suggest_infix"] = suggest_sql("simple", "term LIKE '%or%'", 10)
     from .oracles import suggest_blended_infix_sql

@@ -1448,6 +1448,35 @@ class DocumentsEngine:
             .orderBy("rank")
         )
 
+    def bm25_tuned_topk(
+        self,
+        qtype: str,
+        surface_terms: list[str],
+        k1: float,
+        b: float,
+        k: int = 10,
+        min_should: int = 0,
+    ) -> DataFrame:
+        """BM25 with a NON-DEFAULT (k1, b) — the ``BM25Similarity(k1, b)``
+        constructor every relevance tuner reaches for (Solr:
+        ``<similarity class=.../><float name="k1">``…): the same index and
+        norm bytes, only the 256-entry norm cache is rebuilt from the tuned
+        parameters (norms store the LENGTH, not a b-baked value — the
+        Lucene 7+ design that makes b tunable without reindexing, preserved
+        here). WAND block bounds ride the same tuned cache, so pruning
+        stays rank-safe."""
+        from .search.bm25 import norm_cache
+        from .search.query import compile_query
+
+        s = self.searcher
+        spec = s.parse(qtype, surface_terms, min_should)
+        df_map, _ = s.term_stats_rows(spec.all_terms())
+        q = compile_query(
+            spec, df_map, s.stats.doc_count,
+            norm_cache(s.stats.avgdl, k1=k1, b=b), k,
+        )
+        return self._present(s.search(q, with_keys=True))
+
     def suggest_blended_infix(self, pattern: str, k: int = 10) -> DataFrame:
         """BlendedInfixSuggester (``lucene/suggest/.../analyzing/
         BlendedInfixSuggester.java``, BlenderType.POSITION_LINEAR):

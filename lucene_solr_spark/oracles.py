@@ -208,12 +208,21 @@ kept AS (
     raise ValueError(f"no SQL oracle for analyzer {analyzer!r} (porter not in DuckDB)")
 
 
-def base_ctes(analyzer: str) -> str:
+def base_ctes(analyzer: str, k1: float = 1.2, b: float = 0.75) -> str:
     """Shared WITH-clause body: tokens, per-doc lengths, norms, stats, cache.
 
     Positions are assigned BEFORE the stop filter (0-based), preserving stop
     holes exactly like FilteringTokenFilter's position increments.
-    """
+
+    ``k1``/``b`` parameterize the BM25 norm cache (BM25Similarity(k1, b) —
+    Solr schema similarity config); the embedded literals are the exact
+    float32 values the engine's ``norm_cache`` arithmetic produces, so
+    non-default tunings stay bitwise."""
+    import numpy as np
+
+    k1_f = float(np.float32(k1))
+    b_f = float(np.float32(b))
+    one_minus_b_f = float(np.float32(1.0) - np.float32(b))
     kept_sql, primary = _kept_ctes(analyzer)
     # tokenizer swap: WhitespaceAnalyzer keeps case + punctuation (maximal
     # non-whitespace runs, 255-split); everything else is StandardTokenizer
@@ -262,8 +271,8 @@ norms AS (
 cachec AS (
     -- float32 op order of bm25.norm_cache: k1f*((1f-bf) + (bf*dl)/avgdl)
     SELECT n.doc_id, n.norm,
-           CAST(1.2 AS FLOAT) * (CAST(0.25 AS FLOAT)
-               + (CAST(0.75 AS FLOAT) * CAST(n.decoded AS FLOAT)) / st.avgdl) AS cache
+           CAST({k1_f!r} AS FLOAT) * (CAST({one_minus_b_f!r} AS FLOAT)
+               + (CAST({b_f!r} AS FLOAT) * CAST(n.decoded AS FLOAT)) / st.avgdl) AS cache
     FROM norms n, statsf st
 )"""
 
@@ -921,15 +930,16 @@ def _bm25_match_ctes(
 
 def bm25_topk_sql(
     analyzer: str, spec: BooleanSpec, k: int, offset: int = 0,
-    filter_pred: str | None = None,
+    filter_pred: str | None = None, k1: float = 1.2, b: float = 0.75,
 ) -> str:
     """Full BM25 boolean/phrase top-k — bitwise float32 parity with the
     engine's kernels (per-clause f32 score, Σ in double, one f32 cast,
-    (score desc, doc_id asc) tiebreak, minShouldMatch, MUST_NOT)."""
+    (score desc, doc_id asc) tiebreak, minShouldMatch, MUST_NOT).
+    ``k1``/``b`` select a non-default BM25Similarity(k1, b) tuning."""
     frag = _bm25_match_ctes(spec, "", filter_pred)
     if frag.startswith("match AS ("):  # empty spec
         return "SELECT 1::INTEGER AS rank, 1::BIGINT AS doc_id, 1.0::FLOAT AS score WHERE FALSE"
-    return f"""WITH {base_ctes(analyzer)},{frag}
+    return f"""WITH {base_ctes(analyzer, k1=k1, b=b)},{frag}
 SELECT (rank - {offset})::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
     SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
            doc_id, score
