@@ -269,10 +269,13 @@ norms AS (
     FROM doclen d JOIN sfr s ON d.length >= s.dl AND d.length < s.next_dl
 ),
 cachec AS (
-    -- float32 op order of bm25.norm_cache: k1f*((1f-bf) + (bf*dl)/avgdl)
+    -- float32 op order of bm25.norm_cache: k1f*((1f-bf) + (bf*dl)/avgdl).
+    -- Literals route through DOUBLE first: DuckDB types long decimal
+    -- literals as DECIMAL, whose FLOAT cast rounds differently by 1 ulp.
     SELECT n.doc_id, n.norm,
-           CAST({k1_f!r} AS FLOAT) * (CAST({one_minus_b_f!r} AS FLOAT)
-               + (CAST({b_f!r} AS FLOAT) * CAST(n.decoded AS FLOAT)) / st.avgdl) AS cache
+           CAST(CAST({k1_f!r} AS DOUBLE) AS FLOAT)
+               * (CAST(CAST({one_minus_b_f!r} AS DOUBLE) AS FLOAT)
+               + (CAST(CAST({b_f!r} AS DOUBLE) AS FLOAT) * CAST(n.decoded AS FLOAT)) / st.avgdl) AS cache
     FROM norms n, statsf st
 )"""
 
