@@ -1013,3 +1013,132 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, lang, n_tokens, log_w FR
 
 
 register("dsir_select", dsir_select, DSIR_SELECT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# mix_temperature: temperature-based multilingual sampling (XLM-R / mT5)
+# ---------------------------------------------------------------------------
+
+TEMP_ALPHA = 0.3        # the XLM-R paper's alpha (mT5 uses 0.3 too):
+                        # p_l ∝ n_l^alpha — low-resource languages are
+                        # up-weighted, high-resource ones down-weighted
+TEMP_BUDGET = 200       # sampled-corpus budget (docs per epoch)
+
+
+def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language sampling — the multilingual pretraining
+    mixture step (Conneau et al. 2020 XLM-R §3.1; Xue et al. 2021 mT5):
+    sampling shares p_l = n_l^alpha / Σ_m n_m^alpha flatten the language
+    distribution toward uniform as alpha → 0; a budget of ``TEMP_BUDGET``
+    docs is allotted t_l = floor(budget · p_l) per language, filled by the
+    deterministically md5-ranked first t_l docs of each language (the
+    sample_split no-rand() discipline — resumes and repartitions can never
+    change the sample). When t_l exceeds n_l the language repeats across
+    epochs upstream; the audit row reports that as ``repeat_factor`` =
+    budget·p_l / n_l (the epoch-multiplicity the real pipelines schedule).
+
+    Per-language audit row: (lang, n_docs, share_raw, share_sampled,
+    n_selected, repeat_factor, min_sel, max_sel) — the min/max selected
+    doc ids witness the deterministic ranked selection.
+
+    Scale shape: one tiny per-language count aggregate broadcast back, one
+    narrow ranked-filter pass over (doc_id, lang) — text never shuffles;
+    the per-language rank is a window over the language partition (bounded
+    by the language count, the natural partition key of this step)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(float(TEMP_ALPHA))))
+        .alias("z"),
+    )
+    alloc = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "p",
+            F.pow(F.col("n_docs").cast("double"), F.lit(float(TEMP_ALPHA)))
+            / F.col("z"),
+        )
+        .withColumn(
+            "t", F.floor(F.lit(float(TEMP_BUDGET)) * F.col("p")).cast("long")
+        )
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    sel = (
+        d.join(F.broadcast(alloc.select("lang", "t")), "lang")
+        .withColumn("r", rank)
+        .filter(F.col("r") <= F.col("t"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_selected"),
+            F.min("doc_id").cast("long").alias("min_sel"),
+            F.max("doc_id").cast("long").alias("max_sel"),
+        )
+    )
+    return (
+        alloc.join(sel, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("n_docs").cast("double") / F.col("n_total"), 6)
+            .alias("share_raw"),
+            F.round(F.col("p"), 6).alias("share_sampled"),
+            F.coalesce(F.col("n_selected"), F.lit(0)).cast("long")
+            .alias("n_selected"),
+            F.round(
+                F.lit(float(TEMP_BUDGET)) * F.col("p")
+                / F.col("n_docs").cast("double"), 6,
+            ).alias("repeat_factor"),
+            F.col("min_sel").cast("long"),
+            F.col("max_sel").cast("long"),
+        )
+        .orderBy("lang")
+    )
+
+
+MIX_TEMPERATURE_SQL = f"""
+WITH d AS (SELECT doc_id, lang FROM documents),
+counts AS (SELECT lang, count(*)::BIGINT AS n_docs FROM d GROUP BY 1),
+tot AS (
+    SELECT sum(n_docs)::BIGINT AS n_total,
+           sum(pow(n_docs::DOUBLE, {TEMP_ALPHA})) AS z
+    FROM counts
+),
+alloc AS (
+    SELECT lang, n_docs,
+           pow(n_docs::DOUBLE, {TEMP_ALPHA}) / tot.z AS p,
+           CAST(floor({float(TEMP_BUDGET)!r} * (pow(n_docs::DOUBLE, {TEMP_ALPHA}) / tot.z)) AS BIGINT) AS t,
+           tot.n_total
+    FROM counts, tot
+),
+ranked AS (
+    SELECT d.lang, d.doc_id,
+           row_number() OVER (
+               PARTITION BY d.lang ORDER BY md5(d.doc_id::VARCHAR), d.doc_id
+           ) AS r
+    FROM d
+),
+sel AS (
+    SELECT rk.lang, count(*)::BIGINT AS n_selected,
+           min(rk.doc_id)::BIGINT AS min_sel, max(rk.doc_id)::BIGINT AS max_sel
+    FROM ranked rk JOIN alloc a USING (lang)
+    WHERE rk.r <= a.t
+    GROUP BY rk.lang
+)
+SELECT a.lang, a.n_docs,
+       round(a.n_docs::DOUBLE / a.n_total, 6) AS share_raw,
+       round(a.p, 6) AS share_sampled,
+       COALESCE(s.n_selected, 0)::BIGINT AS n_selected,
+       round({float(TEMP_BUDGET)!r} * a.p / a.n_docs::DOUBLE, 6) AS repeat_factor,
+       s.min_sel, s.max_sel
+FROM alloc a LEFT JOIN sel s USING (lang)
+ORDER BY a.lang"""
+
+
+register("mix_temperature", mix_temperature, MIX_TEMPERATURE_SQL)

@@ -235,3 +235,35 @@ def test_dsir_select_ranks_target_lang_up(spark):
     assert (np.diff(w) <= 0).all()
     assert (out.lang == "en").sum() > DSIR_K // 2
     assert out["rank"].tolist() == list(range(1, DSIR_K + 1))
+
+
+def test_mix_temperature_flattens_toward_uniform(spark):
+    """Temperature sampling (p ∝ n^alpha, alpha<1) must (a) preserve the
+    size ORDER of languages, (b) strictly shrink the largest language's
+    share and grow the smallest's, and (c) allocate n_selected =
+    min(floor(budget·p), n_docs) deterministically."""
+    import numpy as np
+
+    from lucene_solr_spark.ops.pipeline import TEMP_BUDGET, mix_temperature
+
+    out = mix_temperature(spark, SF).toPandas().sort_values("n_docs")
+    raw = out.share_raw.to_numpy()
+    samp = out.share_sampled.to_numpy()
+    # order preserved
+    assert (np.diff(samp) >= 0).all()
+    # flattening: biggest loses share, smallest gains
+    assert samp[-1] < raw[-1] and samp[0] > raw[0]
+    # allocation arithmetic
+    t = np.floor(TEMP_BUDGET * samp_exact(out))
+    want = np.minimum(t, out.n_docs.to_numpy())
+    assert (out.n_selected.to_numpy() == want).all()
+
+
+def samp_exact(out):
+    """Recompute p from n_docs (round-6 share_sampled is for display)."""
+    import numpy as np
+
+    from lucene_solr_spark.ops.pipeline import TEMP_ALPHA
+
+    w = out.n_docs.to_numpy().astype(float) ** TEMP_ALPHA
+    return w / w.sum()
