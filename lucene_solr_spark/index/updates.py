@@ -253,3 +253,54 @@ def atomic_update_docs(
         merged = merged.withColumn(f, new)
     merged = merged.drop(*[f"__op_{f}" for f in field_ops])
     return update_docs(spark, merged, index_dir, n_segments=n_segments)
+
+
+def update_docs_cas(
+    spark: SparkSession,
+    index_dir: str,
+    updates: DataFrame,
+    source: DataFrame,
+    *,
+    version_col: str = "_expected_version_",
+    value_col: str = "text",
+    n_segments: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Optimistic concurrency — Solr's ``_version_`` compare-and-swap
+    (``S/update/processor/DistributedUpdateProcessor`` version check: an
+    update carrying ``_version_ > 0`` must match the live doc's version or
+    the server answers 409 Conflict). This engine has no transaction-log
+    version counter (the manifest IS the commit point — SURVEY §2.G), so
+    the version token is the md5 of the live doc's ``value_col``: the SAME
+    conflict semantics — an update built against a stale read cannot
+    clobber a newer write — with a content-derived token (documented
+    deviation; Solr's counter and a content hash are interchangeable as
+    CAS tokens when every write goes through this path).
+
+    ``updates``: key columns + the new field values + ``version_col``
+    holding the version the writer READ. Rows whose expectation matches
+    the live doc are applied through the normal tombstone + re-add path;
+    mismatches are returned as the rejected set (the 409s), untouched.
+
+    Returns ``(applied_keys, rejected_keys)`` DataFrames (key columns +
+    live/expected versions for the caller's retry loop).
+
+    Scale shape: ONE distributed join of the update batch with the
+    source-of-record table on the doc key — no driver materialization; the
+    apply path is the existing update machinery."""
+    meta = IndexMeta.load(index_dir)
+    key_cols = list(meta.key_cols)
+    live = source.select(
+        *key_cols, F.md5(F.col(value_col)).alias("_live_version_")
+    )
+    checked = updates.join(live, key_cols, "left")
+    ok = F.col(version_col) == F.col("_live_version_")
+    applied_rows = checked.filter(ok).drop(version_col, "_live_version_")
+    rejected = (
+        checked.filter(~ok | F.col("_live_version_").isNull())
+        .select(*key_cols, F.col(version_col).alias("expected"),
+                F.col("_live_version_").alias("live"))
+    )
+    applied_keys = applied_rows.select(*key_cols)
+    if applied_rows.limit(1).count():
+        update_docs(spark, applied_rows, index_dir, n_segments=n_segments)
+    return applied_keys, rejected

@@ -322,3 +322,50 @@ def test_atomic_remove_add_distinct_equal_fresh_build(spark, corpus, tmp_path):
     upd = _result_sets(spark, idx_u)
     fresh = _result_sets(spark, idx_f)
     pd.testing.assert_frame_equal(upd, fresh)
+
+
+def test_optimistic_concurrency_cas(spark, corpus, tmp_path):
+    """Compare-and-swap updates (Solr optimistic concurrency / 409
+    Conflict): an update carrying the version it READ applies only when
+    the live doc still has that version; stale expectations are rejected
+    untouched, and the applied subset behaves exactly like a plain
+    update_docs of those rows."""
+    from lucene_solr_spark.index.updates import update_docs_cas
+
+    idx = str(tmp_path / "cas")
+    build_index(spark, spark.createDataFrame(corpus), idx, n_segments=4)
+
+    import hashlib
+
+    victims = corpus[corpus.turn_idx == 0].head(6).copy()
+    fresh = victims.iloc[:3].copy()   # correct expectations → applied
+    stale = victims.iloc[3:].copy()   # wrong expectations → rejected
+    fresh["_expected_version_"] = fresh.text.map(
+        lambda t: hashlib.md5(t.encode()).hexdigest()
+    )
+    stale["_expected_version_"] = "0" * 32  # a version nobody has
+    batch = pd.concat([fresh, stale])
+    batch["text"] = batch["text"] + " cas vector refresh"
+
+    src = spark.createDataFrame(corpus)
+    applied, rejected = update_docs_cas(
+        spark, idx, spark.createDataFrame(batch), src, n_segments=2
+    )
+    ak = applied.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    rk = rejected.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(ak) == 3 and len(rk) == 3
+    assert set(map(tuple, ak[["conv_id", "turn_idx"]].to_numpy())) == set(
+        map(tuple, fresh[["conv_id", "turn_idx"]].to_numpy())
+    )
+    assert (rk.live != rk.expected).all()
+
+    # post-state == fresh build over corpus with ONLY the applied changes
+    post = corpus.copy()
+    keys = set(map(tuple, fresh[["conv_id", "turn_idx"]].to_numpy()))
+    mask = post[["conv_id", "turn_idx"]].apply(tuple, axis=1).isin(keys)
+    post.loc[mask, "text"] = post.loc[mask, "text"] + " cas vector refresh"
+    fresh_dir = str(tmp_path / "fresh")
+    build_index(spark, spark.createDataFrame(post), fresh_dir, n_segments=4)
+    pd.testing.assert_frame_equal(
+        _result_sets(spark, idx), _result_sets(spark, fresh_dir), check_exact=True
+    )
