@@ -647,6 +647,11 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_f2exp_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).sim_topk("f2exp", "or3", ["vector", "stream", "filter"], k=10)
+    # SweetSpotSimilarity — the tuned-corpus ClassicSimilarity variant
+    # (plateau length norm + baseline tf); similarity number nine
+    out["ft_sweetspot_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).sim_topk("sweetspot", "or3", ["vector", "stream", "filter"], k=10)
     # BM25Similarity(k1=0.9, b=0.4) — the classic web-search tuning; the
     # norm bytes store lengths (not b-baked values), so retuning needs no
     # reindex — only the 256-entry cache rebuilds
@@ -1206,6 +1211,9 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
         parse_fixture_query(ANALYZERS["simple"](), "or3", bool_terms, 0),
         10, k1=0.9, b=0.4,
     )
+    from .oracles import sweetspot_topk_sql
+
+    out["ft_sweetspot_topk"] = sweetspot_topk_sql("simple", bool_terms, 10)
     out["ft_suggest"] = suggest_sql("simple", "term LIKE 's%'", 10)
     out["ft_suggest_infix"] = suggest_sql("simple", "term LIKE '%or%'", 10)
     from .oracles import suggest_blended_infix_sql

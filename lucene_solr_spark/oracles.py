@@ -1100,6 +1100,37 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def sweetspot_topk_sql(analyzer: str, terms: list[str], k: int) -> str:
+    """SweetSpotSimilarity disjunction top-k (``L/misc/.../
+    SweetSpotSimilarity.java`` — ClassicSimilarity with the plateau
+    lengthNorm and baseline tf; config = the engine's [3,20]/0.5 sweet
+    spot, tf min 2 / base 1.5): idf classic, tf = CASE baseline, norm =
+    f32(1/sqrt(steep·(|dl−min|+|dl−max|−(max−min))+1)), score =
+    f32(f32(tf·w)·norm), Σ double, one f32 cast."""
+    clause_selects = []
+    for t in terms:
+        w = (
+            "CAST(1.0 + ln(st.doc_count::DOUBLE / ("
+            f"(SELECT count(DISTINCT doc_id) FROM kept WHERE term = '{t}')"
+            " + 1.0)) AS FLOAT)"
+        )
+        tf = (
+            "CAST(CASE WHEN count(*) <= 2 THEN CAST(1.5 AS DOUBLE)"
+            " ELSE sqrt(count(*)::DOUBLE + 0.25) END AS FLOAT)"
+        )
+        norm = (
+            "CAST(1.0 / sqrt(0.5 * (abs(any_value(n.decoded)::DOUBLE - 3)"
+            " + abs(any_value(n.decoded)::DOUBLE - 20) - 17) + 1.0) AS FLOAT)"
+        )
+        clause_selects.append(f"""
+SELECT k.doc_id,
+       CAST(CAST({tf} * {w} AS FLOAT) * {norm} AS FLOAT) AS s
+FROM kept k JOIN norms n USING (doc_id), statsf st
+WHERE k.term = '{t}'
+GROUP BY k.doc_id, st.doc_count""")
+    return _sim_family_topk_sql(analyzer, clause_selects, k)
+
+
 def dfr_topk_sql(analyzer: str, terms: list[str], k: int, c: float = 1.0) -> str:
     """DFRSimilarity (BasicModelIN + AfterEffectL + NormalizationH2)
     disjunction top-k — exact float discipline of the engine's

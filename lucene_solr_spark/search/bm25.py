@@ -261,6 +261,68 @@ def block_max_score_f2exp(
     return np.float32(max(s, 0.0))
 
 
+# --- SweetSpotSimilarity (L/misc/.../SweetSpotSimilarity.java — a
+# ClassicSimilarity subclass tuned for fielded corpora: documents inside a
+# "sweet spot" of lengths all get the FULL length norm (plateau), and tiny
+# term frequencies score a flat baseline) ----------------------------------
+#   lengthNorm(dl) = 1/sqrt(steepness·(|dl−min|+|dl−max|−(max−min)) + 1)
+#                    (== 1.0 for dl ∈ [min, max]; float32 like lengthNorm)
+#   baselineTf(f)  = 0 if f = 0; base if 0 < f ≤ min_tf;
+#                    sqrt(f + base² − min_tf) otherwise    (float32)
+#   score = f32(f32(baselineTf·weight) · lengthNorm), weight = boost·idf
+#           (classic idf — TFIDFSimilarity discipline)
+# Config here: length sweet spot [3, 20] at steepness 0.5, tf baseline
+# (min_tf=2, base=1.5) — the javadoc's worked-example shape.
+
+SWEET_LN_MIN, SWEET_LN_MAX, SWEET_STEEP = 3, 20, 0.5
+SWEET_TF_MIN, SWEET_TF_BASE = 2.0, 1.5
+
+
+def sweetspot_norm_cache() -> np.ndarray:
+    """256-entry f32 plateau lengthNorm table over decoded lengths."""
+    dl = LENGTH_TABLE.astype(np.float64)
+    raw = 1.0 / np.sqrt(
+        SWEET_STEEP * (np.abs(dl - SWEET_LN_MIN) + np.abs(dl - SWEET_LN_MAX)
+                       - (SWEET_LN_MAX - SWEET_LN_MIN)) + 1.0
+    )
+    out = raw.astype(np.float32)
+    out[0] = 0.0  # dl=0 never appears in postings
+    return out
+
+
+def _sweet_tf(freq: np.ndarray) -> np.ndarray:
+    f = freq.astype(np.float64)
+    tf = np.sqrt(f + SWEET_TF_BASE * SWEET_TF_BASE - SWEET_TF_MIN)
+    tf = np.where(f <= SWEET_TF_MIN, SWEET_TF_BASE, tf)
+    return np.where(f <= 0, 0.0, tf).astype(np.float32)
+
+
+def score_postings_sweetspot(
+    tfs: np.ndarray,
+    norm_bytes: np.ndarray,
+    weight: np.float32,
+    cache: np.ndarray,
+    aux: float = 0.0,
+) -> np.ndarray:
+    """f32(f32(baselineTf·weight) · lengthNorm) — the TFIDFSimScorer op
+    order with the sweet-spot tf and norm functions swapped in."""
+    raw = (_sweet_tf(tfs) * np.float32(weight)).astype(np.float32)
+    norm = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF].astype(np.float32)
+    return (raw * norm).astype(np.float32)
+
+
+def block_max_score_sweetspot(
+    max_tf: int, min_norm: int, weight: np.float32, cache: np.ndarray, aux: float = 0.0
+) -> np.float32:
+    """The plateau breaks lengthNorm's monotonicity in dl, so min_norm no
+    longer bounds the block's norm factor — the bound uses the TABLE MAX
+    (the plateau value, 1.0) instead: looser than Classic's but safe for
+    every norm byte the block could hold (baselineTf stays ↑ in freq)."""
+    tf = _sweet_tf(np.array([max_tf]))[0]
+    raw = np.float32(tf * np.float32(weight))
+    return np.float32(raw * np.float32(cache.max()))
+
+
 def sum_scores_f32(per_clause: list[np.ndarray]) -> np.ndarray:
     """Σ in float64, one float32 cast (Disjunction/ConjunctionScorer)."""
     acc = np.zeros(per_clause[0].shape, dtype=np.float64)

@@ -63,6 +63,10 @@ def _sim_fns(q: CompiledQuery):
         from .bm25 import block_max_score_f2exp, score_postings_f2exp
 
         return score_postings_f2exp, block_max_score_f2exp
+    if sim == "sweetspot":
+        from .bm25 import block_max_score_sweetspot, score_postings_sweetspot
+
+        return score_postings_sweetspot, block_max_score_sweetspot
     return score_postings, block_max_score
 
 

@@ -482,7 +482,10 @@ def compile_query(
         )
     if similarity == "bm25":
         idf_fn = bm25_idf
-    elif similarity == "classic":
+    elif similarity in ("classic", "sweetspot"):
+        # SweetSpotSimilarity extends ClassicSimilarity: same idf, only the
+        # tf and lengthNorm functions are swapped (they live in the scorer
+        # dispatch and the norm cache)
         from .bm25 import classic_idf as idf_fn
     elif similarity == "boolean":
         from .bm25 import boolean_idf as idf_fn

@@ -202,6 +202,12 @@ class IndexSearcher:
         return f2exp_norm_cache(self.stats.avgdl)
 
     @cached_property
+    def sweetspot_cache(self) -> np.ndarray:
+        from .bm25 import sweetspot_norm_cache
+
+        return sweetspot_norm_cache()
+
+    @cached_property
     def _tomb_df(self) -> DataFrame | None:
         import glob as _glob
 
@@ -280,6 +286,8 @@ class IndexSearcher:
             cache = self.lmjm_cache
         elif similarity == "f2exp":
             cache = self.f2exp_cache
+        elif similarity == "sweetspot":
+            cache = self.sweetspot_cache
         else:
             cache = self.classic_cache
         df_map, ttf_map = self.term_stats_rows(spec.all_terms())

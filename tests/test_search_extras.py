@@ -174,6 +174,20 @@ def test_f2exp_wand_equals_exact(searcher):
     assert (a.score.to_numpy() > 0).all()
 
 
+def test_sweetspot_wand_equals_exact(searcher):
+    """SweetSpotSimilarity: the table-max block bound (the plateau breaks
+    min-norm monotonicity) must keep WAND rank+score identical to brute
+    force — looser pruning, same results."""
+    import pandas as pd
+
+    spec = searcher.parse("or3", ["merge", "batch", "stream"], 0)
+    q = searcher.compile(spec, k=25, similarity="sweetspot")
+    a = searcher.search(q, k=25, mode="wand").toPandas()
+    b = searcher.search(q, k=25, mode="exact").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.score.to_numpy() > 0).all()
+
+
 def test_lm_phrase_unsupported_is_loud(searcher):
     import pytest as _pytest
 

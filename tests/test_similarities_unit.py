@@ -117,6 +117,46 @@ def test_block_bound_dominates(score_fn, bound_fn, cache_fn, aux):
         assert (scores <= bound + np.float32(0)).all(), (tfs, bs)
 
 
+def test_sweetspot_hand_computed_and_bound():
+    """SweetSpotSimilarity (L/misc SweetSpotSimilarity.java, config
+    [3,20]/0.5 + tf(min=2, base=1.5)): plateau lengthNorm == 1 inside the
+    sweet spot, baseline tf flat below min; the block bound uses the TABLE
+    MAX because the plateau breaks min-norm monotonicity — it must
+    dominate scores at EVERY norm byte, not just the block minimum."""
+    import math
+
+    from lucene_solr_spark.search.bm25 import (
+        SWEET_TF_BASE,
+        block_max_score_sweetspot,
+        score_postings_sweetspot,
+        sweetspot_norm_cache,
+    )
+
+    cache = sweetspot_norm_cache()
+    # plateau: any decoded length in [3, 20] has norm exactly 1.0
+    for b in range(256):
+        dl = float(LENGTH_TABLE[b])
+        if 3 <= dl <= 20:
+            assert cache[b] == np.float32(1.0), (b, dl)
+    # baseline tf: freq 1 and 2 score identically (flat), 3 breaks out
+    w = np.float32(1.7)
+    s = score_postings_sweetspot(np.array([1, 2, 3]), np.array([10] * 3), w, cache)
+    assert s[0] == s[1] == np.float32(np.float32(SWEET_TF_BASE) * w) * cache[10]
+    assert s[2] > s[1]
+    # hand-recomputed off-plateau norm (dl = 128 via its norm byte)
+    b128 = int(np.argmax(LENGTH_TABLE == 128))
+    want_norm = np.float32(1.0 / math.sqrt(0.5 * (125 + 108 - 17) + 1.0))
+    assert cache[b128] == want_norm
+    # bound dominates at EVERY norm byte (not only the block min)
+    rng = np.random.default_rng(11)
+    for _ in range(50):
+        tfs = rng.integers(1, 30, size=16)
+        bs = rng.integers(1, 255, size=16)
+        scores = score_postings_sweetspot(tfs, bs, w, cache)
+        bound = block_max_score_sweetspot(int(tfs.max()), int(bs.min()), w, cache)
+        assert (scores <= bound + np.float32(0)).all(), (tfs, bs)
+
+
 def test_monotone_in_tf_and_doclen():
     cache = dfr_h2_cache(AVGDL)
     aux = 2.0
