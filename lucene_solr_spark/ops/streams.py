@@ -1175,3 +1175,57 @@ FROM s ORDER BY event_type"""
 
 register("stream_corr", stream_corr, STREAM_CORR_SQL)
 register("stream_describe", stream_describe, STREAM_DESCRIBE_SQL)
+
+
+# --- RangeField queries (L/document/DoubleRange: intersects / contains /
+# within — overlapping-interval search, the calendar/price-band shape) ------
+
+RANGE_Q_LO, RANGE_Q_HI = 40.0, 55.0   # the query interval
+RANGE_WIDTH = 10.0                    # doc interval = [value, value + 10)
+
+
+def range_field_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RangeField queries (``L/document/DoubleRange`` —
+    ``newIntersectsQuery`` / ``newContainsQuery`` / ``newWithinQuery``):
+    each event carries the derived interval [value, value + RANGE_WIDTH);
+    the entry returns every doc whose interval INTERSECTS the query
+    interval, labelled with the strongest relation that holds — WITHIN
+    (doc interval inside the query), CONTAINS (doc interval covers the
+    query), else INTERSECTS — certifying all three query semantics off one
+    scan.
+
+    Scale shape: two range predicates on JVM columns (the BKD encoding of
+    RangeField evaluates exactly these bounds); with materialized lo/hi
+    columns both push to parquet min/max pruning. No trig, no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    lo = F.col("value").cast("double")
+    hi = (F.col("value") + F.lit(RANGE_WIDTH)).cast("double")
+    qlo, qhi = F.lit(RANGE_Q_LO), F.lit(RANGE_Q_HI)
+    rel = (
+        F.when((lo >= qlo) & (hi <= qhi), "WITHIN")
+        .when((lo <= qlo) & (hi >= qhi), "CONTAINS")
+        .otherwise("INTERSECTS")
+    )
+    return (
+        ev.withColumn("lo", lo).withColumn("hi", hi)
+        .filter((F.col("lo") <= qhi) & (F.col("hi") >= qlo))
+        .withColumn("relation", rel)
+        .orderBy(F.asc("event_id"))
+        .limit(25)
+        .select("event_id", "lo", "hi", "relation")
+    )
+
+
+RANGE_FIELD_SQL = f"""
+SELECT event_id, lo, hi,
+       CASE WHEN lo >= {RANGE_Q_LO} AND hi <= {RANGE_Q_HI} THEN 'WITHIN'
+            WHEN lo <= {RANGE_Q_LO} AND hi >= {RANGE_Q_HI} THEN 'CONTAINS'
+            ELSE 'INTERSECTS' END AS relation
+FROM (
+    SELECT event_id, value::DOUBLE AS lo, (value + {RANGE_WIDTH})::DOUBLE AS hi
+    FROM events
+) WHERE lo <= {RANGE_Q_HI} AND hi >= {RANGE_Q_LO}
+ORDER BY event_id ASC LIMIT 25"""
+
+
+register("range_field_query", range_field_query, RANGE_FIELD_SQL)
