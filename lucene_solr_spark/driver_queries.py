@@ -382,6 +382,16 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, sf_dir, "simple"
     ).feature_topk(FEATURE_Q[0], FEATURE_Q[1], pivot=FEATURE_Q[2],
                    boost=FEATURE_Q[3], k=10)
+    # FeatureField newLogQuery / newSigmoidQuery — the other two members
+    # of the FeatureField query family (saturation is ft_feature_topk)
+    out["ft_feature_log_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).feature_log_topk(FEATURE_Q[0], FEATURE_Q[1], scale=1.0,
+                       boost=FEATURE_Q[3], k=10)
+    out["ft_feature_sigmoid_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).feature_sigmoid_topk(FEATURE_Q[0], FEATURE_Q[1], pivot=FEATURE_Q[2],
+                           a=2.0, boost=FEATURE_Q[3], k=10)
     # Reciprocal Rank Fusion of two WAND top-n retriever legs
     out["ft_rrf_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -1097,6 +1107,18 @@ ORDER BY doc_id LIMIT 10"""
         "simple",
         parse_fixture_query(ANALYZERS["simple"](), FEATURE_Q[0], FEATURE_Q[1], 0),
         FEATURE_Q[2], FEATURE_Q[3], 10,
+    )
+    from .oracles import feature_log_topk_sql, feature_sigmoid_topk_sql
+
+    out["ft_feature_log_topk"] = feature_log_topk_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), FEATURE_Q[0], FEATURE_Q[1], 0),
+        1.0, FEATURE_Q[3], 10,
+    )
+    out["ft_feature_sigmoid_topk"] = feature_sigmoid_topk_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), FEATURE_Q[0], FEATURE_Q[1], 0),
+        FEATURE_Q[2], 2.0, FEATURE_Q[3], 10,
     )
     out["ft_rrf_topk"] = rrf_topk_sql(
         "simple",

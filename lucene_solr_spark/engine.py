@@ -1089,6 +1089,57 @@ class DocumentsEngine:
         score exact hits (like FunctionScoreQuery) + ONE broadcast join to
         the pruned feature column + ONE TakeOrdered; a WAND upper bound of
         max-impact + boost is the documented upgrade."""
+        return self._feature_scored(
+            qtype, surface_terms,
+            lambda x: F.lit(float(boost)) * (x / (x + F.lit(float(pivot)))),
+            k,
+        )
+
+    def feature_log_topk(
+        self,
+        qtype: str,
+        surface_terms: list[str],
+        scale: float = 1.0,
+        boost: float = 1.8,
+        k: int = 10,
+    ) -> DataFrame:
+        """FeatureField ``newLogQuery`` (``lucene/document/FeatureField.java``
+        LogFunction): additive feature term boost · ln(scale + x) — the
+        unbounded-growth shape for features like inlink counts where the
+        top of the range should keep differentiating."""
+        return self._feature_scored(
+            qtype, surface_terms,
+            lambda x: F.lit(float(boost)) * F.log(F.lit(float(scale)) + x),
+            k,
+        )
+
+    def feature_sigmoid_topk(
+        self,
+        qtype: str,
+        surface_terms: list[str],
+        pivot: float = 200.0,
+        a: float = 2.0,
+        boost: float = 1.8,
+        k: int = 10,
+    ) -> DataFrame:
+        """FeatureField ``newSigmoidQuery`` (SigmoidFunction): additive
+        feature term boost · x^a/(x^a + pivot^a) — the saturation shape
+        with a tunable steepness exponent (a > 1 sharpens the transition
+        around the pivot). Completes the FeatureField query family:
+        saturation / log / sigmoid."""
+        pa_ = float(pivot) ** float(a)
+        return self._feature_scored(
+            qtype, surface_terms,
+            lambda x: F.lit(float(boost))
+            * (F.pow(x, F.lit(float(a)))
+               / (F.pow(x, F.lit(float(a))) + F.lit(pa_))),
+            k,
+        )
+
+    def _feature_scored(self, qtype, surface_terms, feature_fn, k) -> DataFrame:
+        """Shared FeatureField evaluator: exact BM25 hits + ONE broadcast
+        join to the pruned feature column, fscore = f32(f64(bm25) +
+        feature_fn(x)), one TakeOrdered."""
         spec = self.searcher.parse(qtype, surface_terms, 0)
         hits = self.searcher.hits(
             self.searcher.compile(spec, k=1 << 30), mode="exact"
@@ -1103,10 +1154,7 @@ class DocumentsEngine:
             .join(F.broadcast(src), "doc_key")
             .withColumn(
                 "fscore",
-                (
-                    F.col("score").cast("double")
-                    + F.lit(float(boost)) * (x / (x + F.lit(float(pivot))))
-                ).cast("float"),
+                (F.col("score").cast("double") + feature_fn(x)).cast("float"),
             )
         )
         top = scored.orderBy(F.desc("fscore"), F.asc("doc_key")).limit(k)

@@ -2098,25 +2098,60 @@ SELECT source, score_max,
 FROM agg ORDER BY score_total DESC, source ASC LIMIT {n_groups}"""
 
 
-def feature_topk_sql(
-    analyzer: str, spec: BooleanSpec, pivot: float, boost: float, k: int
+def _feature_expr_topk_sql(
+    analyzer: str, spec: BooleanSpec, feat_expr: str, k: int
 ) -> str:
-    """FeatureField saturation-query oracle: score =
-    f32( f64(bm25_f32) + boost · x/(x+pivot) ), x = n_chars — double IEEE
-    ops on both engines, one final f32 cast."""
+    """Shared FeatureField oracle: score = f32(f64(bm25_f32) + feat_expr),
+    feat_expr a SQL expression over ``d.n_chars`` — double IEEE ops on
+    both engines, one final f32 cast."""
     frag = _bm25_match_ctes(spec, "")
     return f"""WITH {base_ctes(analyzer)},{frag},
 feat AS (
     SELECT m.doc_id,
-           CAST(CAST(m.score AS DOUBLE)
-                + {float(boost)!r} * (d.n_chars::DOUBLE
-                    / (d.n_chars::DOUBLE + {float(pivot)!r})) AS FLOAT) AS score
+           CAST(CAST(m.score AS DOUBLE) + {feat_expr} AS FLOAT) AS score
     FROM match m JOIN documents d USING (doc_id)
 )
 SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
     SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
     FROM feat
 ) WHERE rank <= {k} ORDER BY rank"""
+
+
+def feature_topk_sql(
+    analyzer: str, spec: BooleanSpec, pivot: float, boost: float, k: int
+) -> str:
+    """FeatureField saturation-query oracle (newSaturationQuery)."""
+    return _feature_expr_topk_sql(
+        analyzer, spec,
+        f"{float(boost)!r} * (d.n_chars::DOUBLE"
+        f" / (d.n_chars::DOUBLE + {float(pivot)!r}))",
+        k,
+    )
+
+
+def feature_log_topk_sql(
+    analyzer: str, spec: BooleanSpec, scale: float, boost: float, k: int
+) -> str:
+    """FeatureField newLogQuery oracle: boost · ln(scale + x)."""
+    return _feature_expr_topk_sql(
+        analyzer, spec,
+        f"{float(boost)!r} * ln({float(scale)!r} + d.n_chars::DOUBLE)",
+        k,
+    )
+
+
+def feature_sigmoid_topk_sql(
+    analyzer: str, spec: BooleanSpec, pivot: float, a: float, boost: float, k: int
+) -> str:
+    """FeatureField newSigmoidQuery oracle: boost · x^a/(x^a + pivot^a) —
+    pivot^a is folded to a double constant like the engine does."""
+    pa_ = float(pivot) ** float(a)
+    return _feature_expr_topk_sql(
+        analyzer, spec,
+        f"{float(boost)!r} * (pow(d.n_chars::DOUBLE, {float(a)!r})"
+        f" / (pow(d.n_chars::DOUBLE, {float(a)!r}) + {pa_!r}))",
+        k,
+    )
 
 
 def rrf_topk_sql(
