@@ -232,6 +232,11 @@ STATS_EXPR = (
     " div(ttf(text,'batch'), sumtotaltermfreq(text))),"
     " div(docfreq(text,'scan'), maxdoc()))"
 )
+# group.query buckets: two independent conjunctions, each a named group
+GROUP_QUERY_BUCKETS = {
+    "merge_batch": ("and2", ["merge", "batch"]),
+    "vector_stream": ("and2", ["vector", "stream"]),
+}
 # Text Tagger (/tag handler) posted text: one out-of-dictionary token
 # (drops from the tag stream) and one repeated dictionary token (tagged at
 # BOTH positions — per-occurrence emission, not per-term)
@@ -586,6 +591,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_ltr_features"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).ltr_feature_log(LTR[0], LTR[1], LTR[2], k=10)
+    # group.query grouping: each named query is a bucket with its own top-k
+    out["ft_group_query"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).group_query_topk(GROUP_QUERY_BUCKETS, k=3)
     # Search-result clustering (ClusteringComponent analog): the top-50
     # page grouped by each doc's dominant tf·idf term
     out["ft_result_clusters"] = lambda spark, sf_dir: get_engine(
@@ -1181,6 +1190,16 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, tf FROM (
     out["ft_tagger"] = tagger_sql(
         "simple", [(p, t) for t, p in an_s.analyze(TAGGER_TEXT)]
     )
+    from .oracles import group_query_topk_sql
+
+    out["ft_group_query"] = group_query_topk_sql(
+        "simple",
+        {
+            name: parse_fixture_query(ANALYZERS["simple"](), qt, ts, 0)
+            for name, (qt, ts) in GROUP_QUERY_BUCKETS.items()
+        },
+        3,
+    )
     from .oracles import phrase_prefix_topk_sql
     from .search.query import BooleanSpec as _BS, MultiPhraseClause as _MPC
 
@@ -1389,7 +1408,12 @@ PRIORITY_ORDER = [
     "ft_after_update_topk", "ft_funcexpr_topk",
     # highlighting replaced ft_synonym_topk in the scored window in r3 (the
     # token-graph analyzer family stays covered by the pass-local gates)
-    "ft_highlight_topk",
+    # ft_highlight_topk rotated out for ft_highlight_passages (r4-cont):
+    # passages is STRICTLY richer — passage 1 is the identical best-window
+    # choice (same wins/tie-break CTEs), plus the non-overlap second
+    # passage and document-order rendering; the single-window entry stays
+    # pass-local-gated
+    "ft_highlight_passages",
     # facets / stats / grouping
     # facet_query rotated out for facet_pivot late in r3 (the conditional
     # aggregate stays pass-local-gated; pivot certifies the NEW multi-level

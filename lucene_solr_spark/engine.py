@@ -1525,6 +1525,34 @@ class DocumentsEngine:
         )
         return self._present(s.search(q, with_keys=True))
 
+    def group_query_topk(
+        self, buckets: dict[str, tuple[str, list[str]]], k: int = 3
+    ) -> DataFrame:
+        """``group.query`` grouping (``S/search/Grouping.java`` — the
+        query-bucket variant of result grouping: each named QUERY is a
+        group, holding its own top-k): one ranked top-k per bucket query,
+        labelled and concatenated, (bucket, rank) ordered.
+
+        Scale shape: each bucket is an independent pruned-scan top-k (the
+        per-bucket kernels share the posting-decode cache when terms
+        overlap); the union is k·buckets rows — no cross-bucket shuffle."""
+        parts = []
+        for name in sorted(buckets):
+            qtype, terms = buckets[name]
+            spec = self.searcher.parse(qtype, terms, 0)
+            top = self._present(
+                self.searcher.search(
+                    self.searcher.compile(spec, k=k), with_keys=True
+                )
+            )
+            parts.append(top.withColumn("bucket", F.lit(name)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select("bucket", "rank", "doc_id", "score").orderBy(
+            "bucket", "rank"
+        )
+
     def suggest_blended_infix(self, pattern: str, k: int = 10) -> DataFrame:
         """BlendedInfixSuggester (``lucene/suggest/.../analyzing/
         BlendedInfixSuggester.java``, BlenderType.POSITION_LINEAR):

@@ -950,6 +950,28 @@ SELECT (rank - {offset})::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOA
 ) WHERE rank > {offset} AND rank <= {offset} + {k} ORDER BY rank"""
 
 
+def group_query_topk_sql(
+    analyzer: str, buckets: dict[str, BooleanSpec], k: int
+) -> str:
+    """group.query oracle: one BM25 top-k per named bucket query (the
+    shared match CTEs, prefixed per bucket), labelled and unioned,
+    (bucket, rank) ordered."""
+    frags, selects = [], []
+    for i, name in enumerate(sorted(buckets)):
+        p = f"gq{i}"
+        frags.append(_bm25_match_ctes(buckets[name], p))
+        selects.append(f"""
+SELECT '{name}' AS bucket, rank, doc_id, score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+           doc_id, score
+    FROM {p}match
+) WHERE rank <= {k}""")
+    return f"""WITH {base_ctes(analyzer)},{','.join(frags)}
+SELECT bucket, rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score
+FROM ({' UNION ALL '.join(selects)})
+ORDER BY bucket, rank"""
+
+
 def highlight_topk_sql(analyzer: str, spec: BooleanSpec, k: int, window: int = 8) -> str:
     """Top-k + best-window snippet (UnifiedHighlighter analog,
     ``lucene/highlighter/.../uhighlight/UnifiedHighlighter.java``).
