@@ -1229,3 +1229,46 @@ ORDER BY event_id ASC LIMIT 25"""
 
 
 register("range_field_query", range_field_query, RANGE_FIELD_SQL)
+
+
+# --- JSON field extraction (ingest-side semi-structured parse: Solr's
+# ParseLongFieldUpdateProcessor + JsonRecordReader path-mapping shape;
+# Spark-first this is a JVM from_json/get_json_object — no UDF) -------------
+
+def stream_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the semi-structured ``props`` JSON column into a typed field
+    at query time and aggregate on it (``S/update/processor/
+    ParseLongFieldUpdateProcessorFactory`` + ``S/handler/loader/
+    JsonRecordReader`` split-path mapping — the ingest step that turns a
+    JSON payload into typed index fields): k = $.k as BIGINT, rolled up
+    per event_type with exact integer stats.
+
+    Scale shape: ``get_json_object`` is a JVM expression inside
+    whole-stage codegen (no Python, no schema inference pass); the rollup
+    is one map-side-combined hash-agg. At 100 TB the parse would move to
+    ingest (materialized typed column + parquet stats); the query-time
+    form here proves the identical expression semantics."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAM_JSON_EXTRACT_SQL = """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k
+FROM events GROUP BY 1 ORDER BY 1"""
+
+
+register("stream_json_extract", stream_json_extract, STREAM_JSON_EXTRACT_SQL)
