@@ -126,7 +126,9 @@ def check_index(spark: SparkSession, index_dir: str) -> DataFrame:
     """Distributed CheckIndex: one validation task per segment plus
     O(segments) cross-segment bookkeeping checks (norm bases must be the
     exclusive prefix sum of segment sizes; global stats.doc_count must
-    cover every non-tombstoned doc). Returns the per-segment report; a
+    equal the non-tombstoned docs that HAVE the field — length-0 docs are
+    excluded, the CollectionStatistics#docCount contract). Returns the
+    per-segment report; a
     clean index has ``n_violations == 0`` everywhere (cross-segment
     findings attach to the smallest involved segment's row)."""
     from .build import IndexMeta
@@ -168,11 +170,27 @@ def check_index(spark: SparkSession, index_dir: str) -> DataFrame:
     if os.path.isdir(stats_p):
         stats = pq.read_table(stats_p).to_pandas().iloc[0]
         tomb_p = os.path.join(index_dir, "tombstones")
-        n_tomb = 0
+        tombs: dict[int, set] = {}
         if os.path.isdir(tomb_p):
-            t = pq.read_table(tomb_p).to_pandas()
-            n_tomb = len(t.drop_duplicates(["seg", "doc_local"]))
-        live = int(report["n_docs"].sum()) - n_tomb
+            t = pq.read_table(tomb_p).to_pandas().drop_duplicates(["seg", "doc_local"])
+            for tseg, g in t.groupby("seg"):
+                tombs[int(tseg)] = set(g["doc_local"].astype(int))
+        # docCount is Lucene CollectionStatistics#docCount: docs that HAVE
+        # the field — an all-stopword doc has length 0, emits no postings,
+        # and is rightly excluded from stats (a plain n_docs − tombstones
+        # count would flag such corpora as corrupt; found by the
+        # backup/restore test's 80-conv fixture, which contains one)
+        live = 0
+        for seg in segs:
+            dt = pq.read_table(
+                os.path.join(index_dir, "docs", f"seg={seg}"),
+                columns=["doc_local", "length"],
+            ).to_pandas()
+            dead = tombs.get(int(seg), set())
+            live += int(
+                ((dt["length"] > 0)
+                 & ~dt["doc_local"].astype(int).isin(dead)).sum()
+            )
         if int(stats["doc_count"]) != live:
             extra.append(
                 f"stats.doc_count {int(stats['doc_count'])} != live docs {live}"
