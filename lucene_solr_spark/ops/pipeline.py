@@ -1142,3 +1142,119 @@ ORDER BY a.lang"""
 
 
 register("mix_temperature", mix_temperature, MIX_TEMPERATURE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# dedup_spans: cross-document duplicate n-gram span filter (exact-substring
+# dedup at n-gram granularity — Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better")
+# ---------------------------------------------------------------------------
+
+SPAN_N = 10          # gram width: the paper dedupes 50-token substrings;
+                     # at n-gram granularity a shorter window (10) keeps the
+                     # tiny test corpus's signal while the math is identical
+SPAN_DUP_FRAC = 0.2  # reject a doc when >= this fraction of its n-gram
+                     # positions also occur verbatim in ANOTHER doc
+
+
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span scoring: for every doc, the fraction of
+    its token ``SPAN_N``-gram positions whose gram appears verbatim in at
+    least one OTHER document; docs at or above ``SPAN_DUP_FRAC`` are
+    rejected. This is the distributed n-gram approximation of Lee et al.'s
+    suffix-array exact-substring dedup (the suffix array finds maximal
+    repeated substrings; positional n-grams find the same spans at fixed
+    granularity and shard trivially).
+
+    Distinct from ``decontaminate`` (corpus vs a tiny broadcast PROBE set)
+    and ``ngram_hotspots`` (corpus-hottest grams): this scores EVERY doc
+    against the whole corpus, so the gram table is corpus-sized on both
+    sides.
+
+    Scale shape: grams stay inside one array transform per doc (zero
+    shuffle to build); ONE map-side-combinable groupBy computes per-gram
+    distinct-doc counts; the join back is a shuffle equi-join on the gram —
+    the standard shape for corpus-vs-corpus overlap at 100 TB (both sides
+    hash-partition on the gram key; no broadcast is possible and none is
+    attempted). Per-doc rollup is a second small agg keyed by doc_id.
+    Hot boilerplate grams skew the gram key: the join carries counts (one
+    row per gram), never the gram's posting fan-out, so skew is bounded at
+    one row per distinct gram on the build side.
+    """
+    d = _toks_docs(spark, sf_dir)
+    n = F.size("toks")
+    grams = F.when(
+        n >= SPAN_N,
+        F.transform(
+            F.sequence(F.lit(0), n - SPAN_N),
+            lambda i: F.array_join(F.slice("toks", i + 1, SPAN_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = d.select("doc_id", F.explode(grams).alias("g"))
+    gdf = ex.groupBy("g").agg(F.count_distinct("doc_id").alias("gdf"))
+    per = (
+        ex.join(gdf, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("gdf") >= 2).cast("long")).alias("n_dup"),
+        )
+    )
+    frac = F.when(
+        F.col("n_grams") > 0, F.col("n_dup") / F.col("n_grams")
+    ).otherwise(F.lit(0.0))
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+        )
+        .withColumn("dup_frac", F.round(frac, 6))
+        .withColumn("keep", frac < F.lit(SPAN_DUP_FRAC))  # threshold on the
+        # UNROUNDED ratio (the oracle does too; rounding is display-only)
+        .orderBy("doc_id")
+    )
+
+
+def _toks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).withColumn(
+        "toks",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0),
+    )
+
+
+DEDUP_SPANS_SQL = f"""
+WITH t AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+    FROM documents
+),
+g AS (
+    SELECT t.doc_id,
+           array_to_string(t.toks[u.i : u.i + {SPAN_N - 1}], ' ') AS g
+    FROM t, unnest(generate_series(1, greatest(len(t.toks) - {SPAN_N - 1}, 0))) AS u(i)
+),
+gdf AS (
+    SELECT g, count(DISTINCT doc_id) AS gdf FROM g GROUP BY g
+),
+per AS (
+    SELECT g.doc_id,
+           count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN gdf.gdf >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+    FROM g JOIN gdf USING (g)
+    GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(per.n_grams, 0)::BIGINT AS n_grams,
+       COALESCE(per.n_dup, 0)::BIGINT AS n_dup,
+       round(CASE WHEN COALESCE(per.n_grams, 0) > 0
+                  THEN per.n_dup::DOUBLE / per.n_grams ELSE 0.0 END, 6) AS dup_frac,
+       (CASE WHEN COALESCE(per.n_grams, 0) > 0
+             THEN per.n_dup::DOUBLE / per.n_grams ELSE 0.0 END)
+           < {SPAN_DUP_FRAC} AS keep
+FROM t LEFT JOIN per USING (doc_id)
+ORDER BY doc_id"""
+
+
+register("dedup_spans", dedup_spans, DEDUP_SPANS_SQL)

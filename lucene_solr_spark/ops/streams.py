@@ -1272,3 +1272,90 @@ FROM events GROUP BY 1 ORDER BY 1"""
 
 
 register("stream_json_extract", stream_json_extract, STREAM_JSON_EXTRACT_SQL)
+
+
+# --- sessionization: gap-based session windows over the event stream --------
+
+SESSION_GAP_MIN = 240  # inactivity gap (minutes) that closes a session
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: group each user's events into sessions
+    that close after ``SESSION_GAP_MIN`` minutes of inactivity, then rank
+    the busiest sessions. The canonical transcript/clickstream rollup —
+    Solr's nearest analog is a ``reduce(sort(...), by=...)`` stream with a
+    session-breaking reducer (``SJ/io/stream/ReducerStream``); Spark has a
+    NATIVE operator for it, so the engine uses ``F.session_window`` (the
+    same operator Structured Streaming runs stateful — this exact groupBy
+    works unchanged over ``readStream`` with a watermark, which is the
+    100 TB/continuous path).
+
+    Session identity: Spark merges an event into the open session when its
+    window TOUCHES the session's — i.e. membership is the closed interval
+    [first_ts, last_ts + gap], an event at exactly last_ts + gap still
+    merges (pinned by ``tests/test_sessionize_spans.py``); the oracle
+    reproduces that with the classic islands construction (new session iff
+    ts > lag(ts) + gap, strictly). The session start is the raw min timestamp (the
+    same NTZ-vs-naive equivalence every date_trunc entry already relies
+    on); the duration is an exact BIGINT microsecond difference (epoch
+    diffs cancel the session-tz offset — this box pins Etc/UTC).
+
+    Scale shape: ONE hash-partition shuffle on user_id (session_window
+    aggregation is a partial+final agg keyed by (user_id, merged window));
+    no global window function anywhere — the oracle's lag/cumsum islands
+    would need a per-user sort, which session_window's merge avoids. The
+    top-20 is a TakeOrdered, not a global sort."""
+    ev = _t(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("ts").alias("t0"),
+            F.max("ts").alias("t1"),
+            F.count_distinct("event_type").cast("long").alias("n_types"),
+        )
+    )
+    us = lambda c: F.unix_micros(F.to_timestamp(F.col(c)))  # noqa: E731
+    return (
+        sess.select(
+            "user_id",
+            F.col("t0").alias("session_start"),
+            (us("t1") - us("t0")).cast("long").alias("duration_us"),
+            "n_events",
+            "n_types",
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"), F.asc("session_start"))
+        .limit(20)
+    )
+
+
+STREAM_SESSIONIZE_SQL = f"""
+WITH o AS (
+    SELECT user_id, ts, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts > lag(ts) OVER w + INTERVAL {SESSION_GAP_MIN} MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+    SELECT user_id, ts, event_type,
+           sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+           ) AS sess
+    FROM o
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS duration_us,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT event_type)::BIGINT AS n_types
+FROM s GROUP BY user_id, sess
+ORDER BY n_events DESC, user_id ASC, session_start ASC
+LIMIT 20"""
+
+
+register("stream_sessionize", stream_sessionize, STREAM_SESSIONIZE_SQL)
