@@ -1464,9 +1464,20 @@ PRIORITY_ORDER = [
     # r1 quadratic-baseline complaint it fixed stays certified there and
     # pass-local; surround certifies the NEW distance-operator parse
     # surface AND the new NearSpansUnordered kernel in one scored row)
-    "dedup_semantic", "dedup_shingle_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    # dedup_shingle_jaccard rotated out for dedup_spans (r4-cont): the
+    # exact-Jaccard near-dup generator (hot-shingle guard included) stays
+    # pass-local-gated and its candidate equi-join shape is scored inside
+    # dedup_minhash_lsh's verify step; spans certify the NEW corpus-vs-
+    # corpus exact-substring (positional n-gram) dedup family, which no
+    # other scored row exercises
+    "dedup_semantic", "dedup_spans", "dedup_minhash_lsh", "dedup_simhash",
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ft_surround_topk",
-    "graph_gather_nodes", "graph_shortest_path",
+    # graph_gather_nodes rotated out for stream_sessionize (r4-cont):
+    # gatherNodes' frontier equi-join IS one superstep of shortest_path's
+    # scored BFS loop (and stays pass-local-gated); sessionize certifies
+    # the NEW session_window merged-interval aggregation operator — the
+    # stateful-streaming-capable sessionizer no other scored row touches
+    "stream_sessionize", "graph_shortest_path",
     # token_counts rotated out for dsir_select (r4-cont): the ws/std/BPE-ish
     # token counting stays scored inside text_quality's token/char/stopword
     # signals and pass-local; dsir_select certifies the NEW importance-
