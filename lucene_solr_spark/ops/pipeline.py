@@ -1258,3 +1258,111 @@ ORDER BY doc_id"""
 
 
 register("dedup_spans", dedup_spans, DEDUP_SPANS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_best: quality-aware exemplar selection per duplicate cluster
+# ---------------------------------------------------------------------------
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster dedup: the same near-dup clusters as
+    ``dedup_clusters`` (shingle-Jaccard ≥ 0.8 pairs → connected
+    components), but the kept exemplar is the HIGHEST-QUALITY member —
+    most tokens, ties to the lowest doc_id — instead of the arbitrary
+    component-minimum id. This is the keep-longest rule production dedup
+    passes apply (a duplicate cluster usually holds truncated/boilerplate
+    variants of one best copy; keeping the minimum id throws away content).
+
+    Scale shape: identical to ``dedup_clusters`` up to the component
+    labels (superstep equi-joins, edge-list-bounded); exemplar choice adds
+    ONE hash-aggregate of a (n_tokens, -doc_id) struct max per cluster —
+    the argmax never shuffles doc text, only the per-doc token count
+    (computed in the same pruned projection the shingle pass already
+    reads) joined back on cluster_id."""
+    docs = _docs(spark, sf_dir)
+    sh = shingles(docs, n=3, max_shingle_df=SHINGLE_MAX_DF)
+    pairs = jaccard_pairs(sh, CLUSTER_JACCARD_T).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(pairs)
+    ntok = docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).cast("long").alias("n_tokens"),
+    )
+    m = cc.join(ntok, "doc_id")
+    best = m.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("nd"))).alias("b"),
+    )
+    return (
+        m.join(best, "cluster_id")
+        .select(
+            "cluster_id", "doc_id", "n_tokens",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (
+                (F.col("n_tokens") == F.col("b.n_tokens"))
+                & (F.col("doc_id") == -F.col("b.nd"))
+            ).alias("keep"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+# Oracle: the dedup_clusters CTE chain, plus a per-doc token count and a
+# row_number argmax (tokens desc, doc_id asc) inside each component.
+DEDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE tl AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks FROM documents
+),
+t AS (
+    SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl
+),
+sh0 AS (
+    SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
+    FROM t a
+    JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    JOIN t c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+hot AS (
+    SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) > {SHINGLE_MAX_DF}
+),
+sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+cnd AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*)::BIGINT AS inter
+    FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM cnd
+    JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+    WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= {CLUSTER_JACCARD_T}
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc FROM edges),
+reach AS (
+    SELECT doc, doc AS r FROM nodes
+    UNION
+    SELECT e.dst AS doc, reach.r FROM reach JOIN edges e ON e.src = reach.doc
+),
+cc AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc),
+ntok AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM tl),
+m AS (
+    SELECT cc.cluster_id, cc.doc_id, ntok.n_tokens,
+           count(*) OVER (PARTITION BY cc.cluster_id)::BIGINT AS n_docs,
+           row_number() OVER (
+               PARTITION BY cc.cluster_id
+               ORDER BY ntok.n_tokens DESC, cc.doc_id ASC
+           ) AS rk
+    FROM cc JOIN ntok ON ntok.doc_id = cc.doc_id
+)
+SELECT cluster_id, doc_id, n_tokens, n_docs, rk = 1 AS keep
+FROM m ORDER BY cluster_id, doc_id"""
+
+
+register("dedup_keep_best", dedup_keep_best, DEDUP_KEEP_BEST_SQL)

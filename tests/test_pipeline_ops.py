@@ -267,3 +267,33 @@ def samp_exact(out):
 
     w = out.n_docs.to_numpy().astype(float) ** TEMP_ALPHA
     return w / w.sum()
+
+
+def test_dedup_keep_best_prefers_longest(spark, tmp_path):
+    """In a near-dup cluster the kept exemplar is the member with the MOST
+    tokens (ties to lowest doc_id) — not the component-minimum id that
+    dedup_clusters keeps. Fixture: doc 0 is a truncated copy of doc 1, so
+    the cluster minimum (0) must be dropped and 1 kept; doc 2 is unrelated
+    and absent from the output."""
+    import pandas as pd
+
+    from lucene_solr_spark.ops.pipeline import dedup_keep_best
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    texts = [base, base + " extra trailing content here", "completely different words " * 5]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["src1"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    rows = {r.doc_id: r for r in dedup_keep_best(spark, str(tmp_path)).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0].cluster_id == rows[1].cluster_id == 0
+    assert rows[0].n_docs == rows[1].n_docs == 2
+    assert not rows[0].keep and rows[1].keep  # longest wins, not min-id
+    assert rows[1].n_tokens > rows[0].n_tokens
