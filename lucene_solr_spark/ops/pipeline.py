@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .dedup import SHINGLE_MAX_DF, _docs, jaccard_pairs, shingles
 from .registry import register
+from .streams import SESSION_GAP_MIN, _t
 from .textmetrics import TOKEN_RE, TOKEN_RE_SQL
 
 # ---------------------------------------------------------------------------
@@ -1366,3 +1367,85 @@ FROM m ORDER BY cluster_id, doc_id"""
 
 
 register("dedup_keep_best", dedup_keep_best, DEDUP_KEEP_BEST_SQL)
+
+
+# ---------------------------------------------------------------------------
+# conv_render: session -> rendered training document (chat-template analog)
+# ---------------------------------------------------------------------------
+
+def conv_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render each gap-delimited session of the event stream into ONE
+    training document: events ordered by (ts, event_id), each emitted as a
+    ``type: props`` line, newline-joined — the chat-template rendering step
+    that turns raw multi-turn transcripts (conv_id, turn_idx, role, text)
+    into model-ready text. Session identity is the same Spark-native
+    ``F.session_window`` merge as ``stream_sessionize`` (closed interval
+    [first, last+gap]); the oracle reproduces it with the strict-islands
+    construction.
+
+    Scale shape: ONE hash shuffle on user_id (session_window partial+final
+    agg); within-session ordering is ``sort_array`` over the collected
+    struct list — per-GROUP state only (a session is bounded by the
+    inactivity gap, never the corpus), so no global or per-user window sort
+    anywhere. The rendered text is built JVM-side (transform + array_join,
+    no Python). Runs unchanged under Structured Streaming with a watermark,
+    which is the continuous-ingest path."""
+    ev = _t(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type", "props"))
+            ).alias("turns"),
+        )
+    )
+    rendered = F.array_join(
+        F.transform(
+            "turns", lambda t: F.concat_ws(": ", t.event_type, t.props)
+        ),
+        "\n",
+    )
+    return (
+        sess.select(
+            "user_id",
+            "session_start",
+            "n_turns",
+            rendered.alias("text"),
+            F.length(rendered).cast("long").alias("n_chars"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+CONV_RENDER_SQL = f"""
+WITH o AS (
+    SELECT user_id, ts, event_id, event_type, props,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts > lag(ts) OVER w + INTERVAL {SESSION_GAP_MIN} MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+    ) AS sess
+    FROM o
+),
+r AS (
+    SELECT user_id,
+           min(ts) AS session_start,
+           count(*)::BIGINT AS n_turns,
+           string_agg(event_type || ': ' || props, chr(10) ORDER BY ts, event_id) AS text
+    FROM s GROUP BY user_id, sess
+)
+SELECT user_id, session_start, n_turns, text, length(text)::BIGINT AS n_chars
+FROM r ORDER BY user_id, session_start"""
+
+
+register("conv_render", conv_render, CONV_RENDER_SQL)

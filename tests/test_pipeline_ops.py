@@ -297,3 +297,33 @@ def test_dedup_keep_best_prefers_longest(spark, tmp_path):
     assert rows[0].n_docs == rows[1].n_docs == 2
     assert not rows[0].keep and rows[1].keep  # longest wins, not min-id
     assert rows[1].n_tokens > rows[0].n_tokens
+
+
+def test_conv_render_orders_turns_and_breaks_sessions(spark, tmp_path):
+    """Rendered text is the (ts, event_id)-ordered 'type: props' lines of
+    ONE session; an event beyond the inactivity gap starts a new document."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from lucene_solr_spark.ops.pipeline import conv_render
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # session 1: three turns, deliberately written out of ts order
+        (2, t0 + dt.timedelta(minutes=10), 7, "click", 1.0, '{"k": 2}'),
+        (1, t0 + dt.timedelta(minutes=5), 7, "view", 1.0, '{"k": 1}'),
+        (3, t0 + dt.timedelta(minutes=20), 7, "error", 1.0, '{"k": 3}'),
+        # session 2: past the 240-minute gap
+        (4, t0 + dt.timedelta(minutes=20 + 241), 7, "view", 1.0, '{"k": 4}'),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(tmp_path / "events.parquet", index=False)
+    out = conv_render(spark, str(tmp_path)).collect()
+    assert [r.n_turns for r in out] == [3, 1]
+    assert out[0].text == 'view: {"k": 1}\nclick: {"k": 2}\nerror: {"k": 3}'
+    assert out[1].text == 'view: {"k": 4}'
+    assert out[0].n_chars == len(out[0].text)
