@@ -914,3 +914,59 @@ GROUP BY b_id ORDER BY vec_id"""
 
 
 register("dedup_semantic", dedup_semantic, DEDUP_SEMANTIC_SQL)
+
+
+# --- similarity-threshold vector search (radius search) ---------------------
+
+SIM_THRESHOLD = 0.6
+
+
+def ann_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-threshold (radius) vector search — every vector whose
+    Lucene COSINE score ``(1 + cos) / 2`` meets ``SIM_THRESHOLD`` against
+    the probe, ranked by score. The Lucene analog is
+    ``FloatVectorSimilarityQuery`` (``VectorSimilarityFunction.COSINE``
+    score scaling) — the "all results at least this similar" surface that
+    top-k knn cannot express (dedup radii, recall-bounded retrieval).
+
+    Scale shape: the registered path is the EXACT one-pass scan — the
+    score is a JVM ``zip_with``/``aggregate`` fold per row, the threshold
+    a plain filter, the final order a TakeOrdered over survivors; NO
+    shuffle of the embedding table at all, so the scan parallelizes
+    perfectly at 100 TB. (Lucene's graph walk is an approximation with an
+    exact-fallback guard; a threshold query's oracle demands guaranteed
+    recall, so the exact scan is the certified path and the LSH-band
+    prefilter of ``embed_top_pairs`` is the documented recall<1 shortcut.)"""
+    probe = _probe_vector(spark, sf_dir, PROBE_VEC_ID)
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") != F.lit(PROBE_VEC_ID))
+    p = F.array(*[F.lit(float(x)) for x in probe])
+    score = (F.lit(1.0) + _dot(F.col("embedding"), p)
+             / (_norm(F.col("embedding")) * F.lit(sum(x * x for x in probe) ** 0.5))
+             ) / F.lit(2.0)
+    return (
+        emb.select("vec_id", F.round(score, 6).alias("score"))
+        .filter(F.col("score") >= F.lit(SIM_THRESHOLD))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+    )
+
+
+ANN_THRESHOLD_SQL = f"""
+WITH probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = {PROBE_VEC_ID}),
+pe AS (SELECT unnest(pv) AS p, generate_subscripts(pv, 1) AS i FROM probe),
+ex AS (
+    SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+    FROM embeddings WHERE vec_id != {PROBE_VEC_ID}
+),
+np AS (SELECT sqrt(sum(p::DOUBLE * p::DOUBLE)) AS npv FROM pe),
+dots AS (
+    SELECT vec_id, sum(x::DOUBLE * p::DOUBLE) AS dot,
+           sqrt(sum(x::DOUBLE * x::DOUBLE)) AS na
+    FROM ex JOIN pe USING (i) GROUP BY 1
+)
+SELECT vec_id, round((1 + dot / (na * npv)) / 2, 6) AS score
+FROM dots, np
+WHERE round((1 + dot / (na * npv)) / 2, 6) >= {SIM_THRESHOLD}
+ORDER BY score DESC, vec_id ASC"""
+
+
+register("ann_threshold", ann_threshold, ANN_THRESHOLD_SQL)
