@@ -1449,3 +1449,157 @@ FROM r ORDER BY user_id, session_start"""
 
 
 register("conv_render", conv_render, CONV_RENDER_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pipeline_select: the composed end-to-end training-data selection funnel
+# ---------------------------------------------------------------------------
+
+def pipeline_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED selection funnel a pretraining pipeline actually ships —
+    one call, one row per document, every stage's verdict as an audit
+    column (the published "filtering funnel" of RefinedWeb/FineWeb-style
+    pipelines):
+
+    1. ``quality_ok``   — the C4/Gopher accept decision (quality_filter_flags);
+    2. ``exact_dup``    — doc is an exact md5(text) duplicate and NOT the
+                          minimum-id keeper;
+    3. ``near_dup``     — doc sits in a shingle-Jaccard cluster and is NOT
+                          the keep-longest exemplar (dedup_keep_best);
+    4. ``selected``     — quality_ok AND NOT exact_dup AND NOT near_dup.
+
+    Flags are computed independently (audit semantics: a rejected doc still
+    shows its other verdicts) and composed with one AND — the funnel counts
+    fall out of a trivial aggregate over this table.
+
+    Scale shape: pure composition of already-audited stages — the quality
+    pass (two narrow passes + one gram hash-agg), the exact-dup keeper (ONE
+    md5 hash-agg), the near-dup chain (bounded-fan-out shingle join +
+    superstep components) — glued by doc_id equi-joins, which co-partition
+    after the first hash exchange. Nothing new shuffles doc text."""
+    from .textmetrics import quality_filter_flags
+
+    q = quality_filter_flags(spark, sf_dir).select(
+        "doc_id", F.col("accept").alias("quality_ok")
+    )
+    docs = _docs(spark, sf_dir)
+    keep = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keeper")
+    )
+    e = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .join(keep, "h")
+        .select("doc_id", (F.col("doc_id") != F.col("keeper")).alias("exact_dup"))
+    )
+    nb = dedup_keep_best(spark, sf_dir).select(
+        "doc_id", (~F.col("keep")).alias("nd")
+    )
+    return (
+        q.join(e, "doc_id")
+        .join(nb, "doc_id", "left")
+        .select(
+            "doc_id", "quality_ok", "exact_dup",
+            F.coalesce("nd", F.lit(False)).alias("near_dup"),
+            (
+                F.col("quality_ok") & ~F.col("exact_dup")
+                & ~F.coalesce("nd", F.lit(False))
+            ).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pipeline_select_sql() -> str:
+    from .textmetrics import (
+        _STOP_IN, QF_MAX_DUP2, QF_MAX_MEAN_LEN, QF_MAX_TOKENS,
+        QF_MIN_MEAN_LEN, QF_MIN_STOP, QF_MIN_TOKENS,
+    )
+
+    return f"""
+WITH RECURSIVE tl AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks FROM documents
+),
+t AS (
+    SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl
+),
+base AS (
+    SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / len(toks) AS mean_len,
+           len(list_intersect(list_distinct(toks), [{_STOP_IN}]))::BIGINT AS n_stop
+    FROM tl
+),
+g AS (
+    SELECT a.doc_id, a.term || ' ' || b.term AS gram
+    FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+dup AS (
+    SELECT doc_id, CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup2_frac
+    FROM (SELECT doc_id, gram, count(*)::BIGINT AS c FROM g GROUP BY 1, 2)
+    GROUP BY doc_id
+),
+q AS (
+    SELECT b.doc_id,
+           NOT (b.n_tokens < {QF_MIN_TOKENS} OR b.n_tokens > {QF_MAX_TOKENS}
+                OR b.mean_len < {QF_MIN_MEAN_LEN!r} OR b.mean_len > {QF_MAX_MEAN_LEN!r}
+                OR b.n_stop < {QF_MIN_STOP}
+                OR COALESCE(d.dup2_frac, 0.0) > {QF_MAX_DUP2!r}) AS quality_ok
+    FROM base b LEFT JOIN dup d USING (doc_id)
+),
+e AS (
+    SELECT doc_id,
+           doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS exact_dup
+    FROM documents
+),
+sh0 AS (
+    SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
+    FROM t a
+    JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    JOIN t c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+hot AS (
+    SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) > {SHINGLE_MAX_DF}
+),
+sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+cnd AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*)::BIGINT AS inter
+    FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM cnd
+    JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+    WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= {CLUSTER_JACCARD_T}
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc FROM edges),
+reach AS (
+    SELECT doc, doc AS r FROM nodes
+    UNION
+    SELECT e2.dst AS doc, reach.r FROM reach JOIN edges e2 ON e2.src = reach.doc
+),
+cc AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc),
+ntok AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM tl),
+m AS (
+    SELECT cc.doc_id,
+           row_number() OVER (
+               PARTITION BY cc.cluster_id
+               ORDER BY ntok.n_tokens DESC, cc.doc_id ASC
+           ) AS rk
+    FROM cc JOIN ntok ON ntok.doc_id = cc.doc_id
+)
+SELECT d.doc_id, q.quality_ok, e.exact_dup,
+       COALESCE(m.rk > 1, FALSE) AS near_dup,
+       (q.quality_ok AND NOT e.exact_dup AND NOT COALESCE(m.rk > 1, FALSE)) AS selected
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+JOIN e ON e.doc_id = d.doc_id
+LEFT JOIN m ON m.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+
+register("pipeline_select", pipeline_select, _pipeline_select_sql())

@@ -327,3 +327,43 @@ def test_conv_render_orders_turns_and_breaks_sessions(spark, tmp_path):
     assert out[0].text == 'view: {"k": 1}\nclick: {"k": 2}\nerror: {"k": 3}'
     assert out[1].text == 'view: {"k": 4}'
     assert out[0].n_chars == len(out[0].text)
+
+
+def test_pipeline_select_funnel_flags(spark, tmp_path):
+    """Composed funnel: the exact copy flags exact_dup (keeper = min id),
+    both copies and the truncated variant cluster as near-dups with the
+    longest (= min id on ties) kept, and only the keeper that also passes
+    quality is selected."""
+    import pandas as pd
+
+    from lucene_solr_spark.ops.pipeline import pipeline_select
+
+    base = (
+        "the quick brown fox jumps over a lazy dog while many other animals "
+        "watch quietly from the nearby hill and some birds fly across the "
+        "evening sky toward their distant nests"
+    )
+    texts = [
+        base,                                   # 0: exact-dup keeper, but shorter
+        base,                                   # 1: exact duplicate of 0
+        base + " before night falls",           # 2: longest near-dup -> kept
+        "xx yy",                                # 3: too short -> quality reject
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    rows = {r.doc_id: r for r in pipeline_select(spark, str(tmp_path)).collect()}
+    assert len(rows) == 4
+    assert [rows[i].exact_dup for i in range(4)] == [False, True, False, False]
+    # keep-longest: doc 2 (the extended variant) is the exemplar, both
+    # copies of the shorter text are near-dup drops
+    assert [rows[i].near_dup for i in range(3)] == [True, True, False]
+    assert rows[0].quality_ok and not rows[3].quality_ok
+    assert [rows[i].selected for i in range(4)] == [False, False, True, False]
