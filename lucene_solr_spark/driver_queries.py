@@ -1432,7 +1432,13 @@ PRIORITY_ORDER = [
     # stays scored inside collapse_expand (the same single window shuffle)
     # and pass-local; RRF certifies the NEW hybrid rank-fusion surface
     # (two WAND legs fused by reciprocal rank)
-    "stats_component", "dedup_clusters", "collapse_expand", "ft_rrf_topk",
+    # dedup_clusters rotated out for pipeline_select (r4-cont): the
+    # connected-components assembly over the jaccard pair generator runs
+    # VERBATIM inside pipeline_select's near-dup stage (and stays
+    # pass-local-gated); the funnel row is strictly richer — it scores the
+    # composed quality + exact-dup-keeper + keep-best-exemplar decision a
+    # shipped pipeline actually emits, which no other scored row exercises
+    "stats_component", "pipeline_select", "collapse_expand", "ft_rrf_topk",
     # streaming expressions (jdbc = the Derby round-trip source);
     # stream_rollup rotated out for ft_facet_on_query late in r3 (grouped
     # aggregation stays scored via stream_reduce and the facet family;
