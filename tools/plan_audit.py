@@ -291,6 +291,20 @@ def main() -> None:
         must_not=[r"SortMergeJoin", r"CartesianProduct", r"BatchEvalPython"],
     ))
 
+    # 24. composed selection funnel: no CartesianProduct anywhere in the
+    # quality+exact-dup+near-dup composition, no row-at-a-time Python, and
+    # the stages glue with hash joins (the CC superstep loop checkpoints,
+    # so only the final plan is visible — the shingle self-join bound is
+    # audited in the dedup_minhash invariant with the same guard)
+    from lucene_solr_spark.ops.pipeline import pipeline_select
+
+    results.append(audit(
+        "pipeline_select_no_cartesian_no_python",
+        pipeline_select(spark, SF_DIR),
+        must=[r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"BatchEvalPython"],
+    ))
+
     n_fail = results.count(False)
     print(f"{len(results) - n_fail}/{len(results)} plan invariants hold")
     sys.exit(1 if n_fail else 0)
