@@ -27,6 +27,7 @@ from .oracles import (
     collection_stats_sql,
     dismax_topk_sql,
     docs_norms_sql,
+    field_summary_sql,
     mlt_topk_sql,
     multiterm_topk_sql,
     sloppy_phrase_topk_sql,
@@ -738,6 +739,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").docs_norms()
     out["ft_stop_docs_norms"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "stop").docs_norms()
     out["ft_term_stats"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").term_stats_df()
+    # Luke /admin/luke per-field dictionary summary (text + keyword fields)
+    out["ft_field_summary"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).field_summary()
     out["ft_collection_stats"] = (
         lambda spark, sf_dir: get_engine(spark, sf_dir, "stop").collection_stats_df()
     )
@@ -1343,6 +1348,7 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     out["ft_docs_norms"] = docs_norms_sql("simple")
     out["ft_stop_docs_norms"] = docs_norms_sql("stop")
     out["ft_term_stats"] = term_stats_sql("simple")
+    out["ft_field_summary"] = field_summary_sql("simple")
     out["ft_collection_stats"] = collection_stats_sql("stop")
     return out
 

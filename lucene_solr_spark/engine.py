@@ -2710,6 +2710,49 @@ class DocumentsEngine:
             (F.col("sum_ttf").cast("double") / F.col("doc_count")).cast("float").alias("avgdl"),
         )
 
+    def field_summary(self) -> DataFrame:
+        """Luke handler analog (``/admin/luke`` —
+        ``S/handler/admin/LukeRequestHandler#getIndexedFieldsInfo``, topTerms
+        via ``L/misc/HighFreqTerms``): per indexed field, the dictionary-level
+        summary — distinct terms, Σ docFreq, Σ totalTermFreq, and the
+        highest-docFreq term (ties to the lexicographically first) — the
+        index-introspection surface every Solr admin screen reads. Keyword
+        fields are the ``\\x01col:value`` synthetic terms; the analyzed text
+        field is everything else.
+
+        Scale shape: ONE scan of the term_stats table (O(vocabulary), tiny
+        next to postings) + one hash-agg; the argmax is a (−df, term)
+        struct-min inside the same agg — no postings decode, no doc scan."""
+        from .index.build import KEYWORD_PREFIX
+
+        ts = self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+        is_kw = F.col("term").startswith(KEYWORD_PREFIX)
+        raw = F.expr("substring(term, 2)")
+        per = ts.select(
+            F.when(is_kw, F.substring_index(raw, ":", 1))
+            .otherwise(F.lit("text")).alias("field"),
+            F.when(is_kw, F.regexp_replace(raw, "^[^:]*:", ""))
+            .otherwise(F.col("term")).alias("term"),
+            F.col("df").cast("long").alias("df"),
+            F.col("ttf").cast("long").alias("ttf"),
+        )
+        b = F.min(F.struct((-F.col("df")).alias("ndf"), F.col("term").alias("t")))
+        return (
+            per.groupBy("field")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("num_terms"),
+                F.sum("df").cast("long").alias("sum_df"),
+                F.sum("ttf").cast("long").alias("sum_ttf"),
+                b.alias("b"),
+            )
+            .select(
+                "field", "num_terms", "sum_df", "sum_ttf",
+                F.col("b.t").alias("top_term"),
+                (-F.col("b.ndf")).cast("long").alias("top_df"),
+            )
+            .orderBy("field")
+        )
+
     def tagger(self, text: str) -> DataFrame:
         """Text Tagger (Solr ``/tag`` handler — ``S/handler/tagger/
         TaggerRequestHandler``, the SolrTextTagger contrib): run the posted

@@ -286,6 +286,38 @@ SELECT n.doc_id::BIGINT AS doc_id, n.length::BIGINT AS length, n.norm::INTEGER A
 FROM norms n ORDER BY doc_id"""
 
 
+def field_summary_sql(analyzer: str) -> str:
+    """Luke per-field summary: the text field's stats recomputed from the
+    analyzed token stream; each keyword field's from its stored column
+    (one `\\x01col:value` term per doc, tf=1 ⇒ df=ttf=value count)."""
+    return f"""WITH {base_ctes(analyzer)},
+txt AS (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
+    FROM kept GROUP BY 1
+),
+allf AS (
+    SELECT 'text' AS field, term, df, ttf FROM txt
+    UNION ALL
+    SELECT 'source', source, count(*)::BIGINT, count(*)::BIGINT
+    FROM documents GROUP BY 2
+    UNION ALL
+    SELECT 'lang', lang, count(*)::BIGINT, count(*)::BIGINT
+    FROM documents GROUP BY 2
+),
+top AS (
+    SELECT field, term AS top_term, df AS top_df
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY field ORDER BY df DESC, term ASC) AS rk
+          FROM allf)
+    WHERE rk = 1
+)
+SELECT field, count(*)::BIGINT AS num_terms, sum(df)::BIGINT AS sum_df,
+       sum(ttf)::BIGINT AS sum_ttf, any_value(top_term) AS top_term,
+       any_value(top_df)::BIGINT AS top_df
+FROM allf JOIN top USING (field)
+GROUP BY field ORDER BY field"""
+
+
 def term_stats_sql(analyzer: str, min_df: int = 1) -> str:
     return f"""WITH {base_ctes(analyzer)}
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
