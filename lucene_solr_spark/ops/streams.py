@@ -828,6 +828,56 @@ ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC"""
 
 register("stream_export", stream_export, STREAM_EXPORT_SQL)
 
+# --- index-sort early termination: two-pass cutoff-pushdown top-k ----------
+
+EARLY_TOPK_K = 25
+
+
+def stream_export_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-sort early termination, re-expressed for a columnar scan —
+    the Lucene analog is ``IndexWriterConfig#setIndexSort`` +
+    ``TopFieldCollector`` early exit (a segment sorted by the sort field
+    stops after k docs). A distributed scan can't "stop early", but it can
+    do the equivalent work reduction in two passes:
+
+    1. pass 1 reads ONLY the sort column (column pruning ⇒ one thin column
+       scan) and TakeOrders the k-th value — a scalar;
+    2. pass 2 re-scans with ``sort_col >= kth`` PUSHED to the parquet scan
+       (``PushedFilters: GreaterThanOrEqual``) — on an index-sorted layout
+       (row groups clustered by the sort key, min/max footers) every
+       non-competitive row group is skipped without decoding, which is
+       exactly what early termination saves — then fetches the remaining
+       fields for survivors only (fetch-late).
+
+    Ties at the k-th value all survive the filter; the final TakeOrdered
+    re-applies the total order. Audited by ``tools/plan_audit.py``
+    (pushdown present in pass 2's plan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    kth_rows = (
+        li.select("l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"))
+        .limit(EARLY_TOPK_K)
+        .collect()
+    )
+    kth = kth_rows[-1].l_extendedprice
+    return (
+        li.filter(F.col("l_extendedprice") >= F.lit(kth))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(EARLY_TOPK_K)
+    )
+
+
+STREAM_EXPORT_PRUNED_SQL = f"""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT {EARLY_TOPK_K}"""
+
+
+register("stream_export_pruned", stream_export_pruned, STREAM_EXPORT_PRUNED_SQL)
+
+
 
 # --- spatial: geofilt + geodist sort (LatLonPoint / SpatialFilterQParser) ---
 

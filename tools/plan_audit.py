@@ -305,6 +305,20 @@ def main() -> None:
         must_not=[r"CartesianProduct", r"BatchEvalPython"],
     ))
 
+    # 25. early-termination sorted top-k: the pass-1 k-th value is PUSHED
+    # into pass 2's parquet scan (row groups above/below the bound skip
+    # without decode on a sort-clustered layout) and the final order is a
+    # TakeOrdered, never a global sort
+    from lucene_solr_spark.ops.streams import stream_export_pruned
+
+    results.append(audit(
+        "export_pruned_cutoff_pushdown",
+        stream_export_pruned(spark, SF_DIR),
+        must=[r"PushedFilters: \[.*GreaterThanOrEqual\(l_extendedprice",
+              r"TakeOrderedAndProject"],
+        must_not=[r"Exchange rangepartitioning"],
+    ))
+
     n_fail = results.count(False)
     print(f"{len(results) - n_fail}/{len(results)} plan invariants hold")
     sys.exit(1 if n_fail else 0)
