@@ -1603,3 +1603,98 @@ ORDER BY d.doc_id"""
 
 
 register("pipeline_select", pipeline_select, _pipeline_select_sql())
+
+
+# ---------------------------------------------------------------------------
+# stream_heavy_hitters: Misra-Gries sketch + exact recount (bounded memory)
+# ---------------------------------------------------------------------------
+
+HH_TOPK = 20   # report the top-k terms by exact count
+HH_CAP = 400   # Misra-Gries counter capacity per partition
+
+
+def heavy_hitter_candidates(toks: DataFrame) -> DataFrame:
+    """Pass 1 of the heavy-hitters pipeline: per-partition Misra-Gries
+    summaries (≤ ``HH_CAP`` counters each, Arrow-batched — per-batch counts
+    come from one vectorized ``value_counts``, the decrement step touches
+    only the ≤ cap+batch-vocab live counters). GUARANTEE (pigeonhole over
+    partitions): any term with global frequency > n/HH_CAP exceeds
+    n_p/HH_CAP in at least one partition, and MG(cap) never evicts a term
+    while its residual count is positive — so the candidate union contains
+    every such term. Candidates are O(cap × partitions) rows — tiny."""
+    import pandas as pd
+
+    def mg(batches):
+        from collections import Counter
+
+        s: Counter = Counter()
+        for pdf in batches:
+            s.update(pdf["term"].value_counts().to_dict())
+            if len(s) > HH_CAP:
+                # batched decrement: subtracting the (cap+1)-th largest
+                # count from every live counter zeroes out at least
+                # len(s)-cap of them — each subtracted unit coincides with
+                # >= cap other subtractions, the classic MG charge argument
+                d = sorted(s.values(), reverse=True)[HH_CAP]
+                s = Counter({t: c - d for t, c in s.items() if c > d})
+        yield pd.DataFrame({"term": list(s.keys())})
+
+    return toks.mapInPandas(mg, "term string").distinct()
+
+
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (frequent terms) via a mergeable bounded-memory sketch
+    + exact recount — the missing member of the sketch family (HLL unique,
+    approx percentile, MinHash, SimHash): corpus-hottest terms WITHOUT an
+    O(vocabulary) aggregation state. At 10^12 turns the live vocabulary is
+    10^8+, so a plain (term) hash-agg holds that many counters per
+    executor; Misra-Gries caps pass 1 at ``HH_CAP`` counters per partition
+    and the exact recount's agg state at O(candidates).
+
+    Two passes: (1) per-partition MG candidate generation — zero shuffle of
+    corpus tokens, candidates broadcast back; (2) exact count restricted to
+    candidates, TakeOrdered top-k. The result is EXACT, not approximate:
+    the MG union provably contains every term with freq > n/HH_CAP, and a
+    guard falls back to the full aggregate in the (never-at-this-data)
+    case that the k-th exact count fails that bound."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("term")
+    )
+    cand = heavy_hitter_candidates(toks)
+    top = (
+        toks.join(F.broadcast(cand), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(HH_TOPK)
+    )
+    rows = top.collect()
+    n = docs.select(
+        F.sum(
+            F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0))
+        )
+    ).head()[0]
+    if len(rows) == HH_TOPK and rows[-1].cnt * HH_CAP > n:
+        return top  # sketch guarantee holds: top-k is provably exact
+    # guard: k-th count not above n/cap — recount everything exactly
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(HH_TOPK)
+    )
+
+
+STREAM_HEAVY_HITTERS_SQL = f"""
+WITH t AS (
+    SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS term
+    FROM documents
+)
+SELECT term, count(*)::BIGINT AS cnt
+FROM t GROUP BY 1 ORDER BY cnt DESC, term ASC LIMIT {HH_TOPK}"""
+
+
+register("stream_heavy_hitters", stream_heavy_hitters, STREAM_HEAVY_HITTERS_SQL)

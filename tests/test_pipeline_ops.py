@@ -367,3 +367,63 @@ def test_pipeline_select_funnel_flags(spark, tmp_path):
     assert [rows[i].near_dup for i in range(3)] == [True, True, False]
     assert rows[0].quality_ok and not rows[3].quality_ok
     assert [rows[i].selected for i in range(4)] == [False, False, True, False]
+
+
+def test_heavy_hitter_candidates_guarantee(spark, tmp_path):
+    """With vocabulary >> HH_CAP (the decrement/eviction path runs), every
+    term whose global frequency exceeds n/HH_CAP is still in the candidate
+    union — the Misra-Gries containment guarantee — and the end-to-end
+    entry returns the exact brute-force top-k."""
+    import pandas as pd
+
+    from lucene_solr_spark.ops.pipeline import (
+        HH_CAP, HH_TOPK, heavy_hitter_candidates, stream_heavy_hitters,
+    )
+
+    # 5 heavy terms (freq 300 each) buried in 3000 singleton terms
+    heavy = [f"hot{i}" for i in range(5)]
+    tokens = [t for t in heavy for _ in range(300)]
+    tokens += [f"rare{i:05d}" for i in range(3000)]
+    # deterministic interleave so heavies spread across batches/partitions
+    import random
+
+    rng = random.Random(42)
+    rng.shuffle(tokens)
+    docs = [" ".join(tokens[i:i + 50]) for i in range(0, len(tokens), 50)]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": docs,
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [len(t) for t in docs],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.ops.textmetrics import TOKEN_RE
+
+    toks = (
+        spark.read.parquet(str(tmp_path / "documents.parquet"))
+        .select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+            ).alias("term")
+        )
+        .repartition(8)  # force several partitions -> several MG summaries
+    )
+    cand = {r.term for r in heavy_hitter_candidates(toks).collect()}
+    n = len(tokens)
+    assert all(h in cand for h in heavy), "freq 300 > n/cap terms must survive"
+    assert n / HH_CAP < 300  # the guarantee's premise holds in this fixture
+
+    got = stream_heavy_hitters(spark, str(tmp_path)).collect()
+    assert len(got) == HH_TOPK
+    assert [r.term for r in got[:5]] == sorted(heavy)
+    assert all(r.cnt == 300 for r in got[:5])
+    # remaining slots: singletons, term-ascending
+    rest = [r for r in got[5:]]
+    assert all(r.cnt == 1 for r in rest)
+    assert [r.term for r in rest] == sorted(r.term for r in rest)
