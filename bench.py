@@ -281,6 +281,14 @@ def main() -> None:
 
         timings["dsir_select"] = _best_of(
             lambda: dsir_select(spark, SF_DIR).collect())
+        from lucene_solr_spark.ops.pipeline import (
+            pipeline_select, stream_heavy_hitters,
+        )
+
+        timings["pipeline_select"] = _best_of(
+            lambda: pipeline_select(spark, SF_DIR).count())
+        timings["heavy_hitters"] = _best_of(
+            lambda: stream_heavy_hitters(spark, SF_DIR).collect())
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
