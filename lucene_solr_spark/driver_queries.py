@@ -108,6 +108,10 @@ MULTITERM = {
     "ft_prefix_topk": ("prefix", "s", "term LIKE 's%'"),
     "ft_wildcard_topk": ("wildcard", "s%w", "term LIKE 's%w'"),
     "ft_fuzzy_topk": ("fuzzy", ("batc", 1), "levenshtein(term, 'batc') <= 1"),
+    # Leading wildcard *ing via the reversed-dictionary sidecar
+    # (ReversedWildcardFilterFactory analog): prefix range on rterm,
+    # pushed to the scan — not a full-dictionary LIKE
+    "ft_leadwild_topk": ("leading_wildcard", "er", "term LIKE '%er'"),
     "ft_regexp_topk": ("regexp", "key|hash", "regexp_full_match(term, 'key|hash')"),
     "ft_set_topk": ("set", ("table", "join", "key"), "term IN ('table', 'join', 'key')"),
     # TermRangeQuery: lexicographic [lo, hi) over the term dictionary

@@ -754,6 +754,25 @@ def _finalize(spark: SparkSession, index_dir: str) -> None:
         docs = docs.join(tomb_df, ["seg", "doc_local"], "left_anti")
     term_stats.write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
 
+    # Reversed term dictionary (``S/analysis/ReversedWildcardFilterFactory``
+    # analog): the same dictionary keyed by reverse(term), range-partitioned
+    # and sorted on the reversed key, so a LEADING wildcard (``*ing``)
+    # becomes a PREFIX range on this sidecar — parquet min/max file pruning
+    # + a pushed StartsWith instead of a full-dictionary LIKE '%ing' scan.
+    # Solr pays for this with a second token stream in the index; here the
+    # cost is one extra sort of the (tiny relative to postings) dictionary,
+    # rewritten by the same _finalize that owns term_stats, so updates /
+    # merges / DBQ keep the two views consistent.
+    ts_rev = spark.read.parquet(os.path.join(index_dir, "term_stats")).select(
+        F.reverse(F.col("term")).alias("rterm"), "term", "df", "ttf"
+    )
+    (
+        ts_rev.repartitionByRange(4, "rterm")
+        .sortWithinPartitions("rterm")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "term_stats_rev"))
+    )
+
     stats = docs.agg(
         F.count(F.lit(1)).alias("max_doc"),
         F.sum((F.col("length") > 0).cast("long")).alias("doc_count"),

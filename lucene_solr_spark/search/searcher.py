@@ -361,6 +361,24 @@ class IndexSearcher:
                 t.term for t in rows if _osa_distance(t.term, term) <= max_edits
             ]
             return out[:max_expansions]
+        elif kind == "leading_wildcard":
+            # ReversedWildcardFilter (``S/analysis/ReversedWildcardFilterFactory``):
+            # a leading wildcard ``*<suffix>`` is a PREFIX query on the
+            # reversed dictionary sidecar (written by _finalize, sorted +
+            # range-partitioned on rterm) — the StartsWith predicate pushes
+            # to the parquet scan and min/max stats prune whole files, vs
+            # the full-dictionary LIKE '%suffix' scan a naive leading
+            # wildcard forces. Falls back to the naive scan when the
+            # sidecar is absent (pre-upgrade index).
+            rev_path = os.path.join(self.index_dir, "term_stats_rev")
+            if os.path.isdir(rev_path):
+                ts = (
+                    self.spark.read.parquet(rev_path)
+                    .filter(~F.col("term").startswith(KEYWORD_PREFIX))
+                )
+                cond = F.col("rterm").startswith(pattern[::-1])
+            else:
+                cond = F.col("term").like("%" + pattern)
         elif kind == "set":
             cond = F.col("term").isin(list(pattern))
         elif kind == "range":
