@@ -47,7 +47,7 @@ class DocumentsEngine:
         # bump the version token whenever the on-disk index format changes
         # (cache dirs are content-addressed; a stale format must not resume)
         tag = hashlib.md5(
-            f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{analyzer}|{n_segments}|{variant}|v5".encode()
+            f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{analyzer}|{n_segments}|{variant}|v6".encode()
         ).hexdigest()[:16]
         self.index_dir = os.path.join(
             tempfile.gettempdir(), "lucene_solr_spark_idx", f"docs-{analyzer}-{tag}"

@@ -362,6 +362,23 @@ def _invert_partition(
     os.makedirs(os.path.join(index_dir, "postings", f"seg={seg}"), exist_ok=True)
     _atomic_write(post_tbl, os.path.join(index_dir, "postings", f"seg={seg}", "part-0.parquet"))
 
+    # Per-segment term bloom sidecar (BloomFilteringPostingsFormat analog,
+    # ``lucene/codecs/bloom/BloomFilteringPostingsFormat.java``): built here
+    # from the already-materialized dictionary — zero extra shuffle; the
+    # searcher prunes segments whose blooms reject every scoring term.
+    from .bloom import BLOOM_K, bloom_build
+
+    m_bits, bloom_bytes = bloom_build([r[0] for r in term_rows])
+    os.makedirs(os.path.join(index_dir, "bloom", f"seg={seg}"), exist_ok=True)
+    _atomic_write(
+        pa.table({
+            "m": pa.array([m_bits], type=pa.int64()),
+            "k": pa.array([BLOOM_K], type=pa.int32()),
+            "bits": pa.array([bloom_bytes], type=pa.binary()),
+        }),
+        os.path.join(index_dir, "bloom", f"seg={seg}", "part-0.parquet"),
+    )
+
     manifest = {
         "seg": seg,
         "base": -1,  # assigned post-build (cumsum of n_docs in seg order)

@@ -184,6 +184,29 @@ def merge_segments(
         .parquet(os.path.join(dst_dir, "postings"))
     )
 
+    # Rebuild the per-segment term bloom sidecars for the MERGED segments
+    # (the build kernel writes them per input segment; a merged segment's
+    # dictionary is the union, so its bloom must be recomputed — same rule
+    # as BloomFilteringPostingsFormat regenerating the FuzzySet on merge).
+    # One narrow job over the term column only (postings blocks pruned).
+    def _bloom_kernel(key, pdf):
+        from .bloom import BLOOM_K, bloom_build
+
+        m_bits, bloom_bytes = bloom_build(pdf["term"].tolist())
+        return pd.DataFrame(
+            {"seg": [int(key[0])], "m": [m_bits], "k": [BLOOM_K],
+             "bits": [bloom_bytes]}
+        )
+
+    (
+        spark.read.parquet(os.path.join(dst_dir, "postings"))
+        .select("seg", "term")
+        .groupBy("seg")
+        .applyInPandas(_bloom_kernel, "seg int, m long, k int, bits binary")
+        .write.mode("overwrite").partitionBy("seg")
+        .parquet(os.path.join(dst_dir, "bloom"))
+    )
+
     # --- docs table: remap seg + re-base the local ids ---
     docs = (
         spark.read.parquet(os.path.join(src_dir, "docs"))

@@ -37,6 +37,13 @@ _EMPTY_LOCALS = np.empty(0, dtype=np.int64)
 # seg_norms cogroup side): driver memory stays O(1) and each task ships only
 # its own segment's deletes — the 10^12-docs-with-churn shape.
 TOMB_DRIVER_BUDGET = 200_000
+# Bloom sidecar: hold all segment blooms on the driver only below this many
+# bytes (~64 KiB per 50k-term segment ⇒ ~1000 segments); above it the admit
+# test runs distributed per term set and only seg ids cross to the driver.
+BLOOM_DRIVER_BUDGET = 64 << 20
+# A disjunction wider than this almost surely touches every segment — skip
+# the probe instead of paying it for no pruning.
+BLOOM_MAX_TERMS = 16
 
 
 def _seg_dele(
@@ -253,6 +260,126 @@ class IndexSearcher:
             ).alias("tomb")
         )
         return self.seg_norms.join(agg, "seg", "left")
+
+    # --- per-segment term blooms (BloomFilteringPostingsFormat analog) ----
+
+    @cached_property
+    def _bloom_dir(self) -> str | None:
+        import glob as _glob
+
+        from ..index.bloom import BLOOM_DIRNAME
+
+        p = os.path.join(self.index_dir, BLOOM_DIRNAME)
+        return p if _glob.glob(os.path.join(p, "*", "*.parquet")) else None
+
+    @cached_property
+    def _all_segs(self) -> frozenset:
+        return frozenset(
+            int(r.seg) for r in self.seg_norms.select("seg").collect()
+        )
+
+    @cached_property
+    def _bloom_driver(self) -> dict | None:
+        """{seg: (m, packed bits)} when the whole sidecar fits the driver
+        budget (the common case: ~64 KiB per 50k-term segment). Above the
+        budget this stays None and ``bloom_live_segs`` probes DISTRIBUTED
+        (one tiny mapInPandas job per new term set, bits never reach the
+        driver) — the same two-tier shape as the tombstone map."""
+        if self._bloom_dir is None:
+            return None
+        import glob as _glob
+        import re as _re
+
+        import pyarrow.parquet as _pq  # driver-read-ok (size-gated below)
+
+        paths = sorted(_glob.glob(os.path.join(self._bloom_dir, "*", "*.parquet")))
+        if sum(os.path.getsize(p) for p in paths) > BLOOM_DRIVER_BUDGET:
+            return None
+        out = {}
+        for p in paths:
+            mseg = _re.search(r"seg=(\d+)", p)
+            if mseg is None:
+                continue
+            # bounded by the byte-budget check above (bits never exceed
+            # BLOOM_DRIVER_BUDGET in total); above the budget the probe
+            # runs distributed instead — see bloom_live_segs
+            t = _pq.read_table(p)  # driver-read-ok
+            out[int(mseg.group(1))] = (
+                int(t["m"][0].as_py()),
+                np.frombuffer(t["bits"][0].as_py(), dtype=np.uint8),
+            )
+        return out
+
+    @cached_property
+    def _bloom_cache(self) -> dict:
+        return {}
+
+    _BLOOM_CACHE_MAX = 256
+
+    def bloom_live_segs(self, terms: list) -> list | None:
+        """Sorted segment ids that MAY contain at least one of ``terms``
+        per the bloom sidecars, or None when pruning is unavailable (no
+        sidecar / no terms / term set too wide) or vacuous (every segment
+        admitted). Segments without a bloom row are always admitted, so a
+        partially-covered index (e.g. pre-upgrade segments) stays correct.
+        False positives cost an extra scan; false negatives cannot happen
+        (``index/bloom.py``), so pruning never changes results."""
+        from ..index.bloom import bloom_admits
+
+        if self._bloom_dir is None or not terms or len(terms) > BLOOM_MAX_TERMS:
+            return None
+        key = frozenset(terms)
+        if key in self._bloom_cache:
+            return self._bloom_cache[key]
+        tl = sorted(key)
+        if self._bloom_driver is not None:
+            admitted = {
+                seg
+                for seg, (m, bits) in self._bloom_driver.items()
+                if bloom_admits(bits, m, tl).any()
+            }
+            covered = set(self._bloom_driver)
+        else:
+            df = self.spark.read.parquet(self._bloom_dir)
+
+            def probe(it):
+                for pdf in it:
+                    adm = [
+                        bool(bloom_admits(b, int(m), tl).any())
+                        for m, b in zip(pdf["m"], pdf["bits"])
+                    ]
+                    yield pd.DataFrame({
+                        "seg": pdf["seg"].astype("int32"),
+                        "admit": np.asarray(adm, dtype=bool),
+                    })
+
+            rows = df.mapInPandas(probe, "seg int, admit boolean").collect()
+            admitted = {int(r.seg) for r in rows if r.admit}
+            covered = {int(r.seg) for r in rows}
+        live = sorted(admitted | (self._all_segs - covered))
+        out = live if len(live) < len(self._all_segs) else None
+        if len(self._bloom_cache) >= self._BLOOM_CACHE_MAX:
+            self._bloom_cache.pop(next(iter(self._bloom_cache)))
+        self._bloom_cache[key] = out
+        return out
+
+    def _bloom_pruned_sides(self, q: "CompiledQuery") -> tuple[DataFrame, DataFrame]:
+        """(postings side, norms side) for the scoring cogroup, with whole
+        segments removed when every scoring term is bloom-rejected there.
+        A pruned segment cannot produce a hit — every match needs at least
+        one scoring term present — so this only skips provably-empty
+        kernels (MUST_NOT / FILTER terms never gate admission)."""
+        posts = (
+            self.postings
+            .filter(F.col("term").isin(q.scoring_terms + list(q.must_not_terms)))
+            .select("seg", "term", "blocks")
+        )
+        norms = self.norms_side
+        live = self.bloom_live_segs(list(q.scoring_terms))
+        if live is not None:
+            cond = F.col("seg").isin(live) if live else F.lit(False)
+            posts, norms = posts.filter(cond), norms.filter(cond)
+        return posts, norms
 
     def term_stats_rows(self, terms: list[str]) -> tuple[dict[str, int], dict[str, int]]:
         """({term: df}, {term: ttf}) for the query's terms (TermStates#build
@@ -637,14 +764,10 @@ class IndexSearcher:
         the TakeOrdered top-k on top."""
         if not q.clauses:
             return self.spark.createDataFrame([], "doc_id long, score float")
-        posts = (
-            self.postings
-            .filter(F.col("term").isin(q.scoring_terms + list(q.must_not_terms)))
-            .select("seg", "term", "blocks")
-        )
+        posts, norms_side = self._bloom_pruned_sides(q)
         return (
             posts.groupBy("seg")
-            .cogroup(self.norms_side.groupBy("seg"))
+            .cogroup(norms_side.groupBy("seg"))
             .applyInPandas(
                 _make_search_kernel(q, mode, after, self.deleted_by_seg or None),
                 RESULT_SCHEMA,
@@ -680,14 +803,10 @@ class IndexSearcher:
             cnt = count_segment_matches(term_blocks, q, incl, d)
             return pd.DataFrame({"seg": [seg], "cnt": [cnt]})
 
-        posts = (
-            self.postings
-            .filter(F.col("term").isin(q.scoring_terms + list(q.must_not_terms)))
-            .select("seg", "term", "blocks")
-        )
+        posts, norms_side = self._bloom_pruned_sides(q)
         total = (
             posts.groupBy("seg")
-            .cogroup(self.norms_side.groupBy("seg"))
+            .cogroup(norms_side.groupBy("seg"))
             .applyInPandas(kernel, "seg int, cnt long")
             .agg(F.sum("cnt").alias("n")).collect()[0].n
         )

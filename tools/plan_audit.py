@@ -319,6 +319,25 @@ def main() -> None:
         must_not=[r"Exchange rangepartitioning"],
     ))
 
+    # 26. bloom segment pruning (BloomFilteringPostingsFormat analog): a
+    # term every segment's bloom rejects must fold the whole hits plan to
+    # an empty relation — NO postings/norms parquet scan survives. (The
+    # partial-prune case — seg partition filter on the scan — is asserted
+    # by tests/test_bloom.py::test_partition_pruning_in_plan on a corpus
+    # with a single-segment sentinel term; this corpus's own vocabulary is
+    # common enough that every segment legitimately admits it.)
+    from lucene_solr_spark.search.query import BooleanSpec, TermClause
+
+    s = eng.searcher
+    assert s.bloom_live_segs(["qqqneverindexedzz"]) == [], "bloom sidecar absent?"
+    q26 = s.compile(BooleanSpec(should=[TermClause("qqqneverindexedzz")]), k=10)
+    results.append(audit(
+        "bloom_absent_term_scan_elimination",
+        s.hits(q26),
+        must=[r"Scan ExistingRDD|LocalTableScan"],
+        must_not=[r"Scan parquet", r"FileScan"],
+    ))
+
     n_fail = results.count(False)
     print(f"{len(results) - n_fail}/{len(results)} plan invariants hold")
     sys.exit(1 if n_fail else 0)
