@@ -553,6 +553,144 @@ FROM placed ORDER BY doc_id"""
 
 
 # ---------------------------------------------------------------------------
+# shard_manifest / write_training_shards: the OUTPUT stage of the pipeline —
+# deterministic token-budgeted shards + an auditable content manifest
+# ---------------------------------------------------------------------------
+
+SHARD_TOKENS = 1 << 14   # token budget per output shard
+
+
+def _token_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tok, tok_start): every doc's offset in the global token
+    stream under stable doc_id order — the same DISTRIBUTED two-pass prefix
+    sum ``pack_sequences`` uses (per-group hash-agg → tiny driver prefix →
+    group-partitioned cumsum windows; no unpartitioned window anywhere)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(TOKEN_RE), 0
+        )).cast("long").alias("n_tok"),
+        (F.col("doc_id") / _PACK_GROUP).cast("long").alias("grp"),
+    )
+    rows = sorted(
+        (int(r.grp), int(r.gtot))
+        for r in d.groupBy("grp").agg(F.sum("n_tok").alias("gtot")).collect()
+    )
+    offs, acc = [], 0
+    for g, tot in rows:
+        offs.append((g, acc))
+        acc += tot
+    goff = spark.createDataFrame(offs, "grp long, goff long")
+    wd = (
+        Window.partitionBy("grp").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.join(F.broadcast(goff), "grp")
+        .withColumn(
+            "tok_start",
+            F.col("goff") + F.coalesce(F.sum("n_tok").over(wd), F.lit(0)),
+        )
+        .select("doc_id", "n_tok", "tok_start")
+    )
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest: docs are assigned to token-budgeted output
+    shards (shard = the SHARD_TOKENS window their global token offset
+    starts in — docs never split; a shard overshoots its budget by at most
+    one doc's tail, the usual greedy-fill contract) and each shard gets an
+    auditable row: doc/token counts, its doc_id span, and a content
+    fingerprint (md5 over the doc_id-ordered per-doc md5s) — the manifest a
+    downstream trainer verifies receipt against. ``write_training_shards``
+    is the sink that actually lays the files down with this exact layout.
+
+    Scale shape: the placement prefix sum is the audited two-pass pattern;
+    the manifest is ONE hash-agg over (shard) — the collect_list is bounded
+    by docs-per-shard (budget/avg-doc-tokens), never O(corpus)."""
+    placed = _token_placement(spark, sf_dir).join(
+        _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("h")),
+        "doc_id",
+    )
+    sh = placed.withColumn(
+        "shard", F.floor(F.col("tok_start") / SHARD_TOKENS).cast("long")
+    )
+    return (
+        sh.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "h"))),
+                        lambda s: s.h,
+                    ),
+                )
+            ).alias("content_md5"),
+        )
+        .orderBy("shard")
+    )
+
+
+def write_training_shards(
+    spark: SparkSession, sf_dir: str, out_dir: str,
+    shard_tokens: int = SHARD_TOKENS,
+) -> DataFrame:
+    """The actual sink: write every doc's (doc_id, text, n_tok) into
+    ``out_dir`` partitioned by its manifest shard (one directory per shard
+    — the size-bounded training-file layout), and return the manifest.
+    Deterministic end-to-end: same input ⇒ same shard membership, same
+    manifest fingerprints, so a re-run after failure reproduces the layout
+    (resume = diff the manifest, rewrite only missing shards)."""
+    placed = _token_placement(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sh = (
+        placed.join(docs, "doc_id")
+        .withColumn(
+            "shard", F.floor(F.col("tok_start") / shard_tokens).cast("long")
+        )
+        .select("shard", "doc_id", "n_tok", "text")
+    )
+    (
+        sh.repartitionByRange(max(1, spark.sparkContext.defaultParallelism), "shard", "doc_id")
+        .sortWithinPartitions("shard", "doc_id")
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(out_dir)
+    )
+    return shard_manifest(spark, sf_dir)
+
+
+SHARD_MANIFEST_SQL = f"""
+WITH sized AS (
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))::BIGINT AS n_tok,
+           md5(text) AS h
+    FROM documents
+),
+placed AS (
+    SELECT doc_id, n_tok, h,
+           COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS tok_start
+    FROM sized
+)
+SELECT (tok_start // {SHARD_TOKENS})::BIGINT AS shard,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS n_tokens,
+       min(doc_id)::BIGINT AS min_doc,
+       max(doc_id)::BIGINT AS max_doc,
+       md5(string_agg(h, '' ORDER BY doc_id)) AS content_md5
+FROM placed
+GROUP BY 1 ORDER BY 1"""
+
+
+# ---------------------------------------------------------------------------
 # pii_scrub: regex redaction of emails / phone numbers (training-data hygiene)
 # ---------------------------------------------------------------------------
 
@@ -615,6 +753,7 @@ FROM aug ORDER BY doc_id"""
 
 register("chunk_documents", chunk_documents, CHUNK_DOCUMENTS_SQL)
 register("pack_sequences", pack_sequences, PACK_SEQUENCES_SQL)
+register("shard_manifest", shard_manifest, SHARD_MANIFEST_SQL)
 register("pii_scrub", pii_scrub, PII_SCRUB_SQL)
 
 
