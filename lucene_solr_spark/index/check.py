@@ -52,6 +52,30 @@ def _check_segment(index_dir: str, seg: int, positions: bool) -> dict:
     terms = post_t.column("term").to_pylist()
     if any(terms[i] >= terms[i + 1] for i in range(len(terms) - 1)):
         viol.append("terms: dictionary not strictly ascending")
+
+    # bloom sidecar (BloomFilteringPostingsFormat analog): every stored term
+    # MUST be admitted — a false negative would make the searcher silently
+    # prune a segment that holds real hits. Missing sidecar is legal
+    # (pre-upgrade segment: searcher admits-all), malformed/lying is not.
+    bloom_path = os.path.join(index_dir, "bloom", f"seg={seg}")
+    if os.path.isdir(bloom_path) and terms:
+        try:
+            from .bloom import bloom_admits
+
+            bt = pq.read_table(bloom_path)
+            b_m = int(bt.column("m")[0].as_py())
+            b_bits = bt.column("bits")[0].as_py()
+            if b_m <= 0 or len(b_bits) * 8 != b_m:
+                viol.append("bloom: bit-length disagrees with stated m")
+            else:
+                miss = ~bloom_admits(b_bits, b_m, terms)
+                if miss.any():
+                    viol.append(
+                        f"bloom: {int(miss.sum())} stored terms rejected "
+                        f"(first: {terms[int(np.flatnonzero(miss)[0])]!r})"
+                    )
+        except Exception as e:  # corrupt sidecar must be reported, not raised
+            viol.append(f"bloom: unreadable sidecar ({e})")
     n_postings = 0
     for ti in range(len(post_t)):
         term = terms[ti]

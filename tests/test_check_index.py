@@ -73,6 +73,34 @@ def test_survives_out_of_range_docids(spark, corruptible_index):
     )
 
 
+def test_detects_lying_bloom_sidecar(spark, corruptible_index):
+    """A bloom sidecar that rejects stored terms (false negative) would make
+    the searcher silently prune a segment that holds real hits — CheckIndex
+    must flag it. Zeroing the bitset rejects every term."""
+    p = sorted(glob.glob(os.path.join(
+        corruptible_index, "bloom", "seg=*", "*.parquet")))[0]
+    t = pq.read_table(p).to_pylist()
+    t[0]["bits"] = bytes(len(t[0]["bits"]))  # all-zero: admits nothing
+    pq.write_table(pa.Table.from_pylist(t), p)
+    rep = _report(spark, corruptible_index)
+    assert any(
+        "bloom" in v and "rejected" in v for vs in rep["violations"] for v in vs
+    )
+
+
+def test_detects_bloom_bit_length_mismatch(spark, corruptible_index):
+    p = sorted(glob.glob(os.path.join(
+        corruptible_index, "bloom", "seg=*", "*.parquet")))[0]
+    t = pq.read_table(p).to_pylist()
+    t[0]["bits"] = t[0]["bits"][:-8]  # truncated bitset vs stated m
+    pq.write_table(pa.Table.from_pylist(t), p)
+    rep = _report(spark, corruptible_index)
+    assert any(
+        "bloom" in v and "bit-length" in v
+        for vs in rep["violations"] for v in vs
+    )
+
+
 def test_detects_norm_table_mismatch(spark, corruptible_index):
     p = sorted(glob.glob(os.path.join(
         corruptible_index, "seg_norms", "seg=*", "*.parquet")))[0]
