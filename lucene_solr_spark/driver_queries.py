@@ -15,8 +15,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .engine import (
-    get_atomic_engine, get_dbq_engine, get_engine, get_rtg_engine,
-    get_updated_engine,
+    get_asof_engine, get_atomic_engine, get_dbq_engine, get_engine,
+    get_rtg_engine, get_updated_engine,
 )
 from .index.build import ANALYZERS
 from .oracles import (
@@ -432,6 +432,13 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).total_hits("or3", TOTAL_HITS_TERMS, threshold=TOTAL_HITS_THRESHOLD)
     # deletes/updates: tombstone + re-add, then search the live corpus
     out["ft_after_update_topk"] = lambda spark, sf_dir: get_updated_engine(
+        spark, sf_dir, "simple"
+    ).topk("or3", AFTER_UPDATE_TERMS, k=10)
+    # commit point + time travel: the SAME update applied, but the searcher
+    # opens AT the pre-update commit (DirectoryReader.open(IndexCommit) over
+    # a SnapshotDeletionPolicy-retained generation) — answers are bitwise
+    # the ORIGINAL corpus, which is exactly what the oracle scores
+    out["ft_asof_topk"] = lambda spark, sf_dir: get_asof_engine(
         spark, sf_dir, "simple"
     ).topk("or3", AFTER_UPDATE_TERMS, k=10)
     # atomic partial update (AtomicUpdateDocumentMerger): field-level `add`
@@ -1331,6 +1338,12 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
         UPDATE_MOD,
         UPDATE_SUFFIX,
     )
+    # as-of reads the pre-update commit → plain BM25 over the ORIGINAL corpus
+    out["ft_asof_topk"] = bm25_topk_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), "or3", AFTER_UPDATE_TERMS, 0),
+        10,
+    )
     from .engine import ATOMIC_MOD, ATOMIC_OPERAND
 
     # atomic `add` on text ≡ appending " " + operand to the live doc — the
@@ -1395,7 +1408,14 @@ PRIORITY_ORDER = [
     # and stays pass-local-gated; SynonymQuery certifies the NEW
     # merged-statistics scoring class — tf summed across members under one
     # max-df weight, the QueryBuilder position-graph rule)
-    "ft_spellcheck_collate", "ft_filter_topk", "ft_mlt_topk",
+    # ft_filter_topk rotated out for ft_asof_topk (r4-cont): the keyword
+    # FILTER posting intersection stays scored inside ft_join_topk's
+    # TermsInSet-under-FILTER gather step and pass-local; as-of certifies
+    # the NEW commit-point surface — SegmentInfos-generation capture,
+    # seg-list partition pruning, retained-stats binding, and recorded
+    # tombstone-file reads (DirectoryReader.open(IndexCommit)) — which no
+    # other scored row touches
+    "ft_spellcheck_collate", "ft_asof_topk", "ft_mlt_topk",
     "ft_synonymquery_topk",
     # ft_andnot_topk's slot family (boolean occurs) keeps MUST_NOT scored;
     # ft_docs_norms rotated out for ft_spanfirst_topk late in r3 (norms are

@@ -2828,6 +2828,52 @@ class UpdatedDocumentsEngine(DocumentsEngine):
         self.searcher = IndexSearcher(spark, self.index_dir)  # rebind post-update
 
 
+class CommitPointDocumentsEngine(DocumentsEngine):
+    """The base documents index, a COMMIT POINT captured, then the SAME
+    in-place update ``UpdatedDocumentsEngine`` applies — but this engine's
+    searcher opens AT the retained commit (``DirectoryReader.open(IndexCommit)``
+    over a SnapshotDeletionPolicy-retained generation, ``index/commits.py``),
+    so every query answers bitwise as the PRE-update corpus: the time-travel
+    read the manifest-as-SegmentInfos storage model buys for free."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, analyzer: str = "simple") -> None:
+        super().__init__(spark, sf_dir, analyzer, variant=f"asof{UPDATE_MOD}")
+        from .index.commits import commit_point, list_commits
+        from .index.updates import update_docs
+
+        marker = os.path.join(self.index_dir, "updates_done")
+        if not os.path.exists(marker):
+            gen = commit_point(self.index_dir)
+            src = os.path.join(sf_dir, "documents.parquet")
+            upd = (
+                spark.read.parquet(src)
+                .filter(F.col("doc_id") % UPDATE_MOD == 0)
+                .select(
+                    F.col("doc_id").alias("doc_key"),
+                    "source",
+                    "lang",
+                    F.concat(F.col("text"), F.lit(UPDATE_SUFFIX)).alias("text"),
+                )
+            )
+            update_docs(spark, upd, self.index_dir, n_segments=4)
+            with open(marker, "w") as f:
+                f.write("done")
+        else:
+            gen = list_commits(self.index_dir)[0]
+        self.searcher = IndexSearcher(spark, self.index_dir, commit=gen)
+
+
+def get_asof_engine(
+    spark: SparkSession, sf_dir: str, analyzer: str = "simple"
+) -> CommitPointDocumentsEngine:
+    key = (os.path.abspath(sf_dir), analyzer + "+asof")
+    eng = _ENGINES.get(key)
+    if eng is None:
+        eng = CommitPointDocumentsEngine(spark, sf_dir, analyzer)
+        _ENGINES[key] = eng
+    return eng  # type: ignore[return-value]
+
+
 def get_updated_engine(
     spark: SparkSession, sf_dir: str, analyzer: str = "simple"
 ) -> UpdatedDocumentsEngine:

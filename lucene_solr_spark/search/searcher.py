@@ -152,16 +152,39 @@ def _osa_distance(a: str, b: str) -> int:
 
 
 class IndexSearcher:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(
+        self, spark: SparkSession, index_dir: str, commit: int | None = None
+    ):
+        """``commit=N`` opens the index AT a retained commit point — the
+        ``DirectoryReader.open(IndexCommit)`` analog (``index/commits.py``):
+        every scan is seg-partition-pruned to the commit's live segments,
+        only the commit's tombstone files load, and scoring stats bind from
+        the commit's retained stats tables, so answers are bitwise what the
+        live index returned at capture time regardless of later appends /
+        updates / deletes."""
         self.spark = spark
         self.index_dir = index_dir
         self.meta = IndexMeta.load(index_dir)
         self.analyzer = ANALYZERS[self.meta.analyzer]()
+        self._commit = None
+        self._stats_root = index_dir
+        if commit is not None:
+            from ..index.commits import load_commit
+
+            self._commit = load_commit(index_dir, commit)
+            self._stats_root = self._commit.stats_dir
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self.seg_norms = spark.read.parquet(os.path.join(index_dir, "seg_norms"))
         # docs are stored with SEGMENT-LOCAL ids; expose the global view
         # (local + segment base) via a broadcast join on the tiny bases map.
         raw_docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+        if self._commit is not None:
+            # seg is the partition column on all three — the isin folds to
+            # partition pruning, later segments' files are never opened
+            live = F.col("seg").isin(list(self._commit.segs))
+            self.postings = self.postings.filter(live)
+            self.seg_norms = self.seg_norms.filter(live)
+            raw_docs = raw_docs.filter(live)
         bases = self.seg_norms.select("seg", "base")
         self.docs = (
             raw_docs.join(F.broadcast(bases), "seg")
@@ -171,7 +194,7 @@ class IndexSearcher:
 
     @cached_property
     def stats(self) -> CollectionStats:
-        row = self.spark.read.parquet(os.path.join(self.index_dir, "stats")).collect()[0]
+        row = self.spark.read.parquet(os.path.join(self._stats_root, "stats")).collect()[0]
         return CollectionStats(int(row.doc_count), int(row.sum_ttf))
 
     @cached_property
@@ -220,6 +243,14 @@ class IndexSearcher:
 
         from ..index.updates import tombstones_path
 
+        if self._commit is not None:
+            # only the tombstone FILES recorded at capture time — later
+            # delete batches append new files, which must stay invisible
+            if not self._commit.tomb_files:
+                return None
+            return self.spark.read.parquet(
+                *[os.path.join(self.index_dir, f) for f in self._commit.tomb_files]
+            )
         p = tombstones_path(self.index_dir)
         if not _glob.glob(os.path.join(p, "*.parquet")) and not _glob.glob(
             os.path.join(p, "*", "*.parquet")
@@ -241,9 +272,13 @@ class IndexSearcher:
         (``norms_side``), fully distributed."""
         if self._tomb_df is None or self._tomb_count > TOMB_DRIVER_BUDGET:
             return {}
-        from ..index.updates import load_tombstones
-
-        return load_tombstones(self.spark, self.index_dir)
+        # derive from _tomb_df (not the directory) so a commit-point
+        # searcher sees exactly its recorded delete files
+        pdf = self._tomb_df.toPandas()
+        return {
+            int(seg): np.unique(g["doc_local"].to_numpy(dtype=np.int64))
+            for seg, g in pdf.groupby("seg")
+        }
 
     @cached_property
     def norms_side(self) -> DataFrame:
@@ -356,7 +391,9 @@ class IndexSearcher:
             rows = df.mapInPandas(probe, "seg int, admit boolean").collect()
             admitted = {int(r.seg) for r in rows if r.admit}
             covered = {int(r.seg) for r in rows}
-        live = sorted(admitted | (self._all_segs - covered))
+        # intersect with _all_segs: the sidecar may describe segments this
+        # searcher cannot see (a commit-point view excludes later segments)
+        live = sorted((admitted & self._all_segs) | (self._all_segs - covered))
         out = live if len(live) < len(self._all_segs) else None
         if len(self._bloom_cache) >= self._BLOOM_CACHE_MAX:
             self._bloom_cache.pop(next(iter(self._bloom_cache)))
@@ -387,7 +424,7 @@ class IndexSearcher:
         if not terms:
             return {}, {}
         rows = (
-            self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+            self.spark.read.parquet(os.path.join(self._stats_root, "term_stats"))
             .filter(F.col("term").isin(list(terms)))
             .collect()
         )
@@ -451,7 +488,7 @@ class IndexSearcher:
         from ..index.build import KEYWORD_PREFIX
 
         ts = (
-            self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+            self.spark.read.parquet(os.path.join(self._stats_root, "term_stats"))
             .filter(~F.col("term").startswith(KEYWORD_PREFIX))  # internal terms
         )
         if kind == "prefix":
@@ -497,7 +534,7 @@ class IndexSearcher:
             # the full-dictionary LIKE '%suffix' scan a naive leading
             # wildcard forces. Falls back to the naive scan when the
             # sidecar is absent (pre-upgrade index).
-            rev_path = os.path.join(self.index_dir, "term_stats_rev")
+            rev_path = os.path.join(self._stats_root, "term_stats_rev")
             if os.path.isdir(rev_path):
                 ts = (
                     self.spark.read.parquet(rev_path)
