@@ -338,6 +338,21 @@ def main() -> None:
         must_not=[r"Scan parquet", r"FileScan"],
     ))
 
+    # 27. commit-point (time-travel) search: the commit's seg list must
+    # reach the postings scan as a PARTITION filter (seg is the partition
+    # column) — opening an old generation prunes later segments' files at
+    # the scan, it does not read-then-discard them.
+    from lucene_solr_spark.engine import get_asof_engine
+
+    asof = get_asof_engine(spark, SF_DIR, "simple")
+    assert asof.searcher._commit is not None
+    results.append(audit(
+        "asof_commit_seg_partition_pruned",
+        asof.topk("or3", ["merge", "batch", "stream"], k=10),
+        must=[r"PartitionFilters: \[[^\]]*seg", r"PushedFilters: \[In\(term"],
+        must_not=[],
+    ))
+
     n_fail = results.count(False)
     print(f"{len(results) - n_fail}/{len(results)} plan invariants hold")
     sys.exit(1 if n_fail else 0)
