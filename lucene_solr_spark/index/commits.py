@@ -129,6 +129,71 @@ def commit_point(index_dir: str) -> int:
     return gen
 
 
+def rollback_to(index_dir: str, gen: int) -> CommitInfo:
+    """Restore the LIVE index to retained generation ``gen`` —
+    ``IndexWriter#rollback`` onto an ``IndexCommit`` plus
+    ``L/index/IndexFileDeleter`` dropping the files nothing references
+    anymore. Steps, ordered so a crash mid-way never leaves a visible but
+    broken state:
+
+    1. drop commit generations NEWER than ``gen`` (their info rows — no
+       reader can open them once gone),
+    2. remove manifest markers of segments not in the commit (the segments
+       vanish from every directory listing a reader or ``append_batch``
+       consults),
+    3. remove tombstone files appended after the capture,
+    4. restore the three stats tables from the commit's retained copies,
+    5. delete the orphaned segment data dirs last (postings/docs/seg_norms/
+       bloom) — pure space reclamation by then, and necessary so a later
+       ``append_batch`` can reuse the freed segment ids without mixing old
+       files into a partition.
+
+    Older generations stay valid: segments are append-only, so an older
+    commit's seg list is a subset of ``gen``'s, and its tombstone files are
+    a prefix of ``gen``'s. Bases need no repair — they are a cumsum over
+    seg-ordered manifest rows, so dropping a SUFFIX of segments leaves
+    every retained base unchanged."""
+    info = load_commit(index_dir, gen)
+
+    for g in list_commits(index_dir):
+        if g > gen:
+            os.remove(os.path.join(commits_path(index_dir), f"gen={g}", "info.parquet"))
+
+    keep = set(info.segs)
+    drop_segs = sorted(
+        int(m.group(1))
+        for p in glob.glob(os.path.join(index_dir, "manifest", "seg=*.parquet"))
+        if (m := re.search(r"seg=(\d+)\.parquet$", p)) and int(m.group(1)) not in keep
+    )
+    for s in drop_segs:
+        os.remove(os.path.join(index_dir, "manifest", f"seg={s}.parquet"))
+
+    keep_tombs = set(info.tomb_files)
+    tomb_root = os.path.join(index_dir, "tombstones")
+    for pat in ("*.parquet", os.path.join("*", "*.parquet")):
+        for p in glob.glob(os.path.join(tomb_root, pat)):
+            if os.path.relpath(p, index_dir) not in keep_tombs:
+                os.remove(p)
+
+    for name in _STATS_TABLES:
+        retained = os.path.join(info.stats_dir, name)
+        live = os.path.join(index_dir, name)
+        if not os.path.isdir(retained):
+            continue
+        if os.path.isdir(live):
+            shutil.rmtree(live)
+        os.makedirs(live, exist_ok=True)
+        for f in glob.glob(os.path.join(retained, "*.parquet")):
+            _link_or_copy(f, os.path.join(live, os.path.basename(f)))
+
+    for s in drop_segs:
+        for d in ("postings", "docs", "seg_norms", "bloom"):
+            p = os.path.join(index_dir, d, f"seg={s}")
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+    return info
+
+
 def load_commit(index_dir: str, gen: int) -> CommitInfo:
     gdir = os.path.join(commits_path(index_dir), f"gen={gen}")
     info = os.path.join(gdir, "info.parquet")

@@ -103,3 +103,31 @@ def test_two_generations_are_independent(spark, corpus, built):
 def test_missing_generation_raises(spark, built):
     with pytest.raises(FileNotFoundError):
         IndexSearcher(spark, built, commit=99)
+
+
+def _apply_update(spark, corpus, idx):
+    changed = corpus[corpus.turn_idx == 0].copy()
+    changed["text"] = changed["text"] + " merge merge vector refresh"
+    update_docs(spark, spark.createDataFrame(changed), idx, n_segments=2)
+
+
+def test_rollback_then_replay_is_bitwise(spark, corpus, built):
+    """rollback_to restores the LIVE index to the generation bitwise
+    (IndexWriter#rollback + IndexFileDeleter), and the freed segment ids
+    are genuinely reusable: replaying the SAME update after the rollback
+    reproduces the pre-rollback post-update answers exactly."""
+    from lucene_solr_spark.index.commits import rollback_to
+
+    before = _results(spark, built)
+    gen = commit_point(built)
+    _apply_update(spark, corpus, built)
+    after_update = _results(spark, built)
+
+    rollback_to(built, gen)
+    pd.testing.assert_frame_equal(_results(spark, built), before, check_exact=True)
+    assert list_commits(built) == [gen]
+
+    _apply_update(spark, corpus, built)  # replay over the reused seg ids
+    pd.testing.assert_frame_equal(
+        _results(spark, built), after_update, check_exact=True
+    )
