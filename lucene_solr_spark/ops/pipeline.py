@@ -409,6 +409,140 @@ register("decontaminate", decontaminate, DECONTAMINATE_SQL)
 
 
 # ---------------------------------------------------------------------------
+# classify_naive_bayes: lucene/classification SimpleNaiveBayesClassifier
+# ---------------------------------------------------------------------------
+
+NB_TEST_MOD = 10     # doc_id % MOD == 0 held out and classified
+NB_LABEL = "lang"    # class field (5 skewed classes — priors matter)
+
+
+def classify_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained from corpus statistics — the
+    ``lucene/classification/.../SimpleNaiveBayesClassifier.java`` analog:
+    the reference trains from INDEX statistics (per-class doc counts, class
+    term frequencies, vocabulary size) and scores
+    ``log prior + Σ log smoothed-likelihood``; here the same sufficient
+    statistics come from two hash-aggregations over the tokenized train
+    split, and
+
+        score(d, c) = ln(N_c / N) + Σ_t qtf_d(t) · ln((tf(t,c)+1)/(T_c+V))
+
+    (add-one smoothing over the train vocabulary V). Float discipline: the
+    per-(doc, class) sum is a DETERMINISTIC left fold over term-sorted f64
+    contributions (both engines add in the same order), one final f32
+    cast, and the argmax compares the f32 scores (class-name tiebreak) so
+    an ulp of engine-libm ``ln`` difference cannot flip a label.
+
+    Scale shape: token explode → ONE map-side-combinable (class, term)
+    hash-agg for the model; classify = equi-join of test tokens on term
+    against the model (fan-out bounded by the class count), per-(doc,
+    class) fold, one window argmax. No UDF, no driver loop; the model
+    table is O(V·C) rows — broadcast when small, plain shuffle join when
+    not (Catalyst/AQE decides from stats)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.col(NB_LABEL).alias("cls"),
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    )
+    train = toks.filter(F.col("doc_id") % NB_TEST_MOD != 0)
+
+    n_train = docs.filter(F.col("doc_id") % NB_TEST_MOD != 0).count()
+    vocab = train.select("term").distinct().count()
+    classes = (
+        train.groupBy("cls")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("t_c"),
+        )
+    )
+    model = train.groupBy("cls", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+    test_tf = (
+        toks.filter(F.col("doc_id") % NB_TEST_MOD == 0)
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("qtf"))
+    )
+    grid = test_tf.crossJoin(F.broadcast(classes))
+    contrib = (
+        grid.join(F.broadcast(model), ["cls", "term"], "left")
+        .withColumn(
+            "c",
+            F.col("qtf").cast("double")
+            * F.log(
+                (F.coalesce(F.col("tf"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("t_c") + F.lit(vocab)).cast("double")
+            ),
+        )
+    )
+    scores = (
+        contrib.groupBy("doc_id", "cls", "n_docs")
+        .agg(F.array_sort(F.collect_list(F.struct("term", "c"))).alias("cs"))
+        .withColumn(
+            "score",
+            (
+                F.aggregate(
+                    "cs", F.lit(0.0), lambda acc, x: acc + x["c"]
+                )
+                + F.log(F.col("n_docs").cast("double") / F.lit(float(n_train)))
+            ).cast("float"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cls"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cls").alias("label"), "score")
+        .orderBy("doc_id")
+    )
+
+
+CLASSIFY_NB_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {NB_LABEL} AS cls,
+           unnest(string_split(lower(text), ' ')) AS term
+    FROM documents
+),
+train AS (SELECT * FROM toks WHERE doc_id % {NB_TEST_MOD} != 0),
+n_train AS (
+    SELECT count(DISTINCT doc_id) AS n
+    FROM documents WHERE doc_id % {NB_TEST_MOD} != 0
+),
+vocab AS (SELECT count(DISTINCT term) AS v FROM train),
+classes AS (
+    SELECT cls, count(DISTINCT doc_id) AS n_docs, count(*) AS t_c
+    FROM train GROUP BY cls
+),
+model AS (SELECT cls, term, count(*) AS tf FROM train GROUP BY cls, term),
+test_tf AS (
+    SELECT doc_id, term, count(*) AS qtf
+    FROM toks WHERE doc_id % {NB_TEST_MOD} = 0 GROUP BY doc_id, term
+),
+contrib AS (
+    SELECT t.doc_id, c.cls, c.n_docs, t.term,
+           t.qtf::DOUBLE * ln((coalesce(m.tf, 0) + 1)::DOUBLE
+                              / (c.t_c + (SELECT v FROM vocab))::DOUBLE) AS con
+    FROM test_tf t CROSS JOIN classes c
+    LEFT JOIN model m ON m.cls = c.cls AND m.term = t.term
+),
+scores AS (
+    SELECT doc_id, cls,
+           CAST(list_reduce(list(con ORDER BY term), (a, b) -> a + b)
+                + ln(n_docs::DOUBLE / (SELECT n FROM n_train)::DOUBLE)
+                AS FLOAT) AS score
+    FROM contrib GROUP BY doc_id, cls, n_docs
+)
+SELECT doc_id::BIGINT AS doc_id, cls AS label, score FROM (
+    SELECT doc_id, cls, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, cls ASC) AS rn
+    FROM scores
+) WHERE rn = 1 ORDER BY doc_id"""
+
+register("classify_naive_bayes", classify_naive_bayes, CLASSIFY_NB_SQL)
+
+
+# ---------------------------------------------------------------------------
 # chunk_documents: context-window chunking with stride (overlap)
 # ---------------------------------------------------------------------------
 

@@ -427,3 +427,29 @@ def test_heavy_hitter_candidates_guarantee(spark, tmp_path):
     rest = [r for r in got[5:]]
     assert all(r.cnt == 1 for r in rest)
     assert [r.term for r in rest] == sorted(r.term for r in rest)
+
+
+def test_naive_bayes_hand_computed(spark, tmp_path):
+    """SimpleNaiveBayesClassifier analog on a 3-doc fixture whose posterior
+    is computable by hand: train d1(a): "x x y", d2(b): "z z"; classify
+    d0: "x z".  V=3, add-one smoothing:
+      score(a) = ln(1/2) + ln(3/6) + ln(1/6) = ln(1/24)
+      score(b) = ln(1/2) + ln(1/5) + ln(3/5) = ln(3/50)   -> label b."""
+    import math
+
+    import pandas as pd
+
+    from lucene_solr_spark.ops.pipeline import classify_naive_bayes
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "lang": ["?", "a", "b"],
+            "text": ["x z", "x x y", "z z"],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = classify_naive_bayes(spark, str(tmp_path)).collect()
+    assert len(got) == 1 and got[0].doc_id == 0
+    assert got[0].label == "b"
+    assert abs(got[0].score - math.log(3 / 50)) < 1e-6
