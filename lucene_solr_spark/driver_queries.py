@@ -441,6 +441,12 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_asof_topk"] = lambda spark, sf_dir: get_asof_engine(
         spark, sf_dir, "simple"
     ).topk("or3", AFTER_UPDATE_TERMS, k=10)
+    # lucene/classification KNearestNeighborClassifier: MLT query per
+    # held-out doc against a TRAIN-split index, majority vote of the BM25
+    # top-k neighbors; batched through ONE search_many job
+    from .engine import knn_classify
+
+    out["classify_knn"] = knn_classify
     # atomic partial update (AtomicUpdateDocumentMerger): field-level `add`
     # op resolved against the live doc, then the same tombstone+re-add path
     out["ft_after_atomic_update_topk"] = lambda spark, sf_dir: get_atomic_engine(
@@ -1343,6 +1349,12 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
         "simple",
         parse_fixture_query(ANALYZERS["simple"](), "or3", AFTER_UPDATE_TERMS, 0),
         10,
+    )
+    from .engine import KNN_K, KNN_TEST_MOD, KNN_TOP_TERMS
+    from .oracles import knn_classify_sql
+
+    out["classify_knn"] = knn_classify_sql(
+        "simple", KNN_TEST_MOD, KNN_TOP_TERMS, KNN_K
     )
     from .engine import ATOMIC_MOD, ATOMIC_OPERAND
 

@@ -19,7 +19,7 @@ import tempfile
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .index.build import build_index
 from .search.query import BooleanSpec
@@ -39,6 +39,7 @@ class DocumentsEngine:
         *,
         n_segments: int = 8,
         variant: str = "",
+        row_filter: str | None = None,
     ) -> None:
         self.spark = spark
         self.sf_dir = sf_dir
@@ -47,7 +48,7 @@ class DocumentsEngine:
         # bump the version token whenever the on-disk index format changes
         # (cache dirs are content-addressed; a stale format must not resume)
         tag = hashlib.md5(
-            f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{analyzer}|{n_segments}|{variant}|v6".encode()
+            f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{analyzer}|{n_segments}|{variant}|{row_filter}|v6".encode()
         ).hexdigest()[:16]
         self.index_dir = os.path.join(
             tempfile.gettempdir(), "lucene_solr_spark_idx", f"docs-{analyzer}-{tag}"
@@ -55,6 +56,9 @@ class DocumentsEngine:
         docs = spark.read.parquet(src).select(
             F.col("doc_id").alias("doc_key"), "source", "lang", "text"
         )
+        if row_filter is not None:
+            # e.g. a train split — the predicate pushes to the parquet scan
+            docs = docs.filter(F.expr(row_filter))
         self.manifest = build_index(
             spark,
             docs,
@@ -2872,6 +2876,109 @@ def get_asof_engine(
         eng = CommitPointDocumentsEngine(spark, sf_dir, analyzer)
         _ENGINES[key] = eng
     return eng  # type: ignore[return-value]
+
+
+KNN_TEST_MOD = 10   # doc_id % MOD == 0 held out and classified
+KNN_K = 10          # neighbors voting
+KNN_TOP_TERMS = 4   # MLT query terms per test doc
+# same token rule as analysis.analyzer._TOKEN_RE (the "simple" chain)
+_KNN_TOKEN_RE = r"[0-9A-Za-z_](?:['’]?[0-9A-Za-z_]){0,254}"
+
+
+def get_trainsplit_engine(
+    spark: SparkSession, sf_dir: str, analyzer: str = "simple"
+) -> DocumentsEngine:
+    """Documents index over the TRAIN split only (doc_id % KNN_TEST_MOD != 0)
+    — the classifier's training index."""
+    key = (os.path.abspath(sf_dir), analyzer + "+train")
+    eng = _ENGINES.get(key)
+    if eng is None:
+        eng = DocumentsEngine(
+            spark, sf_dir, analyzer,
+            variant=f"train{KNN_TEST_MOD}",
+            row_filter=f"doc_key % {KNN_TEST_MOD} != 0",
+        )
+        _ENGINES[key] = eng
+    return eng
+
+
+def knn_classify(spark: SparkSession, sf_dir: str, analyzer: str = "simple") -> DataFrame:
+    """k-nearest-neighbor text classifier over the index —
+    ``lucene/classification/.../KNearestNeighborClassifier.java``: each
+    unseen doc becomes a MoreLikeThis query (its top tf·idf terms, idf from
+    the TRAIN index: ln(N/(df+1))+1), the train index returns the BM25
+    top-``KNN_K`` neighbors, and the predicted class is the neighbors'
+    majority label (count desc, class asc tiebreak).
+
+    Batched, not looped: term selection for ALL held-out docs is one
+    token-explode + term_stats equi-join + per-doc window; the resulting
+    O(test docs × KNN_TOP_TERMS) term sets are collected only to COMPILE
+    queries (Lucene builds the MLT query on the coordinating node too),
+    and every compiled query executes in ONE ``search_many`` job — the
+    whole-query-set cogroup kernel, not a per-doc driver loop. Votes are a
+    fetch-fields-late join of the single hits table back to the source
+    labels."""
+    from .search.query import BooleanSpec, TermClause
+
+    eng = get_trainsplit_engine(spark, sf_dir, analyzer)
+    s = eng.searcher
+    src = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    test_tf = (
+        src.filter(F.col("doc_id") % KNN_TEST_MOD == 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(_KNN_TOKEN_RE), 0)
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ts = (
+        spark.read.parquet(os.path.join(eng.index_dir, "term_stats"))
+        .select("term", "df")
+    )
+    n = float(s.stats.doc_count)
+    mlt = test_tf.join(ts, "term").withColumn(
+        "m",
+        F.col("tf").cast("double")
+        * (F.log(F.lit(n) / (F.col("df").cast("double") + F.lit(1.0))) + F.lit(1.0)),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("m"), F.asc("term"))
+    term_sets = (
+        mlt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_TOP_TERMS)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("term")).alias("terms"))
+        .collect()  # O(test docs × top_terms) strings — query compilation
+    )
+    compiled = s.compile_many({
+        str(int(r.doc_id)): (
+            BooleanSpec(should=[TermClause(t) for t in r.terms]), KNN_K
+        )
+        for r in term_sets
+    })
+    hits = s.search_many(compiled, mode="wand")
+
+    labels = src.select(F.col("doc_id").alias("doc_key"), F.col("lang").alias("cls"))
+    votes = (
+        hits.join(s.docs.select("doc_id", "doc_key"), "doc_id")
+        .join(labels, "doc_key")
+        .groupBy("query_id", "cls")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("cls"))
+    return (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("query_id").cast("long").alias("doc_id"),
+            F.col("cls").alias("label"),
+            F.col("votes").cast("long").alias("votes"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def get_updated_engine(

@@ -644,6 +644,78 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def knn_classify_sql(analyzer: str, mod: int, top_terms: int, k: int) -> str:
+    """KNearestNeighborClassifier oracle: the index CTEs run over the TRAIN
+    split (docs_eff), held-out docs' MLT term selection uses their own tf
+    with TRAIN idf (ln(N/(df+1))+1, (m desc, term) tiebreak), neighbors are
+    the per-query BM25 top-k ((score desc, doc asc) — the train build is
+    dense key-ordered so source-id order == the engine's internal-id
+    tiebreak), label = majority class (votes desc, class asc)."""
+    body = base_ctes(analyzer).replace("FROM documents", "FROM docs_eff")
+    return f"""WITH docs_eff AS (
+    SELECT * FROM documents WHERE doc_id % {mod} != 0
+),{body},
+test_tl AS (
+    SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE_SQL}') AS toks
+    FROM documents WHERE doc_id % {mod} = 0
+),
+test_tok AS (SELECT doc_id, lower(unnest(toks)) AS term FROM test_tl),
+test_tf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf FROM test_tok GROUP BY 1, 2
+),
+tdf AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM kept GROUP BY 1),
+mlt AS (
+    SELECT t.doc_id, t.term,
+           t.tf::DOUBLE * (ln(st.doc_count::DOUBLE / (d.df + 1.0)) + 1.0) AS m
+    FROM test_tf t JOIN tdf d USING (term), statsf st
+),
+top_terms AS (
+    SELECT doc_id, term FROM (
+        SELECT doc_id, term,
+               row_number() OVER (PARTITION BY doc_id ORDER BY m DESC, term ASC) AS rn
+        FROM mlt
+    ) WHERE rn <= {top_terms}
+),
+qt AS (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM kept
+    WHERE term IN (SELECT DISTINCT term FROM top_terms) GROUP BY term
+),
+widf AS (
+    SELECT term, CAST(ln(1.0 + (st.doc_count - df + 0.5) / (df + 0.5)) AS FLOAT) AS idf
+    FROM qt, statsf st
+),
+tfq AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf FROM kept
+    WHERE term IN (SELECT DISTINCT term FROM top_terms) GROUP BY 1, 2
+),
+sc AS (
+    SELECT t.doc_id, t.term,
+           CAST(w.idf * CAST(t.tf::DOUBLE / (t.tf::DOUBLE + CAST(c.cache AS DOUBLE)) AS FLOAT) AS FLOAT) AS s
+    FROM tfq t JOIN widf w USING (term) JOIN cachec c USING (doc_id)
+),
+qhits AS (
+    SELECT q.doc_id AS qid, s.doc_id AS nbr,
+           CAST(sum(CAST(s.s AS DOUBLE)) AS FLOAT) AS score
+    FROM top_terms q JOIN sc s USING (term) GROUP BY 1, 2
+),
+topk AS (
+    SELECT qid, nbr FROM (
+        SELECT qid, nbr,
+               row_number() OVER (PARTITION BY qid ORDER BY score DESC, nbr ASC) AS rk
+        FROM qhits
+    ) WHERE rk <= {k}
+),
+votes AS (
+    SELECT t.qid, d.lang AS cls, count(*)::BIGINT AS votes
+    FROM topk t JOIN documents d ON d.doc_id = t.nbr GROUP BY 1, 2
+)
+SELECT qid::BIGINT AS doc_id, cls AS label, votes FROM (
+    SELECT qid, cls, votes,
+           row_number() OVER (PARTITION BY qid ORDER BY votes DESC, cls ASC) AS rn
+    FROM votes
+) WHERE rn = 1 ORDER BY doc_id"""
+
+
 def after_dbq_topk_sql(
     analyzer: str, dbq_term: str, terms: list[str], k: int
 ) -> str:
