@@ -1977,3 +1977,137 @@ FROM t GROUP BY 1 ORDER BY cnt DESC, term ASC LIMIT {HH_TOPK}"""
 
 
 register("stream_heavy_hitters", stream_heavy_hitters, STREAM_HEAVY_HITTERS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer induction (Sennrich et al. 2016, "Neural Machine Translation
+# of Rare Words with Subword Units") — the vocabulary-training step of a
+# pretraining pipeline: learn merge rules from corpus word frequencies.
+# ---------------------------------------------------------------------------
+
+BPE_TOP_PAIRS = 20   # registered entry: the first merge round's candidates
+BPE_MERGES = 8       # trainer: merge rules to learn (pytest-pinned)
+BPE_EOW = "</w>"     # Sennrich word-end marker
+
+
+def _bpe_word_syms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(freq, syms) — corpus word frequencies with each word split into its
+    initial symbol sequence (characters + the end-of-word marker). BPE
+    trains on the AGGREGATED word table, so corpus size only enters through
+    one whitespace-token hash-agg; the state the merge loop iterates is
+    O(distinct words), partitioned like any other table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wf = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return wf.select(
+        "freq",
+        F.expr(
+            f"concat(filter(split(word, ''), x -> x != ''), array('{BPE_EOW}'))"
+        ).alias("syms"),
+    )
+
+
+def _bpe_pair_counts(state: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies over the (freq, syms) state — ONE explode +
+    map-side-combinable hash-agg (the hot loop body; everything JVM-side)."""
+    pairs = state.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(syms) - 1),"
+                " i -> struct(syms[i - 1] AS a, syms[i] AS b))"
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.sum("freq").alias("cnt")
+    )
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge round's candidate table: top adjacent symbol
+    pairs by corpus frequency ((cnt desc, a, b) — the deterministic rule
+    the trainer uses to pick each merge)."""
+    return (
+        _bpe_pair_counts(_bpe_word_syms(spark, sf_dir))
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+def bpe_train(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    *,
+    words: DataFrame | None = None,
+    n_merges: int = BPE_MERGES,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merge rules. Each round: one distributed
+    pair-count aggregation, a 1-row collect of the winner ((cnt desc, a, b)
+    tiebreak), then the merge applied to every word's symbol array with a
+    JVM ``aggregate`` left fold — Sennrich's greedy leftmost-first,
+    non-overlapping pass (a merged output can never chain into the same
+    round's left operand: p1 + p2 == p1 is impossible). The driver loop is
+    O(n_merges) rounds over the small word table — the Lloyd-iteration
+    discipline of ``train_kmeans``; ``localCheckpoint`` truncates the
+    per-round expression lineage."""
+    if words is None:
+        assert sf_dir is not None
+        state = _bpe_word_syms(spark, sf_dir)
+    else:
+        state = words.select(
+            "freq",
+            F.expr(
+                f"concat(filter(split(word, ''), x -> x != ''), array('{BPE_EOW}'))"
+            ).alias("syms"),
+        )
+    state = state.localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            _bpe_pair_counts(state)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or int(top[0].cnt) < 2:
+            break
+        a, b = top[0].a, top[0].b
+        merges.append((a, b))
+        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        qm = (a + b).replace("'", "\\'")
+        state = state.select(
+            "freq",
+            F.expr(
+                "aggregate(syms, cast(array() as array<string>), (acc, x) -> "
+                f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{qa}' "
+                f"AND x = '{qb}' "
+                f"THEN concat(slice(acc, 1, size(acc) - 1), array('{qm}')) "
+                "ELSE concat(acc, array(x)) END)"
+            ).alias("syms"),
+        ).localCheckpoint()
+    return merges
+
+
+BPE_PAIR_COUNTS_SQL = f"""
+WITH w AS (
+    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+wf AS (
+    SELECT word, count(*)::BIGINT AS freq FROM w WHERE word != '' GROUP BY word
+),
+syms AS (
+    SELECT freq, list_append(regexp_extract_all(word, '.'), '{BPE_EOW}') AS s
+    FROM wf
+),
+idx AS (SELECT freq, s, unnest(range(1, len(s))) AS i FROM syms),
+pc AS (
+    SELECT s[i] AS a, s[i + 1] AS b, sum(freq)::BIGINT AS cnt
+    FROM idx GROUP BY 1, 2
+)
+SELECT a, b, cnt FROM pc ORDER BY cnt DESC, a ASC, b ASC LIMIT {BPE_TOP_PAIRS}"""
+
+register("bpe_pair_counts", bpe_pair_counts, BPE_PAIR_COUNTS_SQL)

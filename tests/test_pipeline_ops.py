@@ -453,3 +453,28 @@ def test_naive_bayes_hand_computed(spark, tmp_path):
     assert len(got) == 1 and got[0].doc_id == 0
     assert got[0].label == "b"
     assert abs(got[0].score - math.log(3 / 50)) < 1e-6
+
+
+def test_bpe_train_sennrich_example(spark):
+    """BPE trainer on the classic Sennrich fixture (low/lower/newest/widest)
+    — the first five learned merges are the textbook sequence, with the
+    (cnt desc, a, b) tiebreak deciding the 9-9-9 and 7-7 ties."""
+    from lucene_solr_spark.ops.pipeline import bpe_train
+
+    words = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "word string, freq long",
+    )
+    merges = bpe_train(spark, words=words, n_merges=5)
+    assert merges == [
+        ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"),
+    ]
+
+
+def test_bpe_train_stops_below_two(spark):
+    """No merge is learned from hapax-only pairs (cnt < 2 stops training —
+    a rule seen once generalizes to nothing)."""
+    from lucene_solr_spark.ops.pipeline import bpe_train
+
+    words = spark.createDataFrame([("ab", 1), ("cd", 1)], "word string, freq long")
+    assert bpe_train(spark, words=words, n_merges=3) == []
