@@ -2111,3 +2111,65 @@ pc AS (
 SELECT a, b, cnt FROM pc ORDER BY cnt DESC, a ASC, b ASC LIMIT {BPE_TOP_PAIRS}"""
 
 register("bpe_pair_counts", bpe_pair_counts, BPE_PAIR_COUNTS_SQL)
+
+
+# Fixed merge-rule model for the ENCODE entry — trained once by bpe_train
+# over the sf0.01 fixture corpus (deterministic; the trainer itself is
+# pytest-pinned on the textbook fixture). A stored model keeps the oracle a
+# static SQL string — the CLASSIFY_WEIGHTS discipline.
+BPE_RULES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+]
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the stored BPE merge rules to every document and report the
+    per-doc subword budget (words, subword tokens) — the tokenizer-cost
+    accounting step of a packing pipeline. The symbol sequence rides as a
+    space-delimited string and each rule is ONE ``replace(' a b ' →
+    ' ab ')`` — string replace is left-to-right and non-overlapping in
+    both engines, which IS Sennrich's greedy merge pass, so the whole
+    encoder is a chain of JVM string ops: no UDF, no explode beyond the
+    word split, embarrassingly parallel."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    s = F.concat(
+        F.lit(" "),
+        F.array_join(F.expr("filter(split(word, ''), x -> x != '')"), " "),
+        F.lit(f" {BPE_EOW} "),
+    )
+    for a, b in BPE_RULES:
+        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    return (
+        words.withColumn("ns", F.size(F.split(F.trim(s), " ")).cast("long"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("ns").alias("n_subwords"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_replace_chain_sql() -> str:
+    expr = f"' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' {BPE_EOW} '"
+    for a, b in BPE_RULES:
+        expr = f"replace({expr}, ' {a} {b} ', ' {a}{b} ')"
+    return expr
+
+
+BPE_ENCODE_SQL = f"""
+WITH w AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+ws AS (SELECT doc_id, word FROM w WHERE word != ''),
+enc AS (SELECT doc_id, {_bpe_replace_chain_sql()} AS s FROM ws),
+cnt AS (SELECT doc_id, len(string_split(trim(s), ' '))::BIGINT AS ns FROM enc)
+SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_words,
+       sum(ns)::BIGINT AS n_subwords
+FROM cnt GROUP BY doc_id ORDER BY doc_id"""
+
+register("bpe_encode", bpe_encode, BPE_ENCODE_SQL)

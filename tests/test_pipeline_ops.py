@@ -478,3 +478,19 @@ def test_bpe_train_stops_below_two(spark):
 
     words = spark.createDataFrame([("ab", 1), ("cd", 1)], "word string, freq long")
     assert bpe_train(spark, words=words, n_merges=3) == []
+
+
+def test_bpe_encode_hand_segmentation(spark, tmp_path):
+    """Rule order and greediness pinned by hand: with the stored rules,
+    'power' → [p, ow, er</w>] (3 subwords: (e,r) first, then (er,</w>),
+    then (o,w)); 'stone' → [st, o, n, e</w>]? no — (e,</w>) fires before
+    (n,</w>) can pair, giving [st, o, n, e</w>] = 4."""
+    import pandas as pd
+
+    from lucene_solr_spark.ops.pipeline import bpe_encode
+
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["power", "stone"]}
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = {r.doc_id: (r.n_words, r.n_subwords) for r in bpe_encode(spark, str(tmp_path)).collect()}
+    assert got == {1: (1, 3), 2: (1, 4)}
