@@ -289,6 +289,16 @@ def main() -> None:
             lambda: pipeline_select(spark, SF_DIR).count())
         timings["heavy_hitters"] = _best_of(
             lambda: stream_heavy_hitters(spark, SF_DIR).collect())
+        # late-continuation operators: BPE encode (chained string replaces)
+        # and Naive Bayes classify (fold + argmax); the as-of/KNN entries
+        # stay out — each builds its own variant index, which would time
+        # index construction, not the operator
+        from lucene_solr_spark.ops.pipeline import bpe_encode, classify_naive_bayes
+
+        timings["bpe_encode"] = _best_of(
+            lambda: bpe_encode(spark, SF_DIR).count())
+        timings["classify_nb"] = _best_of(
+            lambda: classify_naive_bayes(spark, SF_DIR).count())
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
