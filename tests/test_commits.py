@@ -105,6 +105,29 @@ def test_missing_generation_raises(spark, built):
         IndexSearcher(spark, built, commit=99)
 
 
+def test_asof_frozen_under_streaming_appends(spark, corpus, built):
+    """NRT composition: a commit point captured between incremental
+    ``append_batch`` micro-batches stays bitwise frozen while the live
+    reader sees each batch — stats refresh rewrites docCount/avgdl/df in
+    place, so only the retained stats tables can answer this correctly."""
+    from lucene_solr_spark.index.build import append_batch
+
+    more = generate_transcripts(40)
+    more = more.assign(conv_id="app-" + more.conv_id)
+    halves = [more[more.turn_idx % 2 == 0], more[more.turn_idx % 2 == 1]]
+
+    append_batch(spark, spark.createDataFrame(halves[0]), built, n_segments=2)
+    mid = _results(spark, built)
+    gen = commit_point(built)
+    append_batch(spark, spark.createDataFrame(halves[1]), built, n_segments=2)
+
+    live = _results(spark, built)
+    assert len(live) > len(mid)  # the second batch genuinely landed
+    pd.testing.assert_frame_equal(
+        _results(spark, built, commit=gen), mid, check_exact=True
+    )
+
+
 def _apply_update(spark, corpus, idx):
     changed = corpus[corpus.turn_idx == 0].copy()
     changed["text"] = changed["text"] + " merge merge vector refresh"
