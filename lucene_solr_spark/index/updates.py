@@ -51,21 +51,29 @@ def tombstones_path(index_dir: str) -> str:
     return os.path.join(index_dir, "tombstones")
 
 
+def tombstones_by_seg(tomb_df: DataFrame) -> dict[int, np.ndarray]:
+    """{seg: sorted unique local ids} from a tombstone DataFrame — the
+    per-leaf live-docs complement. Collected to the driver and broadcast
+    into query closures (1 entry per deleted doc, the same memory class as
+    Lucene's in-heap PendingDeletes bitsets); callers gate this behind
+    TOMB_DRIVER_BUDGET and ride the distributed norms-cogroup path above
+    it (``searcher.norms_side``)."""
+    pdf = tomb_df.toPandas()
+    return {
+        int(seg): np.unique(g["doc_local"].to_numpy(dtype=np.int64))
+        for seg, g in pdf.groupby("seg")
+    }
+
+
 def load_tombstones(spark: SparkSession, index_dir: str) -> dict[int, np.ndarray]:
-    """{seg: sorted unique local ids} — the per-leaf live-docs complement.
-    Empty dict when the index has no deletes. Collected to the driver and
-    broadcast into query closures (1 entry per deleted doc — the same
-    memory class as Lucene's in-heap PendingDeletes bitsets)."""
+    """{seg: sorted unique local ids} for the whole index dir; empty dict
+    when the index has no deletes."""
     path = tombstones_path(index_dir)
     if not glob.glob(os.path.join(path, "*.parquet")) and not glob.glob(
         os.path.join(path, "*", "*.parquet")
     ):
         return {}
-    pdf = spark.read.parquet(path).toPandas()
-    return {
-        int(seg): np.unique(g["doc_local"].to_numpy(dtype=np.int64))
-        for seg, g in pdf.groupby("seg")
-    }
+    return tombstones_by_seg(spark.read.parquet(path))
 
 
 def delete_docs(

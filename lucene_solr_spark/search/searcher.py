@@ -272,13 +272,11 @@ class IndexSearcher:
         (``norms_side``), fully distributed."""
         if self._tomb_df is None or self._tomb_count > TOMB_DRIVER_BUDGET:
             return {}
+        from ..index.updates import tombstones_by_seg
+
         # derive from _tomb_df (not the directory) so a commit-point
         # searcher sees exactly its recorded delete files
-        pdf = self._tomb_df.toPandas()
-        return {
-            int(seg): np.unique(g["doc_local"].to_numpy(dtype=np.int64))
-            for seg, g in pdf.groupby("seg")
-        }
+        return tombstones_by_seg(self._tomb_df)
 
     @cached_property
     def norms_side(self) -> DataFrame:
