@@ -157,7 +157,11 @@ def rollback_to(index_dir: str, gen: int) -> CommitInfo:
 
     for g in list_commits(index_dir):
         if g > gen:
-            os.remove(os.path.join(commits_path(index_dir), f"gen={g}", "info.parquet"))
+            gd = os.path.join(commits_path(index_dir), f"gen={g}")
+            # info row first (the generation stops being openable), then the
+            # retained stats hardlinks — pure space reclamation
+            os.remove(os.path.join(gd, "info.parquet"))
+            shutil.rmtree(gd, ignore_errors=True)
 
     keep = set(info.segs)
     drop_segs = sorted(

@@ -105,6 +105,26 @@ def test_missing_generation_raises(spark, built):
         IndexSearcher(spark, built, commit=99)
 
 
+def test_crashed_commit_is_invisible(spark, corpus, built):
+    """The info row is the LAST write — a capture that dies after copying
+    stats but before writing it must leave no visible generation, and the
+    next commit_point simply claims the next number (2-phase-commit
+    contract of segments_N)."""
+    import os
+
+    gen = commit_point(built)
+    # simulate a crash mid-capture: gen+1 dir with retained stats but no info
+    crashed = os.path.join(built, "commits", f"gen={gen + 1}")
+    os.makedirs(os.path.join(crashed, "stats"), exist_ok=True)
+    assert list_commits(built) == [gen]
+    before = _results(spark, built, commit=gen)
+    gen2 = commit_point(built)
+    assert gen2 == gen + 1  # the orphan dir is claimed, not skipped forever
+    pd.testing.assert_frame_equal(
+        _results(spark, built, commit=gen2), before, check_exact=True
+    )
+
+
 def test_asof_frozen_under_streaming_appends(spark, corpus, built):
     """NRT composition: a commit point captured between incremental
     ``append_batch`` micro-batches stays bitwise frozen while the live
