@@ -717,6 +717,14 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_suggest_infix"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).suggest("infix", "or", k=10)
+    # FuzzySuggester: typo-tolerant type-ahead — SOME PREFIX of the
+    # suggestion within maxEdits=1 of the typed key (first char exact);
+    # 'sma' completes exactly to 'small' AND fuzzy-matches 'scan' and
+    # 'spark' (one substitution in the length-3 prefix), so the df ranking
+    # is exercised, not just the membership predicate
+    out["ft_fuzzy_suggest"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).suggest_fuzzy_prefix("sma", k=10)
     # BlendedInfixSuggester: same contains-match, but POSITION_LINEAR
     # blending — a match at char 0 keeps full df weight, later matches
     # decay 10%/position (so 'order' outranks 'vector' at equal df)
@@ -1279,6 +1287,9 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     out["ft_sweetspot_topk"] = sweetspot_topk_sql("simple", bool_terms, 10)
     out["ft_suggest"] = suggest_sql("simple", "term LIKE 's%'", 10)
     out["ft_suggest_infix"] = suggest_sql("simple", "term LIKE '%or%'", 10)
+    from .oracles import suggest_fuzzy_prefix_sql
+
+    out["ft_fuzzy_suggest"] = suggest_fuzzy_prefix_sql("simple", "sma", 10)
     from .oracles import suggest_blended_infix_sql
 
     out["ft_suggest_blended"] = suggest_blended_infix_sql("simple", "or", 10)

@@ -1490,6 +1490,39 @@ SELECT rank::INTEGER AS rank, term, df FROM (
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def suggest_fuzzy_prefix_sql(
+    analyzer: str,
+    key: str,
+    k: int,
+    max_edits: int = 1,
+    non_fuzzy_prefix: int = 1,
+) -> str:
+    """FuzzySuggester oracle: a term qualifies when it completes the key
+    exactly, OR its first ``non_fuzzy_prefix`` chars match and some prefix
+    whose length is within ``max_edits`` of the key's is within
+    ``max_edits`` Levenshtein of the key — the same closed-form prefix
+    window the engine evaluates (callers must pass len(key) >=
+    minFuzzyLength; shorter keys are exact-prefix only by contract)."""
+    n = len(key)
+    dists = ", ".join(
+        f"levenshtein(substr(term, 1, {n + off}), '{key}')"
+        for off in range(-max_edits, max_edits + 1)
+        if n + off > 0
+    )
+    return f"""WITH {base_ctes(analyzer)},
+tsx AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM kept GROUP BY term),
+cand AS (
+    SELECT term, df FROM tsx
+    WHERE term LIKE '{key}%'
+       OR (substr(term, 1, {non_fuzzy_prefix}) = '{key[:non_fuzzy_prefix]}'
+           AND least({dists}) <= {max_edits})
+)
+SELECT rank::INTEGER AS rank, term, df FROM (
+    SELECT row_number() OVER (ORDER BY df DESC, term ASC) AS rank, term, df
+    FROM cand
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def suggest_blended_infix_sql(analyzer: str, pattern: str, k: int) -> str:
     """BlendedInfixSuggester oracle (POSITION_LINEAR blender): score =
     df · (1 − 0.10 · matched-char-offset), the exact double expression the

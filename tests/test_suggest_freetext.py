@@ -57,3 +57,29 @@ def test_wordbreak_break_and_combine(eng):
 def test_wordbreak_rejects_nondictionary_splits(eng):
     rows = eng.word_break("mergexyz", ("zz", "qq")).collect()
     assert rows == []  # no split half nor combination is in the dictionary
+
+
+def test_fuzzy_suggester_prefix_window_and_ranking(eng):
+    """FuzzySuggester (``lucene/suggest/.../analyzing/FuzzySuggester.java``):
+    'sma' must complete exactly to 'small' AND fuzzy-reach 'scan'/'spark'
+    (one substitution inside the length-3 prefix), ranked by df desc."""
+    rows = eng.suggest_fuzzy_prefix("sma", k=10).collect()
+    terms = [r.term for r in rows]
+    assert "small" in terms and "scan" in terms and "spark" in terms
+    dfs = [r.df for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_fuzzy_suggester_non_fuzzy_prefix_gates_first_char(eng):
+    """nonFuzzyPrefix=1: 'mcan' must NOT reach 'scan' even though the edit
+    distance is 1 — the first character is exact-match territory."""
+    terms = [r.term for r in eng.suggest_fuzzy_prefix("mcan", k=10).collect()]
+    assert "scan" not in terms
+
+
+def test_fuzzy_suggester_short_key_is_exact_prefix_only(eng):
+    """minFuzzyLength=3: a 2-char key gets NO fuzz — 'sm' completes only
+    sm-prefixed suggestions, never 'scan'/'sort' (distance 1 from 'sm')."""
+    terms = [r.term for r in eng.suggest_fuzzy_prefix("sm", k=10).collect()]
+    assert terms and all(t.startswith("sm") for t in terms)
