@@ -312,3 +312,229 @@ def update_docs_cas(
     if applied_rows.limit(1).count():
         update_docs(spark, applied_rows, index_dir, n_segments=n_segments)
     return applied_keys, rejected
+
+
+def expunge_deletes(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    drop_commits: bool = False,
+) -> dict:
+    """Physically reclaim tombstoned docs — ``IndexWriter#forceMergeDeletes``
+    / Solr ``<commit expungeDeletes=true>``: every affected segment is
+    rewritten WITHOUT its deleted docs, segments that became empty are
+    dropped entirely (Lucene drops 100%-deleted segments at flush), the
+    tombstone table is cleared, and stats are recomputed from the now-clean
+    postings.
+
+    Doc-order invariant (what makes results stable): local ids are
+    COMPACTED monotonically (new_local = old_local − #deleted_below), the
+    segment keeps its id, and bases are re-derived as the cumsum over
+    seg-ordered manifest rows — so the global docID order of live docs is
+    exactly the pre-expunge order and every top-k (keys, scores AND docID
+    tiebreaks) is identical to the tombstone-path answer (pinned by
+    ``tests/test_expunge.py``).
+
+    Retained commit points: an in-place rewrite would silently change what
+    an older generation's reader sees, so when ``commits/`` holds retained
+    generations this raises unless ``drop_commits=True``, which deletes ALL
+    generations first. Deviation from upstream (SnapshotDeletionPolicy keeps
+    snapshotted files on disk while the live index moves on) — supporting
+    that here means per-generation segment data dirs; documented upgrade
+    path, not needed for the space-reclaim use case expunge exists for.
+
+    Scale shape: postings and docs rewrite distributed, seg-partition-pruned
+    to the affected segments only; per-seg deleted-id arrays and the
+    affected segments' norm bytes (1 byte/doc) ride one broadcast. New data
+    lands in tmp dirs FIRST; the destructive per-segment swaps and the
+    manifest rewrite happen only after every new file exists (the crash
+    window between swaps is the in-place trade-off; Lucene's segments_N
+    atomicity maps to our manifest markers, rewritten last)."""
+    import shutil
+
+    import pyarrow as pa
+
+    from .build import _atomic_write, _fixup_bases
+
+    tomb = load_tombstones(spark, index_dir)
+    if not tomb:
+        return {"expunged_docs": 0, "rewritten_segs": [], "dropped_segs": []}
+
+    from .commits import commits_path, list_commits
+
+    gens = list_commits(index_dir)
+    if gens:
+        if not drop_commits:
+            raise ValueError(
+                f"index has retained commit generations {gens}; expunge "
+                "rewrites segments in place and would corrupt them — pass "
+                "drop_commits=True to drop all generations first"
+            )
+        shutil.rmtree(commits_path(index_dir), ignore_errors=True)
+
+    meta = IndexMeta.load(index_dir)
+    affected = sorted(tomb)
+    n_expunged = int(sum(len(v) for v in tomb.values()))
+
+    # per-affected-seg norm bytes (for re-encoded min_norm impacts) + live
+    # compaction of the seg_norms sidecar, computed driver-side off the tiny
+    # (base, n, norms) rows
+    seg_meta: dict[int, dict] = {}
+    import pyarrow.parquet as pq
+
+    for seg in affected:
+        seg_dir = os.path.join(index_dir, "seg_norms", f"seg={seg}")
+        paths = sorted(glob.glob(os.path.join(seg_dir, "*.parquet")))
+        t = pa.concat_tables([pq.read_table(p) for p in paths])
+        norms = np.frombuffer(
+            b"".join(chunk.as_py() for chunk in t.column("norms")), dtype=np.uint8
+        )
+        dele = tomb[seg]
+        live_mask = np.ones(len(norms), dtype=bool)
+        live_mask[dele] = False
+        seg_meta[seg] = {
+            "base": int(t.column("base")[0].as_py()),
+            "norms": norms,
+            "live_norms": norms[live_mask].tobytes(),
+            "n_live": int(live_mask.sum()),
+            "paths": paths,
+        }
+    dropped = [s for s in affected if seg_meta[s]["n_live"] == 0]
+    rewritten = [s for s in affected if seg_meta[s]["n_live"] > 0]
+
+    tomb_bc = spark.sparkContext.broadcast(tomb)
+    norms_bc = spark.sparkContext.broadcast(
+        {s: seg_meta[s]["norms"] for s in rewritten}
+    )
+    positions = meta.positions
+
+    # --- postings: decode, drop deleted docs, compact locals, re-encode ---
+    from .merge import PHASE2_SCHEMA
+
+    def post_kernel(iterator):
+        from .codec import decode_postings, encode_posting_blocks
+
+        for pdf in iterator:
+            rows = []
+            for seg, term, blocks in zip(pdf["seg"], pdf["term"], pdf["blocks"]):
+                seg = int(seg)
+                dele = tomb_bc.value[seg]
+                dec = decode_postings(list(blocks), with_positions=positions)
+                docs, tfs = dec[0], dec[1]
+                keep = ~np.isin(docs, dele, assume_unique=True)
+                if not keep.any():
+                    continue
+                new_docs = docs[keep] - np.searchsorted(dele, docs[keep])
+                tfs_k = tfs[keep]
+                pos_k = None
+                if positions:
+                    pos_k = dec[2][np.repeat(keep, tfs)]
+                norms_k = norms_bc.value[seg][docs[keep]].astype(np.int64)
+                rows.append({
+                    "term": term, "seg": seg,
+                    "df_part": int(len(new_docs)),
+                    "ttf_part": int(tfs_k.sum()),
+                    "blocks": encode_posting_blocks(new_docs, tfs_k, norms_k, pos_k),
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["term", "seg", "df_part", "ttf_part", "blocks"],
+            )
+
+    tmp_post = os.path.join(index_dir, "_expunge_tmp_postings")
+    (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .filter(F.col("seg").isin(rewritten))
+        .mapInPandas(post_kernel, PHASE2_SCHEMA)
+        .repartitionByRange(max(1, len(rewritten)), "seg", "term")
+        .sortWithinPartitions("seg", "term")
+        .write.mode("overwrite").partitionBy("seg")
+        .parquet(tmp_post)
+    )
+
+    # --- docs table: drop deleted rows, compact doc_local ---
+    docs_df = spark.read.parquet(os.path.join(index_dir, "docs"))
+    docs_schema = docs_df.schema
+
+    def docs_kernel(iterator):
+        for pdf in iterator:
+            outs = []
+            for seg, g in pdf.groupby("seg"):
+                dele = tomb_bc.value[int(seg)]
+                loc = g["doc_local"].to_numpy(dtype=np.int64)
+                keep = ~np.isin(loc, dele, assume_unique=False)
+                g2 = g[keep].copy()
+                g2["doc_local"] = loc[keep] - np.searchsorted(dele, loc[keep])
+                outs.append(g2)
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pdf.iloc[0:0]
+            )
+
+    tmp_docs = os.path.join(index_dir, "_expunge_tmp_docs")
+    (
+        docs_df.filter(F.col("seg").isin(rewritten))
+        .mapInPandas(docs_kernel, docs_schema)
+        .write.mode("overwrite").partitionBy("seg")
+        .parquet(tmp_docs)
+    )
+
+    # --- destructive phase: per-segment swaps, then metadata, tombstones ---
+    for seg in rewritten:
+        for root, tmp in (("postings", tmp_post), ("docs", tmp_docs)):
+            old = os.path.join(index_dir, root, f"seg={seg}")
+            new = os.path.join(tmp, f"seg={seg}")
+            shutil.rmtree(old)
+            shutil.move(new, old)
+        # compacted norms (base rewritten by _fixup_bases below)
+        sm = seg_meta[seg]
+        _atomic_write(
+            pa.table({
+                "base": np.array([sm["base"]], dtype=np.int64),
+                "n": np.array([sm["n_live"]], dtype=np.int64),
+                "norms": pa.array([sm["live_norms"]], type=pa.binary()),
+            }),
+            sm["paths"][0],
+        )
+        for p in sm["paths"][1:]:
+            os.remove(p)
+    shutil.rmtree(tmp_post, ignore_errors=True)
+    shutil.rmtree(tmp_docs, ignore_errors=True)
+    for seg in dropped:
+        for root in ("postings", "docs", "seg_norms", "bloom"):
+            p = os.path.join(index_dir, root, f"seg={seg}")
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        os.remove(os.path.join(index_dir, "manifest", f"seg={seg}.parquet"))
+
+    # manifest: live counts for rewritten segs; lineage degrades to unknown
+    # (the content no longer matches the recorded build) — merge's rule
+    for seg in rewritten:
+        mp = os.path.join(index_dir, "manifest", f"seg={seg}.parquet")
+        row = pq.read_table(mp).to_pandas().iloc[0].to_dict()
+        row.update(
+            n_docs=seg_meta[seg]["n_live"], doc_count=-1, n_terms=-1,
+            n_postings=-1, sum_len=-1, content_hash="", status="expunged",
+        )
+        _atomic_write(pa.table({k: [v] for k, v in row.items()}), mp)
+
+    shutil.rmtree(tombstones_path(index_dir), ignore_errors=True)
+
+    # bases: cumsum over seg-ordered manifest rows (append_batch's rule) —
+    # live global ids compact but keep their relative order
+    rows = []
+    for f in sorted(os.listdir(os.path.join(index_dir, "manifest"))):
+        if f.startswith("seg="):
+            rows.append(
+                pq.read_table(os.path.join(index_dir, "manifest", f)).to_pandas()
+            )
+    out = pd.concat(rows, ignore_index=True).sort_values("seg").reset_index(drop=True)
+    out["base"] = out["n_docs"].cumsum() - out["n_docs"]
+    _fixup_bases(index_dir, out)
+    _finalize(spark, index_dir)
+    return {
+        "expunged_docs": n_expunged,
+        "rewritten_segs": rewritten,
+        "dropped_segs": dropped,
+    }
