@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .engine import (
     get_asof_engine, get_atomic_engine, get_dbq_engine, get_engine,
-    get_rtg_engine, get_updated_engine,
+    get_expunged_engine, get_rtg_engine, get_updated_engine,
 )
 from .index.build import ANALYZERS
 from .oracles import (
@@ -432,6 +432,13 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).total_hits("or3", TOTAL_HITS_TERMS, threshold=TOTAL_HITS_THRESHOLD)
     # deletes/updates: tombstone + re-add, then search the live corpus
     out["ft_after_update_topk"] = lambda spark, sf_dir: get_updated_engine(
+        spark, sf_dir, "simple"
+    ).topk("or3", AFTER_UPDATE_TERMS, k=10)
+    # expungeDeletes (forceMergeDeletes): the SAME update, then the
+    # tombstones are PHYSICALLY rewritten out (postings re-encoded, locals
+    # compacted, bases re-derived, stats re-finalized) — same oracle, so a
+    # compaction bug anywhere in the rewrite goes hash-red
+    out["ft_after_expunge_topk"] = lambda spark, sf_dir: get_expunged_engine(
         spark, sf_dir, "simple"
     ).topk("or3", AFTER_UPDATE_TERMS, k=10)
     # commit point + time travel: the SAME update applied, but the searcher
@@ -1355,6 +1362,9 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
         UPDATE_MOD,
         UPDATE_SUFFIX,
     )
+    # expunge is observationally a no-op over the post-update live corpus:
+    # the delete-and-re-add oracle certifies the physical rewrite verbatim
+    out["ft_after_expunge_topk"] = out["ft_after_update_topk"]
     # as-of reads the pre-update commit → plain BM25 over the ORIGINAL corpus
     out["ft_asof_topk"] = bm25_topk_sql(
         "simple",
@@ -1458,7 +1468,14 @@ PRIORITY_ORDER = [
     # ft_tfidf_topk rotated out for ft_funcexpr_topk in r3 (Classic TF-IDF
     # stays pass-local-gated; the similarity-dispatch family is certified by
     # ft_dfr_topk, and funcexpr certifies the NEW parsed ValueSource surface)
-    "ft_after_update_topk", "ft_funcexpr_topk",
+    # ft_after_update_topk rotated out for ft_after_expunge_topk (r4-cont):
+    # STRICTLY richer — the expunge fixture applies the IDENTICAL
+    # tombstone+re-add update (same terms, same oracle), then physically
+    # rewrites the deletes out (forceMergeDeletes: postings re-encode,
+    # local-id compaction, base re-derivation, stats re-finalize); a bug in
+    # either the update path or the reclaim goes hash-red in one row. The
+    # tombstone-path answer stays pass-local-gated.
+    "ft_after_expunge_topk", "ft_funcexpr_topk",
     # highlighting replaced ft_synonym_topk in the scored window in r3 (the
     # token-graph analyzer family stays covered by the pass-local gates)
     # ft_highlight_topk rotated out for ft_highlight_passages (r4-cont):

@@ -2895,6 +2895,53 @@ class UpdatedDocumentsEngine(DocumentsEngine):
         self.searcher = IndexSearcher(spark, self.index_dir)  # rebind post-update
 
 
+class ExpungedDocumentsEngine(DocumentsEngine):
+    """``UpdatedDocumentsEngine``'s exact fixture, then
+    ``<commit expungeDeletes=true>`` (``IndexWriter#forceMergeDeletes``,
+    ``index/updates.expunge_deletes``): the tombstoned originals are
+    PHYSICALLY rewritten out of postings/docs/norms, locals compact, bases
+    re-derive. The update moves from query-time tombstone filtering to the
+    on-disk layout with zero observable change — which is why this engine
+    shares ``ft_after_update_topk``'s oracle verbatim: a compaction bug in
+    docID order, re-encoded impacts, or refreshed stats goes hash-red."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, analyzer: str = "simple") -> None:
+        super().__init__(spark, sf_dir, analyzer, variant=f"expunge{UPDATE_MOD}")
+        marker = os.path.join(self.index_dir, "expunge_done")
+        if not os.path.exists(marker):
+            from .index.updates import expunge_deletes, update_docs
+
+            src = os.path.join(sf_dir, "documents.parquet")
+            upd = (
+                spark.read.parquet(src)
+                .filter(F.col("doc_id") % UPDATE_MOD == 0)
+                .select(
+                    F.col("doc_id").alias("doc_key"),
+                    "source",
+                    "lang",
+                    F.concat(F.col("text"), F.lit(UPDATE_SUFFIX)).alias("text"),
+                )
+            )
+            update_docs(spark, upd, self.index_dir, n_segments=4)
+            report = expunge_deletes(spark, self.index_dir)
+            if not report["expunged_docs"]:
+                raise RuntimeError("expunge fixture reclaimed nothing")
+            with open(marker, "w") as f:
+                f.write("done")
+        self.searcher = IndexSearcher(spark, self.index_dir)  # rebind post-expunge
+
+
+def get_expunged_engine(
+    spark: SparkSession, sf_dir: str, analyzer: str = "simple"
+) -> ExpungedDocumentsEngine:
+    key = (os.path.abspath(sf_dir), analyzer + "+expunge")
+    eng = _ENGINES.get(key)
+    if eng is None:
+        eng = ExpungedDocumentsEngine(spark, sf_dir, analyzer)
+        _ENGINES[key] = eng
+    return eng  # type: ignore[return-value]
+
+
 class CommitPointDocumentsEngine(DocumentsEngine):
     """The base documents index, a COMMIT POINT captured, then the SAME
     in-place update ``UpdatedDocumentsEngine`` applies — but this engine's
