@@ -825,6 +825,92 @@ GROUP BY 1 ORDER BY 1"""
 
 
 # ---------------------------------------------------------------------------
+# pack_loss_masks: instruction-tuning loss-mask spans over packed sequences
+# ---------------------------------------------------------------------------
+
+# Sources standing in for the completion role (the turns a fine-tune
+# computes loss on); everything else is prompt/context and is masked out.
+_MASK_SOURCES = ("src1", "src3", "src5", "src7", "src9")
+
+
+def pack_loss_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence loss-mask spans for the ``pack_sequences`` layout: the
+    token ranges inside each packed CAPACITY-token sequence that belong to
+    completion-role docs (``source IN _MASK_SOURCES``) — the mask an
+    instruction-tuning trainer multiplies into the loss so prompt/context
+    tokens don't train. A doc that straddles a sequence cut contributes one
+    CLIPPED span to every sequence it overlaps (the packing contract:
+    sequences are hard cuts, masks follow the doc).
+
+    Returns (seq_id, doc_id, span_start, span_len) with span_start relative
+    to the sequence, ordered by (seq_id, span_start, doc_id).
+
+    Scale shape: the global offset is the audited two-pass distributed
+    prefix sum (``_token_placement``); role lookup is a doc_id equi-join
+    that collapses into the same shuffle; the explode fan-out is bounded by
+    n_tok/CAPACITY + 1 per doc (total output ≤ corpus tokens / CAPACITY +
+    masked docs), never quadratic. No unpartitioned window anywhere."""
+    placed = _token_placement(spark, sf_dir)
+    roles = _docs(spark, sf_dir).select("doc_id", "source")
+    cap = F.lit(PACK_CAPACITY).cast("long")
+    m = (
+        placed.join(roles, "doc_id")
+        .filter(F.col("source").isin(list(_MASK_SOURCES)) & (F.col("n_tok") > 0))
+        .withColumn(
+            "seq_id",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("tok_start") / cap).cast("long"),
+                    F.floor((F.col("tok_start") + F.col("n_tok") - 1) / cap)
+                    .cast("long"),
+                )
+            ),
+        )
+    )
+    start_g = F.greatest(F.col("tok_start"), F.col("seq_id") * cap)
+    end_g = F.least(F.col("tok_start") + F.col("n_tok"), (F.col("seq_id") + 1) * cap)
+    return m.select(
+        F.col("seq_id").cast("long"),
+        F.col("doc_id").cast("long"),
+        (start_g - F.col("seq_id") * cap).cast("long").alias("span_start"),
+        (end_g - start_g).cast("long").alias("span_len"),
+    ).orderBy("seq_id", "span_start", "doc_id")
+
+
+PACK_LOSS_MASKS_SQL = f"""
+WITH sized AS (
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))::BIGINT AS n_tok
+    FROM documents
+),
+placed AS (
+    SELECT doc_id, n_tok,
+           COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS tok_start
+    FROM sized
+),
+masked AS (
+    SELECT p.doc_id, p.n_tok, p.tok_start
+    FROM placed p JOIN documents d USING (doc_id)
+    WHERE d.source IN {tuple(_MASK_SOURCES)} AND p.n_tok > 0
+),
+spans AS (
+    SELECT doc_id, tok_start, n_tok,
+           unnest(generate_series(
+               tok_start // {PACK_CAPACITY},
+               (tok_start + n_tok - 1) // {PACK_CAPACITY}))::BIGINT AS seq_id
+    FROM masked
+)
+SELECT seq_id, doc_id::BIGINT AS doc_id,
+       (greatest(tok_start, seq_id * {PACK_CAPACITY})
+           - seq_id * {PACK_CAPACITY})::BIGINT AS span_start,
+       (least(tok_start + n_tok, (seq_id + 1) * {PACK_CAPACITY})
+           - greatest(tok_start, seq_id * {PACK_CAPACITY}))::BIGINT AS span_len
+FROM spans ORDER BY seq_id, span_start, doc_id"""
+
+
+# ---------------------------------------------------------------------------
 # pii_scrub: regex redaction of emails / phone numbers (training-data hygiene)
 # ---------------------------------------------------------------------------
 
@@ -888,6 +974,7 @@ FROM aug ORDER BY doc_id"""
 register("chunk_documents", chunk_documents, CHUNK_DOCUMENTS_SQL)
 register("pack_sequences", pack_sequences, PACK_SEQUENCES_SQL)
 register("shard_manifest", shard_manifest, SHARD_MANIFEST_SQL)
+register("pack_loss_masks", pack_loss_masks, PACK_LOSS_MASKS_SQL)
 register("pii_scrub", pii_scrub, PII_SCRUB_SQL)
 
 

@@ -56,3 +56,55 @@ def test_write_matches_manifest_and_is_deterministic(spark, tmp_path):
     # and the standalone manifest (no write) agrees too
     man3 = shard_manifest(spark, SF).toPandas()
     assert man1.equals(man3)
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+def test_pack_loss_masks_invariants(spark):
+    """Loss-mask spans tile exactly the masked docs' token ranges, clipped
+    at sequence cuts: per-doc span lengths sum to n_tok, every span sits
+    inside [0, CAPACITY), and a straddling doc's spans are boundary-exact."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.ops.pipeline import (
+        PACK_CAPACITY, _MASK_SOURCES, _token_placement, pack_loss_masks,
+    )
+
+    spans = pack_loss_masks(spark, SF).toPandas()
+    assert len(spans) > 0
+    assert (spans.span_len > 0).all()
+    assert (spans.span_start >= 0).all()
+    assert (spans.span_start + spans.span_len <= PACK_CAPACITY).all()
+
+    placed = (
+        _token_placement(spark, SF)
+        .join(
+            spark.read.parquet(os.path.join(SF, "documents.parquet"))
+            .select("doc_id", "source"),
+            "doc_id",
+        )
+        .filter(F.col("source").isin(list(_MASK_SOURCES)) & (F.col("n_tok") > 0))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # exactly the masked docs appear, and their spans sum to n_tok
+    got = spans.groupby("doc_id").span_len.sum()
+    assert sorted(got.index) == sorted(placed.index)
+    assert (got.sort_index().to_numpy()
+            == placed.n_tok.sort_index().to_numpy()).all()
+
+    # straddling docs: consecutive spans chain across sequence boundaries
+    # (end of one span at CAPACITY, next starts at 0 in seq_id+1)
+    multi = spans[spans.duplicated("doc_id", keep=False)].sort_values(
+        ["doc_id", "seq_id"])
+    assert len(multi) > 0, "fixture must exercise a straddling doc"
+    for _, g in multi.groupby("doc_id"):
+        seqs = g.seq_id.to_numpy()
+        assert (seqs[1:] == seqs[:-1] + 1).all()
+        assert (g.span_start.to_numpy()[1:] == 0).all()
+        assert (
+            (g.span_start + g.span_len).to_numpy()[:-1] == PACK_CAPACITY
+        ).all()
+        # first span starts at the doc's in-sequence offset
+        doc = g.doc_id.iloc[0]
+        assert int(g.span_start.iloc[0]) == int(
+            placed.loc[doc, "tok_start"] % PACK_CAPACITY)
