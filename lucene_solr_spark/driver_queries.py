@@ -15,8 +15,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .engine import (
-    get_asof_engine, get_atomic_engine, get_dbq_engine, get_engine,
-    get_expunged_engine, get_rtg_engine, get_updated_engine,
+    fielded_dismax_topk, get_asof_engine, get_atomic_engine, get_dbq_engine,
+    get_engine, get_expunged_engine, get_rtg_engine, get_updated_engine,
 )
 from .index.build import ANALYZERS
 from .oracles import (
@@ -276,6 +276,10 @@ RRF_Q = ("or3", ["vector", "stream", "filter"], "and2", ["merge", "batch"], 40, 
 # 'd' yields BOTH orders at sf0.01: 'data' follows 'merge' (bigram path)
 # while 'dup' never does (ALPHA-discounted unigram backoff path)
 FREETEXT_Q = ("merge", "d", 8)
+# eDisMax qf cross-field: (qtype, terms, k) — terms chosen to score on BOTH
+# fields (titles are the docs' first 8 tokens, so per-field df/avgdl differ
+# and the dismax actually switches winners between fields)
+FIELDED_Q = ("or3", ["fast", "merge", "table"], 10)
 # WordBreakSpellChecker: (run-together break input, adjacent combine pair)
 WORDBREAK_Q = ("mergebatch", ("bat", "ch"))
 # SynonymGraphFilter multi-word rule: "table hash" => dup (query-time graph
@@ -441,6 +445,12 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_after_expunge_topk"] = lambda spark, sf_dir: get_expunged_engine(
         spark, sf_dir, "simple"
     ).topk("or3", AFTER_UPDATE_TERMS, k=10)
+    # eDisMax qf="title^2 body^1": true multi-field search — the derived
+    # title field is its OWN index (independent postings/norms/stats, the
+    # Lucene per-field model), dismax across field scores at tie=0
+    out["ft_fielded_qf_topk"] = lambda spark, sf_dir: fielded_dismax_topk(
+        spark, sf_dir, *FIELDED_Q
+    )
     # commit point + time travel: the SAME update applied, but the searcher
     # opens AT the pre-update commit (DirectoryReader.open(IndexCommit) over
     # a SnapshotDeletionPolicy-retained generation) — answers are bitwise
@@ -1365,6 +1375,17 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     # expunge is observationally a no-op over the post-update live corpus:
     # the delete-and-re-add oracle certifies the physical rewrite verbatim
     out["ft_after_expunge_topk"] = out["ft_after_update_topk"]
+    from .engine import QF_BODY_W, QF_TITLE_W, TITLE_EXPR_SQL
+    from .oracles import fielded_dismax_topk_sql
+
+    out["ft_fielded_qf_topk"] = fielded_dismax_topk_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), *FIELDED_Q[:2], 0),
+        FIELDED_Q[2],
+        TITLE_EXPR_SQL,
+        QF_TITLE_W,
+        QF_BODY_W,
+    )
     # as-of reads the pre-update commit → plain BM25 over the ORIGINAL corpus
     out["ft_asof_topk"] = bm25_topk_sql(
         "simple",

@@ -40,6 +40,7 @@ class DocumentsEngine:
         n_segments: int = 8,
         variant: str = "",
         row_filter: str | None = None,
+        text_expr: str | None = None,
     ) -> None:
         self.spark = spark
         self.sf_dir = sf_dir
@@ -48,7 +49,7 @@ class DocumentsEngine:
         # bump the version token whenever the on-disk index format changes
         # (cache dirs are content-addressed; a stale format must not resume)
         tag = hashlib.md5(
-            f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{analyzer}|{n_segments}|{variant}|{row_filter}|v6".encode()
+            f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{analyzer}|{n_segments}|{variant}|{row_filter}|{text_expr}|v6".encode()
         ).hexdigest()[:16]
         self.index_dir = os.path.join(
             tempfile.gettempdir(), "lucene_solr_spark_idx", f"docs-{analyzer}-{tag}"
@@ -59,6 +60,10 @@ class DocumentsEngine:
         if row_filter is not None:
             # e.g. a train split — the predicate pushes to the parquet scan
             docs = docs.filter(F.expr(row_filter))
+        if text_expr is not None:
+            # a derived field (multi-field schema): this engine indexes the
+            # projection as ITS OWN field — separate postings, norms, stats
+            docs = docs.withColumn("text", F.expr(text_expr))
         self.manifest = build_index(
             spark,
             docs,
@@ -2855,6 +2860,87 @@ def get_engine(spark: SparkSession, sf_dir: str, analyzer: str = "simple") -> Do
         eng = DocumentsEngine(spark, sf_dir, analyzer)
         _ENGINES[key] = eng
     return eng
+
+
+# --- multi-field schema: a derived `title` field alongside `body` (=text) ---
+# Each Lucene field is an independent posting store sharing the doc key —
+# exactly this architecture's natural shape: one index per field, built over
+# the same corpus with the same stable keys (L/index/FieldInfos: per-field
+# postings/norms; L/search/similarities: per-field collection statistics).
+
+TITLE_EXPR = "array_join(slice(split(text, ' '), 1, 8), ' ')"
+TITLE_EXPR_SQL = "array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')"
+QF_TITLE_W = 2.0   # eDisMax qf="title^2 body^1"
+QF_BODY_W = 1.0
+
+
+def get_title_engine(spark: SparkSession, sf_dir: str, analyzer: str = "simple") -> DocumentsEngine:
+    key = (os.path.abspath(sf_dir), analyzer + "+title")
+    eng = _ENGINES.get(key)
+    if eng is None:
+        eng = DocumentsEngine(
+            spark, sf_dir, analyzer, variant="title", text_expr=TITLE_EXPR
+        )
+        _ENGINES[key] = eng
+    return eng
+
+
+def fielded_dismax_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    qtype: str,
+    surface_terms: list[str],
+    k: int = 10,
+    analyzer: str = "simple",
+) -> DataFrame:
+    """eDisMax ``qf="title^2 body^1"`` cross-field query
+    (``S/search/ExtendedDismaxQParser`` main-clause shape: per query word, a
+    DisjunctionMaxQuery over the per-field term queries; here the whole
+    query scores per field then dismaxes, tie=0 — the qparser default).
+
+    Each field carries its OWN postings, norms and collection statistics
+    (independent avgdl/df — a term common in titles but rare in bodies gets
+    different idf per field, exactly Lucene's per-field model). Per-field
+    scores come from the same proven kernels (unranked ``searcher.hits``);
+    the cross-field combine is one doc_key full-outer join + f32 greatest —
+    no new scoring code, no extra shuffle beyond the join.
+
+    Returns (rank, doc_id, score) — score = f32 max(w_f · s_f) over fields
+    with a match, (score desc, doc_id asc) tiebreak."""
+    import numpy as np
+
+    legs = []
+    for eng, w, nm in (
+        (get_title_engine(spark, sf_dir, analyzer), QF_TITLE_W, "t"),
+        (get_engine(spark, sf_dir, analyzer), QF_BODY_W, "b"),
+    ):
+        spec = eng.searcher.parse(qtype, surface_terms, 0)
+        h = eng.searcher.hits(eng.searcher.compile(spec, k=1 << 30), mode="exact")
+        wf = F.lit(float(np.float32(w))).cast("float")
+        legs.append(
+            h.join(eng.searcher.docs.select("doc_key", "doc_id"), "doc_id")
+            .select(
+                F.col("doc_key"),
+                (wf * F.col("score")).cast("float").alias(f"s_{nm}"),
+            )
+        )
+    neg_inf = F.lit(float("-inf")).cast("float")
+    joined = legs[0].join(legs[1], "doc_key", "full")
+    score = F.greatest(
+        F.coalesce(F.col("s_t"), neg_inf), F.coalesce(F.col("s_b"), neg_inf)
+    ).alias("score")
+    top = (
+        joined.select(F.col("doc_key").cast("long").alias("doc_id"), score)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return (
+        top.coalesce(1)
+        .sortWithinPartitions(F.desc("score"), F.asc("doc_id"))
+        .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+        .select("rank", "doc_id", F.col("score").cast("float").alias("score"))
+        .orderBy("rank")
+    )
 
 
 # --- delete + re-add fixture (S/update/DirectUpdateHandler2#addDoc) ---------

@@ -1035,6 +1035,58 @@ def _bm25_match_ctes(
 )"""
 
 
+def fielded_dismax_topk_sql(
+    analyzer: str,
+    spec: BooleanSpec,
+    k: int,
+    title_expr_sql: str,
+    wt: float,
+    wb: float,
+) -> str:
+    """eDisMax qf cross-field oracle (engine.fielded_dismax_topk): each
+    field is a COMPLETE independent BM25 scope — the proven bitwise match
+    CTEs run twice, the title leg inside a nested WITH whose ``documents``
+    CTE shadows the registered view with the derived-title projection (per
+    Lucene's per-field model: independent postings/norms/stats per field).
+    Combine = f32 field-weight multiply, full join on doc_id, greatest."""
+    import numpy as np
+
+    frag = _bm25_match_ctes(spec, "")
+    wt_f, wb_f = float(np.float32(wt)), float(np.float32(wb))
+    # the title leg re-points every base-CTE read at the projected docs
+    # (the docs_eff precedent in after-update oracles); nested WITH scopes
+    # keep the two legs' identically-named CTEs independent
+    title_base = base_ctes(analyzer).replace("FROM documents", "FROM title_docs")
+    title_frag = frag.replace("FROM documents", "FROM title_docs")
+    return f"""WITH title_docs AS (
+    SELECT doc_id, {title_expr_sql} AS text FROM documents
+),
+ftitle AS (
+    WITH {title_base},{title_frag}
+    SELECT doc_id,
+           CAST(CAST(CAST({wt_f!r} AS DOUBLE) AS FLOAT) * score AS FLOAT) AS s_t
+    FROM match
+),
+fbody AS (
+    WITH {base_ctes(analyzer)},{frag}
+    SELECT doc_id,
+           CAST(CAST(CAST({wb_f!r} AS DOUBLE) AS FLOAT) * score AS FLOAT) AS s_b
+    FROM match
+),
+fused AS (
+    SELECT doc_id,
+           greatest(COALESCE(s_t, CAST('-infinity' AS FLOAT)),
+                    COALESCE(s_b, CAST('-infinity' AS FLOAT))) AS score
+    FROM ftitle FULL JOIN fbody USING (doc_id)
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score
+FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+           doc_id, score
+    FROM fused
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def bm25_topk_sql(
     analyzer: str, spec: BooleanSpec, k: int, offset: int = 0,
     filter_pred: str | None = None, k1: float = 1.2, b: float = 0.75,
