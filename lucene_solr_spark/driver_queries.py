@@ -280,6 +280,7 @@ FREETEXT_Q = ("merge", "d", 8)
 # fields (titles are the docs' first 8 tokens, so per-field df/avgdl differ
 # and the dismax actually switches winners between fields)
 FIELDED_Q = ("or3", ["fast", "merge", "table"], 10)
+FIELDED_TIE = 0.3
 # WordBreakSpellChecker: (run-together break input, adjacent combine pair)
 WORDBREAK_Q = ("mergebatch", ("bat", "ch"))
 # SynonymGraphFilter multi-word rule: "table hash" => dup (query-time graph
@@ -450,6 +451,11 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Lucene per-field model), dismax across field scores at tie=0
     out["ft_fielded_qf_topk"] = lambda spark, sf_dir: fielded_dismax_topk(
         spark, sf_dir, *FIELDED_Q
+    )
+    # DisjunctionMaxScorer tiebreak (edismax tie=0.3): max + tie·(sum−max)
+    # in double over the present fields, one f32 cast
+    out["ft_fielded_tie_topk"] = lambda spark, sf_dir: fielded_dismax_topk(
+        spark, sf_dir, *FIELDED_Q, tie=FIELDED_TIE
     )
     # commit point + time travel: the SAME update applied, but the searcher
     # opens AT the pre-update commit (DirectoryReader.open(IndexCommit) over
@@ -1378,13 +1384,14 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     from .engine import QF_BODY_W, QF_TITLE_W, TITLE_EXPR_SQL
     from .oracles import fielded_dismax_topk_sql
 
+    _fielded_spec = parse_fixture_query(ANALYZERS["simple"](), *FIELDED_Q[:2], 0)
     out["ft_fielded_qf_topk"] = fielded_dismax_topk_sql(
-        "simple",
-        parse_fixture_query(ANALYZERS["simple"](), *FIELDED_Q[:2], 0),
-        FIELDED_Q[2],
-        TITLE_EXPR_SQL,
-        QF_TITLE_W,
-        QF_BODY_W,
+        "simple", _fielded_spec, FIELDED_Q[2],
+        TITLE_EXPR_SQL, QF_TITLE_W, QF_BODY_W,
+    )
+    out["ft_fielded_tie_topk"] = fielded_dismax_topk_sql(
+        "simple", _fielded_spec, FIELDED_Q[2],
+        TITLE_EXPR_SQL, QF_TITLE_W, QF_BODY_W, tie=FIELDED_TIE,
     )
     # as-of reads the pre-update commit → plain BM25 over the ORIGINAL corpus
     out["ft_asof_topk"] = bm25_topk_sql(
@@ -1450,7 +1457,14 @@ PRIORITY_ORDER = [
     # entry's multi-term rewrite and pass-local gates; intervals certify the
     # NEW minimal-interval positional class — the lucene/queries/intervals
     # module)
-    "ft_interval_unordered_topk", "ft_dfr_topk", "ft_dismax_topk",
+    # ft_dismax_topk rotated out for ft_fielded_qf_topk (r4-cont): the
+    # per-term DisjunctionMax combine stays pass-local-gated and its
+    # greatest-of-f32 shape is scored inside the fielded row's cross-field
+    # max; fielded qf certifies the NEW multi-field schema surface — a
+    # derived title field as its OWN index with independent postings/norms/
+    # collection stats (per-field df/avgdl), f32 qf weights, dismax across
+    # fields — which no other scored row touches
+    "ft_interval_unordered_topk", "ft_dfr_topk", "ft_fielded_qf_topk",
     # ft_boost_topk rotated out for ft_spellcheck_collate in r3 (boost stays
     # certified inside the scored ft_rerank_topk weight path and the dismax
     # tie term; spellcheck certifies the NEW DirectSpellChecker/collation
@@ -1567,7 +1581,14 @@ PRIORITY_ORDER = [
     # dedup_minhash_lsh's verify step; spans certify the NEW corpus-vs-
     # corpus exact-substring (positional n-gram) dedup family, which no
     # other scored row exercises
-    "dedup_semantic", "dedup_spans", "dedup_minhash_lsh", "dedup_simhash",
+    # dedup_simhash rotated out for pack_loss_masks (r4-cont): the
+    # tf-weighted banded simhash stays pass-local-gated and the banded-
+    # candidate equi-join shape stays scored via dedup_minhash_lsh; the
+    # loss-mask row certifies the NEW sequence-packing family — the
+    # distributed two-pass token prefix sum (pack_sequences' placement,
+    # verbatim) PLUS role-masked span clipping at sequence cuts — which no
+    # other scored row exercises
+    "dedup_semantic", "dedup_spans", "dedup_minhash_lsh", "pack_loss_masks",
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ft_surround_topk",
     # graph_gather_nodes rotated out for stream_sessionize (r4-cont):
     # gatherNodes' frontier equi-join IS one superstep of shortest_path's

@@ -2892,6 +2892,7 @@ def fielded_dismax_topk(
     surface_terms: list[str],
     k: int = 10,
     analyzer: str = "simple",
+    tie: float = 0.0,
 ) -> DataFrame:
     """eDisMax ``qf="title^2 body^1"`` cross-field query
     (``S/search/ExtendedDismaxQParser`` main-clause shape: per query word, a
@@ -2906,7 +2907,9 @@ def fielded_dismax_topk(
     no new scoring code, no extra shuffle beyond the join.
 
     Returns (rank, doc_id, score) — score = f32 max(w_f · s_f) over fields
-    with a match, (score desc, doc_id asc) tiebreak."""
+    with a match, (score desc, doc_id asc) tiebreak. ``tie`` > 0 applies
+    DisjunctionMaxScorer's tiebreak exactly: double max + tie · (sum − max)
+    over the PRESENT fields' f32 leg scores, one f32 cast."""
     import numpy as np
 
     legs = []
@@ -2926,9 +2929,23 @@ def fielded_dismax_topk(
         )
     neg_inf = F.lit(float("-inf")).cast("float")
     joined = legs[0].join(legs[1], "doc_key", "full")
-    score = F.greatest(
+    mx = F.greatest(
         F.coalesce(F.col("s_t"), neg_inf), F.coalesce(F.col("s_b"), neg_inf)
-    ).alias("score")
+    )
+    if tie:
+        # DisjunctionMaxScorer#score: double scoreSum / scoreMax over the
+        # matching sub-scorers, (float)(max + (sum - max) * tie) — an
+        # absent field contributes nothing to either accumulator
+        sum_d = (
+            F.coalesce(F.col("s_t").cast("double"), F.lit(0.0))
+            + F.coalesce(F.col("s_b").cast("double"), F.lit(0.0))
+        )
+        score = (
+            mx.cast("double")
+            + (sum_d - mx.cast("double")) * F.lit(float(tie))
+        ).cast("float").alias("score")
+    else:
+        score = mx.alias("score")
     top = (
         joined.select(F.col("doc_key").cast("long").alias("doc_id"), score)
         .orderBy(F.desc("score"), F.asc("doc_id"))

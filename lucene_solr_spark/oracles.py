@@ -1042,6 +1042,7 @@ def fielded_dismax_topk_sql(
     title_expr_sql: str,
     wt: float,
     wb: float,
+    tie: float = 0.0,
 ) -> str:
     """eDisMax qf cross-field oracle (engine.fielded_dismax_topk): each
     field is a COMPLETE independent BM25 scope — the proven bitwise match
@@ -1075,9 +1076,19 @@ fbody AS (
 ),
 fused AS (
     SELECT doc_id,
-           greatest(COALESCE(s_t, CAST('-infinity' AS FLOAT)),
-                    COALESCE(s_b, CAST('-infinity' AS FLOAT))) AS score
-    FROM ftitle FULL JOIN fbody USING (doc_id)
+           {(
+               "CAST(mx + (sum_d - mx) * CAST(" + repr(float(tie)) + " AS DOUBLE) AS FLOAT)"
+               if tie else "CAST(mx AS FLOAT)"
+           )} AS score
+    FROM (
+        SELECT doc_id,
+               CAST(greatest(COALESCE(s_t, CAST('-infinity' AS FLOAT)),
+                             COALESCE(s_b, CAST('-infinity' AS FLOAT)))
+                    AS DOUBLE) AS mx,
+               COALESCE(CAST(s_t AS DOUBLE), 0) + COALESCE(CAST(s_b AS DOUBLE), 0)
+                   AS sum_d
+        FROM ftitle FULL JOIN fbody USING (doc_id)
+    )
 )
 SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score
 FROM (
