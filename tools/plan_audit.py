@@ -353,6 +353,19 @@ def main() -> None:
         must_not=[],
     ))
 
+    # 28. multi-field qf: BOTH field legs' posting scans are term-IN-list
+    # pruned (two independent indexes, each pushed), the cross-field
+    # combine is a doc_key join — never a CartesianProduct — and the final
+    # order is the k-row coalesce, not a global sort exchange.
+    from lucene_solr_spark.engine import fielded_dismax_topk
+
+    results.append(audit(
+        "fielded_qf_both_legs_pushed",
+        fielded_dismax_topk(spark, SF_DIR, "or3", ["fast", "merge", "table"], k=10),
+        must=[r"(?s)PushedFilters: \[In\(term.*PushedFilters: \[In\(term"],
+        must_not=[r"CartesianProduct", r"Exchange rangepartitioning"],
+    ))
+
     n_fail = results.count(False)
     print(f"{len(results) - n_fail}/{len(results)} plan invariants hold")
     sys.exit(1 if n_fail else 0)
