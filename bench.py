@@ -184,6 +184,14 @@ def main() -> None:
                 "or3", ["vector", "stream", "filter"], "and2", ["merge", "batch"],
                 rerank_docs=50, weight=2.0, k=10,
             ).collect())
+        # multi-field qf: two per-field exact legs + doc_key combine (the
+        # title index builds on the first trial; best-of measures steady state)
+        from lucene_solr_spark.engine import fielded_dismax_topk
+
+        timings["q_fielded"] = _best_of(
+            lambda: fielded_dismax_topk(
+                spark, SF_DIR, "or3", ["fast", "merge", "table"], k=10
+            ).collect())
         timings["q_funcexpr"] = _best_of(
             lambda: eng.function_expr_topk(
                 "scale(sum(product(2, termfreq(text,'merge')),"

@@ -754,6 +754,40 @@ class NGramAnalyzer(EdgeNGramAnalyzer):
     _grams = staticmethod(_all_ngrams)
 
 
+def _all_ngrams_strict(t: str) -> list[str]:
+    """``_all_ngrams`` at the upstream DEFAULT ``preserveOriginal=false``:
+    sub-minGram tokens emit nothing."""
+    return [] if len(t) < EDGE_MIN else _all_ngrams(t)
+
+
+class NGramStrictAnalyzer(NGramAnalyzer):
+    """NGram(2, 4) at the upstream DEFAULT ``preserveOriginal=false``
+    (``LA/ngram/NGramTokenFilter``): a token shorter than minGram emits
+    NOTHING — a position hole, like a stop word — and does not count
+    toward the norm length (``FieldInvertState.length`` counts emitted
+    tokens; a gram-less source token emits none). The sibling
+    ``NGramAnalyzer`` deliberately models preserveOriginal=true; this
+    chain closes that documented deviation from the upstream default."""
+
+    _grams = staticmethod(_all_ngrams_strict)
+
+    def postprocess_frame(self, frame: pd.DataFrame) -> pd.DataFrame:
+        if not len(frame):
+            return frame
+        n_rows = len(frame.attrs["doc_len"])
+        src_rows = frame["row"].to_numpy()
+        src_keep = np.fromiter(
+            (len(t) >= EDGE_MIN for t in _term_values(frame)),
+            dtype=bool,
+            count=len(frame),
+        )
+        out = super().postprocess_frame(frame)
+        out.attrs["doc_len"] = np.bincount(
+            src_rows[src_keep], minlength=n_rows
+        ).astype(np.int64)
+        return out
+
+
 # --- char-normalizing filters (ASCII folding / English possessive) -----------
 
 # ASCIIFoldingFilter (``LA/miscellaneous/ASCIIFoldingFilter.java``): Latin-1

@@ -60,6 +60,10 @@ FULLTEXT_TOPK = {
     # NGramTokenFilter(2,4): query 'erg' rides the SAME chain → the er/rg/
     # erg gram disjunction (substring matching — finds 'merge' interiors)
     "ft_ngram_topk": ("ngram", "term", ["erg"], 0, 10),
+    # upstream-default preserveOriginal=false: 1-char source tokens ('a')
+    # emit nothing and leave the norm length — scores differ from ft_ngram
+    # on every doc containing one, so the two conventions can't cancel out
+    "ft_ngram_strict_topk": ("ngramstrict", "term", ["erg"], 0, 10),
     # char-normalizing filters (ASCIIFolding / EnglishPossessive): the query
     # surfaces carry the accents/possessives and the SAME chain runs on both
     # sides; the driver corpus is pure ASCII (both filters are index-side

@@ -62,6 +62,7 @@ from ..analysis import (
     LimitTokenCountAnalyzer,
     LuceneChainAnalyzer,
     NGramAnalyzer,
+    NGramStrictAnalyzer,
     ShingleAnalyzer,
     SimpleAnalyzer,
     StopChainAnalyzer,
@@ -88,6 +89,7 @@ ANALYZERS = {
     "htmlstrip": HTMLStripAnalyzer,
     "commongrams": CommonGramsAnalyzer,
     "ngram": NGramAnalyzer,
+    "ngramstrict": NGramStrictAnalyzer,
     "keyword": KeywordAnalyzer,
     "cjk": CJKBigramAnalyzer,
     "worddelim": WordDelimiterGraphAnalyzer,

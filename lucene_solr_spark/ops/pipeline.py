@@ -1818,6 +1818,95 @@ register("conv_render", conv_render, CONV_RENDER_SQL)
 
 
 # ---------------------------------------------------------------------------
+# conv_context_windows: (context → target) example materialization — the
+# next-turn-prediction training pairs a transcripts pipeline emits
+# ---------------------------------------------------------------------------
+
+CONTEXT_TURNS = 3   # previous turns rendered into each example's context
+
+
+def conv_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize one training example per turn: the previous
+    ``CONTEXT_TURNS`` same-session turns rendered as the context (newline-
+    joined ``type: props`` lines, ``conv_render``'s template) and the turn
+    itself as the target — the (context → next turn) pair layout a
+    next-turn-prediction fine-tune consumes. Session identity is the same
+    inactivity-gap rule as ``stream_sessionize`` (a context never crosses a
+    session break).
+
+    Scale shape: ONE hash shuffle on user_id; session assignment and the
+    sliding frame are in-partition window passes (per-user data is bounded
+    by conversation length, never the corpus — the partition key IS the
+    conversation key, so skew is bounded by the longest conversation). The
+    rendering is JVM-side string work; no Python, no crossJoin, no global
+    sort."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat_ws(": ", F.col("event_type"), F.col("props"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")
+    is_new = (
+        F.col("ts") > F.lag("ts").over(w) + gap
+    ).cast("long")
+    sessed = ev.select(
+        "user_id", "ts", "event_id", line.alias("line")
+    ).withColumn(
+        "sess",
+        F.sum(F.coalesce(is_new, F.lit(1))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    wf = (
+        Window.partitionBy("user_id", "sess")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-CONTEXT_TURNS, -1)
+    )
+    ctx = F.collect_list("line").over(wf)
+    return (
+        sessed.select(
+            F.col("user_id").cast("long"),
+            F.col("event_id").cast("long"),
+            F.size(ctx).cast("long").alias("n_context"),
+            F.array_join(ctx, "\n").alias("context"),
+            F.col("line").alias("target"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+CONV_CONTEXT_WINDOWS_SQL = f"""
+WITH o AS (
+    SELECT user_id, ts, event_id,
+           event_type || ': ' || props AS line,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts > lag(ts) OVER w + INTERVAL {SESSION_GAP_MIN} MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+    ) AS sess
+    FROM o
+)
+SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id,
+       CAST(count(*) OVER wf AS BIGINT) AS n_context,
+       COALESCE(string_agg(line, chr(10)) OVER wf, '') AS context,
+       line AS target
+FROM s
+WINDOW wf AS (
+    PARTITION BY user_id, sess ORDER BY ts, event_id
+    ROWS BETWEEN {CONTEXT_TURNS} PRECEDING AND 1 PRECEDING
+)
+ORDER BY user_id, event_id"""
+
+
+register("conv_context_windows", conv_context_windows, CONV_CONTEXT_WINDOWS_SQL)
+
+
+# ---------------------------------------------------------------------------
 # pipeline_select: the composed end-to-end training-data selection funnel
 # ---------------------------------------------------------------------------
 

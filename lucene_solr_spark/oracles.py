@@ -114,6 +114,28 @@ def _kept_ctes(analyzer: str) -> tuple[str, str]:
 )""",
             "raw_toks",
         )
+    if analyzer == "ngramstrict":
+        # NGramTokenFilter(2, 4) at the upstream DEFAULT preserveOriginal=
+        # false: sub-min tokens emit nothing (position hole) and don't
+        # count toward the norm length — primary is the filtered source
+        from .analysis.analyzer import EDGE_MAX, EDGE_MIN
+
+        return (
+            f"""ngram_src AS (
+    SELECT * FROM raw_toks WHERE length(term) >= {EDGE_MIN}
+),
+kept AS (
+    SELECT doc_id,
+           unnest(flatten(list_transform(
+               generate_series({EDGE_MIN}, {EDGE_MAX}),
+               g -> list_transform(
+                    generate_series(1, length(term) - g + 1),
+                    s -> substr(term, CAST(s AS INT), CAST(g AS INT)))))) AS term,
+           pos
+    FROM ngram_src
+)""",
+            "ngram_src",
+        )
     if analyzer == "whitespace":
         return "kept AS (SELECT * FROM raw_toks)", "kept"
     if analyzer == "commongrams":

@@ -148,3 +148,33 @@ def test_cjk_index_e2e(spark, tmp_path_factory):
     assert set(hits.conv_id) == {"c0", "c1"}  # c0 via bigram 大学, c1 direct
     hits = s.search(s.parse("term", ["京大"], 0), k=10, with_keys=True).toPandas()
     assert set(hits.conv_id) == {"c0", "c2"}
+
+
+def test_ngram_strict_drops_subminimum_tokens():
+    """NGramTokenFilter(2,4) upstream default preserveOriginal=false:
+    1-char tokens emit nothing (position hole) and leave the norm length;
+    the preserveOriginal=true sibling keeps them. Batch == per-row."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_solr_spark.analysis import NGramAnalyzer, NGramStrictAnalyzer
+
+    text = "a big cat x ran"
+    strict = NGramStrictAnalyzer().analyze_batch(pd.Series([text]))
+    keep = NGramAnalyzer().analyze_batch(pd.Series([text]))
+
+    # holes where 'a' (pos 0) and 'x' (pos 3) were; norms count 3 tokens
+    assert sorted(set(strict["pos"])) == [1, 2, 4]
+    assert strict.attrs["doc_len"].tolist() == [3]
+    # the permissive sibling keeps the singles and counts all 5
+    assert sorted(set(keep["pos"])) == [0, 1, 2, 3, 4]
+    assert keep.attrs["doc_len"].tolist() == [5]
+    # gram sets agree on the surviving tokens
+    s3 = set(strict[strict["pos"] == 2]["term"].astype(str))
+    assert s3 == {"ca", "at", "cat"}
+
+    # per-row path agrees with the batch path (including doc_len)
+    per_row = NGramStrictAnalyzer().analyze("a big cat x ran")
+    assert [(t, p) for t, p in per_row] == list(
+        zip(strict["term"].astype(str), strict["pos"])
+    )
