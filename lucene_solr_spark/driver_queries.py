@@ -285,6 +285,8 @@ FREETEXT_Q = ("merge", "d", 8)
 # and the dismax actually switches winners between fields)
 FIELDED_Q = ("or3", ["fast", "merge", "table"], 10)
 FIELDED_TIE = 0.3
+# filterCache fq: (main qtype, main terms, fq qtype, fq terms, k)
+FQ_CACHED_Q = ("or3", ["vector", "stream", "filter"], "or2", ["merge", "dup"], 10)
 # WordBreakSpellChecker: (run-together break input, adjacent combine pair)
 WORDBREAK_Q = ("mergebatch", ("bat", "ch"))
 # SynonymGraphFilter multi-word rule: "table hash" => dup (query-time graph
@@ -461,6 +463,11 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_fielded_tie_topk"] = lambda spark, sf_dir: fielded_dismax_topk(
         spark, sf_dir, *FIELDED_Q, tie=FIELDED_TIE
     )
+    # filterCache: arbitrary-query fq served as a cached DocSet riding the
+    # kernels as a non-scoring FILTER (SolrIndexSearcher#getDocSet)
+    out["ft_fq_cached_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).fq_topk(*FQ_CACHED_Q)
     # commit point + time travel: the SAME update applied, but the searcher
     # opens AT the pre-update commit (DirectoryReader.open(IndexCommit) over
     # a SnapshotDeletionPolicy-retained generation) — answers are bitwise
@@ -1396,6 +1403,14 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     out["ft_fielded_tie_topk"] = fielded_dismax_topk_sql(
         "simple", _fielded_spec, FIELDED_Q[2],
         TITLE_EXPR_SQL, QF_TITLE_W, QF_BODY_W, tie=FIELDED_TIE,
+    )
+    from .oracles import fq_cached_topk_sql
+
+    out["ft_fq_cached_topk"] = fq_cached_topk_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), FQ_CACHED_Q[0], FQ_CACHED_Q[1], 0),
+        parse_fixture_query(ANALYZERS["simple"](), FQ_CACHED_Q[2], FQ_CACHED_Q[3], 0),
+        FQ_CACHED_Q[4],
     )
     # as-of reads the pre-update commit → plain BM25 over the ORIGINAL corpus
     out["ft_asof_topk"] = bm25_topk_sql(

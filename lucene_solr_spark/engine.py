@@ -206,6 +206,29 @@ class DocumentsEngine:
         out = self.searcher.search(spec, k=k, with_keys=True)
         return self._present(out)
 
+    def fq_topk(
+        self,
+        qtype: str,
+        surface_terms: list[str],
+        fq_qtype: str,
+        fq_terms: list[str],
+        k: int = 10,
+    ) -> DataFrame:
+        """Top-k with an arbitrary-query ``fq`` served through the
+        filterCache (``S/search/SolrIndexSearcher#getDocSet``): the fq's
+        DocSet is computed once per searcher (unranked hits pass), cached
+        under the LRU budget, and rides the main query's kernels as a
+        non-scoring FILTER — candidates restricted before ranking, BM25
+        scores and stats unchanged. A repeated fq is a cache hit: zero
+        extra jobs beyond the main query (``searcher.filter_docset``)."""
+        s = self.searcher
+        fbb = s.filter_docset(s.parse(fq_qtype, fq_terms, 0))
+        out = s.search(
+            s.parse(qtype, surface_terms, 0), k=k, with_keys=True,
+            filter_by_base=fbb,
+        )
+        return self._present(out)
+
     def join_filter_topk(
         self,
         qtype: str,

@@ -1057,6 +1057,24 @@ def _bm25_match_ctes(
 )"""
 
 
+def fq_cached_topk_sql(
+    analyzer: str, spec: BooleanSpec, fq_spec: BooleanSpec, k: int
+) -> str:
+    """Arbitrary-query ``fq`` under the filterCache (engine.fq_topk): the
+    fq's match set is a prefixed CTE; the main query's candidates restrict
+    to it BEFORE ranking (FILTER occur — scores and stats untouched)."""
+    frag_fq = _bm25_match_ctes(fq_spec, "fq")
+    frag = _bm25_match_ctes(
+        spec, "", filter_pred="doc_id IN (SELECT doc_id FROM fqmatch)"
+    )
+    return f"""WITH {base_ctes(analyzer)},{frag_fq},{frag}
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+           doc_id, score
+    FROM match
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def fielded_dismax_topk_sql(
     analyzer: str,
     spec: BooleanSpec,

@@ -191,6 +191,13 @@ class IndexSearcher:
             .withColumn("doc_id", F.col("doc_local") + F.col("base"))
             .drop("doc_local", "base")
         )
+        # filterCache (S/search/SolrIndexSearcher filterCache): fq → DocSet,
+        # LRU under an entry + total-id budget; see filter_docset
+        from collections import OrderedDict
+
+        self._filter_cache: "OrderedDict[str, dict[int, np.ndarray]]" = OrderedDict()
+        self._filter_cache_ids = 0
+        self.filter_cache_stats = {"hits": 0, "misses": 0, "evictions": 0}
 
     @cached_property
     def stats(self) -> CollectionStats:
@@ -470,6 +477,57 @@ class IndexSearcher:
             qid: compile_query(spec, df_map, self.stats.doc_count, self.cache, k)
             for qid, (spec, k) in specs.items()
         }
+
+    # --- filterCache (S/search/SolrIndexSearcher#getDocSet / filterCache) ---
+
+    FILTER_CACHE_MAX_ENTRIES = 64
+    FILTER_CACHE_ID_BUDGET = 1 << 22   # total cached doc ids across entries
+
+    def filter_docset(self, spec: BooleanSpec) -> dict[int, np.ndarray]:
+        """Solr filterCache analog: ``spec``'s unranked DocSet as a
+        per-segment ``{base: sorted local ids}`` map, memoized per searcher
+        (``S/search/SolrIndexSearcher#getDocSet`` backed by filterCache —
+        a repeated ``fq`` pays its hits pass once per searcher lifetime).
+        The map rides the query kernels as ``filter_by_base``: a
+        non-scoring FILTER occur, candidates restricted BEFORE ranking,
+        BM25 stats untouched.
+
+        Scale honesty: the cached set is DRIVER-held, as Solr's
+        filterCache is shard-heap-held — but one driver serves every
+        segment, so the cache is budget-bounded (entry count + total ids,
+        LRU): an fq whose DocSet exceeds the id budget is computed but NOT
+        retained (the ``{!cache=false}`` shape). Selective fqs — the ones
+        worth caching — fit by definition; filters over INDEXED keyword
+        fields should keep using the posting-list FILTER path
+        (``engine.filtered_topk``), which never materializes a DocSet."""
+        key = repr(spec)
+        cached = self._filter_cache.get(key)
+        if cached is not None:
+            self._filter_cache.move_to_end(key)
+            self.filter_cache_stats["hits"] += 1
+            return cached
+        self.filter_cache_stats["misses"] += 1
+        rows = (
+            self.hits(self.compile(spec, k=1 << 30), mode="exact")
+            .select("doc_id").collect()
+        )
+        gdocs = np.sort(np.array([r.doc_id for r in rows], dtype=np.int64))
+        layout = self.seg_norms.select("base", "n").collect()
+        fbb = {
+            int(r.base): gdocs[(gdocs >= r.base) & (gdocs < r.base + r.n)] - r.base
+            for r in layout
+        }
+        if len(gdocs) <= self.FILTER_CACHE_ID_BUDGET:
+            self._filter_cache[key] = fbb
+            self._filter_cache_ids += len(gdocs)
+            while (
+                len(self._filter_cache) > self.FILTER_CACHE_MAX_ENTRIES
+                or self._filter_cache_ids > self.FILTER_CACHE_ID_BUDGET
+            ):
+                _, old = self._filter_cache.popitem(last=False)
+                self._filter_cache_ids -= sum(len(v) for v in old.values())
+                self.filter_cache_stats["evictions"] += 1
+        return fbb
 
     def parse(
         self, qtype: str, surface_terms: list[str], min_should: int = 0, slop: int = 0
