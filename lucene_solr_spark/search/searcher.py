@@ -517,17 +517,26 @@ class IndexSearcher:
             int(r.base): gdocs[(gdocs >= r.base) & (gdocs < r.base + r.n)] - r.base
             for r in layout
         }
-        if len(gdocs) <= self.FILTER_CACHE_ID_BUDGET:
-            self._filter_cache[key] = fbb
-            self._filter_cache_ids += len(gdocs)
-            while (
-                len(self._filter_cache) > self.FILTER_CACHE_MAX_ENTRIES
-                or self._filter_cache_ids > self.FILTER_CACHE_ID_BUDGET
-            ):
-                _, old = self._filter_cache.popitem(last=False)
-                self._filter_cache_ids -= sum(len(v) for v in old.values())
-                self.filter_cache_stats["evictions"] += 1
+        self._filter_cache_insert(key, fbb)
         return fbb
+
+    def _filter_cache_insert(self, key: str, fbb: dict[int, np.ndarray]) -> None:
+        """Shared budgeted insert for both filterCache faces (query DocSets
+        and non-indexed filter maps): skip retention when the set alone
+        exceeds the id budget ({!cache=false} shape), else LRU-evict down
+        to the entry and total-id budgets with exact id accounting."""
+        n_ids = sum(len(v) for v in fbb.values())
+        if n_ids > self.FILTER_CACHE_ID_BUDGET:
+            return
+        self._filter_cache[key] = fbb
+        self._filter_cache_ids += n_ids
+        while (
+            len(self._filter_cache) > self.FILTER_CACHE_MAX_ENTRIES
+            or self._filter_cache_ids > self.FILTER_CACHE_ID_BUDGET
+        ):
+            _, old = self._filter_cache.popitem(last=False)
+            self._filter_cache_ids -= sum(len(v) for v in old.values())
+            self.filter_cache_stats["evictions"] += 1
 
     def parse(
         self, qtype: str, surface_terms: list[str], min_should: int = 0, slop: int = 0
@@ -808,18 +817,13 @@ class IndexSearcher:
         driver memory O(CACHE_MAX · matched docs)."""
         hit = self._filter_cache.get(cache_key)
         if hit is not None:
+            self._filter_cache.move_to_end(cache_key)
+            self.filter_cache_stats["hits"] += 1
             return hit
+        self.filter_cache_stats["misses"] += 1
         out = self.filter_map(keys)
-        if len(self._filter_cache) >= self._FILTER_CACHE_MAX:
-            self._filter_cache.pop(next(iter(self._filter_cache)))
-        self._filter_cache[cache_key] = out
+        self._filter_cache_insert(cache_key, out)
         return out
-
-    _FILTER_CACHE_MAX = 64
-
-    @cached_property
-    def _filter_cache(self) -> dict:
-        return {}
 
     def search(
         self,
