@@ -287,6 +287,8 @@ FIELDED_Q = ("or3", ["fast", "merge", "table"], 10)
 FIELDED_TIE = 0.3
 # filterCache fq: (main qtype, main terms, fq qtype, fq terms, k)
 FQ_CACHED_Q = ("or3", ["vector", "stream", "filter"], "or2", ["merge", "dup"], 10)
+# queryResultCache page fixture: (qtype, terms, k)
+QRC_Q = ("or2", ["window", "batch"], 10)
 # WordBreakSpellChecker: (run-together break input, adjacent combine pair)
 WORDBREAK_Q = ("mergebatch", ("bat", "ch"))
 # SynonymGraphFilter multi-word rule: "table hash" => dup (query-time graph
@@ -468,6 +470,11 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_fq_cached_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).fq_topk(*FQ_CACHED_Q)
+    # queryResultCache: the returned page is a CACHE HIT off the
+    # ceil-to-window superset a first ask cached (getDocListC semantics)
+    out["ft_qrc_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).qrc_topk(*QRC_Q)
     # commit point + time travel: the SAME update applied, but the searcher
     # opens AT the pre-update commit (DirectoryReader.open(IndexCommit) over
     # a SnapshotDeletionPolicy-retained generation) — answers are bitwise
@@ -1411,6 +1418,12 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
         parse_fixture_query(ANALYZERS["simple"](), FQ_CACHED_Q[0], FQ_CACHED_Q[1], 0),
         parse_fixture_query(ANALYZERS["simple"](), FQ_CACHED_Q[2], FQ_CACHED_Q[3], 0),
         FQ_CACHED_Q[4],
+    )
+    # the cached page must be bitwise the plain BM25 answer
+    out["ft_qrc_topk"] = bm25_topk_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), QRC_Q[0], QRC_Q[1], 0),
+        QRC_Q[2],
     )
     # as-of reads the pre-update commit → plain BM25 over the ORIGINAL corpus
     out["ft_asof_topk"] = bm25_topk_sql(

@@ -229,6 +229,35 @@ class DocumentsEngine:
         )
         return self._present(out)
 
+    def qrc_topk(
+        self,
+        qtype: str,
+        surface_terms: list[str],
+        k: int = 10,
+    ) -> DataFrame:
+        """Top-k served THROUGH the queryResultCache (``searcher.cached_topk``):
+        the first ask computes and caches the ceil-to-window page, the
+        returned page is the second ask — a pure cache hit — so the driver
+        gate certifies the cached path end-to-end (a stale or mis-sliced
+        window goes hash-red)."""
+        s = self.searcher
+        spec = s.parse(qtype, surface_terms, 0)
+        s.cached_topk(spec, k=k)           # prime: miss fills the window
+        rows = s.cached_topk(spec, k=k)    # served page: a cache hit
+        page = self.spark.createDataFrame(
+            [(i + 1, d, float(sc)) for i, (d, sc) in enumerate(rows)],
+            "rank int, doc_id long, score float",
+        )
+        return (
+            page.join(s.docs.select("doc_id", "doc_key"), "doc_id")
+            .select(
+                "rank",
+                F.col("doc_key").cast("long").alias("doc_id"),
+                F.col("score").cast("float").alias("score"),
+            )
+            .orderBy("rank")
+        )
+
     def join_filter_topk(
         self,
         qtype: str,

@@ -198,6 +198,9 @@ class IndexSearcher:
         self._filter_cache: "OrderedDict[str, dict[int, np.ndarray]]" = OrderedDict()
         self._filter_cache_ids = 0
         self.filter_cache_stats = {"hits": 0, "misses": 0, "evictions": 0}
+        # queryResultCache: query → cached ordered window; see cached_topk
+        self._query_result_cache: "OrderedDict[str, tuple[int, list]]" = OrderedDict()
+        self.query_result_cache_stats = {"hits": 0, "misses": 0, "evictions": 0}
 
     @cached_property
     def stats(self) -> CollectionStats:
@@ -519,6 +522,42 @@ class IndexSearcher:
         }
         self._filter_cache_insert(key, fbb)
         return fbb
+
+    # --- queryResultCache (S/search/SolrIndexSearcher queryResultCache) -----
+
+    QUERY_RESULT_CACHE_MAX = 128
+    QUERY_RESULT_WINDOW = 50   # solrconfig queryResultWindowSize
+
+    def cached_topk(self, spec: BooleanSpec, k: int = 10, mode: str = "wand"):
+        """queryResultCache analog: the ordered (doc_id, score) page for a
+        query is memoized per searcher, with Solr's windowing rule — a miss
+        computes and caches ceil-to-``queryResultWindowSize`` rows, so any
+        subsequent request for the same query with k ≤ window is a pure
+        cache hit served by slicing (``SolrIndexSearcher#getDocListC`` +
+        ``queryResultWindowSize``). Returns a list of (doc_id, score)
+        rows — the superset window is cached, the first k returned.
+
+        Scale shape: O(window) driver rows per entry (Solr caches DocList
+        pages exactly the same way); the distributed top-k only re-runs on
+        a genuine miss."""
+        key = f"{mode}|{repr(spec)}"
+        win = self._query_result_cache.get(key)
+        if win is not None and k <= win[0]:
+            self._query_result_cache.move_to_end(key)
+            self.query_result_cache_stats["hits"] += 1
+            return win[1][:k]
+        self.query_result_cache_stats["misses"] += 1
+        w = self.QUERY_RESULT_WINDOW
+        window_k = ((k + w - 1) // w) * w
+        rows = [
+            (int(r.doc_id), r.score)
+            for r in self.search(spec, k=window_k, mode=mode).collect()
+        ]
+        self._query_result_cache[key] = (window_k, rows)
+        while len(self._query_result_cache) > self.QUERY_RESULT_CACHE_MAX:
+            self._query_result_cache.popitem(last=False)
+            self.query_result_cache_stats["evictions"] += 1
+        return rows[:k]
 
     def _filter_cache_insert(self, key: str, fbb: dict[int, np.ndarray]) -> None:
         """Shared budgeted insert for both filterCache faces (query DocSets
