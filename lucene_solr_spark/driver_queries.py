@@ -15,8 +15,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .engine import (
-    fielded_dismax_topk, get_asof_engine, get_atomic_engine, get_dbq_engine,
-    get_engine, get_expunged_engine, get_rtg_engine, get_updated_engine,
+    blended_term_topk, fielded_dismax_topk, get_asof_engine,
+    get_atomic_engine, get_dbq_engine, get_engine, get_expunged_engine,
+    get_rtg_engine, get_updated_engine,
 )
 from .index.build import ANALYZERS
 from .oracles import (
@@ -289,6 +290,9 @@ FIELDED_TIE = 0.3
 FQ_CACHED_Q = ("or3", ["vector", "stream", "filter"], "or2", ["merge", "dup"], 10)
 # queryResultCache page fixture: (qtype, terms, k)
 QRC_Q = ("or2", ["window", "batch"], 10)
+# BlendedTermQuery cross-field fixture: (terms, k) — body-common terms whose
+# title df is far lower, so blending visibly changes the title leg's idf
+BLENDED_Q = (["fast", "merge", "table"], 10)
 # WordBreakSpellChecker: (run-together break input, adjacent combine pair)
 WORDBREAK_Q = ("mergebatch", ("bat", "ch"))
 # SynonymGraphFilter multi-word rule: "table hash" => dup (query-time graph
@@ -475,6 +479,12 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_qrc_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).qrc_topk(*QRC_Q)
+    # BlendedTermQuery cross-field (ES cross_fields): per-term df blended
+    # to the max across fields, per-field scoring with the shared df,
+    # dismax across fields
+    out["ft_blended_cross_topk"] = lambda spark, sf_dir: blended_term_topk(
+        spark, sf_dir, BLENDED_Q[0], k=BLENDED_Q[1]
+    )
     # commit point + time travel: the SAME update applied, but the searcher
     # opens AT the pre-update commit (DirectoryReader.open(IndexCommit) over
     # a SnapshotDeletionPolicy-retained generation) — answers are bitwise
@@ -1424,6 +1434,11 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
         "simple",
         parse_fixture_query(ANALYZERS["simple"](), QRC_Q[0], QRC_Q[1], 0),
         QRC_Q[2],
+    )
+    from .oracles import blended_term_topk_sql
+
+    out["ft_blended_cross_topk"] = blended_term_topk_sql(
+        "simple", BLENDED_Q[0], BLENDED_Q[1], TITLE_EXPR_SQL
     )
     # as-of reads the pre-update commit → plain BM25 over the ORIGINAL corpus
     out["ft_asof_topk"] = bm25_topk_sql(

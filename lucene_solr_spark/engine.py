@@ -2979,6 +2979,14 @@ def fielded_dismax_topk(
                 (wf * F.col("score")).cast("float").alias(f"s_{nm}"),
             )
         )
+    return _dismax_field_page(legs, k, tie)
+
+
+def _dismax_field_page(legs: list[DataFrame], k: int, tie: float = 0.0) -> DataFrame:
+    """Cross-field combine shared by the fielded query family: full join on
+    doc_key, DisjunctionMax over the present fields' f32 leg scores (tie>0
+    = DisjunctionMaxScorer's double max + tie·(sum−max) fold, one f32
+    cast), top-k by (score desc, doc_id asc), rank without a WindowExec."""
     neg_inf = F.lit(float("-inf")).cast("float")
     joined = legs[0].join(legs[1], "doc_key", "full")
     mx = F.greatest(
@@ -3010,6 +3018,48 @@ def fielded_dismax_topk(
         .select("rank", "doc_id", F.col("score").cast("float").alias("score"))
         .orderBy("rank")
     )
+
+
+def blended_term_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    surface_terms: list[str],
+    k: int = 10,
+    analyzer: str = "simple",
+) -> DataFrame:
+    """BlendedTermQuery across fields (``L/search/BlendedTermQuery`` — the
+    class Elasticsearch's ``cross_fields`` is built on): for each query
+    term, the docFreq is BLENDED to the MAX across the fields' term
+    dictionaries, every per-field term query scores with that shared df
+    (so a term common in bodies but rare in titles stops being
+    over-rewarded in titles — the cross_fields fix), each field keeps its
+    OWN norms/avgdl/docCount, and the fields combine by DisjunctionMax
+    (tie=0, BlendedTermQuery.DisjunctionMaxRewrite).
+
+    Per-field scoring runs on the standard kernels with the blended df
+    bound at compile time (``compile_query(term_df=blend)`` — the
+    TermStates-override shape); no new scoring code."""
+    from .search.query import BooleanSpec, TermClause, compile_query
+
+    title = get_title_engine(spark, sf_dir, analyzer)
+    body = get_engine(spark, sf_dir, analyzer)
+    toks = [body.searcher.analyzer.analyze(s)[0][0] for s in surface_terms]
+    spec = BooleanSpec(should=[TermClause(t) for t in toks])
+    df_t, _ = title.searcher.term_stats_rows(toks)
+    df_b, _ = body.searcher.term_stats_rows(toks)
+    blend = {t: max(df_t.get(t, 0), df_b.get(t, 0)) for t in toks}
+    legs = []
+    for eng, nm in ((title, "t"), (body, "b")):
+        q = compile_query(
+            spec, blend, eng.searcher.stats.doc_count, eng.searcher.cache,
+            1 << 30,
+        )
+        legs.append(
+            eng.searcher.hits(q, mode="exact")
+            .join(eng.searcher.docs.select("doc_key", "doc_id"), "doc_id")
+            .select("doc_key", F.col("score").alias(f"s_{nm}"))
+        )
+    return _dismax_field_page(legs, k)
 
 
 # --- delete + re-add fixture (S/update/DirectUpdateHandler2#addDoc) ---------

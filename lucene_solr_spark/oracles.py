@@ -1138,6 +1138,79 @@ FROM (
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def blended_term_topk_sql(
+    analyzer: str, toks: list[str], k: int, title_expr_sql: str
+) -> str:
+    """BlendedTermQuery cross-field oracle (engine.blended_term_topk): each
+    field's complete BM25 scope runs in a nested WITH; per-term docFreq is
+    blended to the MAX across fields in a top-level CTE both scopes read;
+    per-field scores use the field's own doc_count/norms with the blended
+    df; fields combine by dismax (tie=0)."""
+
+    def _blend_idf(t: str) -> str:
+        sub = f"(SELECT df FROM blend WHERE term = '{t}')"
+        return (
+            f"CAST(ln(1.0 + (st.doc_count - {sub} + 0.5) / ({sub} + 0.5)) AS FLOAT)"
+        )
+
+    def _leg(base: str, alias: str) -> str:
+        branches = " UNION ALL ".join(
+            f"""
+    SELECT k.doc_id,
+           CAST({_blend_idf(t)}
+                * CAST(count(*)::DOUBLE / (count(*)::DOUBLE + CAST(any_value(c.cache) AS DOUBLE)) AS FLOAT)
+            AS FLOAT) AS s
+    FROM kept k JOIN cachec c USING (doc_id), statsf st
+    WHERE k.term = '{t}'
+    GROUP BY k.doc_id, st.doc_count"""
+            for t in toks
+        )
+        return f"""(
+    WITH {base},
+    cs AS ({branches})
+    SELECT doc_id, CAST(sum(CAST(s AS DOUBLE)) AS FLOAT) AS {alias}
+    FROM cs GROUP BY doc_id
+)"""
+
+    in_list = ", ".join(f"'{t}'" for t in toks)
+    vals = ", ".join(f"('{t}')" for t in toks)
+    title_base = base_ctes(analyzer).replace("FROM documents", "FROM title_docs")
+    return f"""WITH title_docs AS (
+    SELECT doc_id, {title_expr_sql} AS text FROM documents
+),
+tdf AS (
+    WITH {title_base}
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+    FROM kept WHERE term IN ({in_list}) GROUP BY 1
+),
+bdf AS (
+    WITH {base_ctes(analyzer)}
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+    FROM kept WHERE term IN ({in_list}) GROUP BY 1
+),
+blend AS (
+    SELECT v.t AS term,
+           greatest(COALESCE(tdf.df, 0), COALESCE(bdf.df, 0)) AS df
+    FROM (VALUES {vals}) v(t)
+    LEFT JOIN tdf ON tdf.term = v.t
+    LEFT JOIN bdf ON bdf.term = v.t
+),
+ftitle AS {_leg(title_base, "s_t")},
+fbody AS {_leg(base_ctes(analyzer), "s_b")},
+fused AS (
+    SELECT doc_id,
+           greatest(COALESCE(s_t, CAST('-infinity' AS FLOAT)),
+                    COALESCE(s_b, CAST('-infinity' AS FLOAT))) AS score
+    FROM ftitle FULL JOIN fbody USING (doc_id)
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score
+FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+           doc_id, score
+    FROM fused
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def bm25_topk_sql(
     analyzer: str, spec: BooleanSpec, k: int, offset: int = 0,
     filter_pred: str | None = None, k1: float = 1.2, b: float = 0.75,

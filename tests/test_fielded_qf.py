@@ -64,3 +64,45 @@ def test_fielded_dismax_semantics(spark):
         legs["t"].get(d, np.float32("-inf")) > legs["b"].get(d, np.float32("-inf"))
         for d, _ in want
     )
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+def test_blended_term_df_semantics(spark):
+    """BlendedTermQuery: per-term df blends to the max across fields, so
+    the title leg scores with the body's (larger) df — different from the
+    unblended per-field dismax wherever a term's dfs diverge."""
+    from lucene_solr_spark.engine import (
+        blended_term_topk, get_engine, get_title_engine,
+    )
+
+    title = get_title_engine(spark, SF, "simple")
+    body = get_engine(spark, SF, "simple")
+    toks = ["fast", "merge", "table"]
+    df_t, _ = title.searcher.term_stats_rows(toks)
+    df_b, _ = body.searcher.term_stats_rows(toks)
+    # the fixture must actually diverge, else blending is vacuous
+    assert any(df_t.get(t, 0) < df_b.get(t, 0) for t in toks)
+
+    got = blended_term_topk(spark, SF, toks, k=10).toPandas()
+    assert len(got) == 10
+
+    # unblended comparison: same spec, each field compiled with its OWN df
+    legs = {}
+    for nm, eng in (("t", title), ("b", body)):
+        spec = eng.searcher.parse("or3", toks, 0)
+        h = (
+            eng.searcher.hits(eng.searcher.compile(spec, k=1 << 30), mode="exact")
+            .join(eng.searcher.docs.select("doc_key", "doc_id"), "doc_id")
+            .select("doc_key", "score")
+            .toPandas()
+        )
+        legs[nm] = {int(r.doc_key): np.float32(r.score) for r in h.itertuples()}
+    unblended = {
+        d: max(legs["t"].get(d, np.float32("-inf")),
+               legs["b"].get(d, np.float32("-inf")))
+        for d in set(legs["t"]) | set(legs["b"])
+    }
+    blended = {int(r.doc_id): np.float32(r.score) for r in got.itertuples()}
+    assert any(
+        unblended.get(d) is None or unblended[d] != s for d, s in blended.items()
+    )
