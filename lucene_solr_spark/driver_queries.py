@@ -485,6 +485,11 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_blended_cross_topk"] = lambda spark, sf_dir: blended_term_topk(
         spark, sf_dir, BLENDED_Q[0], k=BLENDED_Q[1]
     )
+    # documentCache: the presented page's stored fields come through the
+    # per-engine LRU (fetch-fields-late + memoized re-fetch)
+    out["ft_topk_fetch"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).topk_fetch(*QRC_Q)
     # commit point + time travel: the SAME update applied, but the searcher
     # opens AT the pre-update commit (DirectoryReader.open(IndexCommit) over
     # a SnapshotDeletionPolicy-retained generation) — answers are bitwise
@@ -1439,6 +1444,12 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
 
     out["ft_blended_cross_topk"] = blended_term_topk_sql(
         "simple", BLENDED_Q[0], BLENDED_Q[1], TITLE_EXPR_SQL
+    )
+    # page + stored fields: the bm25 page joined back to the source table
+    out["ft_topk_fetch"] = (
+        "SELECT p.rank, p.doc_id, p.score, d.source, d.lang FROM ("
+        + out["ft_qrc_topk"]
+        + ") p JOIN documents d ON d.doc_id = p.doc_id ORDER BY p.rank"
     )
     # as-of reads the pre-update commit → plain BM25 over the ORIGINAL corpus
     out["ft_asof_topk"] = bm25_topk_sql(

@@ -229,6 +229,71 @@ class DocumentsEngine:
         )
         return self._present(out)
 
+    DOCUMENT_CACHE_MAX = 512   # solrconfig documentCache size
+
+    def fetch_stored(self, doc_keys: list[int]) -> dict[int, tuple]:
+        """documentCache analog (``solrconfig.xml`` documentCache /
+        ``SolrIndexSearcher#doc``): stored fields (source, lang, text) for
+        presented pages, memoized per engine under an LRU entry budget.
+        Misses fetch in ONE doc_id-IN-pruned scan of the source table (the
+        fetch-fields-late discipline — only the page's rows ever read);
+        repeated pages (paging, reranking the same window, MLT re-asks)
+        skip the scan entirely."""
+        if not hasattr(self, "_document_cache"):
+            from collections import OrderedDict
+
+            self._document_cache: "OrderedDict[int, tuple]" = OrderedDict()
+            self.document_cache_stats = {"hits": 0, "misses": 0, "evictions": 0}
+        out: dict[int, tuple] = {}
+        missing = []
+        for d in doc_keys:
+            hit = self._document_cache.get(d)
+            if hit is not None:
+                self._document_cache.move_to_end(d)
+                self.document_cache_stats["hits"] += 1
+                out[d] = hit
+            else:
+                missing.append(d)
+        if missing:
+            self.document_cache_stats["misses"] += len(missing)
+            src = os.path.join(self.sf_dir, "documents.parquet")
+            rows = (
+                self.spark.read.parquet(src)
+                .filter(F.col("doc_id").isin(missing))
+                .select("doc_id", "source", "lang", "text")
+                .collect()
+            )
+            for r in rows:
+                tup = (r.source, r.lang, r.text)
+                self._document_cache[int(r.doc_id)] = tup
+                out[int(r.doc_id)] = tup
+            while len(self._document_cache) > self.DOCUMENT_CACHE_MAX:
+                self._document_cache.popitem(last=False)
+                self.document_cache_stats["evictions"] += 1
+        return out
+
+    def topk_fetch(
+        self,
+        qtype: str,
+        surface_terms: list[str],
+        k: int = 10,
+    ) -> DataFrame:
+        """Top-k page presented WITH stored fields served through the
+        documentCache (``fetch_stored``): rank/score from the standard
+        search, (source, lang) decorated from the cache — the documentCache
+        sits exactly where Solr's does, between the DocList and the
+        response writer."""
+        page = self.topk(qtype, surface_terms, k=k).collect()
+        stored = self.fetch_stored([int(r.doc_id) for r in page])
+        return self.spark.createDataFrame(
+            [
+                (int(r.rank), int(r.doc_id), float(r.score),
+                 stored[int(r.doc_id)][0], stored[int(r.doc_id)][1])
+                for r in page
+            ],
+            "rank int, doc_id long, score float, source string, lang string",
+        ).orderBy("rank")
+
     def qrc_topk(
         self,
         qtype: str,

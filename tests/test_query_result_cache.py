@@ -49,3 +49,43 @@ def test_query_result_cache_window_semantics(spark):
         assert s.query_result_cache_stats["evictions"] >= 1
     finally:
         s.QUERY_RESULT_CACHE_MAX = old
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+def test_document_cache_hits_and_eviction(spark):
+    from lucene_solr_spark.engine import get_engine
+
+    eng = get_engine(spark, SF, "simple")
+    if hasattr(eng, "_document_cache"):
+        eng._document_cache.clear()
+        eng.document_cache_stats.update(hits=0, misses=0, evictions=0)
+
+    a = eng.fetch_stored([1, 2, 3])
+    assert set(a) == {1, 2, 3}
+    assert eng.document_cache_stats["misses"] == 3
+    # repeat + one new key: 3 hits, 1 miss, stored fields stable
+    b = eng.fetch_stored([1, 2, 3, 4])
+    assert eng.document_cache_stats["hits"] == 3
+    assert eng.document_cache_stats["misses"] == 4
+    assert all(a[k] == b[k] for k in a)
+
+    # eviction under a tiny budget
+    old = eng.DOCUMENT_CACHE_MAX
+    try:
+        eng.DOCUMENT_CACHE_MAX = 2
+        eng.fetch_stored([10, 11, 12])
+        assert len(eng._document_cache) <= 2
+        assert eng.document_cache_stats["evictions"] >= 1
+    finally:
+        eng.DOCUMENT_CACHE_MAX = old
+
+    # the decorated page agrees with the source table
+    page = eng.topk_fetch("or2", ["window", "batch"], k=5).toPandas()
+    import duckdb
+
+    src = duckdb.sql(
+        f"SELECT doc_id, source, lang FROM '{os.path.join(SF, 'documents.parquet')}'"
+    ).df().set_index("doc_id")
+    for r in page.itertuples():
+        assert r.source == src.loc[int(r.doc_id), "source"]
+        assert r.lang == src.loc[int(r.doc_id), "lang"]
