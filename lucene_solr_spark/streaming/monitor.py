@@ -1,0 +1,172 @@
+"""Streaming stored-query monitor — ``lucene/monitor``'s alerting
+deployment (``Monitor#match`` driven by a document STREAM, the Luwak
+percolator use-case): each micro-batch of documents is matched against the
+standing-query registry with a PER-DOC in-memory evaluation — the
+``MemoryIndex`` shape (``lucene/memory/.../MemoryIndex.java``: one
+transient single-doc index per document, queries run against it, nothing
+persisted) — and (query_id, doc) alerts append to a sink table.
+
+Contrast with ``engine.monitor_matches`` (the batch face): that one runs
+the registry as ONE pass over a PERSISTED corpus index; this one runs the
+registry against documents AS THEY ARRIVE, no corpus index at all. Both
+faces return the same match set over the same docs (pinned by
+tests/test_streaming_monitor.py's convergence test), exactly the
+Monitor-vs-IndexSearcher agreement Lucene's monitor tests assert.
+
+Scale shape: matching is a stateless ``mapInPandas`` over the stream — one
+Arrow batch pass per micro-batch, ZERO shuffle, no driver state; the
+registry parses once per worker from the broadcast closure. Cost is
+O(batch tokens · registry terms present), never O(history). Watermarks are
+unnecessary (matching is per-doc, not windowed), mirroring the reference's
+monitor which holds no cross-doc state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..search.query import BooleanSpec, PhraseClause, TermClause
+
+
+def match_frame(
+    frame: pd.DataFrame, n_rows: int, registry: dict[str, BooleanSpec]
+) -> list[tuple[int, str]]:
+    """MemoryIndex-style match of every doc (row) in an ANALYZED token
+    frame against every registry spec. Returns (row, query_id) pairs.
+    Match semantics are the index engine's: term = tf ≥ 1, MUST = all,
+    SHOULD honors minimumNumberShouldMatch (≥1 when no MUST), MUST_NOT
+    excludes, phrase = offset-exact positions (stop holes preserved)."""
+    if len(frame):
+        terms = frame["term"].astype(str).to_numpy()
+        rows = frame["row"].to_numpy()
+        pos = frame["pos"].to_numpy()
+    else:
+        terms = np.empty(0, dtype=object)
+        rows = pos = np.empty(0, dtype=np.int64)
+    by_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    if len(frame):
+        order = np.argsort(terms, kind="mergesort")
+        st, sr, sp = terms[order], rows[order], pos[order]
+        cuts = np.flatnonzero(np.r_[True, st[1:] != st[:-1]])
+        for i, c in enumerate(cuts):
+            end = cuts[i + 1] if i + 1 < len(cuts) else len(st)
+            by_term[st[c]] = (sr[c:end], sp[c:end])
+
+    def term_rows(t: str) -> set[int]:
+        hit = by_term.get(t)
+        return set(hit[0].tolist()) if hit is not None else set()
+
+    def phrase_rows(c: PhraseClause) -> set[int]:
+        # rows where some anchor position p has term_i at p + (off_i - off_0)
+        acc: dict[int, set[int]] | None = None   # row -> anchor positions
+        for t, off in zip(c.terms, c.offsets):
+            hit = by_term.get(t)
+            if hit is None:
+                return set()
+            anchors: dict[int, set[int]] = {}
+            delta = off - c.offsets[0]
+            for r, p in zip(hit[0].tolist(), hit[1].tolist()):
+                anchors.setdefault(r, set()).add(p - delta)
+            if acc is None:
+                acc = anchors
+            else:
+                acc = {
+                    r: acc[r] & anchors[r]
+                    for r in acc.keys() & anchors.keys()
+                    if acc[r] & anchors[r]
+                }
+            if not acc:
+                return set()
+        return set(acc or ())
+
+    def clause_rows(c) -> set[int]:
+        if isinstance(c, PhraseClause):
+            return phrase_rows(c)
+        if isinstance(c, TermClause):
+            return term_rows(c.term)
+        raise TypeError(f"streaming monitor: unsupported clause {type(c).__name__}")
+
+    out: list[tuple[int, str]] = []
+    everything = set(range(n_rows))
+    for qid in sorted(registry):
+        spec = registry[qid]
+        matched = everything
+        for c in spec.must:
+            matched = matched & clause_rows(c)
+            if not matched:
+                break
+        if matched and spec.should:
+            msm = max(spec.min_should_match, 0 if spec.must else 1)
+            counts: dict[int, int] = {}
+            for c in spec.should:
+                for r in clause_rows(c):
+                    counts[r] = counts.get(r, 0) + 1
+            ok = {r for r, n in counts.items() if n >= msm}
+            matched = matched & ok if msm > 0 else matched
+        elif matched and not spec.must:
+            matched = set()   # empty must+should matches nothing
+        for c in spec.must_not:
+            if not matched:
+                break
+            matched = matched - clause_rows(c)
+        out.extend((r, qid) for r in sorted(matched))
+    return out
+
+
+def monitor_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    schema: str,
+    stored: dict[str, tuple],
+    *,
+    analyzer: str = "simple",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Start (and with ``available_now`` drain) the alerting pipeline: new
+    parquet files in ``source_dir`` → per-doc MemoryIndex match against the
+    ``stored`` registry (query_id → (qtype, terms, min_should), the
+    ``engine.monitor_matches`` registry format) → (query_id, doc_id) alert
+    rows appended under ``out_dir``. Returns the StreamingQuery."""
+    from ..index.build import ANALYZERS
+    from ..search.query import parse_fixture_query
+
+    an = ANALYZERS[analyzer]()
+    registry = {
+        qid: parse_fixture_query(an, qt, list(terms), msm)
+        for qid, (qt, terms, msm) in stored.items()
+    }
+
+    def matcher(batches):
+        a = ANALYZERS[analyzer]()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            frame = a.analyze_batch(pdf[text_col].reset_index(drop=True))
+            pairs = match_frame(frame, len(pdf), registry)
+            keys = pdf[key_col].to_numpy()
+            yield pd.DataFrame({
+                "query_id": [q for _, q in pairs],
+                "doc_id": [int(keys[r]) for r, _ in pairs],
+            })
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    alerts = stream.mapInPandas(matcher, "query_id string, doc_id long")
+    writer = (
+        alerts.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
