@@ -39,15 +39,21 @@ def match_frame(
     Match semantics are the index engine's: term = tf ≥ 1, MUST = all,
     SHOULD honors minimumNumberShouldMatch (≥1 when no MUST), MUST_NOT
     excludes, phrase = offset-exact positions (stop holes preserved)."""
-    if len(frame):
-        terms = frame["term"].astype(str).to_numpy()
-        rows = frame["row"].to_numpy()
-        pos = frame["pos"].to_numpy()
-    else:
-        terms = np.empty(0, dtype=object)
-        rows = pos = np.empty(0, dtype=np.int64)
+    needed: set[str] = set()
+    for spec in registry.values():
+        for group in (spec.must, spec.should, spec.must_not):
+            for c in group:
+                needed.update(
+                    c.terms if isinstance(c, PhraseClause) else (c.term,)
+                )
     by_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     if len(frame):
+        terms = frame["term"].astype(str).to_numpy()
+        keep = np.isin(terms, list(needed))   # registry terms only — the
+        # in-memory postings stay O(registry hits), not O(batch vocabulary)
+        terms = terms[keep]
+        rows = frame["row"].to_numpy()[keep]
+        pos = frame["pos"].to_numpy()[keep]
         order = np.argsort(terms, kind="mergesort")
         st, sr, sp = terms[order], rows[order], pos[order]
         cuts = np.flatnonzero(np.r_[True, st[1:] != st[:-1]])
