@@ -268,6 +268,10 @@ JOIN_INNER = ("and2", ["dup", "merge"])
 MULTIPHRASE = [["merge"], ["batch", "stream"]]
 # Phrase-prefix (PhraseWildcardQuery / match_phrase_prefix): "merge bat*"
 PHRASE_PREFIX = (["merge"], "bat")
+# ComplexPhraseQueryParser: wildcards at ANY slot — "d?ta s*" (slot 0 uses
+# ?, slot 1 expands to the 6-term s-prefix family; neither fits
+# phrase_prefix's last-slot-only shape)
+COMPLEXPHRASE_Q = '"d?ta s*"'
 # Nested boolean: +merge +(batch stream) — inner disjunction as one clause
 NESTED_BOOL = (["merge"], ["batch", "stream"])
 # FeatureField.newSaturationQuery: (query, pivot, boost) — feature x=n_chars
@@ -547,6 +551,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_phrase_prefix_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).phrase_prefix_topk(PHRASE_PREFIX[0], PHRASE_PREFIX[1], k=10)
+    # ComplexPhraseQueryParser: wildcard words inside the phrase, any slot
+    out["ft_complexphrase_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).complex_phrase_topk(COMPLEXPHRASE_Q, k=10)
     # Nested BooleanQuery: +must +(inner disjunction) as one clause subtree
     out["ft_nested_bool_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
@@ -1301,6 +1309,12 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, tf FROM (
         "simple",
         tuple(an_s.analyze(s)[0][0] for s in PHRASE_PREFIX[0]),
         PHRASE_PREFIX[1], 10,
+    )
+    from .engine import complex_phrase_parts
+    from .oracles import complex_phrase_topk_sql
+
+    out["ft_complexphrase_topk"] = complex_phrase_topk_sql(
+        "simple", complex_phrase_parts(COMPLEXPHRASE_Q, an_s), 10,
     )
     from .search.query import OrGroupClause as _OGC, TermClause as _TC
 

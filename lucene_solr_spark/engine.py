@@ -179,6 +179,41 @@ class DocumentsEngine:
             F.col("score").cast("float").alias("score"),
         ).orderBy("rank")
 
+    def complex_phrase_topk(
+        self, query: str, k: int = 10, max_expansions: int = 50,
+    ) -> DataFrame:
+        """ComplexPhraseQueryParser top-k (``L/queryparser/complexPhrase/
+        ComplexPhraseQueryParser.java``): a quoted phrase whose words may be
+        wildcards at ANY position — ``"d?ta s*"`` — each wildcard word is
+        rewritten against the term dictionary (sorted, capped at
+        ``max_expansions``, the MultiTermQuery rewrite) and the whole phrase
+        scores as one MultiPhraseQuery, exactly upstream's rewrite target.
+        Generalizes ``phrase_prefix_topk`` (last-slot-only) to arbitrary
+        slots.
+
+        Scale shape identical to every positional query: expansions are
+        pruned scans of the small term_stats table; the positional verify
+        joins only the expanded terms' postings (term-IN-list pushdown)."""
+        from .search.query import BooleanSpec, MultiPhraseClause
+
+        slots = []
+        for kind, val in complex_phrase_parts(query, self.searcher.analyzer):
+            if kind == "like":
+                slots.append(tuple(self.searcher.expand_terms(
+                    "wildcard", val, max_expansions
+                )))
+            else:
+                slots.append((val,))
+        spec = BooleanSpec(must=[MultiPhraseClause(
+            tuple(slots), tuple(range(len(slots)))
+        )])
+        out = self.searcher.search(spec, k=k, mode="exact", with_keys=True)
+        return out.select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("doc_key").cast("long").alias("doc_id"),
+            F.col("score").cast("float").alias("score"),
+        ).orderBy("rank")
+
     def filtered_topk(
         self,
         qtype: str,
@@ -2968,6 +3003,24 @@ class DocumentsEngine:
             .select(F.col("pos").cast("int"), "term", F.col("df").cast("long"))
             .orderBy("pos")
         )
+
+
+def complex_phrase_parts(query: str, analyzer) -> list[tuple[str, str]]:
+    """Parse a ComplexPhraseQueryParser phrase body (``L/queryparser/
+    complexPhrase/ComplexPhraseQueryParser.java`` — surrounding quotes
+    optional) into per-slot specs: a word containing ``*``/``?`` becomes
+    ``("like", pattern)`` with Lucene wildcards translated to SQL LIKE
+    (``*``→``%``, ``?``→``_``; literal ``%``/``_`` can't occur — the
+    tokenizer never emits them), lowercased but NOT analyzed — upstream
+    wildcard terms bypass the analyzer; any other word is analyzed to its
+    single term: ``("term", t)``."""
+    parts: list[tuple[str, str]] = []
+    for word in query.strip().strip('"').split():
+        if "*" in word or "?" in word:
+            parts.append(("like", word.lower().replace("*", "%").replace("?", "_")))
+        else:
+            parts.append(("term", analyzer.analyze(word)[0][0]))
+    return parts
 
 
 def get_engine(spark: SparkSession, sf_dir: str, analyzer: str = "simple") -> DocumentsEngine:

@@ -2679,6 +2679,67 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def complex_phrase_topk_sql(
+    analyzer: str, parts: list[tuple[str, str]], k: int,
+    max_expansions: int = 50,
+) -> str:
+    """ComplexPhraseQueryParser oracle (``L/queryparser/complexPhrase/
+    ComplexPhraseQueryParser.java``): each ``("like", pat)`` slot is the
+    dictionary expansion (sorted, capped at ``max_expansions``) and each
+    ``("term", t)`` slot an exact term; scored as a MultiPhraseQuery —
+    tf = matching start positions, weight = f32 of the float64 fold of
+    per-member f32 idfs in slot order (expansion members in sorted-term
+    order, the engine's ``expand_terms`` order — DuckDB ordered aggregate
+    = the engine's sorted-expansion fold)."""
+    expn_ctes, w_chain, slot_conds, exists = [], [], [], []
+    for j, (kind, val) in enumerate(parts):
+        if kind == "like":
+            expn_ctes.append(f"""
+expn{j} AS (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+    FROM kept WHERE term LIKE '{val}'
+    GROUP BY term ORDER BY term LIMIT {max_expansions}
+),
+expw{j} AS (
+    SELECT COALESCE(sum(
+        CAST(CAST(ln(1.0 + (st.doc_count - e.df + 0.5) / (e.df + 0.5)) AS FLOAT) AS DOUBLE)
+        ORDER BY e.term), 0) AS w
+    FROM expn{j} e, statsf st
+)""")
+            w_chain.append(f"(SELECT w FROM expw{j})")
+            slot_conds.append(f"k{j}.term IN (SELECT term FROM expn{j})")
+            exists.append(f"EXISTS (SELECT 1 FROM expn{j})")
+        else:
+            w_chain.append(f"CAST({_idf_expr(val)} AS DOUBLE)")
+            slot_conds.append(f"k{j}.term = '{val}'")
+            exists.append(f"EXISTS (SELECT 1 FROM kept WHERE term = '{val}')")
+    joins = " ".join(
+        f"JOIN kept k{j} ON k{j}.doc_id = k0.doc_id AND k{j}.pos = k0.pos + {j} "
+        f"AND {slot_conds[j]}"
+        for j in range(1, len(parts))
+    )
+    expn_frag = (",".join(expn_ctes) + ",") if expn_ctes else ""
+    return f"""WITH {base_ctes(analyzer)},{expn_frag}
+mph AS (
+    SELECT k0.doc_id, count(*)::BIGINT AS tf
+    FROM kept k0 {joins}
+    WHERE {slot_conds[0]}
+    GROUP BY k0.doc_id
+),
+hits AS (
+    SELECT p.doc_id,
+           CAST(CAST({' + '.join(w_chain)} AS FLOAT)
+                * CAST(p.tf::DOUBLE / (p.tf::DOUBLE + CAST(c.cache AS DOUBLE)) AS FLOAT)
+            AS FLOAT) AS score
+    FROM mph p JOIN cachec c USING (doc_id), statsf st
+    WHERE {' AND '.join(exists)}
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+    FROM hits
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def facet_on_query_sql(
     analyzer: str, spec: BooleanSpec, facet_col: str, limit: int,
 ) -> str:
