@@ -753,6 +753,11 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_sweetspot_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).sim_topk("sweetspot", "or3", ["vector", "stream", "filter"], k=10)
+    # omitNorms=true field scoring: length normalization off, every doc
+    # scores through the constant norm-cache entry for decoded length 1
+    out["ft_omitnorms_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).omitnorms_topk("or3", ["vector", "stream", "filter"], k=10)
     # BM25Similarity(k1=0.9, b=0.4) — the classic web-search tuning; the
     # norm bytes store lengths (not b-baked values), so retuning needs no
     # reindex — only the 256-entry cache rebuilds
@@ -1355,6 +1360,9 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     from .oracles import sweetspot_topk_sql
 
     out["ft_sweetspot_topk"] = sweetspot_topk_sql("simple", bool_terms, 10)
+    from .oracles import omitnorms_topk_sql
+
+    out["ft_omitnorms_topk"] = omitnorms_topk_sql("simple", bool_terms, 10)
     out["ft_suggest"] = suggest_sql("simple", "term LIKE 's%'", 10)
     out["ft_suggest_infix"] = suggest_sql("simple", "term LIKE '%or%'", 10)
     from .oracles import suggest_fuzzy_prefix_sql

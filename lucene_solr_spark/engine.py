@@ -1686,6 +1686,37 @@ class DocumentsEngine:
         )
         return self._present(s.search(q, with_keys=True))
 
+    def omitnorms_topk(
+        self,
+        qtype: str,
+        surface_terms: list[str],
+        k: int = 10,
+        min_should: int = 0,
+    ) -> DataFrame:
+        """BM25 top-k over a field indexed with ``omitNorms=true``
+        (``L/document/FieldType#setOmitNorms``; Solr schema
+        ``omitNorms="true"``): length normalization is disabled — at query
+        time ``LeafSimScorer#getNormValue`` returns the constant ``1L`` when
+        the norms producer is absent, so every doc scores through the SAME
+        norm-cache entry ``cache[1]`` (decoded length 1). Implemented as a
+        compile-time constant cache over the unchanged index (norms bytes
+        are simply never consulted); WAND block bounds ride the same
+        constant, so pruning stays rank-safe."""
+        import numpy as np
+
+        from .search.bm25 import norm_cache
+        from .search.query import compile_query
+
+        s = self.searcher
+        spec = s.parse(qtype, surface_terms, min_should)
+        df_map, _ = s.term_stats_rows(spec.all_terms())
+        const = norm_cache(s.stats.avgdl)[1]
+        q = compile_query(
+            spec, df_map, s.stats.doc_count,
+            np.full(256, const, dtype=np.float32), k,
+        )
+        return self._present(s.search(q, with_keys=True))
+
     def group_query_topk(
         self, buckets: dict[str, tuple[str, list[str]]], k: int = 3
     ) -> DataFrame:

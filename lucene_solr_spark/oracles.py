@@ -1433,6 +1433,40 @@ GROUP BY k.doc_id, st.doc_count""")
     return _sim_family_topk_sql(analyzer, clause_selects, k)
 
 
+def omitnorms_topk_sql(
+    analyzer: str, terms: list[str], k: int,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """omitNorms BM25 disjunction top-k (``L/document/FieldType#
+    setOmitNorms``): with no norms producer, ``LeafSimScorer#getNormValue``
+    yields the constant 1L, so every doc shares norm-cache entry
+    ``cache[1]`` — f32 op order of ``bm25.norm_cache`` with decoded length
+    1: ``k1f*((1f-bf) + (bf*1f)/avgdl)``. Per-clause score = f32(f32(idf) *
+    f32(tf/(tf + cache1))), Σ double, one f32 cast."""
+    import numpy as np
+
+    k1_f = float(np.float32(k1))
+    b_f = float(np.float32(b))
+    one_minus_b_f = float(np.float32(1.0) - np.float32(b))
+    cache1 = (
+        f"(CAST(CAST({k1_f!r} AS DOUBLE) AS FLOAT)"
+        f" * (CAST(CAST({one_minus_b_f!r} AS DOUBLE) AS FLOAT)"
+        f" + (CAST(CAST({b_f!r} AS DOUBLE) AS FLOAT) * CAST(1 AS FLOAT))"
+        " / st.avgdl))"
+    )
+    clause_selects = []
+    for t in terms:
+        clause_selects.append(f"""
+SELECT k.doc_id,
+       CAST({_idf_expr(t)}
+            * CAST(count(*)::DOUBLE / (count(*)::DOUBLE + CAST({cache1} AS DOUBLE)) AS FLOAT)
+        AS FLOAT) AS s
+FROM kept k, statsf st
+WHERE k.term = '{t}'
+GROUP BY k.doc_id, st.doc_count, st.avgdl""")
+    return _sim_family_topk_sql(analyzer, clause_selects, k)
+
+
 def dfr_topk_sql(analyzer: str, terms: list[str], k: int, c: float = 1.0) -> str:
     """DFRSimilarity (BasicModelIN + AfterEffectL + NormalizationH2)
     disjunction top-k — exact float discipline of the engine's
