@@ -710,6 +710,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_stats_on_query"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).stats_on_query("and2", ["merge", "batch"], "n_chars")
+    # group.facet=true: buckets count DISTINCT groups, not docs
+    out["ft_group_facet"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).group_facet("and2", ["merge", "batch"], "source", "lang", limit=10)
     # JSON facet domain switch: blockChildren — count over ALL children of
     # every matched parent block (source group), not just matching docs
     out["ft_facet_block_children"] = lambda spark, sf_dir: get_engine(
@@ -1176,6 +1180,13 @@ ORDER BY doc_id LIMIT 10"""
         "simple",
         parse_fixture_query(ANALYZERS["simple"](), "and2", ["merge", "batch"], 0),
         "n_chars",
+    )
+    from .oracles import group_facet_sql
+
+    out["ft_group_facet"] = group_facet_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), "and2", ["merge", "batch"], 0),
+        "source", "lang", 10,
     )
     from .oracles import facet_block_children_sql
 

@@ -1409,6 +1409,39 @@ class DocumentsEngine:
             .limit(limit)
         )
 
+    def group_facet(
+        self, qtype: str, surface_terms: list[str], group_col: str,
+        facet_col: str, limit: int = 10,
+    ) -> DataFrame:
+        """Grouped faceting (``group.facet=true`` —
+        ``S/search/Grouping.java`` + ``S/request/SimpleFacets``): facet
+        counts computed on GROUPS, not documents — each bucket counts the
+        DISTINCT groups (``group_col`` values) that have at least one
+        matching doc with that facet value, so a group contributes at most
+        1 per bucket regardless of how many of its docs match.
+
+        Scale shape: same unranked per-segment match kernels as
+        ``facet_on_query`` (no score sort), then ONE partial+final
+        count-distinct hash-agg (Catalyst expands it to a two-level agg —
+        no driver-side group tracking, unlike Solr's per-shard grouped
+        facet collector which holds group sets in memory)."""
+        spec = self.searcher.parse(qtype, surface_terms, 0)
+        hits = self.searcher.hits(
+            self.searcher.compile(spec, k=1 << 30), mode="exact"
+        )
+        keys = self.searcher.docs.select("doc_id", "doc_key")
+        src = self.spark.read.parquet(
+            os.path.join(self.sf_dir, "documents.parquet")
+        ).select(F.col("doc_id").alias("doc_key"), group_col, facet_col)
+        return (
+            hits.join(keys, "doc_id")
+            .join(F.broadcast(src), "doc_key")
+            .groupBy(F.col(facet_col).alias("bucket"))
+            .agg(F.countDistinct(F.col(group_col)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("bucket"))
+            .limit(limit)
+        )
+
     def facet_block_children(
         self, qtype: str, surface_terms: list[str], facet_col: str,
     ) -> DataFrame:

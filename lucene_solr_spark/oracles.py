@@ -2787,6 +2787,20 @@ FROM match m JOIN documents d ON d.doc_id = m.doc_id
 GROUP BY 1 ORDER BY cnt DESC, bucket ASC LIMIT {limit}"""
 
 
+def group_facet_sql(
+    analyzer: str, spec: BooleanSpec, group_col: str, facet_col: str,
+    limit: int,
+) -> str:
+    """Grouped-facet oracle (``group.facet=true`` — ``S/search/
+    Grouping.java``): per facet bucket, the count of DISTINCT groups with
+    at least one matching doc."""
+    frag = _bm25_match_ctes(spec, "")
+    return f"""WITH {base_ctes(analyzer)},{frag}
+SELECT d.{facet_col} AS bucket, count(DISTINCT d.{group_col})::BIGINT AS cnt
+FROM match m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY 1 ORDER BY cnt DESC, bucket ASC LIMIT {limit}"""
+
+
 def facet_block_children_sql(
     analyzer: str, spec: BooleanSpec, facet_col: str,
 ) -> str:
