@@ -391,6 +391,17 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_bf_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).bf_topk("and2", ["merge", "batch"], k=10)
+    # ExternalFileField: per-doc float from OUTSIDE the index (side table
+    # keyed on doc id, reloadable without reindex) as an additive boost
+    out["ft_extfile_boost_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).external_file_boost_topk("and2", ["merge", "batch"], k=10)
+    # FunctionScoreQuery#boostByQuery: ×1.8 for docs also matching 'spark'
+    out["ft_boost_by_query_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).boost_by_query_topk(
+        "or3", ["vector", "stream", "filter"], "term", ["spark"], 1.8, k=10,
+    )
     out["ft_page2_topk"] = lambda spark, sf_dir: get_engine(spark, sf_dir, "simple").search_after_page(
         PAGE2_QUERY[0], PAGE2_QUERY[1], k=10
     )
@@ -984,6 +995,23 @@ def fulltext_oracles() -> dict[str, str]:
         "simple",
         parse_fixture_query(ANALYZERS["simple"](), "and2", ["merge", "batch"], 0),
         10,
+    )
+    from .oracles import external_file_boost_sql
+
+    out["ft_extfile_boost_topk"] = external_file_boost_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), "and2", ["merge", "batch"], 0),
+        10,
+    )
+    from .oracles import boost_by_query_sql
+
+    out["ft_boost_by_query_topk"] = boost_by_query_sql(
+        "simple",
+        parse_fixture_query(
+            ANALYZERS["simple"](), "or3", ["vector", "stream", "filter"], 0
+        ),
+        parse_fixture_query(ANALYZERS["simple"](), "term", ["spark"], 0),
+        1.8, 10,
     )
     from .oracles import interval_unordered_topk_sql
 

@@ -2877,6 +2877,112 @@ class DocumentsEngine:
             .orderBy("rank")
         )
 
+    def external_file_boost_topk(
+        self, qtype: str, surface_terms: list[str], k: int = 10
+    ) -> DataFrame:
+        """ExternalFileField boost (``S/schema/ExternalFileField.java`` +
+        ``S/search/function/FileFloatSource``): a per-doc float sourced
+        OUTSIDE the index — keyed on the unique key, reloadable without
+        reindexing (Solr's external_<field>.txt; here a side parquet table,
+        the embeddings table's first vector component) — used as an
+        additive boost function: score = f32(f64(bm25) + f64(ext)), with
+        Solr's defVal=0 for keys absent from the external source.
+
+        Scale shape: the external source is a keyed columnar table, not an
+        in-heap FileFloatSource array — ONE pruned (key, value) read
+        broadcast-joined to the match set; swapping the file = swapping the
+        table path, no index rewrite."""
+        spec = self.searcher.parse(qtype, surface_terms, 0)
+        hits = self.searcher.hits(
+            self.searcher.compile(spec, k=1 << 30), mode="exact"
+        )
+        keys = self.searcher.docs.select("doc_id", "doc_key")
+        ext = self.spark.read.parquet(
+            os.path.join(self.sf_dir, "embeddings.parquet")
+        ).select(
+            F.col("vec_id").alias("doc_key"),
+            F.col("embedding")[0].cast("float").alias("ext"),
+        )
+        boosted = (
+            hits.join(keys, "doc_id", "left")
+            .join(F.broadcast(ext), "doc_key", "left")
+            .withColumn(
+                "bscore",
+                (
+                    F.col("score").cast("double")
+                    + F.coalesce(F.col("ext").cast("double"), F.lit(0.0))
+                ).cast("float"),
+            )
+        )
+        top = boosted.orderBy(F.desc("bscore"), F.asc("doc_key")).limit(k)
+        return (
+            top.coalesce(1)
+            .sortWithinPartitions(F.desc("bscore"), F.asc("doc_key"))
+            .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+            .select(
+                "rank",
+                F.col("doc_key").cast("long").alias("doc_id"),
+                F.col("bscore").cast("float").alias("score"),
+            )
+            .orderBy("rank")
+        )
+
+    def boost_by_query_topk(
+        self,
+        qtype: str,
+        surface_terms: list[str],
+        bq_qtype: str,
+        bq_surface_terms: list[str],
+        b: float,
+        k: int = 10,
+    ) -> DataFrame:
+        """``FunctionScoreQuery#boostByQuery`` (``L/queries/.../function/
+        FunctionScoreQuery.java``; the modern replacement for BoostingQuery
+        and Solr's ``{!boost}`` with a query-valued source): docs that ALSO
+        match the boost query have their main score MULTIPLIED by ``b``;
+        everyone else keeps their score — the boost query contributes no
+        score of its own and cannot add new matches.
+
+        Scale shape: two independent unranked per-segment match kernels
+        (main + boost, each with its own term-IN-list pushdown), one
+        broadcast left join on doc_id, ONE TakeOrdered."""
+        import numpy as np
+
+        s = self.searcher
+        spec = s.parse(qtype, surface_terms, 0)
+        hits = s.hits(s.compile(spec, k=1 << 30), mode="exact")
+        bspec = s.parse(bq_qtype, bq_surface_terms, 0)
+        bset = (
+            s.hits(s.compile(bspec, k=1 << 30), mode="exact")
+            .select("doc_id").distinct()
+            .withColumn("boosted", F.lit(True))
+        )
+        bf32 = float(np.float32(b))
+        keys = s.docs.select("doc_id", "doc_key")
+        scored = (
+            hits.join(F.broadcast(bset), "doc_id", "left")
+            .withColumn(
+                "bscore",
+                (
+                    F.col("score").cast("double")
+                    * F.when(F.col("boosted"), F.lit(bf32)).otherwise(F.lit(1.0))
+                ).cast("float"),
+            )
+            .join(keys, "doc_id", "left")
+        )
+        top = scored.orderBy(F.desc("bscore"), F.asc("doc_key")).limit(k)
+        return (
+            top.coalesce(1)
+            .sortWithinPartitions(F.desc("bscore"), F.asc("doc_key"))
+            .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+            .select(
+                "rank",
+                F.col("doc_key").cast("long").alias("doc_id"),
+                F.col("bscore").cast("float").alias("score"),
+            )
+            .orderBy("rank")
+        )
+
     def bf_topk(
         self, qtype: str, surface_terms: list[str], k: int = 10
     ) -> DataFrame:

@@ -3011,6 +3011,53 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def external_file_boost_sql(analyzer: str, spec: BooleanSpec, k: int) -> str:
+    """ExternalFileField additive-boost oracle (``S/schema/
+    ExternalFileField.java``): the external float is the embeddings
+    table's first vector component keyed on doc_id (defVal=0 when
+    absent); score = f32( f64(bm25_f32) + f64(f32 ext) )."""
+    frag = _bm25_match_ctes(spec, "")
+    return f"""WITH {base_ctes(analyzer)},{frag},
+boosted AS (
+    SELECT m.doc_id,
+           CAST(CAST(m.score AS DOUBLE)
+                + COALESCE(CAST(CAST(e.embedding[1] AS FLOAT) AS DOUBLE), 0.0)
+            AS FLOAT) AS score
+    FROM match m LEFT JOIN embeddings e ON e.vec_id = m.doc_id
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+    FROM boosted
+) WHERE rank <= {k} ORDER BY rank"""
+
+
+def boost_by_query_sql(
+    analyzer: str, spec: BooleanSpec, bspec: BooleanSpec, b: float, k: int,
+) -> str:
+    """``FunctionScoreQuery#boostByQuery`` oracle: main-query score × f32(b)
+    when the doc also matches the boost query, ×1 otherwise; the boost
+    query never adds matches."""
+    import numpy as np
+
+    bf32 = float(np.float32(b))
+    frag = _bm25_match_ctes(spec, "")
+    bfrag = _bm25_match_ctes(bspec, "b")
+    return f"""WITH {base_ctes(analyzer)},{frag},{bfrag},
+boosted AS (
+    SELECT m.doc_id,
+           CAST(CAST(m.score AS DOUBLE)
+                * CASE WHEN bm.doc_id IS NOT NULL
+                       THEN CAST(CAST({bf32!r} AS FLOAT) AS DOUBLE)
+                       ELSE 1.0 END
+            AS FLOAT) AS score
+    FROM match m LEFT JOIN (SELECT DISTINCT doc_id FROM bmatch) bm USING (doc_id)
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+    FROM boosted
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def mlt_terms_sql(analyzer: str, src_doc_id: int, top_terms: int) -> str:
     """MLT interestingTerms=details oracle: the source doc's terms ranked
     by classic tf·idf (idf = ln(N/(df+1)) + 1), (score desc, term asc),
