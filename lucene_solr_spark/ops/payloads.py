@@ -117,3 +117,86 @@ ORDER BY score DESC, doc_id ASC LIMIT {PAYLOAD_K}"""
 
 
 register("ft_payload_topk", payload_score_topk, PAYLOAD_SCORE_SQL)
+
+
+# --- SpanPayloadCheckQuery: span matches gated on the payload value ---------
+
+PAYLOAD_CHECK_VALUE = "6.800000"  # f32 payload 6.8 ⇔ pos ≡ 5 (mod 97)
+
+
+def payload_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanPayloadCheckQuery (``lucene/queries/.../payloads/
+    SpanPayloadCheckQuery.java``): wraps a SpanTermQuery and matches ONLY
+    the occurrences whose payload EQUALS ``payloadToMatch`` — the payload
+    acts as a filter on spans, not a score source. Output: docs with >=1
+    qualifying span, with the qualifying-span count (the span freq a
+    wrapping scorer would see), (n desc, doc asc) top-k.
+
+    Same deterministic DelimitedPayload round trip as
+    ``payload_score_topk``; the equality check runs on the PARSED payload
+    string exactly as the upstream BytesRef comparison does (byte-equal
+    payloads, not float-tolerant)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("pos", "term"),
+    )
+    payload = (
+        F.lit(1.0) + (F.col("pos") * 31 % 97) / F.lit(10.0)
+    ).cast("float")
+    annotated = toks.select(
+        "doc_id", "pos",
+        F.concat(F.col("term"), F.lit("|"),
+                 F.format_string("%.6f", payload)).alias("annotated"),
+    )
+    parsed = annotated.select(
+        "doc_id",
+        F.substring_index("annotated", "|", 1).alias("term"),
+        F.substring_index("annotated", "|", -1).alias("payload"),
+    )
+    return (
+        parsed.filter(
+            (F.col("term") == F.lit(PAYLOAD_TERM))
+            & (F.col("payload") == F.lit(PAYLOAD_CHECK_VALUE))
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_spans").cast("long").alias("n_spans"),
+        )
+        .orderBy(F.desc("n_spans"), F.asc("doc_id"))
+        .limit(PAYLOAD_K)
+    )
+
+
+PAYLOAD_CHECK_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, lower(unnest(t)) AS term,
+           generate_subscripts(t, 1) - 1 AS pos
+    FROM (SELECT doc_id,
+                 regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS t
+          FROM documents)
+),
+annotated AS (
+    SELECT doc_id,
+           term || '|' || format('{{:.6f}}',
+               CAST(1.0 + (pos * 31 % 97) / 10.0 AS FLOAT)) AS annotated
+    FROM toks
+),
+parsed AS (
+    SELECT doc_id,
+           split_part(annotated, '|', 1) AS term,
+           split_part(annotated, '|', 2) AS payload
+    FROM annotated
+)
+SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_spans
+FROM parsed
+WHERE term = '{PAYLOAD_TERM}' AND payload = '{PAYLOAD_CHECK_VALUE}'
+GROUP BY doc_id
+ORDER BY n_spans DESC, doc_id ASC LIMIT {PAYLOAD_K}"""
+
+
+register("ft_payload_check", payload_check, PAYLOAD_CHECK_SQL)
