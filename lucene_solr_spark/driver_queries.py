@@ -757,6 +757,10 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_lmjm_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).sim_topk("lmjm", "or3", ["vector", "stream", "filter"], k=10)
+    # DFI — divergence from independence (parameter-free; similarity eight)
+    out["ft_dfi_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).sim_topk("dfi", "or3", ["vector", "stream", "filter"], k=10)
     # AxiomaticF2EXP — the axiomatic retrieval family (Fang & Zhai 2005;
     # L/search/similarities/AxiomaticF2EXP.java), similarity number eight
     # over the same index/norm bytes
@@ -1388,6 +1392,9 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     out["ft_dfr_topk"] = dfr_topk_sql("simple", bool_terms, 10)
     out["ft_ib_topk"] = ib_topk_sql("simple", bool_terms, 10)
     out["ft_lmjm_topk"] = lmjm_topk_sql("simple", bool_terms, 10)
+    from .oracles import dfi_topk_sql
+
+    out["ft_dfi_topk"] = dfi_topk_sql("simple", bool_terms, 10)
     from .oracles import f2exp_topk_sql
 
     out["ft_f2exp_topk"] = f2exp_topk_sql("simple", bool_terms, 10)

@@ -1538,6 +1538,30 @@ GROUP BY k.doc_id, st.sum_ttf""")
     return _sim_family_topk_sql(analyzer, clause_selects, k)
 
 
+def dfi_topk_sql(analyzer: str, terms: list[str], k: int) -> str:
+    """DFISimilarity (IndependenceStandardized) disjunction top-k — exact
+    float discipline of the engine's ``score_postings_dfi``: aux =
+    (ttf+1)/(sumTtf+1) in pure double, expected = aux · dl, gate freq <=
+    expected -> 0, measure = (freq-expected)/sqrt(expected), score = boost
+    · log2(measure+1), one f32 cast per clause, Σ double, one f32 cast."""
+    clause_selects = []
+    for t in terms:
+        aux = (
+            f"(( (SELECT count(*) FROM kept WHERE term = '{t}')::DOUBLE + 1.0 )"
+            " / ( st.sum_ttf::DOUBLE + 1.0 ))"
+        )
+        expected = f"({aux} * any_value(n.decoded)::DOUBLE)"
+        clause_selects.append(f"""
+SELECT k.doc_id,
+       CASE WHEN count(*)::DOUBLE <= {expected} THEN CAST(0.0 AS FLOAT)
+            ELSE CAST(log2((count(*)::DOUBLE - {expected}) / sqrt({expected}) + 1.0)
+                 AS FLOAT) END AS s
+FROM kept k JOIN norms n USING (doc_id), statsf st
+WHERE k.term = '{t}'
+GROUP BY k.doc_id, st.sum_ttf""")
+    return _sim_family_topk_sql(analyzer, clause_selects, k)
+
+
 def f2exp_topk_sql(
     analyzer: str, terms: list[str], k: int, s: float = 0.5, kk: float = 0.35
 ) -> str:

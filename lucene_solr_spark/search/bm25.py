@@ -445,3 +445,51 @@ def block_max_score_lmjm(
         1.0 + ((1.0 - LMJM_LAMBDA) * np.float64(max_tf) / cache[min_norm & 0xFF]) / aux
     )
     return np.float32(max(s, 0.0))
+
+
+# --- DFISimilarity (L/search/similarities/DFISimilarity with
+# IndependenceStandardized — divergence-from-independence,
+# the parameter-free "DFI" retrieval model) -----------------------------------
+#   expected = ((ttf+1)/(sumTtf+1)) · dl      (BasicStats#getTotalTermFreq /
+#                                              #getNumberOfFieldTokens)
+#   freq <= expected                → 0       (the DFI gate: a term occurring
+#                                              no more than chance carries no
+#                                              information)
+#   measure  = (freq − expected)/sqrt(expected)   (IndependenceStandardized)
+#   score    = boost · log2(measure + 1)      (double math, one float cast)
+# The per-term (ttf+1)/(sumTtf+1) collection ratio rides ``aux`` (pure
+# double); the cache is the decoded-length table (same as LMJM). Upstream
+# computes expected as ((ttf+1)·dl)/(sumTtf+1); factoring the collection
+# ratio into ``aux`` reorders one double multiply (≤1 ulp in an
+# intermediate) — the engine and its SQL oracle share THIS order, so the
+# parity gate stays bitwise.
+
+
+def score_postings_dfi(
+    tfs: np.ndarray,
+    norm_bytes: np.ndarray,
+    weight: np.float32,
+    cache: np.ndarray,
+    aux: float = 0.0,
+) -> np.ndarray:
+    """aux = (ttf+1)/(sumTtf+1) (double). weight = boost (f32)."""
+    dl = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+    expected = aux * dl
+    freq = tfs.astype(np.float64)
+    with np.errstate(invalid="ignore"):
+        measure = (freq - expected) / np.sqrt(expected)
+        s = np.float64(weight) * np.log2(measure + 1.0)
+    return np.where(freq > expected, s, 0.0).astype(np.float32)
+
+
+def block_max_score_dfi(
+    max_tf: int, min_norm: int, weight: np.float32, cache: np.ndarray, aux: float = 0.0
+) -> np.float32:
+    """measure ↑freq and ↓expected; expected ↑dl ⇒ (max_tf, min_norm byte)
+    bounds the block."""
+    expected = aux * cache[min_norm & 0xFF]
+    f = np.float64(max_tf)
+    if f <= expected:
+        return np.float32(0.0)
+    s = np.float64(weight) * np.log2((f - expected) / np.sqrt(expected) + 1.0)
+    return np.float32(max(s, 0.0))

@@ -59,6 +59,10 @@ def _sim_fns(q: CompiledQuery):
         from .bm25 import block_max_score_lmjm, score_postings_lmjm
 
         return score_postings_lmjm, block_max_score_lmjm
+    if sim == "dfi":
+        from .bm25 import block_max_score_dfi, score_postings_dfi
+
+        return score_postings_dfi, block_max_score_dfi
     if sim == "f2exp":
         from .bm25 import block_max_score_f2exp, score_postings_f2exp
 

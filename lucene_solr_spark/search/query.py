@@ -454,7 +454,7 @@ def compile_query(
             # member posting lists gates matching, every member weight is 0
             # so the group contributes +0.0 to the f64 score sum (IEEE
             # no-op) and a 0 WAND block bound.
-            if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp"):
+            if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp", "dfi"):
                 raise ValueError(
                     f"{similarity} or_group filter not implemented; "
                     "use bm25/classic/boolean"
@@ -489,7 +489,7 @@ def compile_query(
         from .bm25 import classic_idf as idf_fn
     elif similarity == "boolean":
         from .bm25 import boolean_idf as idf_fn
-    elif similarity in ("lm", "lmjm", "dfr", "ib", "f2exp"):
+    elif similarity in ("lm", "lmjm", "dfr", "ib", "f2exp", "dfi"):
         # SimilarityBase family: no idf in the weight (weight = boost); the
         # per-term collection stat rides the clause as `aux` —
         #   lm:   mu · collectionProbability
@@ -503,7 +503,7 @@ def compile_query(
     for occur, group in (("must", spec.must), ("should", spec.should)):
         for c in group:
             if isinstance(c, PhraseClause):
-                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp"):
+                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp", "dfi"):
                     raise ValueError(
                         f"{similarity} phrase scoring not implemented (needs "
                         "pseudo-term collection stats); use bm25/classic"
@@ -567,7 +567,7 @@ def compile_query(
                     slots=live_slots,
                 ))
             elif isinstance(c, SpanNearClause):
-                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp"):
+                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp", "dfi"):
                     raise ValueError(
                         f"{similarity} span scoring not implemented; use "
                         "bm25/classic/boolean"
@@ -588,7 +588,7 @@ def compile_query(
                     slop=int(c.slop),
                 ))
             elif isinstance(c, SpanNearUnorderedClause):
-                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp"):
+                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp", "dfi"):
                     raise ValueError(
                         f"{similarity} span scoring not implemented; use "
                         "bm25/classic/boolean"
@@ -650,7 +650,7 @@ def compile_query(
                     "synonym", live, (), np.float32(w), occur,
                 ))
             elif isinstance(c, SpanNearOrClause):
-                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp"):
+                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp", "dfi"):
                     raise ValueError(
                         f"{similarity} span scoring not implemented; use "
                         "bm25/classic/boolean"
@@ -677,7 +677,7 @@ def compile_query(
                     slop=int(c.slop), slots=live_slots,
                 ))
             elif isinstance(c, SpanOrClause):
-                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp"):
+                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp", "dfi"):
                     raise ValueError(
                         f"{similarity} span scoring not implemented; use "
                         "bm25/classic/boolean"
@@ -698,7 +698,7 @@ def compile_query(
                     "span_or", live, (), np.float32(w), occur,
                 ))
             elif isinstance(c, IntervalUnorderedClause):
-                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp"):
+                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp", "dfi"):
                     raise ValueError(
                         f"{similarity} interval scoring not implemented; "
                         "use bm25/classic/boolean"
@@ -718,7 +718,7 @@ def compile_query(
                     slop=int(c.maxgaps),
                 ))
             elif isinstance(c, SpanContainClause):
-                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp"):
+                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp", "dfi"):
                     raise ValueError(
                         f"{similarity} span scoring not implemented; use "
                         "bm25/classic/boolean"
@@ -743,7 +743,7 @@ def compile_query(
                     slop=int(c.big_slop),
                 ))
             elif isinstance(c, SpanNotClause):
-                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp"):
+                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp", "dfi"):
                     raise ValueError(
                         f"{similarity} span scoring not implemented; use "
                         "bm25/classic/boolean"
@@ -759,7 +759,7 @@ def compile_query(
                     occur, slop=int(c.pre), post=int(c.post),
                 ))
             elif isinstance(c, SpanFirstClause):
-                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp"):
+                if similarity in ("lm", "lmjm", "dfr", "ib", "f2exp", "dfi"):
                     raise ValueError(
                         f"{similarity} span scoring not implemented; use "
                         "bm25/classic/boolean"
@@ -803,6 +803,10 @@ def compile_query(
                     from .bm25 import F2EXP_K
 
                     aux = ((doc_count + 1.0) / float(df)) ** F2EXP_K
+                elif similarity == "dfi":
+                    # DFISimilarity: expected = aux · dl with aux the pure-
+                    # double collection ratio (ttf+1)/(sumTtf+1)
+                    aux = ((term_ttf or {}).get(c.term, 0) + 1.0) / (sum_ttf + 1.0)
                 clauses.append(
                     CompiledClause("term", (c.term,), (), np.float32(w), occur, aux=aux)
                 )

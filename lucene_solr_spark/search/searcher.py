@@ -454,7 +454,8 @@ class IndexSearcher:
             cache = self.lm_cache
         elif similarity in ("dfr", "ib"):
             cache = self.dfr_cache
-        elif similarity == "lmjm":
+        elif similarity in ("lmjm", "dfi"):
+            # both score off the decoded doc length directly
             cache = self.lmjm_cache
         elif similarity == "f2exp":
             cache = self.f2exp_cache
@@ -466,7 +467,7 @@ class IndexSearcher:
         return compile_query(
             spec, df_map, self.stats.doc_count, cache, k,
             similarity=similarity,
-            term_ttf=ttf_map if similarity in ("lm", "lmjm") else None,
+            term_ttf=ttf_map if similarity in ("lm", "lmjm", "dfi") else None,
             sum_ttf=self.stats.sum_total_term_freq,
         )
 

@@ -13,6 +13,7 @@ from lucene_solr_spark.search.bm25 import (
     F2EXP_K,
     F2EXP_S,
     LMJM_LAMBDA,
+    block_max_score_dfi,
     block_max_score_dfr,
     block_max_score_f2exp,
     block_max_score_ib,
@@ -20,6 +21,7 @@ from lucene_solr_spark.search.bm25 import (
     dfr_h2_cache,
     f2exp_norm_cache,
     lmjm_norm_cache,
+    score_postings_dfi,
     score_postings_dfr,
     score_postings_f2exp,
     score_postings_ib,
@@ -94,10 +96,39 @@ def test_f2exp_hand_computed():
         assert got == want
 
 
+def test_dfi_hand_computed_and_gate():
+    """DFISimilarity / IndependenceStandardized (L/search/similarities/
+    DFISimilarity.java): expected = ((ttf+1)/(sumTtf+1))·dl; freq at or
+    below expected carries no information (score exactly 0); above it,
+    score = boost · log2((freq−expected)/sqrt(expected) + 1)."""
+    cache = lmjm_norm_cache()  # decoded-length table, shared with LMJM
+    aux = (123.0 + 1.0) / (50_000.0 + 1.0)
+    for tf, b in [(1, 40), (3, 100), (17, 200)]:
+        dl = float(LENGTH_TABLE[b])
+        expected = aux * dl
+        if tf <= expected:
+            want = np.float32(0.0)
+        else:
+            want = np.float32(
+                1.0 * math.log2((tf - expected) / math.sqrt(expected) + 1.0)
+            )
+        got = score_postings_dfi(
+            np.array([tf]), np.array([b]), np.float32(1.0), cache, aux
+        )[0]
+        assert got == want
+    # the gate: a huge collection ratio makes every freq sub-expected → 0
+    gated = score_postings_dfi(
+        np.array([1, 2, 3]), np.array([250] * 3), np.float32(1.0), cache, 0.9
+    )
+    assert (gated == np.float32(0.0)).all()
+    assert block_max_score_dfi(3, 250, np.float32(1.0), cache, 0.9) == np.float32(0.0)
+
+
 @pytest.mark.parametrize(
     "score_fn,bound_fn,cache_fn,aux",
     [
         (score_postings_dfr, block_max_score_dfr, lambda: dfr_h2_cache(AVGDL), 3.1),
+        (score_postings_dfi, block_max_score_dfi, lmjm_norm_cache, 0.002),
         (score_postings_ib, block_max_score_ib, lambda: dfr_h2_cache(AVGDL), 0.038),
         (score_postings_lmjm, block_max_score_lmjm, lmjm_norm_cache, 0.7 * 0.002),
         (score_postings_f2exp, block_max_score_f2exp,
@@ -166,6 +197,10 @@ def test_monotone_in_tf_and_doclen():
     assert (np.diff(s2) < 0).all()
     s3 = score_postings_lmjm(np.array([3] * 3), np.array([40, 120, 250]), np.float32(1.0), lmjm_norm_cache(), 0.001)
     assert (np.diff(s3) < 0).all()
+    s6 = score_postings_dfi(np.array([1, 2, 5, 20]), np.array([50] * 4), np.float32(1.0), lmjm_norm_cache(), 0.002)
+    assert (np.diff(s6) > 0).all()
+    s7 = score_postings_dfi(np.array([5] * 3), np.array([40, 50, 60]), np.float32(1.0), lmjm_norm_cache(), 0.002)
+    assert (np.diff(s7) < 0).all()
     s4 = score_postings_f2exp(np.array([1, 2, 5, 20]), np.array([50] * 4), np.float32(1.0), f2exp_norm_cache(AVGDL), 2.0)
     assert (np.diff(s4) > 0).all()
     s5 = score_postings_f2exp(np.array([3] * 3), np.array([40, 120, 250]), np.float32(1.0), f2exp_norm_cache(AVGDL), 2.0)
