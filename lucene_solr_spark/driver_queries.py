@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .engine import (
     blended_term_topk, fielded_dismax_topk, get_asof_engine,
     get_atomic_engine, get_dbq_engine, get_engine, get_expunged_engine,
-    get_rtg_engine, get_updated_engine,
+    get_rtg_engine, get_updated_engine, localstats_topk,
 )
 from .index.build import ANALYZERS
 from .oracles import (
@@ -761,6 +761,14 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_dfi_topk"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).sim_topk("dfi", "or3", ["vector", "stream", "filter"], k=10)
+    # SolrCloud distributed search with per-shard statistics: 4 hash-routed
+    # shard indexes, each scoring with ITS OWN df/docCount/avgdl
+    # (LocalStatsCache, the SolrCloud default), shard top-k's merged by
+    # (score desc, doc_id asc) — witnesses the local-vs-exact-stats ranking
+    # difference against ft_or3_topk over the same corpus and terms
+    out["ft_localstats_topk"] = lambda spark, sf_dir: localstats_topk(
+        spark, sf_dir, "or3", ["vector", "stream", "filter"], k=10
+    )
     # AxiomaticF2EXP — the axiomatic retrieval family (Fang & Zhai 2005;
     # L/search/similarities/AxiomaticF2EXP.java), similarity number eight
     # over the same index/norm bytes
@@ -1395,6 +1403,13 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     from .oracles import dfi_topk_sql
 
     out["ft_dfi_topk"] = dfi_topk_sql("simple", bool_terms, 10)
+    from .oracles import localstats_topk_sql
+
+    out["ft_localstats_topk"] = localstats_topk_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), "or3", bool_terms, 0),
+        10,
+    )
     from .oracles import f2exp_topk_sql
 
     out["ft_f2exp_topk"] = f2exp_topk_sql("simple", bool_terms, 10)

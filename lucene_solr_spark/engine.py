@@ -3756,3 +3756,66 @@ def get_rtg_engine(
         eng = RTGDocumentsEngine(spark, sf_dir, analyzer)
         _ENGINES[key] = eng
     return eng  # type: ignore[return-value]
+
+
+# --- distributed search with per-shard statistics (LocalStatsCache) ---------
+
+
+def get_shard_engine(
+    spark: SparkSession, sf_dir: str, analyzer: str, shard: int, n_shards: int
+) -> DocumentsEngine:
+    key = (os.path.abspath(sf_dir), f"{analyzer}+shard{shard}of{n_shards}")
+    eng = _ENGINES.get(key)
+    if eng is None:
+        eng = DocumentsEngine(
+            spark, sf_dir, analyzer,
+            variant=f"shard{shard}of{n_shards}",
+            row_filter=f"doc_id % {n_shards} = {shard}",
+            n_segments=2,
+        )
+        _ENGINES[key] = eng
+    return eng
+
+
+def localstats_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    qtype: str,
+    surface_terms: list[str],
+    k: int = 10,
+    analyzer: str = "simple",
+    n_shards: int = 4,
+) -> DataFrame:
+    """Distributed search over hash-routed shards with Solr's DEFAULT
+    per-shard statistics (``S/search/stats/LocalStatsCache``; routing
+    ``S/common/cloud/CompositeIdRouter``): each shard is its OWN index over
+    ``doc_id % n_shards = shard`` and scores the query with ITS collection
+    stats (df, docCount, avgdl) — the well-known SolrCloud ranking artifact
+    where the same corpus ranks differently than a single-core collection
+    (``ExactStatsCache`` is the global-stats fix; every OTHER query in this
+    engine is exact-stats by construction, so this entry witnesses the
+    difference). Merge follows ``S/handler/component/QueryComponent#mergeIds``:
+    each shard returns its top-k by (score desc, doc_id asc), the union is
+    re-ranked the same way, global top-k kept.
+
+    Scale shape: shards are the parallel unit — n independent index builds
+    + n kernel jobs that never exchange postings, merged by an n·k-row
+    TakeOrdered; exactly SolrCloud's scatter-gather (no cross-shard
+    shuffle, driver sees n·k (doc, score) rows)."""
+    parts = [
+        get_shard_engine(spark, sf_dir, analyzer, s, n_shards)
+        .topk(qtype, surface_terms, k=k)
+        .select("doc_id", "score")
+        for s in range(n_shards)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    top = u.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return (
+        top.coalesce(1)
+        .sortWithinPartitions(F.desc("score"), F.asc("doc_id"))
+        .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+        .select("rank", "doc_id", F.col("score").cast("float").alias("score"))
+        .orderBy("rank")
+    )

@@ -3190,3 +3190,24 @@ lab AS (
 SELECT label, count(*)::BIGINT AS n_docs, min(p.rank)::INTEGER AS best_rank
 FROM lab JOIN page p USING (doc_id)
 GROUP BY label ORDER BY n_docs DESC, label ASC"""
+
+
+def localstats_topk_sql(analyzer: str, spec, k: int, n_shards: int = 4) -> str:
+    """LocalStatsCache distributed-search oracle
+    (``S/search/stats/LocalStatsCache`` + ``QueryComponent#mergeIds``): per
+    shard ``s``, the FULL ``bm25_topk_sql`` pipeline runs over documents
+    routed by ``doc_id % n_shards = s`` — so df/docCount/avgdl (and hence
+    idf and the norm cache) are SHARD-LOCAL — and contributes its top-k;
+    the merge re-ranks the union by (score desc, doc_id asc)."""
+    shard_qs = []
+    for s in range(n_shards):
+        q = bm25_topk_sql(analyzer, spec, k).replace(
+            "FROM documents",
+            f"FROM (SELECT * FROM documents WHERE doc_id % {n_shards} = {s})",
+        )
+        shard_qs.append(f"(SELECT doc_id, score FROM ({q}))")
+    union = "\nUNION ALL\n".join(shard_qs)
+    return f"""SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+    FROM ({union})
+) WHERE rank <= {k} ORDER BY rank"""
