@@ -769,6 +769,12 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_localstats_topk"] = lambda spark, sf_dir: localstats_topk(
         spark, sf_dir, "or3", ["vector", "stream", "filter"], k=10
     )
+    # DiversifiedTopDocsCollector: at most ONE result per source in the
+    # page (the cap that binds on this corpus: the plain or3 page carries
+    # two src14 docs, so the diversified page provably differs)
+    out["ft_diversified_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).diversified_topk("or3", ["vector", "stream", "filter"], k=10, max_per_key=1)
     # AxiomaticF2EXP — the axiomatic retrieval family (Fang & Zhai 2005;
     # L/search/similarities/AxiomaticF2EXP.java), similarity number eight
     # over the same index/norm bytes
@@ -1409,6 +1415,14 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
         "simple",
         parse_fixture_query(ANALYZERS["simple"](), "or3", bool_terms, 0),
         10,
+    )
+    from .oracles import diversified_topk_sql
+
+    out["ft_diversified_topk"] = diversified_topk_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), "or3", bool_terms, 0),
+        10,
+        1,
     )
     from .oracles import f2exp_topk_sql
 

@@ -1475,6 +1475,64 @@ class DocumentsEngine:
             .orderBy(F.desc("cnt"), F.asc("bucket"))
         )
 
+    def diversified_topk(
+        self,
+        qtype: str,
+        surface_terms: list[str],
+        k: int = 10,
+        max_per_key: int = 2,
+        key_col: str = "source",
+    ) -> DataFrame:
+        """Diversity-limited top-k
+        (``L/misc/search/DiversifiedTopDocsCollector`` — the de-duplicated
+        results collector: at most ``max_per_key`` hits per key in the final
+        page, e.g. "no more than 2 results per site"). Columnar
+        re-expression of the collector's admission rule: walk hits in
+        (score desc, doc asc) order, keep a doc iff fewer than
+        ``max_per_key`` better-scoring docs share its key — i.e. per-key
+        rank ≤ max_per_key — then take the global top-k of the survivors.
+        (The streaming collector's eviction converges to this same set; the
+        set is computed exactly here since all hits are materialized.)
+
+        Scale shape: unranked ``hits`` (no global sort), key lookup is a
+        broadcast join against the pruned two-column source read, the
+        per-key rank is ONE window shuffle partitioned by key (bounded
+        partitions — keys are categorical), the final page a k-row
+        TakeOrdered."""
+        spec = self.searcher.parse(qtype, surface_terms, 0)
+        hits = self.searcher.hits(
+            self.searcher.compile(spec, k=1 << 30), mode="exact"
+        )
+        keys = self.searcher.docs.select("doc_id", "doc_key")
+        src = self.spark.read.parquet(
+            os.path.join(self.sf_dir, "documents.parquet")
+        ).select(F.col("doc_id").alias("doc_key"), key_col)
+        # internal docID order == source doc_id order (dense key-ordered
+        # build), so the doc_key tiebreak reproduces the collector's
+        w = Window.partitionBy(key_col).orderBy(F.desc("score"), F.asc("doc_key"))
+        survivors = (
+            hits.join(keys, "doc_id")
+            .join(F.broadcast(src), "doc_key")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_per_key)
+        )
+        top = (
+            survivors.select(
+                F.col("doc_key").cast("long").alias("doc_id"),
+                F.col(key_col).alias("source"),
+                F.col("score").cast("float").alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        return (
+            top.coalesce(1)
+            .sortWithinPartitions(F.desc("score"), F.asc("doc_id"))
+            .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+            .select("rank", "doc_id", "source", "score")
+            .orderBy("rank")
+        )
+
     def stats_on_query(
         self, qtype: str, surface_terms: list[str], stat_col: str,
     ) -> DataFrame:

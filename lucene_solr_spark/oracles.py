@@ -3211,3 +3211,26 @@ def localstats_topk_sql(analyzer: str, spec, k: int, n_shards: int = 4) -> str:
     SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
     FROM ({union})
 ) WHERE rank <= {k} ORDER BY rank"""
+
+
+def diversified_topk_sql(
+    analyzer: str, spec, k: int, max_per_key: int, key_col: str = "source",
+) -> str:
+    """DiversifiedTopDocsCollector oracle: BM25 match set, per-key rank by
+    (score desc, doc asc), survivors (rank ≤ max_per_key) re-ranked the
+    same way, top-k."""
+    frag = _bm25_match_ctes(spec, "", None)
+    return f"""WITH {base_ctes(analyzer)},{frag},
+withkey AS (
+    SELECT m.doc_id, d.{key_col} AS key, m.score
+    FROM match m JOIN documents d USING (doc_id)
+),
+div AS (
+    SELECT doc_id, key, score,
+           row_number() OVER (PARTITION BY key ORDER BY score DESC, doc_id ASC) AS rn
+    FROM withkey
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, key AS {key_col}, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, key, score
+    FROM div WHERE rn <= {max_per_key}
+) WHERE rank <= {k} ORDER BY rank"""
