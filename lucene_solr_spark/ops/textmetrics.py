@@ -553,7 +553,132 @@ SELECT doc_id, n_tokens,
 FROM agg ORDER BY doc_id"""
 
 
+def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bits-per-bigram under a Jelinek-Mercer interpolated corpus
+    BIGRAM language model — the next step up from ``text_unigram_ppl``
+    toward the KenLM n-gram scorer CCNet actually runs:
+    p(w2|w1) = λ·c(w1,w2)/c(w1·) + (1−λ)·c(w2)/N with λ = 0.9, where
+    c(w1·) is w1's left-context total (Σ bigrams starting w1), c(w2) the
+    unigram count, N total tokens. H(d) = −(1/nb) Σ_bigram tf·log2(p).
+    Docs with fewer than two tokens have no bigram events and are absent
+    (the same rows the SQL pos+1 self-join drops).
+
+    Float discipline mirrors the unigram entry: each distinct (w1,w2)'s
+    contribution tf·log2(p) is double math ROUNDED TO f32 (absorbing libm
+    log2 ULP drift between engines), then a DETERMINISTIC (w1,w2)-ordered
+    double fold; bits-per-bigram takes one final f32 cast.
+
+    Scale shape: bigrams come from ONE zero-shuffle array zip over the
+    tokenize pass (no positions join); then ONE (doc,w1,w2) hash-agg, two
+    vocab-bounded model aggs broadcast back, ONE per-doc fold. No UDF. At
+    100 TB the bigram vocabulary is the only state that grows — it stays
+    a (terms²-bounded, in practice Zipf-thin) broadcast table; a hashed
+    bucket LM (the DSIR entry's trick) is the documented fallback."""
+    lam = 0.9
+    d = _toks(_docs(spark, sf_dir))
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "arrays_zip(slice(toks, 1, greatest(size(toks)-1, 0)),"
+                " slice(toks, 2, greatest(size(toks)-1, 0)))"
+            )
+        ).alias("z"),
+    ).select(
+        "doc_id",
+        F.col("z").getField("0").alias("w1"),
+        F.col("z").getField("1").alias("w2"),
+    )
+    dt = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    bmodel = dt.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
+    ctx = bmodel.groupBy("w1").agg(F.sum("cb").alias("c1"))
+    uni = (
+        _toks(_docs(spark, sf_dir))
+        .select(F.explode("toks").alias("w2"))
+        .groupBy("w2").agg(F.count(F.lit(1)).alias("cu"))
+    )
+    tot = uni.agg(F.sum("cu").alias("tot"))
+    p = (
+        F.lit(lam) * F.col("cb").cast("double") / F.col("c1").cast("double")
+        + (F.lit(1.0) - F.lit(lam))
+        * F.col("cu").cast("double") / F.col("tot").cast("double")
+    )
+    contrib = (
+        dt.join(F.broadcast(bmodel), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(uni), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id", "w1", "w2", "tf",
+            (F.col("tf").cast("double") * F.log2(p)).cast("float").alias("c32"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("w1", "w2", F.col("c32").cast("double").alias("c"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("sum_d"),
+        )
+        .select(
+            "doc_id", "n_bigrams",
+            (-F.col("sum_d") / F.col("n_bigrams").cast("double"))
+            .cast("float").alias("bits_per_bigram"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_BIGRAM_PPL_SQL = f"""
+WITH t AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+    FROM documents
+),
+rt AS (
+    SELECT doc_id, unnest(toks) AS term,
+           generate_subscripts(toks, 1) AS pos
+    FROM t
+),
+bgr AS (
+    SELECT a.doc_id, a.term AS w1, b.term AS w2
+    FROM rt a JOIN rt b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+dt AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS tf FROM bgr GROUP BY 1, 2, 3),
+bmodel AS (SELECT w1, w2, sum(tf)::BIGINT AS cb FROM dt GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(cb)::BIGINT AS c1 FROM bmodel GROUP BY 1),
+uni AS (SELECT term AS w2, count(*)::BIGINT AS cu FROM rt GROUP BY 1),
+tot AS (SELECT sum(cu)::BIGINT AS tot FROM uni),
+contrib AS (
+    SELECT dt.doc_id, dt.w1, dt.w2, dt.tf,
+           CAST(dt.tf::DOUBLE * log2(
+               CAST(0.9 AS DOUBLE) * bm.cb::DOUBLE / cx.c1::DOUBLE
+               + (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))
+                 * u.cu::DOUBLE / tot.tot::DOUBLE
+           ) AS FLOAT) AS c32
+    FROM dt JOIN bmodel bm USING (w1, w2) JOIN ctx cx USING (w1)
+         JOIN uni u USING (w2), tot
+),
+agg AS (
+    SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+           list_reduce(
+               list(CAST(c32 AS DOUBLE) ORDER BY w1, w2), (a, b) -> a + b
+           ) AS sum_d
+    FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       CAST(-sum_d / n_bigrams::DOUBLE AS FLOAT) AS bits_per_bigram
+FROM agg ORDER BY doc_id"""
+
+
 register("text_unigram_ppl", text_unigram_ppl, TEXT_UNIGRAM_PPL_SQL)
+register("text_bigram_ppl", text_bigram_ppl, TEXT_BIGRAM_PPL_SQL)
 register("text_repetition", text_repetition, TEXT_REPETITION_SQL)
 register("text_quality", text_quality, TEXT_QUALITY_SQL)
 register("text_langid", text_langid, TEXT_LANGID_SQL)
