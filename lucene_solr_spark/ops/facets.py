@@ -1088,3 +1088,127 @@ ORDER BY bucket"""
 
 
 register("facet_range_other", facet_range_other, FACET_RANGE_OTHER_SQL)
+
+
+# --- DrillSideways: per-dim counts excluding that dim's own drill-down ------
+
+def facet_drill_sideways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DrillSideways faceting (``lucene/facet/src/java/.../facet/
+    DrillSideways.java``): a drill-down query selects one value per
+    dimension (here status='F' AND priority='1-URGENT' over a base query);
+    hits are counted with ALL drill-downs applied, while each dimension's
+    facet counts apply every OTHER dimension's drill-down but NOT its own —
+    the "sideways" counts that let a UI show sibling values with the counts
+    they'd have if the user switched this dimension's selection.
+
+    Rows: ('__hits__', '__hits__', n) plus (dim, bucket, cnt) per sideways
+    bucket. Scale shape: one conditional-aggregate pass per dimension over
+    the same pushed base scan (Catalyst reuses the columnar read; each leg
+    is a partial+final hash-agg) — no per-bucket requery, which is exactly
+    the single-pass DrillSidewaysScorer contract."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_totalprice") > 100000.0)
+    st = F.col("o_orderstatus") == "F"
+    pr = F.col("o_orderpriority") == "1-URGENT"
+    hits = base.filter(st & pr).agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("__hits__").alias("dim"), F.lit("__hits__").alias("bucket"), "cnt"
+    )
+    side_status = (
+        base.filter(pr)
+        .groupBy(F.col("o_orderstatus").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("status").alias("dim"), "bucket", "cnt")
+    )
+    side_prio = (
+        base.filter(st)
+        .groupBy(F.col("o_orderpriority").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("priority").alias("dim"), "bucket", "cnt")
+    )
+    return hits.unionByName(side_status).unionByName(side_prio).orderBy("dim", "bucket")
+
+
+FACET_DRILL_SIDEWAYS_SQL = """
+SELECT * FROM (
+    SELECT '__hits__' AS dim, '__hits__' AS bucket, count(*)::BIGINT AS cnt
+    FROM orders WHERE o_totalprice > 100000.0
+      AND o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT 'status', o_orderstatus, count(*)::BIGINT
+    FROM orders WHERE o_totalprice > 100000.0 AND o_orderpriority = '1-URGENT'
+    GROUP BY 2
+    UNION ALL
+    SELECT 'priority', o_orderpriority, count(*)::BIGINT
+    FROM orders WHERE o_totalprice > 100000.0 AND o_orderstatus = 'F'
+    GROUP BY 2
+) ORDER BY dim, bucket"""
+
+
+register("facet_drill_sideways", facet_drill_sideways, FACET_DRILL_SIDEWAYS_SQL)
+
+
+# --- group.sort: within-group order independent of the group order ----------
+
+def group_sort_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped search with ``group.sort`` (``S/search/Grouping`` second
+    pass / ``TopGroups``): groups (o_orderpriority) are ORDERED by the
+    outer ``sort`` — each group's BEST doc per (o_totalprice desc) — while
+    docs INSIDE a group are ordered by an independent ``group.sort``
+    (o_orderdate asc, o_orderkey asc), group.limit=3. This is the
+    two-criteria shape Solr's two-pass grouping exists for: the first pass
+    picks group heads under ``sort``, the second collects each group's top
+    docs under ``group.sort``.
+
+    Scale shape: the within-group pass is a window rank over ONE shuffle
+    on the group key; group ordering ranks only the per-group-max table
+    (#groups rows — aggregated small side, single-partition sort like every
+    top-k tail here) and broadcast-joins it back, so no unpartitioned
+    window ever sees doc-level rows."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    by_group = Window.partitionBy("o_orderpriority")
+    w_inner = by_group.orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    ranked = (
+        orders.withColumn("doc_rank", F.row_number().over(w_inner))
+        .filter(F.col("doc_rank") <= 3)
+    )
+    heads = (
+        orders.groupBy("o_orderpriority")
+        .agg(F.max("o_totalprice").alias("head"))
+        .coalesce(1)
+        .sortWithinPartitions(F.desc("head"), F.asc("o_orderpriority"))
+        .withColumn("grp_rank", (F.monotonically_increasing_id() + 1).cast("int"))
+        .select("o_orderpriority", "grp_rank")
+    )
+    return (
+        ranked.join(F.broadcast(heads), "o_orderpriority")
+        .select(
+            F.col("grp_rank").cast("int").alias("grp_rank"),
+            F.col("o_orderpriority").alias("bucket"),
+            F.col("doc_rank").cast("int").alias("doc_rank"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        )
+        .orderBy("grp_rank", "doc_rank")
+    )
+
+
+GROUP_SORT_WITHIN_SQL = """
+WITH f AS (SELECT * FROM orders WHERE o_totalprice > 200000.0),
+r AS (
+    SELECT o_orderpriority,
+           max(o_totalprice) OVER (PARTITION BY o_orderpriority) AS head,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_orderdate ASC, o_orderkey ASC) AS doc_rank,
+           o_orderkey, o_orderdate
+    FROM f
+)
+SELECT dense_rank() OVER (ORDER BY head DESC, o_orderpriority ASC)::INTEGER AS grp_rank,
+       o_orderpriority AS bucket,
+       doc_rank::INTEGER AS doc_rank,
+       o_orderkey::BIGINT AS o_orderkey,
+       o_orderdate::VARCHAR AS o_orderdate
+FROM r WHERE doc_rank <= 3
+ORDER BY grp_rank, doc_rank"""
+
+
+register("group_sort_within", group_sort_within, GROUP_SORT_WITHIN_SQL)
