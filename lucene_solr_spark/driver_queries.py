@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .engine import (
     blended_term_topk, fielded_dismax_topk, get_asof_engine,
     get_atomic_engine, get_dbq_engine, get_engine, get_expunged_engine,
-    get_rtg_engine, get_updated_engine, localstats_topk,
+    exactstats_topk, get_rtg_engine, get_updated_engine, localstats_topk,
 )
 from .index.build import ANALYZERS
 from .oracles import (
@@ -769,6 +769,12 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_localstats_topk"] = lambda spark, sf_dir: localstats_topk(
         spark, sf_dir, "or3", ["vector", "stream", "filter"], k=10
     )
+    # ExactStatsCache: the same sharded layout scored with MERGED global
+    # stats — the oracle is the single-collection BM25 oracle VERBATIM
+    # (bitwise identity across the scatter-gather is the feature)
+    out["ft_exactstats_topk"] = lambda spark, sf_dir: exactstats_topk(
+        spark, sf_dir, "or3", ["vector", "stream", "filter"], k=10
+    )
     # DiversifiedTopDocsCollector: at most ONE result per source in the
     # page (the cap that binds on this corpus: the plain or3 page carries
     # two src14 docs, so the diversified page provably differs)
@@ -1412,6 +1418,14 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     from .oracles import localstats_topk_sql
 
     out["ft_localstats_topk"] = localstats_topk_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), "or3", bool_terms, 0),
+        10,
+    )
+    # ExactStatsCache alias search ≡ the single-collection page: the plain
+    # bm25 oracle, unchanged — hash-red if the stats merge or the shard
+    # scatter-gather perturbs a single bit
+    out["ft_exactstats_topk"] = bm25_topk_sql(
         "simple",
         parse_fixture_query(ANALYZERS["simple"](), "or3", bool_terms, 0),
         10,

@@ -3877,3 +3877,71 @@ def localstats_topk(
         .select("rank", "doc_id", F.col("score").cast("float").alias("score"))
         .orderBy("rank")
     )
+
+
+def exactstats_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    qtype: str,
+    surface_terms: list[str],
+    k: int = 10,
+    analyzer: str = "simple",
+    n_shards: int = 4,
+) -> DataFrame:
+    """Distributed search over hash-routed shards with GLOBAL statistics
+    (``S/search/stats/ExactStatsCache``; alias/collection scatter-gather
+    ``S/handler/component/QueryComponent``): phase 1 gathers every shard's
+    per-term df/ttf and collection (docCount, sumTTF) and MERGES them —
+    exact integer sums, so idf, avgdl and the norm cache bind to the same
+    values a single-core collection computes; phase 2 runs the compiled
+    query against each shard with those shared weights and merges per-shard
+    top-k by (score desc, key asc). Because the shards PARTITION the
+    corpus and every weight is global, the page is bitwise identical to
+    the single-collection engine — the exact property ExactStatsCache
+    exists to restore (contrast ``localstats_topk``, which witnesses the
+    per-shard-stats ranking artifact this fixes).
+
+    Scale shape: stats exchange = one term-pruned scan of each shard's
+    tiny term_stats table (the ShardRequest.PURPOSE_GET_TERM_STATS round);
+    per-shard search jobs never exchange postings; merge is an n·k-row
+    TakeOrdered."""
+    from .search.bm25 import CollectionStats, norm_cache
+    from .search.query import compile_query
+
+    engines = [
+        get_shard_engine(spark, sf_dir, analyzer, s, n_shards)
+        for s in range(n_shards)
+    ]
+    spec = engines[0].searcher.parse(qtype, surface_terms, 0)
+    terms = sorted(set(spec.all_terms()))
+    df_map: dict[str, int] = {t: 0 for t in terms}
+    ttf_map: dict[str, int] = {t: 0 for t in terms}
+    doc_count = 0
+    sum_ttf = 0
+    for e in engines:
+        dfm, ttfm = e.searcher.term_stats_rows(terms)
+        for t in terms:
+            df_map[t] += int(dfm.get(t, 0))
+            ttf_map[t] += int(ttfm.get(t, 0))
+        st = e.searcher.stats
+        doc_count += st.doc_count
+        sum_ttf += st.sum_total_term_freq
+    cache = norm_cache(CollectionStats(doc_count, sum_ttf).avgdl)
+    legs = []
+    for e in engines:
+        q = compile_query(spec, df_map, doc_count, cache, k, sum_ttf=sum_ttf)
+        legs.append(
+            e.searcher.search(q, k=k, with_keys=True)
+            .select(F.col("doc_key").cast("long").alias("doc_id"), "score")
+        )
+    u = legs[0]
+    for p in legs[1:]:
+        u = u.unionAll(p)
+    top = u.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return (
+        top.coalesce(1)
+        .sortWithinPartitions(F.desc("score"), F.asc("doc_id"))
+        .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+        .select("rank", "doc_id", F.col("score").cast("float").alias("score"))
+        .orderBy("rank")
+    )
