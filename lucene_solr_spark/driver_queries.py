@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from .engine import (
     blended_term_topk, fielded_dismax_topk, get_asof_engine,
     get_atomic_engine, get_dbq_engine, get_engine, get_expunged_engine,
-    exactstats_topk, get_rtg_engine, get_updated_engine, localstats_topk,
+    exactstats_topk, get_dv_engine, get_rtg_engine, get_updated_engine,
+    localstats_topk,
 )
 from .index.build import ANALYZERS
 from .oracles import (
@@ -775,6 +776,12 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_exactstats_topk"] = lambda spark, sf_dir: exactstats_topk(
         spark, sf_dir, "or3", ["vector", "stream", "filter"], k=10
     )
+    # In-place numeric docvalues update (updateNumericDocValue): two
+    # stacked generations over an index-time base, read latest-wins and
+    # used as a multiplicative function boost — re-ranks without reindex
+    out["ft_dv_boost_topk"] = lambda spark, sf_dir: get_dv_engine(
+        spark, sf_dir, "simple"
+    ).dv_boost_topk("or3", ["vector", "stream", "filter"], k=10)
     # DiversifiedTopDocsCollector: at most ONE result per source in the
     # page (the cap that binds on this corpus: the plain or3 page carries
     # two src14 docs, so the diversified page provably differs)
@@ -1426,6 +1433,13 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     # bm25 oracle, unchanged — hash-red if the stats merge or the shard
     # scatter-gather perturbs a single bit
     out["ft_exactstats_topk"] = bm25_topk_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), "or3", bool_terms, 0),
+        10,
+    )
+    from .oracles import dv_boost_topk_sql
+
+    out["ft_dv_boost_topk"] = dv_boost_topk_sql(
         "simple",
         parse_fixture_query(ANALYZERS["simple"](), "or3", bool_terms, 0),
         10,

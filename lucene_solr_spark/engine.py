@@ -3945,3 +3945,101 @@ def exactstats_topk(
         .select("rank", "doc_id", F.col("score").cast("float").alias("score"))
         .orderBy("rank")
     )
+
+
+DV_FIELD = "popularity"
+DV_UPD1_MOD = 3   # gen-1 updates: doc_key % 3 == 0 → key % 5 + 10
+DV_UPD2_MOD = 6   # gen-2 updates: doc_key % 6 == 0 → key % 4 + 2 (overrides gen 1)
+
+
+class DVUpdatedDocumentsEngine(DocumentsEngine):
+    """The base documents index carrying a numeric docvalues field
+    (``popularity``, index-time value = doc_key % 7 + 1) that is then
+    updated IN PLACE twice via ``IndexWriter#updateNumericDocValue``
+    (``index/updates.update_numeric_docvalues``): generation 1 rewrites
+    every ``doc_key % 3 == 0`` doc, generation 2 rewrites the ``% 6 == 0``
+    subset again — so reads must stack generations latest-wins over the
+    base, with postings/norms/text untouched throughout (no tombstones,
+    no re-add: this is the docvalues-only update path Lucene added so
+    ranking signals can refresh without reindex cost)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, analyzer: str = "simple") -> None:
+        super().__init__(spark, sf_dir, analyzer, variant="dvupd")
+        marker = os.path.join(self.index_dir, "dv_updates_done")
+        if not os.path.exists(marker):
+            import shutil
+
+            from .index.updates import dv_updates_root, update_numeric_docvalues
+
+            root = dv_updates_root(self.index_dir, DV_FIELD)
+            if os.path.exists(root):  # crashed prior attempt: rewrite clean
+                shutil.rmtree(root)
+            keys = self.searcher.docs.select("doc_key")
+            g1 = keys.filter(F.col("doc_key") % DV_UPD1_MOD == 0).select(
+                "doc_key", (F.col("doc_key") % 5 + 10).cast("double").alias("value")
+            )
+            update_numeric_docvalues(spark, g1, self.index_dir, DV_FIELD)
+            g2 = keys.filter(F.col("doc_key") % DV_UPD2_MOD == 0).select(
+                "doc_key", (F.col("doc_key") % 4 + 2).cast("double").alias("value")
+            )
+            update_numeric_docvalues(spark, g2, self.index_dir, DV_FIELD)
+            with open(marker, "w") as f:
+                f.write("done")
+
+    def dv_values(self) -> DataFrame:
+        """(doc_key, value) — generation-stacked resolution of the
+        ``popularity`` docvalues field over the index-time base."""
+        from .index.updates import numeric_docvalues
+
+        base = self.searcher.docs.select(
+            "doc_key", (F.col("doc_key") % 7 + 1).cast("double").alias("value")
+        )
+        return numeric_docvalues(self.spark, self.index_dir, DV_FIELD, base)
+
+    def dv_boost_topk(
+        self, qtype: str, surface_terms: list[str], k: int = 10,
+    ) -> DataFrame:
+        """Function boost by the UPDATED docvalues field:
+        score = f32(f64(bm25) * f64(popularity)) — the product(score, field(f))
+        shape (``L/queries/function/FunctionScoreQuery#boostByValue``) whose
+        entire point is that a dvGen update re-ranks immediately.
+
+        Scale shape: unranked hits joined to the resolved DV view (keyed
+        columnar join, O(matches)); top-k is the standard small-side
+        TakeOrdered tail."""
+        spec = self.searcher.parse(qtype, surface_terms, 0)
+        hits = self.searcher.hits(
+            self.searcher.compile(spec, k=1 << 30), mode="exact"
+        )
+        keys = self.searcher.docs.select("doc_id", "doc_key")
+        boosted = (
+            hits.join(keys, "doc_id", "left")
+            .join(self.dv_values(), "doc_key", "left")
+            .withColumn(
+                "bscore",
+                (F.col("score").cast("double") * F.col("value")).cast("float"),
+            )
+        )
+        top = boosted.orderBy(F.desc("bscore"), F.asc("doc_key")).limit(k)
+        return (
+            top.coalesce(1)
+            .sortWithinPartitions(F.desc("bscore"), F.asc("doc_key"))
+            .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+            .select(
+                "rank",
+                F.col("doc_key").cast("long").alias("doc_id"),
+                F.col("bscore").cast("float").alias("score"),
+            )
+            .orderBy("rank")
+        )
+
+
+def get_dv_engine(
+    spark: SparkSession, sf_dir: str, analyzer: str = "simple"
+) -> DVUpdatedDocumentsEngine:
+    key = (os.path.abspath(sf_dir), analyzer + "+dvupd")
+    eng = _ENGINES.get(key)
+    if eng is None:
+        eng = DVUpdatedDocumentsEngine(spark, sf_dir, analyzer)
+        _ENGINES[key] = eng
+    return eng  # type: ignore[return-value]

@@ -538,3 +538,77 @@ def expunge_deletes(
         "rewritten_segs": rewritten,
         "dropped_segs": dropped,
     }
+
+
+# --- in-place numeric DocValues updates -------------------------------------
+
+def dv_updates_root(index_dir: str, field: str) -> str:
+    return os.path.join(index_dir, "dv_updates", f"field={field}")
+
+
+def update_numeric_docvalues(
+    spark: SparkSession, updates: DataFrame, index_dir: str, field: str,
+) -> int:
+    """``IndexWriter#updateNumericDocValue(term, field, value)`` analog
+    (``L/index/DocValuesUpdate.NumericDocValuesUpdate``, applied by
+    ``ReadersAndUpdates#writeFieldUpdates`` as a NEW docvalues GENERATION
+    alongside the immutable segment): set a numeric per-doc value WITHOUT
+    touching postings, norms, or stored text. ``updates`` carries
+    (doc_key, value); each call lands as its own generation directory
+    ``dv_updates/field=<f>/gen=N/`` — exactly Lucene's dvGen files — and
+    readers resolve a doc's value as the HIGHEST generation that wrote it,
+    falling back to the base (index-time) value.
+
+    Returns the generation number written. Scale shape: the update batch
+    is written distributed as-is (no read-modify-write of existing data,
+    no shuffle); resolution cost is deferred to readers as a keyed join
+    against O(updated docs) rows — the same economics as Lucene, where
+    dvGen files stack until merge folds them in."""
+    root = dv_updates_root(index_dir, field)
+    gens = [
+        int(os.path.basename(p).split("=", 1)[1])
+        for p in glob.glob(os.path.join(root, "gen=*"))
+    ]
+    gen = (max(gens) + 1) if gens else 1
+    (
+        updates.select(
+            F.col("doc_key").cast("long").alias("doc_key"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .write.mode("errorifexists")
+        .parquet(os.path.join(root, f"gen={gen}"))
+    )
+    return gen
+
+
+def numeric_docvalues(
+    spark: SparkSession, index_dir: str, field: str, base: DataFrame,
+) -> DataFrame:
+    """Resolved numeric docvalues view: (doc_key, value) for every doc in
+    ``base`` (doc_key, value = the index-time generation-0 values), with
+    stacked update generations applied latest-wins per key
+    (``SegmentReader#getNumericDocValues`` merging dvGen files).
+
+    One window rank over the updates table (O(updated docs), partitioned
+    by key — no skew: a key appears once per generation that touched it)
+    plus one left join against the base; docs never updated ride the base
+    value through ``coalesce``."""
+    root = dv_updates_root(index_dir, field)
+    if not glob.glob(os.path.join(root, "gen=*")):
+        return base.select("doc_key", F.col("value").cast("double").alias("value"))
+    from pyspark.sql import Window
+
+    ov = spark.read.option("basePath", root).parquet(os.path.join(root, "gen=*"))
+    w = Window.partitionBy("doc_key").orderBy(F.desc("gen"))
+    latest = (
+        ov.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_key", F.col("value").alias("_upd"))
+    )
+    return (
+        base.join(latest, "doc_key", "left")
+        .select(
+            "doc_key",
+            F.coalesce(F.col("_upd"), F.col("value").cast("double")).alias("value"),
+        )
+    )

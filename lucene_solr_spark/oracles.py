@@ -3234,3 +3234,26 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, key AS {key_col}, score:
     SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, key, score
     FROM div WHERE rn <= {max_per_key}
 ) WHERE rank <= {k} ORDER BY rank"""
+
+
+def dv_boost_topk_sql(analyzer: str, spec: BooleanSpec, k: int) -> str:
+    """Oracle for ``dv_boost_topk`` over the DV-updated fixture
+    (``L/index/DocValuesUpdate.NumericDocValuesUpdate`` stacking): the
+    resolved ``popularity`` value is gen-2 (key%6==0 → key%4+2) over
+    gen-1 (key%3==0 → key%5+10) over base (key%7+1) — the latest-wins
+    CASE order below IS the generation order; boosted score =
+    f32(f64(bm25) * f64(dv)), page by (boosted desc, doc_id asc)."""
+    frag = _bm25_match_ctes(spec)
+    return f"""WITH {base_ctes(analyzer)},{frag}
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY bscore DESC, doc_id ASC) AS rank,
+           doc_id, bscore AS score
+    FROM (
+        SELECT doc_id,
+               CAST(CAST(score AS DOUBLE) * CAST(
+                   CASE WHEN doc_id % 6 = 0 THEN doc_id % 4 + 2
+                        WHEN doc_id % 3 = 0 THEN doc_id % 5 + 10
+                        ELSE doc_id % 7 + 1 END AS DOUBLE) AS FLOAT) AS bscore
+        FROM match
+    )
+) WHERE rank <= {k} ORDER BY rank"""
