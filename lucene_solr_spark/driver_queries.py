@@ -17,8 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from .engine import (
     blended_term_topk, fielded_dismax_topk, get_asof_engine,
     get_atomic_engine, get_dbq_engine, get_engine, get_expunged_engine,
-    exactstats_topk, get_dv_engine, get_rtg_engine, get_updated_engine,
-    localstats_topk,
+    exactstats_topk, field_masking_span_topk, get_dv_engine, get_rtg_engine,
+    get_updated_engine, localstats_topk,
 )
 from .index.build import ANALYZERS
 from .oracles import (
@@ -169,6 +169,9 @@ SPANPOSRANGE = ("merge", 6, 30)
 # SpanNear (inOrder=true): second term follows the first within <= slop
 # intervening positions
 SPANNEAR = ("scan", "filter", 3)
+# FieldMaskingSpanQuery: (title term, body term, slop) — 'table' in the
+# first-8-words title region ordered-near a later body 'join' within 6
+FMASK_Q = ("table", "join", 6)
 # SpanNot: include occurrences survive unless exclude lies in [p-pre, p+post]
 SPANNOT = ("merge", "batch", 2, 2)
 # SpanOr: union of unit term spans; tf = total member occurrences
@@ -782,6 +785,11 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_dv_boost_topk"] = lambda spark, sf_dir: get_dv_engine(
         spark, sf_dir, "simple"
     ).dv_boost_topk("or3", ["vector", "stream", "filter"], k=10)
+    # FieldMaskingSpanQuery: title-span masked into body position space,
+    # ordered near — both fields' postings in ONE cogroup, body norms/stats
+    out["ft_fieldmask_span_topk"] = lambda spark, sf_dir: field_masking_span_topk(
+        spark, sf_dir, FMASK_Q[0], FMASK_Q[1], FMASK_Q[2], k=10
+    )
     # DiversifiedTopDocsCollector: at most ONE result per source in the
     # page (the cap that binds on this corpus: the plain or3 page carries
     # two src14 docs, so the diversified page provably differs)
@@ -1443,6 +1451,12 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
         "simple",
         parse_fixture_query(ANALYZERS["simple"](), "or3", bool_terms, 0),
         10,
+    )
+    from .engine import TITLE_EXPR_SQL
+    from .oracles import field_masking_span_topk_sql
+
+    out["ft_fieldmask_span_topk"] = field_masking_span_topk_sql(
+        "simple", TITLE_EXPR_SQL, FMASK_Q[0], FMASK_Q[1], FMASK_Q[2], 10
     )
     from .oracles import diversified_topk_sql
 

@@ -4043,3 +4043,85 @@ def get_dv_engine(
         eng = DVUpdatedDocumentsEngine(spark, sf_dir, analyzer)
         _ENGINES[key] = eng
     return eng  # type: ignore[return-value]
+
+
+FMASK_PREFIX = "\x02title:"
+
+
+def field_masking_span_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    title_surface: str,
+    body_surface: str,
+    slop: int,
+    k: int = 10,
+    analyzer: str = "simple",
+) -> DataFrame:
+    """FieldMaskingSpanQuery (``L/search/spans/FieldMaskingSpanQuery.java``):
+    a span over the ``title`` field is MASKED to pretend it lives in
+    ``body``, so an ordered SpanNear can pair a title occurrence with a
+    later body occurrence in one position space — the lie the class exists
+    to tell (its javadoc's parallel-field trick: fields tokenized in
+    lockstep, here title = the first 8 whitespace words of body, so title
+    positions coincide with the body positions of those words).
+
+    Weight follows Lucene exactly: the SpanNear's SimWeight binds the
+    OUTER (masked-to) field's collection statistics — body docCount,
+    body norms — while each term contributes the idf of its OWN field's
+    df (``SpanWeight#buildSimWeight`` gathers per-subquery TermStates; the
+    title term's df is the title index's). Match/freq semantics are the
+    ordered NearSpansOrdered rule of ``span_near_topk``.
+
+    Scale shape: both fields' postings are term-IN-pruned columnar scans
+    UNIONED into one cogroup against the body norms — the segment layouts
+    coincide by construction (same corpus order, same segment count), so
+    masking adds NO extra shuffle over a single-field span query; the
+    masked term rides the kernel as a distinct synthetic term name."""
+    import numpy as np
+
+    from .search.bm25 import idf
+    from .search.query import CompiledClause, CompiledQuery
+    from .search.searcher import RESULT_SCHEMA, _make_search_kernel
+
+    body = get_engine(spark, sf_dir, analyzer)
+    title = get_title_engine(spark, sf_dir, analyzer)
+    bs, ts = body.searcher, title.searcher
+    tt = ts.analyzer.analyze(title_surface)[0][0]
+    bt = bs.analyzer.analyze(body_surface)[0][0]
+    masked = FMASK_PREFIX + tt
+    df_t = ts.term_stats([tt]).get(tt, 0)
+    df_b = bs.term_stats([bt]).get(bt, 0)
+    if df_t == 0 or df_b == 0:
+        return spark.createDataFrame([], "rank int, doc_id long, score float")
+    doc_count = bs.stats.doc_count
+    w = np.float32(
+        float(idf(df_t, doc_count)) + float(idf(df_b, doc_count))
+    )
+    clause = CompiledClause(
+        "span_near", (masked, bt), (), w, "must", slop=int(slop)
+    )
+    q = CompiledQuery(
+        clauses=[clause], must_not_terms=(), min_should_match=0, k=k,
+        cache=bs.cache, n_must=1,
+    )
+    t_posts = (
+        ts.postings.filter(F.col("term") == tt)
+        .select("seg", F.lit(masked).alias("term"), "blocks")
+    )
+    b_posts = (
+        bs.postings.filter(F.col("term") == bt)
+        .select("seg", "term", "blocks")
+    )
+    hits = (
+        t_posts.unionAll(b_posts)
+        .groupBy("seg")
+        .cogroup(bs.norms_side.groupBy("seg"))
+        .applyInPandas(_make_search_kernel(q, "exact"), RESULT_SCHEMA)
+        .select("doc_id", "score")
+    )
+    out = bs._finish(hits, k, with_keys=True)
+    return out.select(
+        F.col("rank").cast("int").alias("rank"),
+        F.col("doc_key").cast("long").alias("doc_id"),
+        F.col("score").cast("float").alias("score"),
+    ).orderBy("rank")

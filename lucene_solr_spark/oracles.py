@@ -3257,3 +3257,62 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
         FROM match
     )
 ) WHERE rank <= {k} ORDER BY rank"""
+
+
+def field_masking_span_topk_sql(
+    analyzer: str, title_expr_sql: str, tt: str, bt: str, slop: int, k: int
+) -> str:
+    """FieldMaskingSpanQuery oracle (``L/search/spans/
+    FieldMaskingSpanQuery``): sn0 positions come from the TITLE projection's
+    token stream (the masked field's parallel tokenization), sn1 from the
+    body; the ordered-near pairing, slop-factor freq and BM25 shape are
+    ``span_near_topk_sql``'s rules against BODY norms/stats; the title
+    term's idf binds the TITLE df with the body docCount (SpanWeight
+    buildSimWeight over per-subquery TermStates under the masked-to
+    field's collectionStatistics)."""
+    idf_t = (
+        "CAST(ln(1.0 + (st.doc_count - "
+        f"(SELECT count(DISTINCT doc_id) FROM t_kept WHERE term = '{tt}')"
+        " + 0.5) / ("
+        f"(SELECT count(DISTINCT doc_id) FROM t_kept WHERE term = '{tt}')"
+        " + 0.5)) AS FLOAT)"
+    )
+    idf_sum = f"CAST({idf_t} AS DOUBLE) + CAST({_idf_expr(bt)} AS DOUBLE)"
+    return f"""WITH t_docs AS (
+    SELECT doc_id, {title_expr_sql} AS text FROM documents
+),
+t_tl AS (
+    SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE_SQL}') AS toks FROM t_docs
+),
+t_kept AS (
+    SELECT doc_id, lower(unnest(toks)) AS term,
+           generate_subscripts(toks, 1) - 1 AS pos
+    FROM t_tl
+),
+{base_ctes(analyzer)},
+sn0 AS (SELECT doc_id, pos FROM t_kept WHERE term = '{tt}'),
+sn1 AS (SELECT doc_id, pos FROM kept WHERE term = '{bt}'),
+spans AS (
+    SELECT a.doc_id, a.pos AS p0, min(b.pos) AS p1
+    FROM sn0 a JOIN sn1 b ON b.doc_id = a.doc_id AND b.pos > a.pos
+    GROUP BY a.doc_id, a.pos
+),
+sfreq AS (
+    SELECT doc_id,
+           CAST(sum(CAST(CAST(1.0 AS FLOAT)
+                         / (CAST(1.0 AS FLOAT) + CAST(p1 - p0 - 1 AS FLOAT))
+                     AS DOUBLE)) AS FLOAT) AS freq
+    FROM spans WHERE p1 - p0 - 1 <= {slop} GROUP BY doc_id
+),
+fmhits AS (
+    SELECT f.doc_id,
+           CAST(CAST({idf_sum} AS FLOAT)
+                * CAST(CAST(f.freq AS DOUBLE)
+                       / (CAST(f.freq AS DOUBLE) + CAST(c.cache AS DOUBLE)) AS FLOAT)
+            AS FLOAT) AS score
+    FROM sfreq f JOIN cachec c USING (doc_id), statsf st
+)
+SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+    FROM fmhits
+) WHERE rank <= {k} ORDER BY rank"""
