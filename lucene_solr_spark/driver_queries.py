@@ -1681,7 +1681,15 @@ PRIORITY_ORDER = [
     # tombstone-file reads (DirectoryReader.open(IndexCommit)) — which no
     # other scored row touches
     "ft_spellcheck_collate", "ft_asof_topk", "ft_mlt_topk",
-    "ft_synonymquery_topk",
+    # ft_synonymquery_topk rotated out for ft_dv_boost_topk (r4): the
+    # merged-statistics single-weight scoring shape stays pass-local-gated
+    # and is structurally shared with the blended-term entry (max-df
+    # weight over a member union); dv_boost certifies the NEW docvalues-
+    # generation surface — updateNumericDocValue sidecar writes, stacked
+    # latest-wins generation reads, and the function re-rank they feed —
+    # an index-mutation path (no tombstones, no re-add) that no other
+    # scored row touches
+    "ft_dv_boost_topk",
     # ft_andnot_topk's slot family (boolean occurs) keeps MUST_NOT scored;
     # ft_docs_norms rotated out for ft_spanfirst_topk late in r3 (norms are
     # certified transitively by every bitwise BM25 row + the pass-local
@@ -1724,7 +1732,15 @@ PRIORITY_ORDER = [
     # range bucketing stays certified in-window by facet_heatmap's grid
     # binning and pass-local by facet_range/facet_range_date/facet_interval;
     # multiphrase certifies the NEW slot-union positional query class)
-    "facet_terms", "ft_multiphrase_topk", "facet_pivot", "facet_nested",
+    # facet_nested rotated out for ft_exactstats_topk (r4): the subfacet
+    # bucket tree stays pass-local-gated and its multi-level bucket shape
+    # is scored inside facet_pivot (the same nested partial+final agg
+    # tree); exactstats certifies the NEW distributed-search surface —
+    # hash-routed shard indexes, the ExactStatsCache stats-merge exchange,
+    # per-shard kernels under injected global weights, and the
+    # scatter-gather page merge, pinned bitwise to the single-collection
+    # oracle — which no other scored row exercises
+    "facet_terms", "ft_multiphrase_topk", "facet_pivot", "ft_exactstats_topk",
     "facet_heatmap", "facet_unique_hll",
     # collapse_best_order rotated out for dedup_clusters late in r3 (the
     # collapse window shuffle stays scored inside collapse_expand, which
