@@ -3927,9 +3927,9 @@ def exactstats_topk(
         doc_count += st.doc_count
         sum_ttf += st.sum_total_term_freq
     cache = norm_cache(CollectionStats(doc_count, sum_ttf).avgdl)
+    q = compile_query(spec, df_map, doc_count, cache, k, sum_ttf=sum_ttf)
     legs = []
     for e in engines:
-        q = compile_query(spec, df_map, doc_count, cache, k, sum_ttf=sum_ttf)
         legs.append(
             e.searcher.search(q, k=k, with_keys=True)
             .select(F.col("doc_key").cast("long").alias("doc_id"), "score")
