@@ -17,8 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from .engine import (
     blended_term_topk, fielded_dismax_topk, get_asof_engine,
     get_atomic_engine, get_dbq_engine, get_engine, get_expunged_engine,
-    exactstats_topk, field_masking_span_topk, get_dv_engine, get_rtg_engine,
-    get_updated_engine, localstats_topk,
+    addindexes_topk, exactstats_topk, field_masking_span_topk, get_dv_engine,
+    get_rtg_engine, get_updated_engine, localstats_topk,
 )
 from .index.build import ANALYZERS
 from .oracles import (
@@ -785,6 +785,12 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_dv_boost_topk"] = lambda spark, sf_dir: get_dv_engine(
         spark, sf_dir, "simple"
     ).dv_boost_topk("or3", ["vector", "stream", "filter"], k=10)
+    # IndexWriter#addIndexes: two half-corpus shard indexes grafted into
+    # one physical index (file-level copy + rebase + re-finalize) — scored
+    # against the single-collection oracle, bitwise
+    out["ft_addindexes_topk"] = lambda spark, sf_dir: addindexes_topk(
+        spark, sf_dir, "or3", ["vector", "stream", "filter"], k=10
+    )
     # FieldMaskingSpanQuery: title-span masked into body position space,
     # ordered near — both fields' postings in ONE cogroup, body norms/stats
     out["ft_fieldmask_span_topk"] = lambda spark, sf_dir: field_masking_span_topk(
@@ -1445,6 +1451,8 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
         parse_fixture_query(ANALYZERS["simple"](), "or3", bool_terms, 0),
         10,
     )
+    # addIndexes graft ≡ the single collection: same oracle, same logic
+    out["ft_addindexes_topk"] = out["ft_exactstats_topk"]
     from .oracles import dv_boost_topk_sql
 
     out["ft_dv_boost_topk"] = dv_boost_topk_sql(

@@ -4125,3 +4125,75 @@ def field_masking_span_topk(
         F.col("doc_key").cast("long").alias("doc_id"),
         F.col("score").cast("float").alias("score"),
     ).orderBy("rank")
+
+
+def get_addindexes_searcher(
+    spark: SparkSession, sf_dir: str, analyzer: str = "simple"
+) -> IndexSearcher:
+    """Searcher over ``addIndexes(shard0, shard1)`` — the two hash-routed
+    half-corpus indexes grafted into ONE physical index (file-level segment
+    copy + rebase + re-finalize, ``index/merge.add_indexes``). Cached like
+    the engines; rebuilt clean if a prior graft half-finished."""
+    key = (os.path.abspath(sf_dir), analyzer + "+addidx")
+    eng = _ENGINES.get(key)
+    if eng is not None:
+        return eng  # type: ignore[return-value]
+    import shutil
+
+    from .index.merge import add_indexes
+
+    shards = [get_shard_engine(spark, sf_dir, analyzer, s, 2) for s in range(2)]
+    tag = hashlib.md5(
+        ("|".join(s.index_dir for s in shards) + "|v1").encode()
+    ).hexdigest()[:16]
+    dst = os.path.join(
+        tempfile.gettempdir(), "lucene_solr_spark_idx", f"addidx-{analyzer}-{tag}"
+    )
+    marker = os.path.join(dst, "addindexes_done")
+    if not os.path.exists(marker):
+        shutil.rmtree(dst, ignore_errors=True)
+        add_indexes(spark, [s.index_dir for s in shards], dst)
+        with open(marker, "w") as f:
+            f.write("done")
+    searcher = IndexSearcher(spark, dst)
+    _ENGINES[key] = searcher
+    return searcher
+
+
+def addindexes_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    qtype: str,
+    surface_terms: list[str],
+    k: int = 10,
+    analyzer: str = "simple",
+) -> DataFrame:
+    """Top-k over the grafted index. Scores are bitwise the single-
+    collection engine's (global stats re-finalized over the union = the
+    full corpus; norms copied per doc), so the oracle is the plain BM25
+    oracle. Internal docIDs renumber across the graft (shard-0 segments
+    first), so the page orders score ties by the STABLE doc key — within a
+    segment key order equals local-id order (each shard is key-sorted),
+    making the per-segment WAND top-k cut identical; only the final merge
+    needs the key."""
+    searcher = get_addindexes_searcher(spark, sf_dir, analyzer)
+    spec = searcher.parse(qtype, surface_terms, 0)
+    q = searcher.compile(spec, k)
+    hits = searcher.hits(q, mode="wand")
+    keys = searcher.docs.select("doc_id", "doc_key")
+    top = (
+        hits.join(keys, "doc_id", "left")
+        .orderBy(F.desc("score"), F.asc("doc_key"))
+        .limit(k)
+    )
+    return (
+        top.coalesce(1)
+        .sortWithinPartitions(F.desc("score"), F.asc("doc_key"))
+        .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+        .select(
+            "rank",
+            F.col("doc_key").cast("long").alias("doc_id"),
+            F.col("score").cast("float").alias("score"),
+        )
+        .orderBy("rank")
+    )

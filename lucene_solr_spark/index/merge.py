@@ -346,3 +346,100 @@ def merge_segments(
     if norms_bc is not None:
         norms_bc.destroy()
     return spark.read.parquet(os.path.join(dst_dir, "postings"))
+
+
+def add_indexes(
+    spark: SparkSession, src_dirs: list[str], dst_dir: str,
+) -> int:
+    """``IndexWriter#addIndexes(Directory...)`` analog: graft the LIVE
+    (manifest-committed) segments of several source indexes into one new
+    index WITHOUT touching a single posting byte — segments renumber, bases
+    re-derive, and global stats re-finalize; postings/docs/bloom files copy
+    verbatim (per-segment data is self-contained under segment-local ids,
+    exactly why Lucene's addIndexes is a file-level operation). Returns the
+    number of segments grafted.
+
+    Preconditions (asserted): identical analyzer/positions/keyword schema
+    across sources (Lucene's same-FieldInfos requirement) and no pending
+    tombstones or docvalues-update sidecars — expunge/merge first, the
+    upstream guidance for addIndexes(Directory...) too.
+
+    Scale shape: data files move by directory copy — on an object store /
+    Iceberg this is a server-side copy or pure metadata commit, NOT a read
+    of the postings; the only computed artifacts are the tiny per-segment
+    seg_norms/manifest rewrites (base renumbering, O(segments) pyarrow
+    rows) and one ``_finalize`` pass for term_stats/stats, the same
+    aggregate every build already pays."""
+    import shutil
+
+    from .build import _finalize
+
+    metas = [IndexMeta.load(d) for d in src_dirs]
+    m0 = metas[0]
+    for m in metas[1:]:
+        if (m.analyzer, m.positions, m.keyword_cols, m.text_col) != (
+            m0.analyzer, m0.positions, m0.keyword_cols, m0.text_col
+        ):
+            raise ValueError("addIndexes: source index schemas differ")
+    for d in src_dirs:
+        for side in ("tombstones", "dv_updates"):
+            if os.path.isdir(os.path.join(d, side)):
+                raise ValueError(
+                    f"addIndexes: {d} has pending {side}; expunge/fold first"
+                )
+
+    os.makedirs(dst_dir, exist_ok=True)
+    for sub in ("postings", "docs", "seg_norms", "bloom", "manifest"):
+        os.makedirs(os.path.join(dst_dir, sub), exist_ok=True)
+
+    import pyarrow as pa
+
+    new_seg = 0
+    base = 0
+    for d in src_dirs:
+        man_dir = os.path.join(d, "manifest")
+        committed = sorted(
+            int(f.split("=")[1].split(".")[0])
+            for f in os.listdir(man_dir)
+            if f.startswith("seg=")
+        )
+        for seg in committed:
+            for sub in ("postings", "docs", "bloom"):
+                src_sub = os.path.join(d, sub, f"seg={seg}")
+                if os.path.isdir(src_sub):
+                    shutil.copytree(
+                        src_sub, os.path.join(dst_dir, sub, f"seg={new_seg}")
+                    )
+            # seg_norms: the only data file that bakes the global base in
+            sn = pq.read_table(os.path.join(d, "seg_norms", f"seg={seg}"))
+            n_docs = int(sn.column("n")[0].as_py())
+            sn = sn.set_column(
+                sn.schema.get_field_index("base"), "base",
+                pa.array([base] * len(sn), type=sn.schema.field("base").type),
+            )
+            out_sn = os.path.join(dst_dir, "seg_norms", f"seg={new_seg}")
+            os.makedirs(out_sn, exist_ok=True)
+            pq.write_table(sn, os.path.join(out_sn, "part-0.parquet"))
+            # manifest row: renumber seg, rebase — the commit marker last
+            man = pq.read_table(os.path.join(man_dir, f"seg={seg}.parquet"))
+            man = man.set_column(
+                man.schema.get_field_index("seg"), "seg",
+                pa.array([new_seg], type=man.schema.field("seg").type),
+            )
+            man = man.set_column(
+                man.schema.get_field_index("base"), "base",
+                pa.array([base], type=man.schema.field("base").type),
+            )
+            pq.write_table(
+                man, os.path.join(dst_dir, "manifest", f"seg={new_seg}.parquet")
+            )
+            base += n_docs
+            new_seg += 1
+
+    IndexMeta(
+        analyzer=m0.analyzer, key_cols=m0.key_cols, text_col=m0.text_col,
+        positions=m0.positions, n_segments=new_seg, version=m0.version,
+        keyword_cols=m0.keyword_cols,
+    ).save(dst_dir)
+    _finalize(spark, dst_dir)
+    return new_seg
