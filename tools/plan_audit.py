@@ -366,6 +366,47 @@ def main() -> None:
         must_not=[r"CartesianProduct", r"Exchange rangepartitioning"],
     ))
 
+    # 29. ExactStatsCache alias: every shard leg's posting scan is
+    # term-IN-list pruned (the injected global weights change scoring, not
+    # the scan shape), the merge is a k-row TakeOrdered per leg + union —
+    # no CartesianProduct, no doc-level range-partition exchange.
+    from lucene_solr_spark.engine import exactstats_topk
+
+    results.append(audit(
+        "exactstats_all_legs_pushed",
+        exactstats_topk(spark, SF_DIR, "or3", ["vector", "stream", "filter"], k=10),
+        must=[r"(?s)PushedFilters: \[In\(term.*PushedFilters: \[In\(term"],
+        must_not=[r"CartesianProduct"],
+    ))
+
+    # 30. FieldMaskingSpanQuery: BOTH fields' posting scans are term-pruned
+    # (each side's equality filter pushes to its parquet scan) and the
+    # cross-field composition is the seg cogroup — no extra exchange family
+    # beyond the single-field span query's.
+    from lucene_solr_spark.engine import field_masking_span_topk
+
+    results.append(audit(
+        "fieldmask_both_fields_pushed",
+        field_masking_span_topk(spark, SF_DIR, "table", "join", 6, k=10),
+        must=[r"(?s)PushedFilters: \[.*EqualTo\(term.*PushedFilters: \[.*EqualTo\(term"],
+        must_not=[r"CartesianProduct"],
+    ))
+
+    # 31. numeric docvalues boost: the generation-stacked DV resolution is
+    # a keyed join against O(updated) rows — the update overlay never
+    # triggers a CartesianProduct and the per-key latest-wins rank
+    # partitions by doc_key (no unpartitioned window over doc rows).
+    from lucene_solr_spark.engine import get_dv_engine
+
+    results.append(audit(
+        "dv_boost_keyed_overlay_join",
+        get_dv_engine(spark, SF_DIR, "simple").dv_boost_topk(
+            "or3", ["vector", "stream", "filter"], k=10
+        ),
+        must=[r"PushedFilters: \[In\(term"],
+        must_not=[r"CartesianProduct", r"Window \[.*\]$"],
+    ))
+
     n_fail = results.count(False)
     print(f"{len(results) - n_fail}/{len(results)} plan invariants hold")
     sys.exit(1 if n_fail else 0)
