@@ -18,6 +18,7 @@ from .engine import (
     blended_term_topk, fielded_dismax_topk, get_asof_engine,
     get_atomic_engine, get_dbq_engine, get_engine, get_expunged_engine,
     addindexes_topk, exactstats_topk, field_masking_span_topk, get_dv_engine,
+    tiered_merge_topk,
     get_rtg_engine, get_updated_engine, localstats_topk,
 )
 from .index.build import ANALYZERS
@@ -785,6 +786,11 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_dv_boost_topk"] = lambda spark, sf_dir: get_dv_engine(
         spark, sf_dir, "simple"
     ).dv_boost_topk("or3", ["vector", "stream", "filter"], k=10)
+    # TieredMergePolicy round: size-tier selection (find_merges) + the
+    # plan-driven salted two-phase merge — results bitwise invariant
+    out["ft_tiered_merge_topk"] = lambda spark, sf_dir: tiered_merge_topk(
+        spark, sf_dir, "or3", ["vector", "stream", "filter"], k=10
+    )
     # IndexWriter#addIndexes: two half-corpus shard indexes grafted into
     # one physical index (file-level copy + rebase + re-finalize) — scored
     # against the single-collection oracle, bitwise
@@ -1453,6 +1459,8 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     )
     # addIndexes graft ≡ the single collection: same oracle, same logic
     out["ft_addindexes_topk"] = out["ft_exactstats_topk"]
+    # tiered merge ≡ the base index: merge invariance, same oracle
+    out["ft_tiered_merge_topk"] = out["ft_exactstats_topk"]
     from .oracles import dv_boost_topk_sql
 
     out["ft_dv_boost_topk"] = dv_boost_topk_sql(

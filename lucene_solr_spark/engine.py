@@ -4197,3 +4197,57 @@ def addindexes_topk(
         )
         .orderBy("rank")
     )
+
+
+def get_tiered_searcher(
+    spark: SparkSession, sf_dir: str, analyzer: str = "simple"
+) -> IndexSearcher:
+    """Searcher over one TieredMergePolicy round applied to the base
+    documents index (``index/merge.find_merges`` selection +
+    plan-driven salted two-phase merge): the 8 build segments fold by
+    size tiers into fewer doc-contiguous segments, results bitwise
+    invariant."""
+    key = (os.path.abspath(sf_dir), analyzer + "+tiered")
+    eng = _ENGINES.get(key)
+    if eng is not None:
+        return eng  # type: ignore[return-value]
+    import shutil
+
+    from .index.merge import tiered_merge
+
+    base_eng = get_engine(spark, sf_dir, analyzer)
+    tag = hashlib.md5((base_eng.index_dir + "|tiered|v1").encode()).hexdigest()[:16]
+    dst = os.path.join(
+        tempfile.gettempdir(), "lucene_solr_spark_idx", f"tiered-{analyzer}-{tag}"
+    )
+    marker = os.path.join(dst, "tiered_done")
+    if not os.path.exists(marker):
+        shutil.rmtree(dst, ignore_errors=True)
+        plan = tiered_merge(spark, base_eng.index_dir, dst, segs_per_tier=4)
+        if all(len(g) == 1 for g in plan):
+            raise RuntimeError("tiered fixture merged nothing")
+        with open(marker, "w") as f:
+            f.write("done")
+    searcher = IndexSearcher(spark, dst)
+    _ENGINES[key] = searcher
+    return searcher
+
+
+def tiered_merge_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    qtype: str,
+    surface_terms: list[str],
+    k: int = 10,
+    analyzer: str = "simple",
+) -> DataFrame:
+    """Top-k over the tiered-merged index — bitwise the base engine's page
+    (merge invariance), so the oracle is the plain BM25 oracle."""
+    searcher = get_tiered_searcher(spark, sf_dir, analyzer)
+    spec = searcher.parse(qtype, surface_terms, 0)
+    out = searcher.search(spec, k=k, with_keys=True)
+    return out.select(
+        F.col("rank").cast("int").alias("rank"),
+        F.col("doc_key").cast("long").alias("doc_id"),
+        F.col("score").cast("float").alias("score"),
+    ).orderBy("rank")

@@ -34,10 +34,14 @@ def _check_segment(index_dir: str, seg: int, positions: bool) -> dict:
     viol: list[str] = []
     docs_t = pq.read_table(os.path.join(index_dir, "docs", f"seg={seg}"))
     n_docs = len(docs_t)
+    # parquet row order is NOT part of the format contract (a shuffled
+    # merge writes rows in task order) — docvalues reads are by docID, so
+    # the checker sorts by doc_local before validating density/norms
     dl = docs_t.column("doc_local").to_numpy()
-    if not np.array_equal(dl, np.arange(n_docs, dtype=dl.dtype)):
+    order = np.argsort(dl, kind="stable")
+    if not np.array_equal(dl[order], np.arange(n_docs, dtype=dl.dtype)):
         viol.append("docs: doc_local is not a dense 0..n-1 range")
-    norms_col = docs_t.column("norm").to_numpy()
+    norms_col = docs_t.column("norm").to_numpy()[order]
 
     sn = pq.read_table(os.path.join(index_dir, "seg_norms", f"seg={seg}"))
     if sn.column("n")[0].as_py() != n_docs:

@@ -130,26 +130,54 @@ def merge_segments(
     n_out: int = 1,
     salt: int = 4,
     conservative_impacts: bool = False,
+    plan: list[list[int]] | None = None,
 ) -> DataFrame:
     """Merge the index at ``src_dir`` into ``n_out`` doc-contiguous segments
-    at ``dst_dir`` (query results are invariant — tested property)."""
+    at ``dst_dir`` (query results are invariant — tested property).
+
+    ``plan``: an explicit merge plan — a partition of the source segment
+    ids into base-contiguous groups, each group becoming ONE output
+    segment (the ``MergePolicy.MergeSpecification`` analog; see
+    ``find_merges`` for the TieredMergePolicy selection that produces
+    one). Overrides ``n_out``'s uniform grouping."""
     meta = IndexMeta.load(src_dir)
     layout = _load_seg_layout(spark, src_dir)
     n_in = len(layout)
-    if n_out > n_in:
-        raise ValueError(f"n_out={n_out} > input segments {n_in}")
     os.makedirs(dst_dir, exist_ok=True)
 
-    # contiguous grouping: input segment rank r (by base) → out seg, salt slot
     ranks = {int(s): r for r, s in enumerate(layout.seg)}
-    per_out = -(-n_in // n_out)         # ceil
-    per_salt = max(1, -(-per_out // salt))
-
-    def out_of(rank: int) -> tuple[int, int]:
-        return rank // per_out, (rank % per_out) // per_salt
-
     in_bases = {int(s): int(b) for s, b in zip(layout.seg, layout.base)}
-    out_seg_of = {int(s): out_of(ranks[int(s)])[0] for s in layout.seg}
+    if plan is None:
+        if n_out > n_in:
+            raise ValueError(f"n_out={n_out} > input segments {n_in}")
+        # contiguous grouping: segment rank r (by base) → out seg, salt slot
+        per_out = -(-n_in // n_out)         # ceil
+        per_salt = max(1, -(-per_out // salt))
+
+        def out_of(rank: int) -> tuple[int, int]:
+            return rank // per_out, (rank % per_out) // per_salt
+
+        out_seg_of = {int(s): out_of(ranks[int(s)])[0] for s in layout.seg}
+        salt_of = {int(s): out_of(ranks[int(s)])[1] for s in layout.seg}
+    else:
+        flat = sorted(s for g in plan for s in g)
+        if flat != sorted(int(s) for s in layout.seg):
+            raise ValueError("plan must partition the source segment ids")
+        # groups must be runs of consecutive base-ranks (doc-contiguous —
+        # the stable-global-docID layout's requirement)
+        for g in plan:
+            rs = sorted(ranks[int(s)] for s in g)
+            if rs != list(range(rs[0], rs[0] + len(rs))):
+                raise ValueError(f"plan group {g} is not base-contiguous")
+        groups = sorted(plan, key=lambda g: min(ranks[int(s)] for s in g))
+        n_out = len(groups)
+        out_seg_of, salt_of = {}, {}
+        for o, g in enumerate(groups):
+            per_salt = max(1, -(-len(g) // salt))
+            for j, s in enumerate(sorted(g, key=lambda x: ranks[int(x)])):
+                out_seg_of[int(s)] = o
+                salt_of[int(s)] = j // per_salt
+
     out_bases: dict[int, int] = {}
     for s in layout.seg:  # out base = min base of the group's segments
         o = out_seg_of[int(s)]
@@ -158,7 +186,7 @@ def merge_segments(
     mapping = pd.DataFrame({
         "in_seg": layout.seg.astype("int32"),
         "out_seg": [out_seg_of[int(s)] for s in layout.seg],
-        "salt_g": [out_of(ranks[int(s)])[1] for s in layout.seg],
+        "salt_g": [salt_of[int(s)] for s in layout.seg],
         "in_base": [in_bases[int(s)] for s in layout.seg],
         "out_base": [out_bases[out_seg_of[int(s)]] for s in layout.seg],
     })
@@ -443,3 +471,85 @@ def add_indexes(
     ).save(dst_dir)
     _finalize(spark, dst_dir)
     return new_seg
+
+
+def find_merges(
+    sizes: list[tuple[int, int]],
+    *,
+    segs_per_tier: int = 10,
+    max_merged_docs: int = 1 << 31,
+    floor_docs: int | None = None,
+) -> list[list[int]]:
+    """``TieredMergePolicy#findMerges`` analog (documented subset): given
+    ``(seg, n_docs)`` in base order, return a merge plan — groups of
+    segments to fold into one — chosen by the tiered rule: a run of
+    consecutive UNDERSIZED segments (n_docs < ``floor_docs``, the
+    floorSegmentBytes analog; default max_merged_docs // segs_per_tier)
+    merges once it reaches ``segs_per_tier`` members or when adding the
+    next one would overflow ``max_merged_docs`` (the maxMergedSegmentMB
+    analog — an output-size cap, a SEPARATE knob from the floor);
+    oversized segments pass through untouched (TieredMergePolicy never
+    rewrites a segment already at the max). Deviation from upstream,
+    documented: candidates are restricted to base-CONTIGUOUS runs — the
+    stable-global-docID layout requires doc-contiguous output segments —
+    where upstream may cherry-pick non-adjacent segments; and the
+    selection score (skew/size/reclaim) degenerates to first-fit over the
+    run, since contiguity already fixes the candidate order."""
+    ceiling = floor_docs if floor_docs is not None else max(
+        1, max_merged_docs // segs_per_tier
+    )
+    plan: list[list[int]] = []
+    run: list[int] = []
+    run_docs = 0
+
+    def flush() -> None:
+        nonlocal run, run_docs
+        if run:
+            plan.append(run)
+            run, run_docs = [], 0
+
+    for seg, n in sizes:
+        if n >= ceiling:
+            flush()
+            plan.append([seg])
+            continue
+        if run and (len(run) >= segs_per_tier or run_docs + n > max_merged_docs):
+            flush()
+        run.append(seg)
+        run_docs += n
+    flush()
+    return plan
+
+
+def tiered_merge(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    *,
+    segs_per_tier: int = 10,
+    max_merged_docs: int = 1 << 31,
+    salt: int = 4,
+) -> list[list[int]]:
+    """Run one TieredMergePolicy round: select with ``find_merges`` over
+    the live segment layout, execute via the salted two-phase merge with
+    the explicit plan. Results are bitwise invariant (the merge property);
+    the return value is the executed plan.
+
+    Scale note: singleton groups currently re-encode through the same
+    job; at 10^12 docs they would move by ``add_indexes``-style file copy
+    instead (the mechanism exists; wiring the mixed copy/merge path is a
+    pure optimization, not a semantics change)."""
+    layout = _load_seg_layout(spark, src_dir)
+    import pyarrow.parquet as _pq
+
+    sizes = []
+    for s in layout.seg:
+        sn = _pq.read_table(
+            os.path.join(src_dir, "seg_norms", f"seg={int(s)}"), columns=["n"]
+        )
+        sizes.append((int(s), int(sn.column("n")[0].as_py())))
+    plan = find_merges(
+        sizes, segs_per_tier=segs_per_tier, max_merged_docs=max_merged_docs
+    )
+    merge_segments(spark, src_dir, dst_dir, salt=salt, plan=plan)
+    return plan

@@ -90,3 +90,55 @@ def test_merged_postings_df_consistency(spark, merged_dirs):
             assert b["first_doc"] > last, "blocks must be disjoint ascending"
             assert b["first_doc"] <= b["last_doc"]
             last = b["last_doc"]
+
+
+# --- TieredMergePolicy (find_merges + plan-driven merge) --------------------
+
+def test_find_merges_tier_selection():
+    """Undersized runs fold at segs_per_tier; oversized segments pass
+    through as singletons; budget overflow splits a run."""
+    from lucene_solr_spark.index.merge import find_merges
+
+    # ceiling = 100 // 4 = 25: segs of 10 are undersized, 40 is oversized
+    sizes = [(0, 10), (1, 10), (2, 10), (3, 10), (4, 10), (5, 40), (6, 10), (7, 10)]
+    plan = find_merges(sizes, segs_per_tier=4, max_merged_docs=100)
+    assert plan == [[0, 1, 2, 3], [4], [5], [6, 7]]
+    # under one tier ceiling the whole run folds
+    plan = find_merges([(0, 30), (1, 30), (2, 30)], segs_per_tier=4, max_merged_docs=400)
+    assert plan == [[0, 1, 2]]
+    # budget overflow: with the floor knob explicit (segments undersized at
+    # 30 < 40), 30+30+30 > 70 splits the run even below segs_per_tier
+    plan = find_merges(
+        [(0, 30), (1, 30), (2, 30)],
+        segs_per_tier=10, max_merged_docs=70, floor_docs=40,
+    )
+    assert plan == [[0, 1], [2]]
+
+
+def test_plan_must_be_contiguous_partition(spark, small_index, tmp_path_factory):
+    src, _ = small_index  # 4 segments
+    dst = str(tmp_path_factory.mktemp("merge") / "reject")
+    with pytest.raises(ValueError, match="not base-contiguous"):
+        merge_segments(spark, src, dst, plan=[[0, 2], [1], [3]])
+    with pytest.raises(ValueError, match="partition the source"):
+        merge_segments(spark, src, dst, plan=[[0, 1]])
+
+
+def test_tiered_merge_invariance(spark):
+    """One policy round folds segments and leaves every page bitwise
+    unchanged; the merged layout is CheckIndex-clean."""
+    import pandas as pd
+
+    from lucene_solr_spark.engine import get_engine, tiered_merge_topk, get_tiered_searcher
+    from lucene_solr_spark.index.check import check_index
+
+    SF = "/root/testdata/sf0.001"
+    base = get_engine(spark, SF, "simple").topk("or3", ["vector", "stream", "filter"], k=10).toPandas()
+    tiered = tiered_merge_topk(spark, SF, "or3", ["vector", "stream", "filter"], k=10).toPandas()
+    pd.testing.assert_frame_equal(tiered, base)
+    searcher = get_tiered_searcher(spark, SF)
+    n_base = get_engine(spark, SF, "simple").searcher.seg_norms.select("seg").distinct().count()
+    n_tiered = searcher.seg_norms.select("seg").distinct().count()
+    assert n_tiered < n_base
+    rep = check_index(spark, searcher.index_dir).toPandas()
+    assert (rep["n_violations"] == 0).all(), rep
