@@ -361,15 +361,20 @@ def merge_segments(
         ).parquet(tombstones_path(dst_dir))
 
     # --- global stats & meta are merge-invariant: copy through ---
-    for tbl in ("stats", "term_stats"):
-        spark.read.parquet(os.path.join(src_dir, tbl)).write.mode("overwrite").parquet(
-            os.path.join(dst_dir, tbl)
-        )
+    for tbl in ("stats", "term_stats", "term_stats_rev"):
+        if os.path.isdir(os.path.join(src_dir, tbl)):
+            spark.read.parquet(os.path.join(src_dir, tbl)).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(dst_dir, tbl))
     with open(os.path.join(dst_dir, "meta.json"), "w") as f:
         json.dump({
             "analyzer": meta.analyzer, "key_cols": list(meta.key_cols),
             "text_col": meta.text_col, "positions": meta.positions,
             "n_segments": n_out, "version": meta.version,
+            # keyword fields survive the merge inside postings; the meta
+            # must carry them too or append-after-merge would stop
+            # inverting them (they'd silently vanish from new segments)
+            "keyword_cols": list(meta.keyword_cols),
         }, f)
     if norms_bc is not None:
         norms_bc.destroy()

@@ -142,3 +142,21 @@ def test_tiered_merge_invariance(spark):
     assert n_tiered < n_base
     rep = check_index(spark, searcher.index_dir).toPandas()
     assert (rep["n_violations"] == 0).all(), rep
+
+
+def test_merge_meta_carries_keyword_cols(spark, small_corpus, tmp_path_factory):
+    """A merged index's meta must keep keyword_cols — append-after-merge
+    otherwise silently stops inverting keyword fields into new segments —
+    and the reversed-dictionary sidecar must survive the copy-through."""
+    import os
+
+    from lucene_solr_spark.index.build import IndexMeta, build_index
+    from lucene_solr_spark.index.merge import merge_segments
+
+    src = str(tmp_path_factory.mktemp("kwmerge") / "src")
+    sdf = spark.createDataFrame(small_corpus)
+    build_index(spark, sdf, src, n_segments=4, keyword_cols=("role",))
+    dst = str(tmp_path_factory.mktemp("kwmerge") / "dst")
+    merge_segments(spark, src, dst, n_out=2, salt=2)
+    assert IndexMeta.load(dst).keyword_cols == ("role",)
+    assert os.path.isdir(os.path.join(dst, "term_stats_rev"))
