@@ -4216,7 +4216,7 @@ def get_tiered_searcher(
     from .index.merge import tiered_merge
 
     base_eng = get_engine(spark, sf_dir, analyzer)
-    tag = hashlib.md5((base_eng.index_dir + "|tiered|v1").encode()).hexdigest()[:16]
+    tag = hashlib.md5((base_eng.index_dir + "|tiered|v2").encode()).hexdigest()[:16]
     dst = os.path.join(
         tempfile.gettempdir(), "lucene_solr_spark_idx", f"tiered-{analyzer}-{tag}"
     )

@@ -131,6 +131,7 @@ def merge_segments(
     salt: int = 4,
     conservative_impacts: bool = False,
     plan: list[list[int]] | None = None,
+    subset_ok: bool = False,
 ) -> DataFrame:
     """Merge the index at ``src_dir`` into ``n_out`` doc-contiguous segments
     at ``dst_dir`` (query results are invariant — tested property).
@@ -139,7 +140,14 @@ def merge_segments(
     ids into base-contiguous groups, each group becoming ONE output
     segment (the ``MergePolicy.MergeSpecification`` analog; see
     ``find_merges`` for the TieredMergePolicy selection that produces
-    one). Overrides ``n_out``'s uniform grouping."""
+    one). Overrides ``n_out``'s uniform grouping.
+
+    ``subset_ok``: the plan may cover only SOME source segments — only
+    those are read and rewritten (output seg id = min of the group, so the
+    ids never clash with untouched segments); the caller is responsible
+    for bringing the untouched segments into ``dst_dir`` (file copy — see
+    ``tiered_merge``). This is how a policy round touches only the merged
+    bytes, the TieredMergePolicy cost model."""
     meta = IndexMeta.load(src_dir)
     layout = _load_seg_layout(spark, src_dir)
     n_in = len(layout)
@@ -161,7 +169,11 @@ def merge_segments(
         salt_of = {int(s): out_of(ranks[int(s)])[1] for s in layout.seg}
     else:
         flat = sorted(s for g in plan for s in g)
-        if flat != sorted(int(s) for s in layout.seg):
+        all_segs = sorted(int(s) for s in layout.seg)
+        if subset_ok:
+            if len(set(flat)) != len(flat) or not set(flat) <= set(all_segs):
+                raise ValueError("plan groups must be disjoint source segment ids")
+        elif flat != all_segs:
             raise ValueError("plan must partition the source segment ids")
         # groups must be runs of consecutive base-ranks (doc-contiguous —
         # the stable-global-docID layout's requirement)
@@ -173,22 +185,25 @@ def merge_segments(
         n_out = len(groups)
         out_seg_of, salt_of = {}, {}
         for o, g in enumerate(groups):
+            # subset mode: keep ids collision-free with untouched segments
+            out_id = min(int(s) for s in g) if subset_ok else o
             per_salt = max(1, -(-len(g) // salt))
             for j, s in enumerate(sorted(g, key=lambda x: ranks[int(x)])):
-                out_seg_of[int(s)] = o
+                out_seg_of[int(s)] = out_id
                 salt_of[int(s)] = j // per_salt
 
+    covered = [int(s) for s in layout.seg if int(s) in out_seg_of]
     out_bases: dict[int, int] = {}
-    for s in layout.seg:  # out base = min base of the group's segments
-        o = out_seg_of[int(s)]
-        out_bases[o] = min(out_bases.get(o, 1 << 62), in_bases[int(s)])
+    for s in covered:  # out base = min base of the group's segments
+        o = out_seg_of[s]
+        out_bases[o] = min(out_bases.get(o, 1 << 62), in_bases[s])
 
     mapping = pd.DataFrame({
-        "in_seg": layout.seg.astype("int32"),
-        "out_seg": [out_seg_of[int(s)] for s in layout.seg],
-        "salt_g": [salt_of[int(s)] for s in layout.seg],
-        "in_base": [in_bases[int(s)] for s in layout.seg],
-        "out_base": [out_bases[out_seg_of[int(s)]] for s in layout.seg],
+        "in_seg": pd.array(covered, dtype="int32"),
+        "out_seg": [out_seg_of[s] for s in covered],
+        "salt_g": [salt_of[s] for s in covered],
+        "in_base": [in_bases[s] for s in covered],
+        "out_base": [out_bases[out_seg_of[s]] for s in covered],
     })
     map_df = F.broadcast(spark.createDataFrame(mapping))
 
@@ -353,6 +368,10 @@ def merge_segments(
     if tomb:
         rows = []
         for in_seg, arr in tomb.items():
+            if int(in_seg) not in out_seg_of:  # untouched segment (subset
+                # plan): its tombstones pass through unchanged
+                rows.extend((int(in_seg), int(l)) for l in arr)
+                continue
             o = out_seg_of[int(in_seg)]
             shift = in_bases[int(in_seg)] - out_bases[o]
             rows.extend((int(o), int(l + shift)) for l in arr)
@@ -540,21 +559,49 @@ def tiered_merge(
     the explicit plan. Results are bitwise invariant (the merge property);
     the return value is the executed plan.
 
-    Scale note: singleton groups currently re-encode through the same
-    job; at 10^12 docs they would move by ``add_indexes``-style file copy
-    instead (the mechanism exists; wiring the mixed copy/merge path is a
-    pure optimization, not a semantics change)."""
+    Scale shape — the TieredMergePolicy cost model: ONLY the merged
+    groups' bytes are read and rewritten (subset-plan salted two-phase
+    merge); untouched segments move by file copy — on an object store a
+    server-side copy / metadata commit, the ``addIndexes`` economics — so
+    a policy round over 10^12 docs costs O(bytes actually merged), not a
+    full index rewrite."""
+    import shutil
+
     layout = _load_seg_layout(spark, src_dir)
-    import pyarrow.parquet as _pq
 
     sizes = []
-    for s in layout.seg:
-        sn = _pq.read_table(
-            os.path.join(src_dir, "seg_norms", f"seg={int(s)}"), columns=["n"]
+    for seg_id in layout.seg:
+        sn = pq.read_table(
+            os.path.join(src_dir, "seg_norms", f"seg={int(seg_id)}"), columns=["n"]
         )
-        sizes.append((int(s), int(sn.column("n")[0].as_py())))
+        sizes.append((int(seg_id), int(sn.column("n")[0].as_py())))
     plan = find_merges(
         sizes, segs_per_tier=segs_per_tier, max_merged_docs=max_merged_docs
     )
-    merge_segments(spark, src_dir, dst_dir, salt=salt, plan=plan)
+    multi = [g for g in plan if len(g) > 1]
+    if not multi:  # nothing to merge: the graft degenerates to a full copy
+        merge_segments(spark, src_dir, dst_dir, salt=salt, plan=plan)
+        return plan
+    # 1. Spark-merge ONLY the multi-segment groups (subset plan)
+    merge_segments(spark, src_dir, dst_dir, salt=salt, plan=multi, subset_ok=True)
+    # 2. file-copy the untouched segments (ids/bases unchanged — global
+    #    docIDs are stable, so no data rewrite is needed)
+    for g in plan:
+        if len(g) != 1:
+            continue
+        (seg,) = g
+        for sub in ("postings", "docs", "bloom", "seg_norms"):
+            src_sub = os.path.join(src_dir, sub, f"seg={seg}")
+            if os.path.isdir(src_sub):
+                shutil.copytree(src_sub, os.path.join(dst_dir, sub, f"seg={seg}"))
+        man = os.path.join(src_dir, "manifest", f"seg={seg}.parquet")
+        if os.path.exists(man):
+            shutil.copy2(man, os.path.join(dst_dir, "manifest", f"seg={seg}.parquet"))
+    # 3. meta: total segment count spans merged + copied
+    meta = IndexMeta.load(dst_dir)
+    IndexMeta(
+        analyzer=meta.analyzer, key_cols=meta.key_cols, text_col=meta.text_col,
+        positions=meta.positions, n_segments=len(plan), version=meta.version,
+        keyword_cols=meta.keyword_cols,
+    ).save(dst_dir)
     return plan

@@ -160,3 +160,53 @@ def test_merge_meta_carries_keyword_cols(spark, small_corpus, tmp_path_factory):
     merge_segments(spark, src, dst, n_out=2, salt=2)
     assert IndexMeta.load(dst).keyword_cols == ("role",)
     assert os.path.isdir(os.path.join(dst, "term_stats_rev"))
+
+
+def test_tiered_mixed_copy_and_merge(spark, small_index, tmp_path_factory):
+    """A policy round over UNEVEN segments: oversized segments pass through
+    by FILE COPY (byte-identical postings — only merged bytes are ever
+    read), undersized ones fold through the subset merge; query results
+    are bitwise invariant and the layout CheckIndex-clean."""
+    import filecmp
+    import os
+
+    import numpy as np
+
+    from lucene_solr_spark.datagen import generate_transcripts
+    from lucene_solr_spark.index.build import append_batch
+    from lucene_solr_spark.index.check import check_index
+    from lucene_solr_spark.index.merge import tiered_merge
+
+    src0, _ = small_index
+    # private copy: append mutates the index in place
+    import shutil
+
+    src = str(tmp_path_factory.mktemp("tiered") / "src")
+    shutil.copytree(src0, src)
+    extra = generate_transcripts(10, seed=7)
+    append_batch(spark, spark.createDataFrame(extra), src, n_segments=2)
+
+    dst = str(tmp_path_factory.mktemp("tiered") / "dst")
+    # ceiling 50: the four ~375-doc build segments are oversized
+    # (singletons → file copy); the two small appended segments merge
+    plan = tiered_merge(spark, src, dst, segs_per_tier=2, max_merged_docs=100)
+    singles = [g[0] for g in plan if len(g) == 1]
+    merged = [g for g in plan if len(g) > 1]
+    assert singles and merged, plan
+
+    # copied segments are byte-identical (no re-encode)
+    for seg in singles:
+        a = os.path.join(src, "postings", f"seg={seg}")
+        b = os.path.join(dst, "postings", f"seg={seg}")
+        cmp = filecmp.dircmp(a, b)
+        assert not cmp.diff_files and not cmp.left_only and not cmp.right_only
+
+    # bitwise search invariance across the whole reference query set
+    base = _run_all(spark, src, "wand")
+    got = _run_all(spark, dst, "wand")
+    assert len(got) == len(base)
+    np.testing.assert_array_equal(got.doc_id.to_numpy(), base.doc_id.to_numpy())
+    np.testing.assert_array_equal(got.score.to_numpy(), base.score.to_numpy())
+
+    rep = check_index(spark, dst).toPandas()
+    assert (rep["n_violations"] == 0).all(), rep
