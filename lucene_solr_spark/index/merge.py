@@ -579,8 +579,8 @@ def tiered_merge(
         sizes, segs_per_tier=segs_per_tier, max_merged_docs=max_merged_docs
     )
     multi = [g for g in plan if len(g) > 1]
-    if not multi:  # nothing to merge: the graft degenerates to a full copy
-        merge_segments(spark, src_dir, dst_dir, salt=salt, plan=plan)
+    if not multi:  # nothing to merge: the round is a pure file copy
+        shutil.copytree(src_dir, dst_dir, dirs_exist_ok=True)
         return plan
     # 1. Spark-merge ONLY the multi-segment groups (subset plan)
     merge_segments(spark, src_dir, dst_dir, salt=salt, plan=multi, subset_ok=True)
