@@ -210,3 +210,19 @@ def test_tiered_mixed_copy_and_merge(spark, small_index, tmp_path_factory):
 
     rep = check_index(spark, dst).toPandas()
     assert (rep["n_violations"] == 0).all(), rep
+
+
+def test_tiered_noop_round_is_file_copy(spark, small_index, tmp_path_factory):
+    """When the policy selects nothing (every segment oversized), the round
+    must be a byte-identical copy — zero Spark work, zero rewrites."""
+    import filecmp
+    import os
+
+    from lucene_solr_spark.index.merge import tiered_merge
+
+    src, _ = small_index
+    dst = str(tmp_path_factory.mktemp("tiered") / "noop")
+    plan = tiered_merge(spark, src, dst, segs_per_tier=2, max_merged_docs=4)
+    assert all(len(g) == 1 for g in plan)
+    cmp = filecmp.dircmp(os.path.join(src, "postings"), os.path.join(dst, "postings"))
+    assert not cmp.diff_files and not cmp.left_only and not cmp.right_only
