@@ -170,6 +170,9 @@ SPANPOSRANGE = ("merge", 6, 30)
 # SpanNear (inOrder=true): second term follows the first within <= slop
 # intervening positions
 SPANNEAR = ("scan", "filter", 3)
+# DisMax mm conditional spec over a 4-term disjunction (msm parses to 3)
+MM_SPEC = "2<-25%"
+MM_SPEC_TERMS = ["query", "scan", "sort", "window"]
 # FieldMaskingSpanQuery: (title term, body term, slop) — 'table' in the
 # first-8-words title region ordered-near a later body 'join' within 6
 FMASK_Q = ("table", "join", 6)
@@ -786,6 +789,17 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_dv_boost_topk"] = lambda spark, sf_dir: get_dv_engine(
         spark, sf_dir, "simple"
     ).dv_boost_topk("or3", ["vector", "stream", "filter"], k=10)
+    # DisMax mm spec grammar: "2<-25%" over the 4-term OR → the parsed
+    # conditional yields msm=3 (4 + int(f32(-25%*4))), the same kernel
+    from .search.mm import calculate_min_should_match
+
+    out["ft_mm_spec_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).topk(
+        "or_minshould", MM_SPEC_TERMS,
+        k=10,
+        min_should=calculate_min_should_match(len(MM_SPEC_TERMS), MM_SPEC),
+    )
     # TieredMergePolicy round: size-tier selection (find_merges) + the
     # plan-driven salted two-phase merge — results bitwise invariant
     out["ft_tiered_merge_topk"] = lambda spark, sf_dir: tiered_merge_topk(
@@ -1461,6 +1475,13 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     out["ft_addindexes_topk"] = out["ft_exactstats_topk"]
     # tiered merge ≡ the base index: merge invariance, same oracle
     out["ft_tiered_merge_topk"] = out["ft_exactstats_topk"]
+    # mm spec: the oracle binds the HAND-COMPUTED msm=3 — a parser bug
+    # (wrong truncation, wrong conditional pick) cannot cancel out
+    out["ft_mm_spec_topk"] = bm25_topk_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), "or_minshould", MM_SPEC_TERMS, 3),
+        10,
+    )
     from .oracles import dv_boost_topk_sql
 
     out["ft_dv_boost_topk"] = dv_boost_topk_sql(
