@@ -1409,3 +1409,77 @@ LIMIT 20"""
 
 
 register("stream_sessionize", stream_sessionize, STREAM_SESSIONIZE_SQL)
+
+
+# convex query polygon for the polygon entry (CCW order, closed implicitly)
+GEO_POLY = ((-60.0, -170.0), (-60.0, 20.0), (40.0, 60.0), (70.0, -120.0))
+
+
+def spatial_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon containment filter (``L/document/LatLonPoint#newPolygonQuery``
+    / ``LatLonGeometry`` component2D containment; Solr ``{!field f=geo}
+    Intersects(POLYGON(...))`` via spatial-extras RPT): events whose
+    derived point lies inside a CONVEX query polygon, by the half-plane
+    rule — for a CCW polygon the point is inside iff every edge's cross
+    product (edge × point) is >= 0 (boundary inclusive, matching
+    Polygon2D's contains). Same deterministic event_id → lat/lon mapping
+    as ``spatial_geofilt``.
+
+    Scale shape: the containment test is one JVM expression per edge
+    (whole-stage codegen, no UDF) over a single pruned scan; at scale the
+    polygon's bounding box pushes to the parquet scan BEFORE the edge
+    tests — exactly the BKD two-phase shape (box approximation, exact
+    verify) upstream's polygon query compiles to. Convexity keeps the
+    test branch-free; upstream's general polygons decompose into a
+    triangle/edge tree whose leaves are this same half-plane primitive."""
+    ev = _t(spark, sf_dir, "events")
+    lat = (F.col("event_id") * 57 % 18000) / 100.0 - 90.0
+    lon = (F.col("event_id") * 101 % 36000) / 100.0 - 180.0
+    inside = F.lit(True)
+    n = len(GEO_POLY)
+    min_lat = min(p[0] for p in GEO_POLY)
+    max_lat = max(p[0] for p in GEO_POLY)
+    min_lon = min(p[1] for p in GEO_POLY)
+    max_lon = max(p[1] for p in GEO_POLY)
+    # bounding-box prefilter: pushes/short-circuits before the edge tests
+    inside = (
+        (lat >= min_lat) & (lat <= max_lat) & (lon >= min_lon) & (lon <= max_lon)
+    )
+    for i in range(n):
+        (alat, alon), (blat, blon) = GEO_POLY[i], GEO_POLY[(i + 1) % n]
+        cross = (F.lit(blon - alon) * (lat - F.lit(alat))
+                 - F.lit(blat - alat) * (lon - F.lit(alon)))
+        inside = inside & (cross >= 0)
+    return (
+        ev.filter(inside)
+        .orderBy(F.asc("event_id"))
+        .limit(25)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+def _poly_edges_sql() -> str:
+    n = len(GEO_POLY)
+    conds = []
+    lat = "((event_id * 57 % 18000) / 100.0 - 90.0)"
+    lon = "((event_id * 101 % 36000) / 100.0 - 180.0)"
+    for i in range(n):
+        (alat, alon), (blat, blon) = GEO_POLY[i], GEO_POLY[(i + 1) % n]
+        conds.append(
+            f"(({blon - alon!r}) * ({lat} - ({alat!r}))"
+            f" - ({blat - alat!r}) * ({lon} - ({alon!r}))) >= 0"
+        )
+    box = (
+        f"{lat} >= {min(p[0] for p in GEO_POLY)!r} AND {lat} <= {max(p[0] for p in GEO_POLY)!r}"
+        f" AND {lon} >= {min(p[1] for p in GEO_POLY)!r} AND {lon} <= {max(p[1] for p in GEO_POLY)!r}"
+    )
+    return box + " AND " + " AND ".join(conds)
+
+
+SPATIAL_POLYGON_SQL = f"""
+SELECT event_id, user_id, event_type FROM events
+WHERE {_poly_edges_sql()}
+ORDER BY event_id ASC LIMIT 25"""
+
+
+register("spatial_polygon", spatial_polygon, SPATIAL_POLYGON_SQL)
