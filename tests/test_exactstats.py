@@ -31,3 +31,12 @@ def test_exact_stats_differ_from_local_stats(spark):
     local = localstats_topk(spark, SF, "or3", TERMS, k=10, n_shards=4).toPandas()
     exact = exactstats_topk(spark, SF, "or3", TERMS, k=10, n_shards=4).toPandas()
     assert not local["score"].equals(exact["score"])
+
+
+def test_rare_term_absent_from_some_shards(spark):
+    """A term that only some shards contain must still bind the exact
+    global df (absent shards contribute 0, not a KeyError / skew) — page
+    stays bitwise the single-collection page."""
+    alias = exactstats_topk(spark, SF, "or3", ["dup", "vector", "stream"], k=10, n_shards=4).toPandas()
+    single = get_engine(spark, SF, "simple").topk("or3", ["dup", "vector", "stream"], k=10).toPandas()
+    pd.testing.assert_frame_equal(alias, single)
