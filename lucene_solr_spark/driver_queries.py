@@ -789,6 +789,11 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_dv_boost_topk"] = lambda spark, sf_dir: get_dv_engine(
         spark, sf_dir, "simple"
     ).dv_boost_topk("or3", ["vector", "stream", "filter"], k=10)
+    # IndexOptions.DOCS field: freq() == 1 at read time, norms still
+    # apply — the omitTermFreqAndPositions contract, ninth+1 sim dispatch
+    out["ft_docsonly_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).sim_topk("docsonly", "or3", ["vector", "stream", "filter"], k=10)
     # DisMax mm spec grammar: "2<-25%" over the 4-term OR → the parsed
     # conditional yields msm=3 (4 + int(f32(-25%*4))), the same kernel
     from .search.mm import calculate_min_should_match
@@ -1475,6 +1480,9 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     out["ft_addindexes_topk"] = out["ft_exactstats_topk"]
     # tiered merge ≡ the base index: merge invariance, same oracle
     out["ft_tiered_merge_topk"] = out["ft_exactstats_topk"]
+    from .oracles import docsonly_topk_sql
+
+    out["ft_docsonly_topk"] = docsonly_topk_sql("simple", bool_terms, 10)
     # mm spec: the oracle binds the HAND-COMPUTED msm=3 — a parser bug
     # (wrong truncation, wrong conditional pick) cannot cancel out
     out["ft_mm_spec_topk"] = bm25_topk_sql(

@@ -3316,3 +3316,23 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
     FROM fmhits
 ) WHERE rank <= {k} ORDER BY rank"""
+
+
+def docsonly_topk_sql(analyzer: str, terms: list[str], k: int) -> str:
+    """DOCS-indexed field disjunction top-k (``L/index/IndexOptions.DOCS``
+    / FieldType#setIndexOptions, Solr ``omitTermFreqAndPositions``):
+    ``PostingsEnum#freq()`` reads 1 for every posting, so the per-clause
+    BM25 score is f32(idf · f32(1/(1 + cache))) — norms STILL apply (the
+    field keeps lengths; only tf is dropped at read time). Σ double, one
+    f32 cast, the boolean-combine discipline."""
+    clause_selects = []
+    for t in terms:
+        clause_selects.append(f"""
+SELECT k.doc_id,
+       CAST({_idf_expr(t)}
+            * CAST(1.0 / (1.0 + CAST(any_value(c.cache) AS DOUBLE)) AS FLOAT)
+        AS FLOAT) AS s
+FROM kept k JOIN cachec c USING (doc_id), statsf st
+WHERE k.term = '{t}'
+GROUP BY k.doc_id, st.doc_count""")
+    return _sim_family_topk_sql(analyzer, clause_selects, k)

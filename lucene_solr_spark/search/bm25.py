@@ -493,3 +493,34 @@ def block_max_score_dfi(
         return np.float32(0.0)
     s = np.float64(weight) * np.log2((f - expected) / np.sqrt(expected) + 1.0)
     return np.float32(max(s, 0.0))
+
+
+# --- IndexOptions.DOCS (omitTermFreqAndPositions) ---------------------------
+# FieldInfo#getIndexOptions == DOCS: PostingsEnum#freq() returns 1 for every
+# doc regardless of stored tf, so BM25 degenerates per doc to
+#   w · f32(1 / (1 + cache[norm]))
+# — norms still apply (the field keeps lengths), only tf is dropped at READ
+# time, exactly the upstream contract for a DOCS-indexed field searched by
+# a scoring query.
+
+
+def score_postings_docsonly(
+    tfs: np.ndarray,
+    norm_bytes: np.ndarray,
+    weight: np.float32,
+    cache: np.ndarray,
+    aux: float = 0.0,
+) -> np.ndarray:
+    """Vectorized DOCS-field BM25: stored tf IGNORED (freq() == 1)."""
+    norm = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF].astype(np.float64)
+    ratio = (1.0 / (1.0 + norm)).astype(np.float32)
+    return (np.float32(weight) * ratio).astype(np.float32)
+
+
+def block_max_score_docsonly(
+    max_tf: int, min_norm: int, weight: np.float32, cache: np.ndarray, aux: float = 0.0
+) -> np.float32:
+    """Impact bound with freq clamped to 1 (max_tf is irrelevant — the
+    bound is exact for the block's min norm)."""
+    norm = float(cache[min_norm & 0xFF])
+    return np.float32(np.float32(weight) * np.float32(1.0 / (1.0 + norm)))

@@ -43,6 +43,10 @@ def _sim_fns(q: CompiledQuery):
     sim = getattr(q, "sim", "bm25")
     if sim == "classic":
         return score_postings_classic, block_max_score_classic
+    if sim == "docsonly":
+        from .bm25 import block_max_score_docsonly, score_postings_docsonly
+
+        return score_postings_docsonly, block_max_score_docsonly
     if sim == "boolean":
         return score_postings_boolean, block_max_score_boolean
     if sim == "lm":

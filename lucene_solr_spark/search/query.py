@@ -480,7 +480,8 @@ def compile_query(
         clauses.append(
             CompiledClause("term", (c.term,), (), np.float32(0.0), "must", aux=1.0)
         )
-    if similarity == "bm25":
+    if similarity in ("bm25", "docsonly"):
+        # DOCS-indexed field: same BM25 idf weight; only freq() changes
         idf_fn = bm25_idf
     elif similarity in ("classic", "sweetspot"):
         # SweetSpotSimilarity extends ClassicSimilarity: same idf, only the

@@ -448,7 +448,7 @@ class IndexSearcher:
     def compile(
         self, spec: BooleanSpec, k: int = 10, similarity: str = "bm25"
     ) -> CompiledQuery:
-        if similarity == "bm25":
+        if similarity in ("bm25", "docsonly"):
             cache = self.cache
         elif similarity == "lm":
             cache = self.lm_cache

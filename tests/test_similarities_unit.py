@@ -10,6 +10,9 @@ import numpy as np
 import pytest
 
 from lucene_solr_spark.search.bm25 import (
+    block_max_score_docsonly,
+    score_postings_docsonly,
+    norm_cache,
     F2EXP_K,
     F2EXP_S,
     LMJM_LAMBDA,
@@ -133,6 +136,8 @@ def test_dfi_hand_computed_and_gate():
         (score_postings_lmjm, block_max_score_lmjm, lmjm_norm_cache, 0.7 * 0.002),
         (score_postings_f2exp, block_max_score_f2exp,
          lambda: f2exp_norm_cache(AVGDL), 11.2 ** 0.35),
+        (score_postings_docsonly, block_max_score_docsonly,
+         lambda: norm_cache(AVGDL), 0.0),
     ],
 )
 def test_block_bound_dominates(score_fn, bound_fn, cache_fn, aux):
@@ -205,3 +210,13 @@ def test_monotone_in_tf_and_doclen():
     assert (np.diff(s4) > 0).all()
     s5 = score_postings_f2exp(np.array([3] * 3), np.array([40, 120, 250]), np.float32(1.0), f2exp_norm_cache(AVGDL), 2.0)
     assert (np.diff(s5) < 0).all()
+
+
+def test_docsonly_ignores_tf():
+    """IndexOptions.DOCS: stored tf must not move the score — freq() == 1
+    for every posting; norms still differentiate docs."""
+    cache = norm_cache(AVGDL)
+    a = score_postings_docsonly(np.array([1, 5, 30]), np.array([200] * 3), np.float32(2.0), cache)
+    assert a[0] == a[1] == a[2]
+    b = score_postings_docsonly(np.array([1, 1]), np.array([100, 250]), np.float32(2.0), cache)
+    assert b[0] != b[1]
