@@ -970,3 +970,130 @@ ORDER BY score DESC, vec_id ASC"""
 
 
 register("ann_threshold", ann_threshold, ANN_THRESHOLD_SQL)
+
+
+# --- IVF recall harness -----------------------------------------------------
+
+RECALL_NPROBES = (1, 2, 4)
+
+
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@10 sweep — the self-measuring eval every ANN deployment
+    runs before picking ``nprobe`` (FAISS's recall-vs-probes curve;
+    Lucene's KnnGraphTester does the same for HNSW): for each nprobe in
+    ``RECALL_NPROBES``, the fraction of the brute-force top-10 the IVF
+    probe recovers. Output (nprobe, recall), nprobe ascending — recall is
+    non-decreasing by construction (probe sets are nested), which the
+    pytest pins.
+
+    Scale shape: ONE cell-assignment pass shared across the sweep (the
+    expensive part — a broadcast-centroid argmax per vector); each probe
+    level is then a broadcast semi-join + 10-row TakeOrdered; recall
+    joins two 10-row sides. Nothing rescans the corpus per level beyond
+    the cell-pruned candidates, exactly the IVF economics being measured."""
+    emb = _emb(spark, sf_dir)
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS)
+    assigned = _assign_cells(emb, centroids)
+    probe = _probe_vector(spark, sf_dir, PROBE_VEC_ID)
+    pv = F.array(*[F.lit(float(x)) for x in probe])
+    exact_ids = (
+        cosine_topk(emb, probe, k=10, exclude_id=PROBE_VEC_ID)
+        .select("vec_id", F.lit(1).alias("hit"))
+    )
+    cell_rank = (
+        centroids.select(
+            F.col("vec_id").alias("cell"),
+            F.round(
+                _dot(F.col("embedding"), pv) / (_norm(F.col("embedding")) * _norm(pv)), 9
+            ).alias("pcos"),
+        )
+        .orderBy(F.desc("pcos"), F.asc("cell"))
+    )
+    legs = []
+    for nprobe in RECALL_NPROBES:
+        cells = cell_rank.limit(nprobe).select("cell")
+        ivf10 = (
+            assigned.join(F.broadcast(cells), "cell")
+            .filter(F.col("vec_id") != PROBE_VEC_ID)
+            .select(
+                "vec_id",
+                F.round(
+                    _dot(F.col("embedding"), pv) / (_norm(F.col("embedding")) * _norm(pv)), 6
+                ).alias("cos_sim"),
+            )
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(10)
+        )
+        legs.append(ivf10.select(F.lit(nprobe).alias("nprobe"), "vec_id"))
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionByName(leg)
+    return (
+        u.join(F.broadcast(exact_ids), "vec_id", "left")
+        .groupBy("nprobe")
+        .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(10.0)).alias("recall"))
+        .select(F.col("nprobe").cast("int"), F.col("recall").cast("double"))
+        .orderBy("nprobe")
+    )
+
+
+def _ann_recall_sql() -> str:
+    legs = []
+    for nprobe in RECALL_NPROBES:
+        legs.append(f"""
+SELECT {nprobe} AS nprobe, vec_id FROM (
+    SELECT e.vec_id AS vec_id, round(sum(e.x::DOUBLE * pe.p::DOUBLE) / (nv.nrm * np.npv), 6) AS cos_sim
+    FROM ex e JOIN pe USING (i)
+    JOIN assigned a ON a.vec_id = e.vec_id
+    JOIN (SELECT cid AS cell FROM ccos WHERE vec_id = {PROBE_VEC_ID}
+          ORDER BY ccos DESC, cid ASC LIMIT {nprobe}) pc ON pc.cell = a.cell
+    JOIN norms nv ON nv.vec_id = e.vec_id, np
+    WHERE e.vec_id != {PROBE_VEC_ID}
+    GROUP BY e.vec_id, nv.nrm, np.npv
+    ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
+)""")
+    union = " UNION ALL ".join(legs)
+    return f"""
+WITH ex AS (
+    SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x::DOUBLE * x::DOUBLE)) AS nrm FROM ex GROUP BY 1),
+ccos AS (
+    SELECT v.vec_id, c.vec_id AS cid,
+           round(sum(v.x::DOUBLE * c.x::DOUBLE) / (nv.nrm * nc.nrm), 9) AS ccos
+    FROM ex v JOIN ex c USING (i)
+    JOIN norms nv ON nv.vec_id = v.vec_id JOIN norms nc ON nc.vec_id = c.vec_id
+    WHERE c.vec_id < {N_CENTROIDS}
+    GROUP BY 1, 2, nv.nrm, nc.nrm
+),
+assigned AS (
+    SELECT vec_id, cid AS cell
+    FROM (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+          FROM ccos)
+    WHERE rn = 1
+),
+pe AS (
+    SELECT unnest(embedding) AS p, generate_subscripts(embedding, 1) AS i
+    FROM embeddings WHERE vec_id = {PROBE_VEC_ID}
+),
+np AS (SELECT sqrt(sum(p::DOUBLE * p::DOUBLE)) AS npv FROM pe),
+exact10 AS (
+    SELECT e.vec_id, 1 AS hit FROM (
+        SELECT e.vec_id, round(sum(e.x::DOUBLE * pe.p::DOUBLE) / (nv.nrm * np.npv), 6) AS cos_sim
+        FROM ex e JOIN pe USING (i)
+        JOIN norms nv ON nv.vec_id = e.vec_id, np
+        WHERE e.vec_id != {PROBE_VEC_ID}
+        GROUP BY e.vec_id, nv.nrm, np.npv
+        ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
+    ) e
+),
+ivf AS ({union})
+SELECT i.nprobe::INTEGER AS nprobe,
+       (sum(COALESCE(x.hit, 0)) / 10.0)::DOUBLE AS recall
+FROM ivf i LEFT JOIN exact10 x USING (vec_id)
+GROUP BY 1 ORDER BY 1"""
+
+
+register("ann_recall", ann_recall, _ann_recall_sql())

@@ -66,3 +66,27 @@ def test_ivf_kmeans_query_recall_reasonable(spark, emb):
     exact = set(_ids(cosine_topk(emb, probe, k=10, exclude_id=PROBE_VEC_ID)))
     trained = set(_ids(ann_ivf_kmeans_topk(spark, SF_DIR)))
     assert len(exact & trained) / 10 >= 0.5  # nprobe=4/16 retains most hits
+
+
+def test_recall_sweep_monotone_and_bounded(spark):
+    """recall@10 is in [0,1], non-decreasing in nprobe (probe sets are
+    nested), and reaches 1.0 when every cell is probed."""
+    from lucene_solr_spark.ops.ann import (
+        N_CENTROIDS, RECALL_NPROBES, ann_recall,
+    )
+
+    out = ann_recall(spark, "/root/testdata/sf0.001").toPandas()
+    assert list(out["nprobe"]) == list(RECALL_NPROBES)
+    r = out["recall"].tolist()
+    assert all(0.0 <= x <= 1.0 for x in r)
+    assert r == sorted(r)
+    # full-probe sanity: probing all cells IS brute force
+    import lucene_solr_spark.ops.ann as ann_mod
+
+    old = ann_mod.RECALL_NPROBES
+    try:
+        ann_mod.RECALL_NPROBES = (N_CENTROIDS,)
+        full = ann_mod.ann_recall(spark, "/root/testdata/sf0.001").toPandas()
+        assert full["recall"].iloc[0] == 1.0
+    finally:
+        ann_mod.RECALL_NPROBES = old
