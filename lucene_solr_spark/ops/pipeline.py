@@ -2349,3 +2349,124 @@ SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_words,
 FROM cnt GROUP BY doc_id ORDER BY doc_id"""
 
 register("bpe_encode", bpe_encode, BPE_ENCODE_SQL)
+
+
+# --- padding-waste vs length-bucketing sweep --------------------------------
+
+BUCKET_LEVELS = (1, 4, 16)   # 1 = no bucketing (random-order baseline shape)
+BUCKET_BATCH = 32            # docs per padded batch
+
+
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching padding-waste sweep — the tuning curve
+    behind every pad-to-max batching pipeline (HF `group_by_length`,
+    fairseq's length-bucketed iterators): docs sort into B quantile
+    buckets by whitespace token length (ntile over (length, doc_id)),
+    then batch in fixed groups of ``BUCKET_BATCH`` in ARRIVAL (doc_id)
+    order within each bucket — group_by_length's contract: the bucket
+    bounds the length spread, the within-bucket order stays stream order
+    — then pad to the batch max; waste = padded-but-empty tokens / padded
+    total. B=1 is the unbucketed arrival-order baseline; more buckets put
+    like-length docs together, so waste falls (pytest-pinned on this
+    corpus). Output (n_buckets, padding_waste).
+
+    Scale shape: the global (len, doc_id) rank is a DISTRIBUTED rank —
+    range-repartition + per-partition row_number + broadcast partition
+    offsets (the pack_sequences two-pass recipe; NO unpartitioned window
+    ever sees doc rows) — and the ntile bucket derives from the rank in
+    closed form (first N%B buckets get ⌈N/B⌉ rows, the SQL-standard rule
+    DuckDB's ntile implements, which is what the oracle cross-checks);
+    per level one bucket-partitioned window and one two-level hash-agg;
+    no data is materialized padded — waste is computed from
+    (max, sum, count) per batch."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("len")
+    )
+    parts = (
+        d.repartitionByRange(32, "len", "doc_id")
+        .sortWithinPartitions("len", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    # per-partition counts are metadata (≤ #partitions rows, like
+    # pack_sequences' group table): prefix-sum on the driver, broadcast back
+    pc = sorted(
+        (int(r["pid"]), int(r["count"]))
+        for r in parts.groupBy("pid").count().collect()
+    )
+    offs, acc = [], 0
+    for pid, cnt in pc:
+        offs.append((pid, acc))
+        acc += cnt
+    offsets = spark.createDataFrame(offs, "pid int, off long")
+    wp = Window.partitionBy("pid").orderBy(F.asc("len"), F.asc("doc_id"))
+    ranked = (
+        parts.withColumn("prn", F.row_number().over(wp))
+        .join(F.broadcast(offsets), "pid")
+        .withColumn("rnk", (F.col("prn") + F.col("off")).cast("long"))
+    )
+    n_total = d.count()
+    legs = []
+    for b in BUCKET_LEVELS:
+        size_small = n_total // b
+        n_big = n_total % b
+        big_span = n_big * (size_small + 1)
+        r0 = F.col("rnk") - 1
+        bucket = F.when(
+            r0 < F.lit(big_span), (r0 / F.lit(size_small + 1)).cast("long") + 1
+        ).otherwise(
+            F.lit(n_big) + ((r0 - F.lit(big_span)) / F.lit(size_small)).cast("long") + 1
+        )
+        bucketed = ranked.withColumn("bucket", bucket)
+        wb = Window.partitionBy("bucket").orderBy(F.asc("doc_id"))
+        batched = bucketed.withColumn(
+            "batch", ((F.row_number().over(wb) - 1) / F.lit(BUCKET_BATCH)).cast("long")
+        )
+        per_batch = batched.groupBy("bucket", "batch").agg(
+            F.max("len").alias("mx"),
+            F.sum("len").alias("sm"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        legs.append(per_batch.agg(
+            F.lit(b).alias("n_buckets"),
+            (
+                (F.sum(F.col("mx") * F.col("n")) - F.sum("sm")).cast("double")
+                / F.sum(F.col("mx") * F.col("n")).cast("double")
+            ).alias("padding_waste"),
+        ))
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionByName(leg)
+    return u.select(
+        F.col("n_buckets").cast("int"),
+        F.round(F.col("padding_waste"), 9).cast("double").alias("padding_waste"),
+    ).orderBy("n_buckets")
+
+
+def _pack_length_buckets_sql() -> str:
+    legs = []
+    for b in BUCKET_LEVELS:
+        legs.append(f"""
+SELECT {b} AS n_buckets,
+       round((sum(mx * n) - sum(sm))::DOUBLE / sum(mx * n)::DOUBLE, 9) AS padding_waste
+FROM (
+    SELECT bucket, batch, max(len) AS mx, sum(len) AS sm, count(*) AS n
+    FROM (
+        SELECT bucket,
+               (row_number() OVER (PARTITION BY bucket ORDER BY doc_id ASC) - 1)
+                   // {BUCKET_BATCH} AS batch,
+               len, doc_id
+        FROM (
+            SELECT doc_id, len,
+                   ntile({b}) OVER (ORDER BY len ASC, doc_id ASC) AS bucket
+            FROM (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS len FROM documents)
+        )
+    )
+    GROUP BY bucket, batch
+)""")
+    return "SELECT n_buckets::INTEGER AS n_buckets, padding_waste::DOUBLE AS padding_waste FROM (" \
+        + " UNION ALL ".join(legs) + ") ORDER BY n_buckets"
+
+
+register("pack_length_buckets", pack_length_buckets, _pack_length_buckets_sql())

@@ -494,3 +494,17 @@ def test_bpe_encode_hand_segmentation(spark, tmp_path):
     ).to_parquet(tmp_path / "documents.parquet", index=False)
     got = {r.doc_id: (r.n_words, r.n_subwords) for r in bpe_encode(spark, str(tmp_path)).collect()}
     assert got == {1: (1, 3), 2: (1, 4)}
+
+
+def test_length_bucket_waste_monotone(spark):
+    """More length buckets ⇒ like-length docs batch together ⇒ padding
+    waste falls monotonically; bounded in [0, 1); 1-bucket is the
+    unbucketed baseline."""
+    from lucene_solr_spark.ops.pipeline import BUCKET_LEVELS, pack_length_buckets
+
+    out = pack_length_buckets(spark, "/root/testdata/sf0.001").toPandas()
+    assert list(out["n_buckets"]) == list(BUCKET_LEVELS)
+    w = out["padding_waste"].tolist()
+    assert all(0.0 <= x < 1.0 for x in w)
+    assert w == sorted(w, reverse=True)
+    assert w[0] > w[-1]  # bucketing actually helps on this corpus
