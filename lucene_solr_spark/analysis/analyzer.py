@@ -1210,6 +1210,86 @@ class KeywordRepeatAnalyzer(_BaseAnalyzer):
         return out
 
 
+# --- PatternReplaceFilter ----------------------------------------------------
+
+# Solr PatternReplaceFilterFactory config modeled: pattern="[0-9]+",
+# replacement="" (the classic digit-scrub example from the ref guide).
+PATTERN_REPLACE_RE = re.compile(r"[0-9]+")
+PATTERN_REPLACE_SQL = "[0-9]+"  # identical RE2 source for the DuckDB oracle
+
+
+class PatternReplaceAnalyzer(_BaseAnalyzer):
+    """Standard → LowerCase → PatternReplace(pattern='[0-9]+', replacement='')
+    (``LA/pattern/PatternReplaceFilter.java`` via Solr's
+    ``PatternReplaceFilterFactory``): every digit run is removed from each
+    token's text. Faithful upstream detail: PatternReplaceFilter REWRITES
+    the term and is NOT a FilteringTokenFilter — a token whose text
+    replaces to EMPTY is still emitted (as the empty term), positions never
+    hole and the norm length is unchanged (1:1 token mapping). DuckDB
+    oracle: ``regexp_replace(term, '[0-9]+', '', 'g')``."""
+
+    lowercase = True
+
+    def postprocess_tokens(self, toks):
+        return [(PATTERN_REPLACE_RE.sub("", t), p) for t, p in toks]
+
+    def postprocess_frame(self, frame: pd.DataFrame) -> pd.DataFrame:
+        if not len(frame):
+            return frame
+        codes, uniq = pd.factorize(_term_values(frame))
+        repl = np.array(
+            [PATTERN_REPLACE_RE.sub("", u) for u in uniq], dtype=object
+        )
+        frame["term"] = pd.Categorical(repl[codes])
+        return frame
+
+
+# --- UAX29URLEmailTokenizer (subset) -----------------------------------------
+
+# ``LA/standard/UAX29URLEmailTokenizer`` recognizes full RFC-3986 URLs and
+# RFC-5321 addresses as single <URL>/<EMAIL> tokens; this models the common
+# subset (http/https URLs over the unreserved+sub-delim charset, dot-domain
+# addresses) with ONE regex alternation shared verbatim by the engine (re +
+# Arrow RE2 batch count) and the DuckDB oracle. Every character class is
+# case-symmetric, so tokenize-then-lower ≡ lower-then-tokenize (the batch
+# path pre-lowers; the per-row reference path lowers per token) and both
+# orders segment identically. '\n' is in no class, so the joined-batch fast
+# path stays row-aligned.
+_URL_PART = r"[Hh][Tt][Tt][Pp][Ss]?://[0-9A-Za-z._/:?=&#%+-]{1,200}"
+_EMAIL_PART = (
+    r"[0-9A-Za-z_][0-9A-Za-z._+-]{0,63}@[0-9A-Za-z-]{1,63}"
+    r"(?:\.[0-9A-Za-z-]{1,63}){1,8}"
+)
+URLEMAIL_PATTERN = f"{_URL_PART}|{_EMAIL_PART}|{_TOKEN_RE.pattern}"
+# URL|EMAIL prefix for the oracle's regexp_extract_all (quote-free — the
+# word branch is appended from the SQL-escaped TOKEN_RE_SQL in oracles.py)
+URLEMAIL_SQL_PREFIX = f"{_URL_PART}|{_EMAIL_PART}"
+_URLEMAIL_RE = re.compile(URLEMAIL_PATTERN)
+_URLEMAIL_UNI_RE = re.compile(
+    f"{_URL_PART}|{_EMAIL_PART}|{_UNI_TOKEN_RE.pattern}"
+)
+
+
+class URLEmailAnalyzer(_BaseAnalyzer):
+    """UAX29URLEmailTokenizer (subset) → LowerCase
+    (``LA/standard/UAX29URLEmailTokenizer.java`` — the tokenizer Solr's
+    ``text_en_splitting``-style chains use for web/chat text): an
+    http(s) URL or an email address is ONE token; everything else follows
+    the standard word rule. Leftmost-first alternation (URL, then EMAIL,
+    then WORD) — identical preference order in Python ``re``, Arrow RE2
+    and DuckDB RE2, so all three paths segment identically. The byte-LUT
+    fast path is disabled (URL/email tokens span non-word bytes — a
+    char-class LUT cannot express the alternation); batches ride the
+    joined-regex path instead."""
+
+    lowercase = True
+    token_re = _URLEMAIL_RE
+    uni_token_re = _URLEMAIL_UNI_RE
+
+    def _analyze_batch_arrow(self, texts, n_rows, col=None):
+        return None  # LUT path can't express the alternation — regex path
+
+
 def analyze_frame(texts: pd.Series, analyzer: _BaseAnalyzer | None = None) -> pd.DataFrame:
     """Module-level convenience for kernels."""
     return (analyzer or LuceneChainAnalyzer()).analyze_batch(texts)

@@ -98,6 +98,15 @@ FULLTEXT_TOPK = {
 }
 
 
+# Analyzer-fixture surfaces (digit/URL/email injections — see
+# engine.PATREPLACE_TEXT_EXPR / URLEMAIL_TEXT_EXPR): the chain runs on BOTH
+# sides, so 'merge42' strips to 'merge' (which the injection boosts in the
+# fixture docs) and the URL/email analyze to ONE token each — under the
+# standard rule they would shatter into word fragments.
+PATREPLACE_Q = ["merge42", "batch7"]
+URLEMAIL_Q = ["https://docs.example.org/merge-guide", "dev-team@spark.test"]
+
+
 def _topk_query(analyzer: str, qtype: str, terms: list[str], msm: int, k: int):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return get_engine(spark, sf_dir, analyzer).topk(qtype, terms, k=k, min_should=msm)
@@ -481,6 +490,20 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_after_expunge_topk"] = lambda spark, sf_dir: get_expunged_engine(
         spark, sf_dir, "simple"
     ).topk("or3", AFTER_UPDATE_TERMS, k=10)
+    # PatternReplaceFilter / UAX29URLEmailTokenizer over their injected
+    # fixtures (digits / URLs+emails appended deterministically by doc_id;
+    # the SAME expression string runs in DuckDB) — query surfaces carry the
+    # interesting forms, the chain normalizes both sides identically
+    from .engine import (
+        PATREPLACE_TEXT_EXPR, URLEMAIL_TEXT_EXPR, get_fixture_engine,
+    )
+
+    out["ft_patreplace_topk"] = lambda spark, sf_dir: get_fixture_engine(
+        spark, sf_dir, "patreplace", PATREPLACE_TEXT_EXPR
+    ).topk("and2", PATREPLACE_Q, k=10)
+    out["ft_urlemail_topk"] = lambda spark, sf_dir: get_fixture_engine(
+        spark, sf_dir, "urlemail", URLEMAIL_TEXT_EXPR
+    ).topk("or2", URLEMAIL_Q, k=10)
     # eDisMax qf="title^2 body^1": true multi-field search — the derived
     # title field is its OWN index (independent postings/norms/stats, the
     # Lucene per-field model), dismax across field scores at tie=0
@@ -1598,6 +1621,19 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     # expunge is observationally a no-op over the post-update live corpus:
     # the delete-and-re-add oracle certifies the physical rewrite verbatim
     out["ft_after_expunge_topk"] = out["ft_after_update_topk"]
+    from .engine import PATREPLACE_TEXT_SQL, URLEMAIL_TEXT_SQL
+    from .oracles import fixture_text_topk_sql
+
+    out["ft_patreplace_topk"] = fixture_text_topk_sql(
+        "patreplace",
+        parse_fixture_query(ANALYZERS["patreplace"](), "and2", PATREPLACE_Q, 0),
+        10, PATREPLACE_TEXT_SQL,
+    )
+    out["ft_urlemail_topk"] = fixture_text_topk_sql(
+        "urlemail",
+        parse_fixture_query(ANALYZERS["urlemail"](), "or2", URLEMAIL_Q, 0),
+        10, URLEMAIL_TEXT_SQL,
+    )
     from .engine import QF_BODY_W, QF_TITLE_W, TITLE_EXPR_SQL
     from .oracles import fielded_dismax_topk_sql
 

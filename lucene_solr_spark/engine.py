@@ -3283,6 +3283,46 @@ def get_title_engine(spark: SparkSession, sf_dir: str, analyzer: str = "simple")
     return eng
 
 
+# --- analyzer-fixture engines: deterministic corpus injections ---------------
+# The driver corpus is plain lowercase words, so the surfaces these chains
+# exist for (digit runs, URLs, emails) never occur; each fixture appends a
+# deterministic doc_id-derived suffix. The expressions are valid Spark SQL
+# AND DuckDB SQL verbatim — the oracle (fixture_text_topk_sql) embeds the
+# SAME string, so both engines index the identical derived corpus.
+_PATREPLACE_TEXT_T = (
+    "concat(text,"
+    " case when {id} % 7 = 0 then ' merge42 2024' else '' end,"
+    " case when {id} % 11 = 0 then ' batch7' else '' end)"
+)
+_URLEMAIL_TEXT_T = (
+    "concat(text,"
+    " case when {id} % 10 = 0 then"
+    " ' see https://docs.example.org/merge-guide'"
+    " when {id} % 10 = 5 then ' mail dev-team@spark.test'"
+    " else '' end)"
+)
+# Spark side sees the key AFTER the doc_id → doc_key rename; DuckDB reads
+# the raw documents view. Same expression text otherwise.
+PATREPLACE_TEXT_EXPR = _PATREPLACE_TEXT_T.format(id="doc_key")
+PATREPLACE_TEXT_SQL = _PATREPLACE_TEXT_T.format(id="doc_id")
+URLEMAIL_TEXT_EXPR = _URLEMAIL_TEXT_T.format(id="doc_key")
+URLEMAIL_TEXT_SQL = _URLEMAIL_TEXT_T.format(id="doc_id")
+
+
+def get_fixture_engine(
+    spark: SparkSession, sf_dir: str, analyzer: str, text_expr: str
+) -> DocumentsEngine:
+    """Cached engine over the injected-corpus fixture for ``analyzer``."""
+    key = (os.path.abspath(sf_dir), analyzer + "+fixture")
+    eng = _ENGINES.get(key)
+    if eng is None:
+        eng = DocumentsEngine(
+            spark, sf_dir, analyzer, variant="fixture", text_expr=text_expr
+        )
+        _ENGINES[key] = eng
+    return eng
+
+
 def fielded_dismax_topk(
     spark: SparkSession,
     sf_dir: str,

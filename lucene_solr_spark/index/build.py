@@ -70,6 +70,8 @@ from ..analysis import (
     WhitespaceAnalyzer,
     WordDelimiterGraphAnalyzer,
     KeywordRepeatAnalyzer,
+    PatternReplaceAnalyzer,
+    URLEmailAnalyzer,
 )
 from ..util.smallfloat import encode_lengths
 from .codec import encode_posting_blocks
@@ -95,6 +97,8 @@ ANALYZERS = {
     "worddelim": WordDelimiterGraphAnalyzer,
     "keywordrepeat": KeywordRepeatAnalyzer,
     "limitcount": LimitTokenCountAnalyzer,
+    "patreplace": PatternReplaceAnalyzer,
+    "urlemail": URLEmailAnalyzer,
 }
 
 MANIFEST_SCHEMA = (

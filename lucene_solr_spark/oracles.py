@@ -209,6 +209,20 @@ kept AS (
 )""",
             "kept",
         )
+    if analyzer == "patreplace":
+        # PatternReplaceFilter(pattern='[0-9]+', replacement=''): term text
+        # rewritten in place — NOT a filtering filter, so an all-digit token
+        # stays as the empty term; positions and norm lengths unchanged
+        from .analysis.analyzer import PATTERN_REPLACE_SQL
+
+        return (
+            "kept AS (SELECT doc_id, "
+            f"regexp_replace(term, '{PATTERN_REPLACE_SQL}', '', 'g') AS term, "
+            "pos FROM raw_toks)",
+            "kept",
+        )
+    if analyzer == "urlemail":
+        return "kept AS (SELECT * FROM raw_toks)", "kept"
     if analyzer == "keywordrepeat":
         # KeywordRepeat → EnglishMinimalStem → RemoveDuplicates: original +
         # minimal-stemmed form at the SAME position; UNION collapses exact
@@ -253,6 +267,14 @@ def base_ctes(analyzer: str, k1: float = 1.2, b: float = 0.75) -> str:
         # worddelim feeds the whitespace tokenizer too (case preserved —
         # it is meaningful to the splitter; parts lower inside the chain)
         tok_pattern, term_expr = r"[^ \t\n\r\f\v]{1,255}", "unnest(toks)"
+    elif analyzer == "urlemail":
+        # UAX29URLEmailTokenizer subset: the IDENTICAL URL|EMAIL|WORD
+        # alternation the engine compiles (analysis.analyzer), leftmost-
+        # first in both RE2s — URLs/emails stay single tokens
+        from .analysis.analyzer import URLEMAIL_SQL_PREFIX
+
+        tok_pattern = f"{URLEMAIL_SQL_PREFIX}|{TOKEN_RE_SQL}"
+        term_expr = "lower(unnest(toks))"
     else:
         tok_pattern, term_expr = TOKEN_RE_SQL, "lower(unnest(toks))"
     return f"""
@@ -1228,6 +1250,22 @@ SELECT (rank - {offset})::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOA
            doc_id, score
     FROM match
 ) WHERE rank > {offset} AND rank <= {offset} + {k} ORDER BY rank"""
+
+
+def fixture_text_topk_sql(
+    analyzer: str, spec: BooleanSpec, k: int, text_expr_sql: str
+) -> str:
+    """``bm25_topk_sql`` over a DERIVED corpus: ``text_expr_sql`` (a DuckDB
+    expression over the documents columns — the same expression the engine
+    fixture passes as Spark ``text_expr``) replaces the text column. Used by
+    the analyzer-fixture entries whose interesting surface (digits, URLs,
+    emails) the driver corpus lacks; doc ids are unchanged."""
+    sql = bm25_topk_sql(analyzer, spec, k)
+    body = sql[len("WITH "):].replace("FROM documents", "FROM docs_eff")
+    return (
+        f"WITH docs_eff AS (SELECT doc_id, {text_expr_sql} AS text "
+        f"FROM documents),{body}"
+    )
 
 
 def group_query_topk_sql(
