@@ -105,6 +105,8 @@ FULLTEXT_TOPK = {
 # standard rule they would shatter into word fragments.
 PATREPLACE_Q = ["merge42", "batch7"]
 URLEMAIL_Q = ["https://docs.example.org/merge-guide", "dev-team@spark.test"]
+# copyField catchall: a body word ∧ a keyword-metadata value (source column)
+COPYFIELD_Q = ["merge", "src7"]
 
 
 def _topk_query(analyzer: str, qtype: str, terms: list[str], msm: int, k: int):
@@ -504,6 +506,13 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_urlemail_topk"] = lambda spark, sf_dir: get_fixture_engine(
         spark, sf_dir, "urlemail", URLEMAIL_TEXT_EXPR
     ).topk("or2", URLEMAIL_Q, k=10)
+    # copyField catchall (_text_): body + keyword metadata in ONE field —
+    # 'src7' only exists in the catchall, so the match set is the src7 slice
+    from .engine import get_copyfield_engine
+
+    out["ft_copyfield_topk"] = lambda spark, sf_dir: get_copyfield_engine(
+        spark, sf_dir, "simple"
+    ).topk("and2", COPYFIELD_Q, k=10)
     # eDisMax qf="title^2 body^1": true multi-field search — the derived
     # title field is its OWN index (independent postings/norms/stats, the
     # Lucene per-field model), dismax across field scores at tie=0
@@ -1633,6 +1642,13 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
         "urlemail",
         parse_fixture_query(ANALYZERS["urlemail"](), "or2", URLEMAIL_Q, 0),
         10, URLEMAIL_TEXT_SQL,
+    )
+    from .engine import COPYFIELD_TEXT_EXPR
+
+    out["ft_copyfield_topk"] = fixture_text_topk_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), "and2", COPYFIELD_Q, 0),
+        10, COPYFIELD_TEXT_EXPR,
     )
     from .engine import QF_BODY_W, QF_TITLE_W, TITLE_EXPR_SQL
     from .oracles import fielded_dismax_topk_sql

@@ -3310,17 +3310,37 @@ URLEMAIL_TEXT_SQL = _URLEMAIL_TEXT_T.format(id="doc_id")
 
 
 def get_fixture_engine(
-    spark: SparkSession, sf_dir: str, analyzer: str, text_expr: str
+    spark: SparkSession, sf_dir: str, analyzer: str, text_expr: str,
+    name: str = "fixture",
 ) -> DocumentsEngine:
-    """Cached engine over the injected-corpus fixture for ``analyzer``."""
-    key = (os.path.abspath(sf_dir), analyzer + "+fixture")
+    """Cached engine over the derived-text fixture ``name`` for ``analyzer``."""
+    key = (os.path.abspath(sf_dir), f"{analyzer}+{name}")
     eng = _ENGINES.get(key)
     if eng is None:
         eng = DocumentsEngine(
-            spark, sf_dir, analyzer, variant="fixture", text_expr=text_expr
+            spark, sf_dir, analyzer, variant=name, text_expr=text_expr
         )
         _ENGINES[key] = eng
     return eng
+
+
+# --- copyField catchall (managed-schema copyField → ``_text_``) --------------
+# Solr's default schema copies every field into the ``_text_`` catchall
+# (``S/schema/IndexSchema#getCopyFieldsList``, ``copyField source="*"
+# dest="_text_"``): one field searches body text AND keyword metadata
+# together, each copied value appended to the same token stream (positions
+# continue across copies, norms count the combined length — upstream
+# copyField appends to the destination field's inverted state). Here the
+# catchall = text + lang + source; the expression runs verbatim in DuckDB.
+COPYFIELD_TEXT_EXPR = "concat(text, ' ', lang, ' ', source)"
+
+
+def get_copyfield_engine(
+    spark: SparkSession, sf_dir: str, analyzer: str = "simple"
+) -> DocumentsEngine:
+    return get_fixture_engine(
+        spark, sf_dir, analyzer, COPYFIELD_TEXT_EXPR, name="copyfield"
+    )
 
 
 def fielded_dismax_topk(
