@@ -107,6 +107,8 @@ PATREPLACE_Q = ["merge42", "batch7"]
 URLEMAIL_Q = ["https://docs.example.org/merge-guide", "dev-team@spark.test"]
 # copyField catchall: a body word ∧ a keyword-metadata value (source column)
 COPYFIELD_Q = ["merge", "src7"]
+# SPLITSHARD scatter-gather (≡ single collection, bitwise)
+SPLIT_Q = ["merge", "scan", "window"]
 
 
 def _topk_query(analyzer: str, qtype: str, terms: list[str], msm: int, k: int):
@@ -815,6 +817,16 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_exactstats_topk"] = lambda spark, sf_dir: exactstats_topk(
         spark, sf_dir, "or3", ["vector", "stream", "filter"], k=10
     )
+    # SPLITSHARD (SolrIndexSplitter): the committed index split into 3
+    # hash-routed children (hard-linked segments + child tombstone masks +
+    # per-child stats refresh — no re-tokenize, no postings rewrite), then
+    # an exact-stats scatter-gather over the children; oracle = the plain
+    # single-collection BM25 oracle VERBATIM (the split invariant)
+    from .engine import split_union_topk
+
+    out["ft_split_union_topk"] = lambda spark, sf_dir: split_union_topk(
+        spark, sf_dir, "or3", SPLIT_Q, k=10
+    )
     # In-place numeric docvalues update (updateNumericDocValue): two
     # stacked generations over an index-time base, read latest-wins and
     # used as a multiplicative function boost — re-ranks without reindex
@@ -1506,6 +1518,15 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     out["ft_exactstats_topk"] = bm25_topk_sql(
         "simple",
         parse_fixture_query(ANALYZERS["simple"](), "or3", bool_terms, 0),
+        10,
+    )
+    # SPLITSHARD children ≡ the single collection: the plain bm25 oracle
+    # over the SPLIT_Q surface — hash-red if the hash routing, the child
+    # tombstone masks, the per-child stats refresh or the scatter-gather
+    # merge perturbs a single bit
+    out["ft_split_union_topk"] = bm25_topk_sql(
+        "simple",
+        parse_fixture_query(ANALYZERS["simple"](), "or3", SPLIT_Q, 0),
         10,
     )
     # addIndexes graft ≡ the single collection: same oracle, same logic

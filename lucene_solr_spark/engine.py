@@ -3965,33 +3965,43 @@ def exactstats_topk(
     tiny term_stats table (the ShardRequest.PURPOSE_GET_TERM_STATS round);
     per-shard search jobs never exchange postings; merge is an n·k-row
     TakeOrdered."""
+    searchers = [
+        get_shard_engine(spark, sf_dir, analyzer, s, n_shards).searcher
+        for s in range(n_shards)
+    ]
+    spec = searchers[0].parse(qtype, surface_terms, 0)
+    return scatter_gather_topk(searchers, spec, k)
+
+
+def scatter_gather_topk(searchers, spec, k: int) -> DataFrame:
+    """ExactStatsCache scatter-gather over ANY set of shard searchers that
+    partition a corpus: merge per-shard term/collection stats exactly
+    (integer sums), compile ONE weight set, search every shard with it,
+    merge per-shard top-k by (score desc, key asc). Shared by the
+    hash-routed alias fixture (``exactstats_topk``) and the SPLITSHARD
+    children (``index/split.py``)."""
     from .search.bm25 import CollectionStats, norm_cache
     from .search.query import compile_query
 
-    engines = [
-        get_shard_engine(spark, sf_dir, analyzer, s, n_shards)
-        for s in range(n_shards)
-    ]
-    spec = engines[0].searcher.parse(qtype, surface_terms, 0)
     terms = sorted(set(spec.all_terms()))
     df_map: dict[str, int] = {t: 0 for t in terms}
     ttf_map: dict[str, int] = {t: 0 for t in terms}
     doc_count = 0
     sum_ttf = 0
-    for e in engines:
-        dfm, ttfm = e.searcher.term_stats_rows(terms)
+    for s in searchers:
+        dfm, ttfm = s.term_stats_rows(terms)
         for t in terms:
             df_map[t] += int(dfm.get(t, 0))
             ttf_map[t] += int(ttfm.get(t, 0))
-        st = e.searcher.stats
+        st = s.stats
         doc_count += st.doc_count
         sum_ttf += st.sum_total_term_freq
     cache = norm_cache(CollectionStats(doc_count, sum_ttf).avgdl)
     q = compile_query(spec, df_map, doc_count, cache, k, sum_ttf=sum_ttf)
     legs = []
-    for e in engines:
+    for s in searchers:
         legs.append(
-            e.searcher.search(q, k=k, with_keys=True)
+            s.search(q, k=k, with_keys=True)
             .select(F.col("doc_key").cast("long").alias("doc_id"), "score")
         )
     u = legs[0]
@@ -4005,6 +4015,58 @@ def exactstats_topk(
         .select("rank", "doc_id", F.col("score").cast("float").alias("score"))
         .orderBy("rank")
     )
+
+
+# --- SPLITSHARD: split the committed docs index, search the children ---------
+
+SPLIT_N = 3
+
+
+def get_split_searchers(
+    spark: SparkSession, sf_dir: str, analyzer: str = "simple", n: int = SPLIT_N
+):
+    """Split the base documents index into ``n`` hash-routed children
+    (``index/split.split_index`` — hard-linked segments + child tombstones
+    + refreshed stats) and return their searchers. Marker-gated: the split
+    runs once per (parent, n) and reopens afterwards."""
+    from .index.split import split_index
+    from .search.searcher import IndexSearcher
+
+    parent = get_engine(spark, sf_dir, analyzer)
+    out_root = parent.index_dir + f"-split{n}"
+    marker = os.path.join(out_root, "_split_done")
+    if not os.path.exists(marker):
+        split_index(spark, parent.index_dir, n, out_root)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    key = (os.path.abspath(sf_dir), f"{analyzer}+split{n}")
+    cached = _ENGINES.get(key)
+    if cached is None:
+        cached = [
+            IndexSearcher(spark, os.path.join(out_root, f"shard{c}"))
+            for c in range(n)
+        ]
+        _ENGINES[key] = cached
+    return cached
+
+
+def split_union_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    qtype: str,
+    surface_terms: list[str],
+    k: int = 10,
+    analyzer: str = "simple",
+    n: int = SPLIT_N,
+) -> DataFrame:
+    """SolrIndexSplitter invariant, driver-checked: a scatter-gather search
+    over the split children with merged exact stats is BITWISE the parent
+    collection's page (same postings/norms/local-ids through the child
+    liveDocs masks; stats refresh per child; global weights re-merged) —
+    the oracle is the plain single-collection BM25 oracle verbatim."""
+    searchers = get_split_searchers(spark, sf_dir, analyzer, n)
+    spec = searchers[0].parse(qtype, surface_terms, 0)
+    return scatter_gather_topk(searchers, spec, k)
 
 
 DV_FIELD = "popularity"

@@ -1,0 +1,104 @@
+"""Index / shard splitting (``S/update/SolrIndexSplitter`` / SPLITSHARD,
+``lucene/misc`` PKIndexSplitter): children = parent segments behind child
+liveDocs masks — no re-tokenize, no postings rewrite — and a merged-stats
+scatter-gather over the children is bitwise the parent collection."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.engine import (
+    get_engine, get_split_searchers, split_union_topk,
+)
+from lucene_solr_spark.index.split import split_bucket_col, split_index
+
+SF = "/root/testdata/sf0.001"
+TERMS = ["merge", "scan", "window"]
+
+
+@pytest.fixture(scope="module")
+def searchers(spark):
+    return get_split_searchers(spark, SF, "simple", 3)
+
+
+def test_children_partition_live_docs(spark, searchers):
+    """Every parent doc is live in EXACTLY ONE child (hash routing is a
+    partition — SolrIndexSplitter's correctness precondition)."""
+    parent = get_engine(spark, SF, "simple")
+    n_parent = spark.read.parquet(
+        os.path.join(parent.index_dir, "docs")
+    ).count()
+    seen = set()
+    total = 0
+    for s in searchers:
+        docs = spark.read.parquet(os.path.join(s.index_dir, "docs"))
+        tomb = spark.read.parquet(
+            os.path.join(s.index_dir, "tombstones")
+        ).select("seg", "doc_local").distinct()
+        live = (
+            docs.join(tomb, ["seg", "doc_local"], "left_anti")
+            .select("doc_key").toPandas()["doc_key"].tolist()
+        )
+        assert not (seen & set(live)), "children overlap"
+        seen |= set(live)
+        total += len(live)
+    assert total == n_parent
+
+
+def test_routing_matches_bucket_expr(spark, searchers):
+    """Child c's live set == the md5-bucket expression's bucket-c slice
+    (the compositeId-router analog the oracle side can reproduce)."""
+    parent = get_engine(spark, SF, "simple")
+    docs = spark.read.parquet(os.path.join(parent.index_dir, "docs"))
+    assign = docs.select(
+        "doc_key", split_bucket_col("doc_key", 3).alias("b")
+    ).toPandas()
+    for c, s in enumerate(searchers):
+        expect = set(assign[assign["b"] == c]["doc_key"])
+        cdocs = spark.read.parquet(os.path.join(s.index_dir, "docs"))
+        tomb = spark.read.parquet(
+            os.path.join(s.index_dir, "tombstones")
+        ).select("seg", "doc_local").distinct()
+        live = set(
+            cdocs.join(tomb, ["seg", "doc_local"], "left_anti")
+            .select("doc_key").toPandas()["doc_key"]
+        )
+        assert live == expect
+
+
+def test_scatter_gather_bitwise_equals_parent(spark, searchers):
+    """The SolrIndexSplitter invariant: merged-exact-stats scatter-gather
+    over the children returns the parent's page bitwise (ranks, ids AND
+    f32 scores) — locals/norms/positions flow through the masks unchanged
+    and the stats re-merge reconstructs the parent's weights exactly."""
+    split = split_union_topk(spark, SF, "or3", TERMS, k=10).toPandas()
+    parent = get_engine(spark, SF, "simple").topk("or3", TERMS, k=10).toPandas()
+    pd.testing.assert_frame_equal(split, parent)
+
+
+def test_child_stats_refreshed(spark, searchers):
+    """Each child's collection stats cover ONLY its live slice (the
+    per-child _finalize refresh) — sum over children == parent stats."""
+    parent = get_engine(spark, SF, "simple").searcher
+    assert sum(s.stats.doc_count for s in searchers) == parent.stats.doc_count
+    assert (
+        sum(s.stats.sum_total_term_freq for s in searchers)
+        == parent.stats.sum_total_term_freq
+    )
+
+
+def test_parent_untouched_by_split(spark, tmp_path):
+    """Splitting must not mutate the parent (hard links + child-local
+    overwrite): parent term_stats and tombstone-free search are unchanged
+    after a fresh split into a scratch dir."""
+    parent = get_engine(spark, SF, "simple")
+    before = parent.topk("or3", TERMS, k=10).toPandas()
+    ts_before = sorted(os.listdir(os.path.join(parent.index_dir, "term_stats")))
+    split_index(spark, parent.index_dir, 2, str(tmp_path / "children"))
+    after = parent.topk("or3", TERMS, k=10).toPandas()
+    ts_after = sorted(os.listdir(os.path.join(parent.index_dir, "term_stats")))
+    assert ts_before == ts_after
+    pd.testing.assert_frame_equal(before, after)
