@@ -1290,6 +1290,115 @@ class URLEmailAnalyzer(_BaseAnalyzer):
         return None  # LUT path can't express the alternation — regex path
 
 
+# --- MinHashFilter (LSH fingerprint) -----------------------------------------
+
+MINHASH_BUCKETS = 16     # upstream default bucketCount=512; 16 keeps the
+                         # driver corpus' buckets non-degenerate (documented)
+MINHASH_SHINGLE = 5      # the ShingleFilter(5,5) front upstream pairs it with
+
+
+def _minhash_hash(shingle: str) -> int:
+    """60-bit positive hash: first 15 md5 hex chars (upstream uses 128-bit
+    murmur3; md5 is the deterministic stand-in BOTH engines can compute —
+    DuckDB: ``('0x' || substr(md5(s), 1, 15))::BIGINT``)."""
+    import hashlib
+
+    return int(hashlib.md5(shingle.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _minhash_sig(terms: list[str]) -> list[tuple[str, int]]:
+    """Signature tokens for one ordered term stream: 5-shingle, hash, keep
+    the MIN hash per (h % B) bucket, then fill empty buckets by ROTATION
+    (withRotation=true: bucket b takes the nearest filled bucket scanning
+    upward circularly — every doc with ≥1 shingle emits exactly B tokens).
+    Token text ``mh:<bucket>:<minhash>`` at position <bucket>."""
+    K, B = MINHASH_SHINGLE, MINHASH_BUCKETS
+    if len(terms) < K:
+        return []
+    filled: dict[int, int] = {}
+    for i in range(len(terms) - K + 1):
+        h = _minhash_hash(" ".join(terms[i:i + K]))
+        b = h % B
+        if b not in filled or h < filled[b]:
+            filled[b] = h
+    out = []
+    for b in range(B):
+        d = min((bf - b) % B for bf in filled)
+        v = filled[(b + d) % B]
+        out.append((f"mh:{b}:{v}", b))
+    return out
+
+
+class MinHashAnalyzer(_BaseAnalyzer):
+    """Standard → LowerCase → Shingle(5,5) → MinHash(hashCount=1,
+    bucketCount=B, hashSetSize=1, withRotation) — ``LA/minhash/
+    MinHashFilter.java``, the LSH-fingerprint chain Solr ships for
+    index-time near-duplicate / similarity search: a document indexes as
+    its B-bucket min-hash signature, and an OR query over a probe text's
+    signature ranks by shared buckets ≈ Jaccard resemblance. Deviations
+    (documented): md5-60bit in place of murmur3-128, decimal token text,
+    norm length = emitted signature size (B per doc with ≥1 shingle) —
+    both engines and the oracle share every choice, so scores stay
+    bitwise. Docs shorter than the shingle width emit nothing."""
+
+    lowercase = True
+
+    def postprocess_tokens(self, toks):
+        return _minhash_sig([t for t, _ in toks])
+
+    def postprocess_frame(self, frame: pd.DataFrame) -> pd.DataFrame:
+        K, B = MINHASH_SHINGLE, MINHASH_BUCKETS
+        n_docs = len(frame.attrs["doc_len"])
+        if not len(frame):
+            frame.attrs["doc_len"] = np.zeros(n_docs, dtype=np.int64)
+            return frame
+        f = frame.sort_values(["row", "pos"], kind="mergesort")
+        rows = f["row"].to_numpy(dtype=np.int64)
+        terms = np.asarray(_term_values(f), dtype=object)
+        n = len(rows)
+        if n < K:
+            out = frame.iloc[0:0].copy()
+            out.attrs["doc_len"] = np.zeros(n_docs, dtype=np.int64)
+            return out
+        # contiguous positions within a row ⇒ a window of K consecutive
+        # stream slots is a shingle iff its ends share the row
+        ok = rows[: n - K + 1] == rows[K - 1:]
+        sh = terms[: n - K + 1].copy()
+        for j in range(1, K):
+            sh = sh + " "
+            sh = sh + terms[j: n - K + 1 + j]
+        sh_rows = rows[: n - K + 1][ok]
+        codes, uniq = pd.factorize(sh[ok])
+        hashes = np.array([_minhash_hash(u) for u in uniq], dtype=np.int64)
+        h = hashes[codes]
+        b = h % B
+        ru, rinv = np.unique(sh_rows, return_inverse=True)
+        mat = np.full((len(ru), B), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mat, (rinv, b), h)
+        empty = mat == np.iinfo(np.int64).max
+        fill = mat.copy()
+        for col in range(B):  # rotation: nearest filled bucket, upward mod B
+            need = empty[:, col]
+            for d in range(1, B):
+                if not need.any():
+                    break
+                src = (col + d) % B
+                take = need & ~empty[:, src]
+                fill[take, col] = mat[take, src]
+                need = need & ~take
+        out_rows = np.repeat(ru, B)
+        out_pos = np.tile(np.arange(B, dtype=np.int32), len(ru))
+        vals = fill.reshape(-1)
+        out_terms = np.array(
+            [f"mh:{p}:{v}" for p, v in zip(out_pos, vals)], dtype=object
+        )
+        out = pd.DataFrame({"row": out_rows, "term": out_terms, "pos": out_pos})
+        dl = np.zeros(n_docs, dtype=np.int64)
+        dl[ru] = B
+        out.attrs["doc_len"] = dl
+        return out
+
+
 def analyze_frame(texts: pd.Series, analyzer: _BaseAnalyzer | None = None) -> pd.DataFrame:
     """Module-level convenience for kernels."""
     return (analyzer or LuceneChainAnalyzer()).analyze_batch(texts)

@@ -109,6 +109,9 @@ URLEMAIL_Q = ["https://docs.example.org/merge-guide", "dev-team@spark.test"]
 COPYFIELD_Q = ["merge", "src7"]
 # SPLITSHARD scatter-gather (≡ single collection, bitwise)
 SPLIT_Q = ["merge", "scan", "window"]
+# MinHash signature MLT source: doc 45 shares ~75 five-gram shingles with
+# docs 413/267 at sf0.01 (a three-way near-dup family), so buckets collide
+MINHASH_SRC_DOC = 45
 
 
 def _topk_query(analyzer: str, qtype: str, terms: list[str], msm: int, k: int):
@@ -508,6 +511,13 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_urlemail_topk"] = lambda spark, sf_dir: get_fixture_engine(
         spark, sf_dir, "urlemail", URLEMAIL_TEXT_EXPR
     ).topk("or2", URLEMAIL_Q, k=10)
+    # MinHashFilter LSH fingerprint index (LA/minhash): docs index as their
+    # 16-bucket min-hash signatures; MLT over doc 0's signature ranks by
+    # shared buckets ≈ Jaccard resemblance (all 16 sig tokens have tf=1, so
+    # top_terms=16 selects the whole signature) — index-time near-dup search
+    out["ft_minhash_sim_topk"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "minhashsig"
+    ).mlt_topk(MINHASH_SRC_DOC, top_terms=16, k=10)
     # copyField catchall (_text_): body + keyword metadata in ONE field —
     # 'src7' only exists in the catchall, so the match set is the src7 slice
     from .engine import get_copyfield_engine
@@ -1343,6 +1353,10 @@ ORDER BY doc_id LIMIT 10"""
     out["ft_rtg"] = rtg_sql("simple", RTG_DOCS, RTG_KEYS)
     out["ft_dismax_topk"] = dismax_topk_sql("simple", DISMAX_TERMS, DISMAX_TIE, 10)
     out["ft_mlt_topk"] = mlt_topk_sql("simple", MLT_SRC_DOC, 5, 10)
+    # MinHash signature MLT: the same oracle machinery over the minhashsig
+    # chain — the kept CTE IS the signature computation (shingle → hash →
+    # bucket-min → rotation), so a single wrong bucket goes hash-red
+    out["ft_minhash_sim_topk"] = mlt_topk_sql("minhashsig", MINHASH_SRC_DOC, 16, 10)
     out["ft_page2_topk"] = bm25_topk_sql(
         "simple",
         parse_fixture_query(ANALYZERS["simple"](), PAGE2_QUERY[0], PAGE2_QUERY[1], 0),

@@ -72,6 +72,7 @@ from ..analysis import (
     KeywordRepeatAnalyzer,
     PatternReplaceAnalyzer,
     URLEmailAnalyzer,
+    MinHashAnalyzer,
 )
 from ..util.smallfloat import encode_lengths
 from .codec import encode_posting_blocks
@@ -99,6 +100,7 @@ ANALYZERS = {
     "limitcount": LimitTokenCountAnalyzer,
     "patreplace": PatternReplaceAnalyzer,
     "urlemail": URLEmailAnalyzer,
+    "minhashsig": MinHashAnalyzer,
 }
 
 MANIFEST_SCHEMA = (

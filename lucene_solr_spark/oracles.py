@@ -223,6 +223,48 @@ kept AS (
         )
     if analyzer == "urlemail":
         return "kept AS (SELECT * FROM raw_toks)", "kept"
+    if analyzer == "minhashsig":
+        # MinHashFilter chain (LA/minhash): 5-shingle → 60-bit md5 hash →
+        # min per (h % B) bucket → rotation fill (nearest filled bucket
+        # scanning upward mod B) → B signature tokens per doc with ≥1
+        # shingle, norm length B (analysis/analyzer.MinHashAnalyzer)
+        from .analysis.analyzer import MINHASH_BUCKETS as _B
+
+        return (
+            f"""sh5 AS (
+    SELECT a.doc_id,
+           a.term || ' ' || b.term || ' ' || c.term || ' ' || d.term
+                  || ' ' || e.term AS shingle
+    FROM raw_toks a
+    JOIN raw_toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    JOIN raw_toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    JOIN raw_toks d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+    JOIN raw_toks e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4
+),
+mh_h AS (
+    SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh5
+),
+mh_filled AS (
+    SELECT doc_id, h % {_B} AS bucket, min(h) AS minh
+    FROM mh_h GROUP BY 1, 2
+),
+mh_grid AS (
+    SELECT g.doc_id, gs.b
+    FROM (SELECT DISTINCT doc_id FROM mh_filled) g
+    CROSS JOIN (SELECT unnest(range({_B})) AS b) gs
+),
+kept AS (
+    SELECT doc_id,
+           'mh:' || b || ':' || (
+               SELECT f.minh FROM mh_filled f
+               WHERE f.doc_id = mh_grid.doc_id
+               ORDER BY (f.bucket - mh_grid.b + {_B}) % {_B} ASC LIMIT 1
+           ) AS term,
+           b AS pos
+    FROM mh_grid
+)""",
+            "kept",
+        )
     if analyzer == "keywordrepeat":
         # KeywordRepeat → EnglishMinimalStem → RemoveDuplicates: original +
         # minimal-stemmed form at the SAME position; UNION collapses exact
