@@ -1872,7 +1872,15 @@ PRIORITY_ORDER = [
     # per-shard kernels under injected global weights, and the
     # scatter-gather page merge, pinned bitwise to the single-collection
     # oracle — which no other scored row exercises
-    "facet_terms", "ft_multiphrase_topk", "facet_pivot", "ft_exactstats_topk",
+    # ft_exactstats_topk rotated out for ft_split_union_topk (r4): the
+    # ExactStatsCache stats-merge + scatter-gather page merge run VERBATIM
+    # inside the split row (shared engine.scatter_gather_topk helper), so
+    # they stay scored; the split row ADDS the SPLITSHARD surface — md5
+    # hash routing, hard-linked child segments behind per-child tombstone
+    # masks, per-child stats refresh — pinned bitwise to the same
+    # single-collection oracle. The independently-built shard alias stays
+    # pass-local-gated.
+    "facet_terms", "ft_multiphrase_topk", "facet_pivot", "ft_split_union_topk",
     "facet_heatmap", "facet_unique_hll",
     # collapse_best_order rotated out for dedup_clusters late in r3 (the
     # collapse window shuffle stays scored inside collapse_expand, which
