@@ -407,6 +407,23 @@ def main() -> None:
         must_not=[r"CartesianProduct", r"Window \[.*\]$"],
     ))
 
+    # 32. SPLITSHARD scatter-gather: every child leg's postings scan stays
+    # term-IN-list pruned (the masks/stats refresh must not break pushdown),
+    # the page merge is a TakeOrdered over n·k rows (no full-table sort),
+    # and no leg degenerates into a CartesianProduct.
+    from lucene_solr_spark.engine import split_union_topk
+
+    results.append(audit(
+        "split_children_term_pruned_scans",
+        split_union_topk(spark, SF_DIR, "or3", ["merge", "scan", "window"], k=10),
+        must=[
+            r"(?s)PushedFilters: \[In\(term.*PushedFilters: \[In\(term"
+            r".*PushedFilters: \[In\(term",
+            r"TakeOrderedAndProject|GlobalLimit",
+        ],
+        must_not=[r"CartesianProduct"],
+    ))
+
     n_fail = results.count(False)
     print(f"{len(results) - n_fail}/{len(results)} plan invariants hold")
     sys.exit(1 if n_fail else 0)
