@@ -2470,3 +2470,109 @@ FROM (
 
 
 register("pack_length_buckets", pack_length_buckets, _pack_length_buckets_sql())
+
+
+# --- CCNet perplexity bucketing (head / middle / tail) -----------------------
+
+PPL_BUCKETS = 3
+PPL_BUCKET_NAMES = ("head", "middle", "tail")
+
+
+def mix_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's LM-quality partitioning (Wenzek et al. 2020, §4.4): per
+    language, documents split into ``head``/``middle``/``tail`` terciles of
+    unigram-LM bits-per-token (head = closest to the LM = cleanest — the
+    slice CCNet keeps for pretraining, tail = the filtered remainder).
+    Output one row per doc: (doc_id, lang, bits_per_token, ppl_bucket).
+
+    Per-doc bits/token comes VERBATIM from ``textmetrics.text_unigram_ppl``
+    (driver-scored bitwise), so this op adds only the bucketing decision.
+
+    Scale shape: the within-language rank is the DISTRIBUTED two-pass —
+    range-repartition on (lang, bpt, doc_id), per-(partition, lang)
+    row_number (a bounded window: one physical partition, never the
+    corpus), per-(partition, lang) counts prefix-summed on the driver
+    (metadata rows only) and broadcast back — CCNet's own design computes
+    quantile cutoffs from a sample for the same reason; NO unpartitioned
+    window ever sees doc rows. The bucket derives from the rank in closed
+    form (first n%B buckets take one extra row — the SQL-standard ntile
+    rule the DuckDB oracle cross-checks)."""
+    from pyspark.sql import Window
+
+    from .textmetrics import text_unigram_ppl
+
+    ppl = text_unigram_ppl(spark, sf_dir).select("doc_id", "bits_per_token")
+    d = ppl.join(_docs(spark, sf_dir).select("doc_id", "lang"), "doc_id")
+    parts = (
+        d.repartitionByRange(32, "lang", "bits_per_token", "doc_id")
+        .sortWithinPartitions("lang", "bits_per_token", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    # (pid, lang) counts are metadata (≤ partitions × languages rows):
+    # per-lang prefix sum over pid order on the driver, broadcast back
+    pc = sorted(
+        ((int(r["pid"]), r["lang"], int(r["count"])) for r in
+         parts.groupBy("pid", "lang").count().collect()),
+    )
+    offs, lang_acc = [], {}
+    lang_n: dict[str, int] = {}
+    for pid, lang, cnt in pc:
+        offs.append((pid, lang, lang_acc.get(lang, 0)))
+        lang_acc[lang] = lang_acc.get(lang, 0) + cnt
+        lang_n[lang] = lang_acc[lang]
+    offsets = spark.createDataFrame(offs, "pid int, lang string, off long")
+    totals = spark.createDataFrame(
+        [(lang, n) for lang, n in sorted(lang_n.items())], "lang string, n long"
+    )
+    wp = Window.partitionBy("pid", "lang").orderBy(
+        F.asc("bits_per_token"), F.asc("doc_id")
+    )
+    ranked = (
+        parts.withColumn("prn", F.row_number().over(wp))
+        .join(F.broadcast(offsets), ["pid", "lang"])
+        .join(F.broadcast(totals), "lang")
+        .withColumn("r0", (F.col("prn") + F.col("off") - 1).cast("long"))
+    )
+    b = F.lit(PPL_BUCKETS)
+    size_small = (F.col("n") / b).cast("long")
+    n_big = F.col("n") % b
+    big_span = n_big * (size_small + 1)
+    bucket = F.when(
+        F.col("r0") < big_span, (F.col("r0") / (size_small + 1)).cast("long") + 1
+    ).otherwise(
+        n_big + ((F.col("r0") - big_span) / size_small).cast("long") + 1
+    )
+    names = F.array(*[F.lit(x) for x in PPL_BUCKET_NAMES])
+    return (
+        ranked.withColumn("nb", bucket)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            F.col("bits_per_token").cast("float").alias("bits_per_token"),
+            F.element_at(names, F.col("nb").cast("int")).alias("ppl_bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _mix_ppl_buckets_sql() -> str:
+    from .textmetrics import TEXT_UNIGRAM_PPL_SQL
+
+    return f"""WITH ppl AS ({TEXT_UNIGRAM_PPL_SQL}),
+j AS (
+    SELECT p.doc_id, d.lang, p.bits_per_token
+    FROM ppl p JOIN documents d USING (doc_id)
+),
+nb AS (
+    SELECT doc_id, lang, bits_per_token,
+           ntile({PPL_BUCKETS}) OVER (
+               PARTITION BY lang ORDER BY bits_per_token ASC, doc_id ASC
+           ) AS b
+    FROM j
+)
+SELECT doc_id::BIGINT AS doc_id, lang, bits_per_token::FLOAT AS bits_per_token,
+       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+FROM nb ORDER BY doc_id"""
+
+
+register("mix_ppl_buckets", mix_ppl_buckets, _mix_ppl_buckets_sql())
