@@ -32,6 +32,12 @@ Spark shape (this module):
   exact stats (``engine.exactstats`` machinery) returns BITWISE the
   parent's page — the invariant SolrIndexSplitter maintains so a live
   collection can split under traffic without ranking movement.
+
+Scope notes: children start as fresh cores — retained commit generations
+(``commits/``) and docvalues-update sidecars are NOT carried (upstream
+SPLITSHARD children likewise begin a fresh update log); split a parent at
+its current live state. Parent tombstones ARE carried (unioned into each
+child's mask) so splitting an updated index stays correct.
 """
 
 from __future__ import annotations
