@@ -174,6 +174,8 @@ ELEVATE_IDS = [7, 3, 999999999]
 SPELL_TERMS = ["vektor", "stream", "fliter"]
 TV_DOC = 42
 TERMS_ENUM = ("s", 5, 15)            # (prefix, mincount, limit)
+TERMS_REGEX = ("(ow|am)$", 3, 15)    # terms.regex: suffix alternation
+#   → row, slow, window, stream on this corpus
 # RTG keys: one original corpus doc, one soft-committed appended doc, one
 # absent key (certifies the not-found path)
 RTG_KEYS = [42, 5_000_001, 987_654_321]
@@ -643,6 +645,9 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, sf_dir, "simple"
     ).term_vectors(TV_DOC)
     # TermsComponent: dictionary enumeration under a prefix (sort=count)
+    out["ft_terms_regex"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).terms_enum_regex(*TERMS_REGEX)
     out["ft_terms_enum"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).terms_enum(*TERMS_ENUM)
@@ -1062,6 +1067,9 @@ def fulltext_oracles() -> dict[str, str]:
     from .oracles import boostfunc_topk_sql, sorted_topk_sql, terms_enum_sql
 
     out["ft_terms_enum"] = terms_enum_sql("simple", *TERMS_ENUM)
+    from .oracles import terms_enum_regex_sql
+
+    out["ft_terms_regex"] = terms_enum_regex_sql("simple", *TERMS_REGEX)
     out["ft_sortfield_topk"] = sorted_topk_sql(
         "simple",
         parse_fixture_query(ANALYZERS["simple"](), SORTFIELD_Q[0], SORTFIELD_Q[1], 0),

@@ -2557,6 +2557,23 @@ class DocumentsEngine:
             .select("term", F.col("df").cast("long"), F.col("ttf").cast("long"))
         )
 
+    def terms_enum_regex(
+        self, pattern: str, mincount: int = 1, limit: int = 20
+    ) -> DataFrame:
+        """TermsComponent ``terms.regex`` (``S/handler/component/
+        TermsComponent#createTermsFilters`` regex branch): enumerate
+        dictionary terms matching a regular expression, same
+        mincount/sort=count/limit semantics as the prefix form. The regex
+        cannot push to the scan (unlike StartsWith), but it runs over the
+        dictionary sidecar only — O(vocabulary), never postings."""
+        ts = self.term_stats_df(min_df=mincount)
+        return (
+            ts.filter(F.col("term").rlike(pattern))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(limit)
+            .select("term", F.col("df").cast("long"), F.col("ttf").cast("long"))
+        )
+
     def cursor_page(
         self,
         qtype: str,

@@ -2069,6 +2069,20 @@ SELECT term, df, ttf FROM (
 ) ORDER BY df DESC, term ASC LIMIT {limit}"""
 
 
+def terms_enum_regex_sql(
+    analyzer: str, pattern: str, mincount: int, limit: int
+) -> str:
+    """TermsComponent ``terms.regex`` oracle — unanchored regex search over
+    the dictionary (Java regex and RE2 agree on the anchored alternation
+    patterns the fixtures use), same mincount/sort/limit semantics."""
+    return f"""WITH {base_ctes(analyzer)}
+SELECT term, df, ttf FROM (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
+    FROM kept WHERE regexp_matches(term, '{pattern}') GROUP BY term
+    HAVING count(DISTINCT doc_id) >= {mincount}
+) ORDER BY df DESC, term ASC LIMIT {limit}"""
+
+
 def sorted_topk_sql(
     analyzer: str, spec: BooleanSpec, sort_field: str, ascending: bool, k: int,
 ) -> str:
