@@ -941,6 +941,11 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # BlendedInfixSuggester: same contains-match, but POSITION_LINEAR
     # blending — a match at char 0 keeps full df weight, later matches
     # decay 10%/position (so 'order' outranks 'vector' at equal df)
+    # DocumentDictionary suggester: per-doc stored-field entries with a
+    # numeric weightField (editorial weights, not docFreq) — prefix lookup
+    out["ft_suggest_docdict"] = lambda spark, sf_dir: get_engine(
+        spark, sf_dir, "simple"
+    ).suggest_docdict("src1", k=10)
     out["ft_suggest_blended"] = lambda spark, sf_dir: get_engine(
         spark, sf_dir, "simple"
     ).suggest_blended_infix("or", k=10)
@@ -1608,6 +1613,12 @@ SELECT rank::INTEGER AS rank, doc_id::BIGINT AS doc_id, score::FLOAT AS score FR
     from .oracles import suggest_blended_infix_sql
 
     out["ft_suggest_blended"] = suggest_blended_infix_sql("simple", "or", 10)
+    out["ft_suggest_docdict"] = """
+SELECT rank::INTEGER AS rank, key, weight::BIGINT AS weight, doc_id::BIGINT AS doc_id FROM (
+    SELECT row_number() OVER (ORDER BY n_chars DESC, source ASC, doc_id ASC) AS rank,
+           source AS key, n_chars AS weight, doc_id
+    FROM documents WHERE source LIKE 'src1%'
+) WHERE rank <= 10 ORDER BY rank"""
     from .oracles import suggest_freetext_sql, word_break_sql
 
     out["ft_suggest_freetext"] = suggest_freetext_sql(

@@ -1748,6 +1748,36 @@ class DocumentsEngine:
             .orderBy("rank")
         )
 
+    def suggest_docdict(self, prefix: str, k: int = 10) -> DataFrame:
+        """DocumentDictionary suggester (``lucene/suggest/.../
+        DocumentDictionary.java`` via Solr's ``DocumentDictionaryFactory``
+        with a ``weightField``): every document contributes a stored
+        field's VALUE as a suggestion entry weighted by a per-doc numeric
+        field — unlike the term-dictionary suggesters, weights are
+        editorial/derived, not docFreq. Here key = ``source``, weight =
+        ``n_chars``; lookup = prefix match, (weight desc, key asc, doc asc).
+
+        Scale shape: the dictionary IS the source table — one pushed
+        StartsWith scan of two columns + a TakeOrdered; upstream pays an
+        FST build for the same lookup."""
+        docs = self.spark.read.parquet(
+            os.path.join(self.sf_dir, "documents.parquet")
+        ).select("doc_id", F.col("source").alias("key"),
+                 F.col("n_chars").cast("long").alias("weight"))
+        top = (
+            docs.filter(F.col("key").startswith(prefix))
+            .orderBy(F.desc("weight"), F.asc("key"), F.asc("doc_id"))
+            .limit(k)
+        )
+        return (
+            top.coalesce(1)
+            .sortWithinPartitions(F.desc("weight"), F.asc("key"), F.asc("doc_id"))
+            .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+            .select("rank", "key", "weight",
+                    F.col("doc_id").cast("long").alias("doc_id"))
+            .orderBy("rank")
+        )
+
     def bm25_tuned_topk(
         self,
         qtype: str,
