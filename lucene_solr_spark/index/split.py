@@ -33,6 +33,14 @@ Spark shape (this module):
   parent's page — the invariant SolrIndexSplitter maintains so a live
   collection can split under traffic without ranking movement.
 
+Cost note: each child's stats refresh decodes the postings doc-id streams
+once (every segment carries child tombstones, so the removals pass is not
+seg-prunable here) — n_children passes total. That is still strictly less
+work than upstream SPLITSHARD, which REWRITES every posting byte per child
+through addIndexes; the single-scan refinement (one pass emitting
+per-child removal deltas keyed (child, term)) is the further optimization
+if n_children grows large.
+
 Scope notes: children start as fresh cores — retained commit generations
 (``commits/``) and docvalues-update sidecars are NOT carried (upstream
 SPLITSHARD children likewise begin a fresh update log); split a parent at
