@@ -33,13 +33,19 @@ Spark shape (this module):
   parent's page — the invariant SolrIndexSplitter maintains so a live
   collection can split under traffic without ranking movement.
 
-Cost note: each child's stats refresh decodes the postings doc-id streams
-once (every segment carries child tombstones, so the removals pass is not
-seg-prunable here) — n_children passes total. That is still strictly less
-work than upstream SPLITSHARD, which REWRITES every posting byte per child
-through addIndexes; the single-scan refinement (one pass emitting
-per-child removal deltas keyed (child, term)) is the further optimization
-if n_children grows large.
+Cost note (``stats_mode``): the default ``"scan"`` computes every child's
+term/collection statistics from ONE distributed pass — postings doc-id
+streams decode once into (seg, doc_local, term, tf) rows, join the
+bucket assignment, and a single (child, term) hash-agg yields all
+children's dictionaries; per-child work after that is a tiny filtered
+write. Fully distributed (no driver-side tombstone dictionaries — the
+assignment rides the join), so it holds at 10^12 docs where the
+broadcast-removals path cannot. ``"per_child"`` instead runs the same
+``_finalize`` refresh updates/DBQ use, once per child (n passes, driver
+removal dicts) — kept as the independently-derived reference path the
+equivalence test pins the scan against. Either way this is strictly less
+work than upstream SPLITSHARD, which REWRITES every posting byte per
+child through addIndexes.
 
 Scope notes: children start as fresh cores — retained commit generations
 (``commits/``) and docvalues-update sidecars are NOT carried (upstream
@@ -95,12 +101,18 @@ def split_bucket_col(key_col: str, n_children: int):
 
 
 def split_index(
-    spark: SparkSession, index_dir: str, n_children: int, out_root: str
+    spark: SparkSession,
+    index_dir: str,
+    n_children: int,
+    out_root: str,
+    stats_mode: str = "scan",
 ) -> list[str]:
     """Split a committed index into ``n_children`` hash-routed child
     indexes under ``out_root``; returns the child dirs. The parent is not
     modified. Each child is immediately searchable by ``IndexSearcher``
-    (same segments, child tombstones, refreshed stats)."""
+    (same segments, child tombstones, refreshed stats). ``stats_mode``:
+    ``"scan"`` (default, one distributed pass for all children) or
+    ``"per_child"`` (n ``_finalize`` refreshes — the reference path)."""
     meta = IndexMeta.load(index_dir)
     key = meta.key_cols[0]
     docs = spark.read.parquet(os.path.join(index_dir, "docs"))
@@ -130,6 +142,104 @@ def split_index(
         # overwrite is safe on the linked copy: the child directory entries
         # are replaced, the parent's inodes are untouched
         non_members.write.mode("overwrite").parquet(tombstones_path(cdir))
-        refresh_stats(spark, cdir)
+        if stats_mode == "per_child":
+            refresh_stats(spark, cdir)
         out.append(cdir)
+    if stats_mode == "scan":
+        _write_child_stats_single_scan(
+            spark, index_dir, out, n_children, key, parent_tomb
+        )
+    elif stats_mode != "per_child":
+        raise ValueError(f"unknown stats_mode {stats_mode!r}")
     return out
+
+
+def _write_child_stats_single_scan(
+    spark: SparkSession,
+    index_dir: str,
+    child_dirs: list[str],
+    n_children: int,
+    key: str,
+    parent_tomb,
+) -> None:
+    """All children's term/collection statistics from ONE distributed
+    postings pass: decode doc-id/tf streams → join the (seg, doc_local) →
+    child assignment → one (child, term) hash-agg. No driver-side removal
+    dictionaries (the per-child ``_finalize`` path broadcasts them), so
+    this is the 10^12-doc shape. The per-child write afterwards filters
+    the tiny aggregated dictionary."""
+    import numpy as np
+    import pandas as pd
+
+    from .codec import decode_postings
+
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    if parent_tomb is not None:
+        docs = docs.join(parent_tomb, ["seg", "doc_local"], "left_anti")
+    assign = docs.select(
+        F.col("seg").cast("int").alias("seg"),
+        F.col("doc_local").cast("long").alias("doc_local"),
+        split_bucket_col(key, n_children).cast("int").alias("child"),
+        F.col("length").cast("long").alias("length"),
+    )
+
+    def explode_kernel(iterator):
+        for pdf in iterator:
+            segs, locs, terms, tfs = [], [], [], []
+            for seg, term, blocks in zip(pdf["seg"], pdf["term"], pdf["blocks"]):
+                if not len(blocks):
+                    continue
+                d, t = decode_postings(list(blocks))[:2]
+                segs.append(np.full(len(d), int(seg), dtype=np.int32))
+                locs.append(d.astype(np.int64))
+                terms.extend([term] * len(d))
+                tfs.append(t.astype(np.int64))
+            if segs:
+                yield pd.DataFrame({
+                    "seg": np.concatenate(segs),
+                    "doc_local": np.concatenate(locs),
+                    "term": np.array(terms, dtype=object),
+                    "tf": np.concatenate(tfs),
+                })
+
+    exploded = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .select("seg", "term", "blocks")
+        .mapInPandas(explode_kernel, "seg int, doc_local long, term string, tf long")
+    )
+    per_child_ts = (
+        exploded.join(assign.select("seg", "doc_local", "child"), ["seg", "doc_local"])
+        .groupBy("child", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"),
+             F.sum("tf").cast("long").alias("ttf"))
+        .persist()
+    )
+    per_child_stats = {
+        int(r["child"]): r
+        for r in assign.groupBy("child").agg(
+            F.count(F.lit(1)).alias("max_doc"),
+            F.sum((F.col("length") > 0).cast("long")).alias("doc_count"),
+            F.sum("length").alias("sum_ttf"),
+        ).collect()
+    }
+    for c, cdir in enumerate(child_dirs):
+        ts = per_child_ts.filter(F.col("child") == c).select("term", "df", "ttf")
+        ts.write.mode("overwrite").parquet(os.path.join(cdir, "term_stats"))
+        ts_rev = spark.read.parquet(os.path.join(cdir, "term_stats")).select(
+            F.reverse(F.col("term")).alias("rterm"), "term", "df", "ttf"
+        )
+        (
+            ts_rev.repartitionByRange(4, "rterm")
+            .sortWithinPartitions("rterm")
+            .write.mode("overwrite")
+            .parquet(os.path.join(cdir, "term_stats_rev"))
+        )
+        r = per_child_stats.get(c)
+        row = (
+            (int(r["max_doc"]), int(r["doc_count"]), int(r["sum_ttf"]))
+            if r is not None else (0, 0, 0)
+        )
+        spark.createDataFrame(
+            [row], "max_doc long, doc_count long, sum_ttf long"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(cdir, "stats"))
+    per_child_ts.unpersist()

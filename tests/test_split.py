@@ -90,6 +90,34 @@ def test_child_stats_refreshed(spark, searchers):
     )
 
 
+def test_scan_stats_equal_per_child_refresh(spark, tmp_path):
+    """The single-scan stats pass (one distributed postings decode + one
+    (child, term) hash-agg, no driver removal dicts) must produce EXACTLY
+    the per-child _finalize refresh's term_stats and collection stats —
+    the independently-derived reference path."""
+    parent = get_engine(spark, SF, "simple")
+    a = split_index(spark, parent.index_dir, 2, str(tmp_path / "scan"),
+                    stats_mode="scan")
+    b = split_index(spark, parent.index_dir, 2, str(tmp_path / "ref"),
+                    stats_mode="per_child")
+    for ca, cb in zip(a, b):
+        ts_a = (
+            spark.read.parquet(os.path.join(ca, "term_stats"))
+            .toPandas().sort_values("term").reset_index(drop=True)
+        )
+        ts_b = (
+            spark.read.parquet(os.path.join(cb, "term_stats"))
+            .toPandas().sort_values("term").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(ts_a, ts_b)
+        st_a = spark.read.parquet(os.path.join(ca, "stats")).toPandas()
+        st_b = spark.read.parquet(os.path.join(cb, "stats")).toPandas()
+        pd.testing.assert_frame_equal(
+            st_a[["max_doc", "doc_count", "sum_ttf"]],
+            st_b[["max_doc", "doc_count", "sum_ttf"]],
+        )
+
+
 def test_parent_untouched_by_split(spark, tmp_path):
     """Splitting must not mutate the parent (hard links + child-local
     overwrite): parent term_stats and tombstone-free search are unchanged
