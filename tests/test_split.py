@@ -130,3 +130,41 @@ def test_parent_untouched_by_split(spark, tmp_path):
     ts_after = sorted(os.listdir(os.path.join(parent.index_dir, "term_stats")))
     assert ts_before == ts_after
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_split_expunge_merge_back_roundtrip(spark, tmp_path):
+    """Full shard lifecycle: SPLITSHARD → per-child expungeDeletes
+    (physical mask reclaim) → addIndexes graft back into one core. The
+    reconstituted collection must return the parent's page — same doc
+    keys AND bitwise f32 scores (internal-id tiebreaks may reorder only
+    equal-score rows, so the comparison keys on (score, doc_id))."""
+    from lucene_solr_spark.index.merge import add_indexes
+    from lucene_solr_spark.index.updates import expunge_deletes
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    parent = get_engine(spark, SF, "simple")
+    children = split_index(
+        spark, parent.index_dir, 2, str(tmp_path / "kids"), stats_mode="scan"
+    )
+    for c in children:
+        expunge_deletes(spark, c)
+    merged = str(tmp_path / "merged")
+    n_segs = add_indexes(spark, children, merged)
+    assert n_segs >= 2
+    s = IndexSearcher(spark, merged)
+    spec = s.parse("or3", TERMS, 0)
+    got = (
+        s.search(spec, k=10, with_keys=True)
+        .select("doc_key", "score").toPandas()
+        .sort_values(["score", "doc_key"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    want = (
+        parent.topk("or3", TERMS, k=10).toPandas()
+        .rename(columns={"doc_id": "doc_key"})[["doc_key", "score"]]
+        .sort_values(["score", "doc_key"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # and the reconstituted corpus is complete: doc count == parent's
+    assert s.stats.doc_count == parent.searcher.stats.doc_count
