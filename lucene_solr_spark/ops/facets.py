@@ -1212,3 +1212,56 @@ ORDER BY grp_rank, doc_rank"""
 
 
 register("group_sort_within", group_sort_within, GROUP_SORT_WITHIN_SQL)
+
+
+# --- sampled facets (RandomSamplingFacetsCollector) --------------------------
+
+FACET_SAMPLE_PCT = 20  # keep docs whose md5 bucket < 20 of 100 (p = 0.2)
+
+
+def facet_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled facet counts (``lucene/facet/.../RandomSamplingFacetsCollector``
+    + ``#amortizeFacetCounts``): count facet buckets over a DOC SAMPLE and
+    scale back up — the standard trick when exact facets over the full
+    match set cost more than their precision is worth at scale. Upstream
+    samples with XORShift64; here the sample is the engine's DETERMINISTIC
+    md5-bucket (the sample_split discipline — stable across runs/engines,
+    so the driver gate stays exact). Output per source bucket: the raw
+    sampled count and the amortized estimate round(sampled / p), exactly
+    amortizeFacetCounts' correction.
+
+    Scale shape: the sample predicate evaluates per row BEFORE the
+    hash-agg (a 5x row reduction at p=0.2 reaches the partial aggregate),
+    and at 100 TB the same predicate pushes into a hash-bucketed layout's
+    file pruning; one partial+final agg either way."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    sampled = docs.filter(bucket < FACET_SAMPLE_PCT)
+    return (
+        sampled.groupBy(F.col("source").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("sampled_cnt"))
+        .select(
+            "bucket", "sampled_cnt",
+            F.round(F.col("sampled_cnt") * (100.0 / FACET_SAMPLE_PCT))
+            .cast("long").alias("estimated_cnt"),
+        )
+        .orderBy(F.desc("sampled_cnt"), F.asc("bucket"))
+        .limit(10)
+    )
+
+
+FACET_SAMPLED_SQL = f"""
+SELECT bucket, sampled_cnt, CAST(round(sampled_cnt * (100.0 / {FACET_SAMPLE_PCT})) AS BIGINT) AS estimated_cnt
+FROM (
+    SELECT source AS bucket, count(*)::BIGINT AS sampled_cnt
+    FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < {FACET_SAMPLE_PCT}
+    GROUP BY source
+) ORDER BY sampled_cnt DESC, bucket ASC LIMIT 10"""
+
+
+register("facet_sampled", facet_sampled, FACET_SAMPLED_SQL)
