@@ -1483,3 +1483,77 @@ ORDER BY event_id ASC LIMIT 25"""
 
 
 register("spatial_polygon", spatial_polygon, SPATIAL_POLYGON_SQL)
+
+
+def stream_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ttest`` evaluator (``SJ/io/eval/TTestEvaluator``, commons-math
+    TTest#tTest two-sample Welch form): per event_type, compare value
+    between the AM (hour < 12) and PM samples — t statistic and the
+    Welch–Satterthwaite degrees of freedom.
+
+    Float discipline (the stream_corr pattern): per-sample sufficient
+    statistics (n, Σy, Σy²) are EXACT (y is DECIMAL(18,2)), reduced to
+    doubles once, then both engines evaluate the IDENTICAL closed-form
+    expression tree — bit-deterministic regardless of row order. One
+    map-side-combined aggregate, conditional sums, no second scan."""
+    ev = _t(spark, sf_dir, "events")
+    am = (F.hour("ts") < 12).cast("long")
+    y = F.col("value").cast("decimal(18,2)")
+    s = (
+        ev.select("event_type", am.alias("g"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("g").cast("double").alias("n1"),
+            F.sum(F.when(F.col("g") == 1, F.col("y"))).cast("double").alias("s1"),
+            F.sum(F.when(F.col("g") == 1, F.col("y") * F.col("y"))).cast("double").alias("q1"),
+            F.sum(1 - F.col("g")).cast("double").alias("n2"),
+            F.sum(F.when(F.col("g") == 0, F.col("y"))).cast("double").alias("s2"),
+            F.sum(F.when(F.col("g") == 0, F.col("y") * F.col("y"))).cast("double").alias("q2"),
+        )
+    )
+    m1, m2 = s.s1 / s.n1, s.s2 / s.n2
+    v1 = (s.q1 - s.s1 * s.s1 / s.n1) / (s.n1 - 1)
+    v2 = (s.q2 - s.s2 * s.s2 / s.n2) / (s.n2 - 1)
+    se1, se2 = v1 / s.n1, v2 / s.n2
+    t = (m1 - m2) / F.sqrt(se1 + se2)
+    df = (
+        (se1 + se2) * (se1 + se2)
+        / (se1 * se1 / (s.n1 - 1) + se2 * se2 / (s.n2 - 1))
+    )
+    return s.select(
+        "event_type",
+        s.n1.cast("long").alias("n_am"),
+        s.n2.cast("long").alias("n_pm"),
+        t.alias("t_stat"),
+        df.alias("welch_df"),
+    ).orderBy("event_type")
+
+
+STREAM_TTEST_SQL = """
+WITH s AS (
+    SELECT event_type,
+           CAST(sum(g) AS DOUBLE) AS n1,
+           CAST(sum(CASE WHEN g = 1 THEN y END) AS DOUBLE) AS s1,
+           CAST(sum(CASE WHEN g = 1 THEN y * y END) AS DOUBLE) AS q1,
+           CAST(sum(1 - g) AS DOUBLE) AS n2,
+           CAST(sum(CASE WHEN g = 0 THEN y END) AS DOUBLE) AS s2,
+           CAST(sum(CASE WHEN g = 0 THEN y * y END) AS DOUBLE) AS q2
+    FROM (
+        SELECT event_type,
+               CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END::BIGINT AS g,
+               CAST(value AS DECIMAL(18,2)) AS y
+        FROM events
+    ) GROUP BY 1
+)
+SELECT event_type, n1::BIGINT AS n_am, n2::BIGINT AS n_pm,
+       ((s1 / n1) - (s2 / n2))
+           / sqrt(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
+                  + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2) AS t_stat,
+       (((q1 - s1 * s1 / n1) / (n1 - 1)) / n1 + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2)
+           * (((q1 - s1 * s1 / n1) / (n1 - 1)) / n1 + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2)
+           / ((((q1 - s1 * s1 / n1) / (n1 - 1)) / n1) * (((q1 - s1 * s1 / n1) / (n1 - 1)) / n1) / (n1 - 1)
+              + (((q2 - s2 * s2 / n2) / (n2 - 1)) / n2) * (((q2 - s2 * s2 / n2) / (n2 - 1)) / n2) / (n2 - 1)) AS welch_df
+FROM s ORDER BY event_type"""
+
+
+register("stream_ttest", stream_ttest, STREAM_TTEST_SQL)
