@@ -1557,3 +1557,80 @@ FROM s ORDER BY event_type"""
 
 
 register("stream_ttest", stream_ttest, STREAM_TTEST_SQL)
+
+
+def stream_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``anova`` evaluator (``SJ/io/eval/AnovaEvaluator``, commons-math
+    OneWayAnova): one-way F over event value grouped by event_type —
+    F = (SSB/(k−1)) / (SSW/(N−k)) with between/within sums of squares.
+
+    Float discipline: per-group (n, Σy, Σy²) are EXACT (DECIMAL y), the
+    tiny per-group table reduces on the driver-free second-level agg in a
+    DETERMINISTIC group-ordered fold (sort_array over collect_list — the
+    same discipline as text_unigram_ppl's term-ordered sum), then one
+    closed-form expression both engines share. Two-level hash-agg, no
+    second scan of events."""
+    ev = _t(spark, sf_dir, "events")
+    y = F.col("value").cast("decimal(18,2)")
+    g = (
+        ev.select("event_type", y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("y").cast("double").alias("s"),
+            F.sum(F.col("y") * F.col("y")).cast("double").alias("q"),
+        )
+    )
+    folded = g.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("event_type", "n"))),
+            F.lit(0.0), lambda a, x: a + x["n"],
+        ).alias("bign"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("event_type", "s"))),
+            F.lit(0.0), lambda a, x: a + x["s"],
+        ).alias("bigs"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("event_type", "q"))),
+            F.lit(0.0), lambda a, x: a + x["q"],
+        ).alias("bigq"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("event_type", "n", "s"))),
+            F.lit(0.0), lambda a, x: a + (x["s"] * x["s"]) / x["n"],
+        ).alias("ssg"),
+    )
+    ssb = folded.ssg - folded.bigs * folded.bigs / folded.bign
+    ssw = folded.bigq - folded.ssg
+    fstat = (ssb / (folded.k - 1)) / (ssw / (folded.bign - folded.k))
+    return folded.select(
+        folded.k.cast("long").alias("k_groups"),
+        folded.bign.cast("long").alias("n_obs"),
+        fstat.alias("f_stat"),
+    )
+
+
+STREAM_ANOVA_SQL = """
+WITH g AS (
+    SELECT event_type,
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(y) AS DOUBLE) AS s,
+           CAST(sum(y * y) AS DOUBLE) AS q
+    FROM (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS y FROM events)
+    GROUP BY 1
+),
+f AS (
+    SELECT CAST(count(*) AS DOUBLE) AS k,
+           list_reduce(list(n ORDER BY event_type), (a, b) -> a + b) AS bign,
+           list_reduce(list(s ORDER BY event_type), (a, b) -> a + b) AS bigs,
+           list_reduce(list(q ORDER BY event_type), (a, b) -> a + b) AS bigq,
+           list_reduce(list(s * s / n ORDER BY event_type), (a, b) -> a + b) AS ssg
+    FROM g
+)
+SELECT k::BIGINT AS k_groups, bign::BIGINT AS n_obs,
+       ((ssg - bigs * bigs / bign) / (k - 1))
+           / ((bigq - ssg) / (bign - k)) AS f_stat
+FROM f"""
+
+
+register("stream_anova", stream_anova, STREAM_ANOVA_SQL)
