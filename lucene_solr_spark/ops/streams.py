@@ -1634,3 +1634,70 @@ FROM f"""
 
 
 register("stream_anova", stream_anova, STREAM_ANOVA_SQL)
+
+
+def stream_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mannWhitney`` evaluator (``SJ/io/eval/MannWhitneyUEvaluator``,
+    commons-math MannWhitneyUTest): rank-sum U comparing event value
+    between the AM (hour < 12) and PM samples, tie-corrected with average
+    ranks. U1 = R1 − n1(n1+1)/2 where R1 sums the AM values' mid-ranks.
+
+    Scale shape: ranks come from VALUE-LEVEL aggregation, not row ranking —
+    one (value) hash-agg to per-value (AM, PM) counts, then a window over
+    DISTINCT values only (bounded by the value domain, here DECIMAL(18,2)
+    prices — never the row count): mid-rank = cum_before + (c+1)/2. Exact
+    integer counts and exact DECIMAL keys make every mid-rank and the U
+    statistic bit-deterministic on both engines."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    am = (F.hour("ts") < 12).cast("long")
+    vals = (
+        ev.select(F.col("value").cast("decimal(18,2)").alias("v"), am.alias("g"))
+        .groupBy("v")
+        .agg(F.sum("g").alias("c1"), F.sum(1 - F.col("g")).alias("c2"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.withColumn(
+        "cum", F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w), F.lit(0))
+    ).withColumn(
+        "midrank",
+        F.col("cum").cast("double")
+        + (F.col("c1") + F.col("c2") + 1).cast("double") / 2.0,
+    )
+    out = ranked.agg(
+        F.sum("c1").cast("double").alias("n1"),
+        F.sum("c2").cast("double").alias("n2"),
+        F.sum(F.col("c1").cast("double") * F.col("midrank")).alias("r1"),
+    )
+    u1 = out.r1 - out.n1 * (out.n1 + 1) / 2
+    return out.select(
+        out.n1.cast("long").alias("n_am"),
+        out.n2.cast("long").alias("n_pm"),
+        u1.alias("u_stat"),
+    )
+
+
+STREAM_MANN_WHITNEY_SQL = """
+WITH vals AS (
+    SELECT CAST(value AS DECIMAL(18,2)) AS v,
+           sum(CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END)::BIGINT AS c1,
+           sum(CASE WHEN hour(ts) < 12 THEN 0 ELSE 1 END)::BIGINT AS c2
+    FROM events GROUP BY 1
+),
+ranked AS (
+    SELECT c1, c2,
+           CAST(coalesce(sum(c1 + c2) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS DOUBLE)
+           + CAST(c1 + c2 + 1 AS DOUBLE) / 2.0 AS midrank
+    FROM vals
+)
+SELECT CAST(sum(CAST(c1 AS DOUBLE)) AS BIGINT) AS n_am,
+       CAST(sum(CAST(c2 AS DOUBLE)) AS BIGINT) AS n_pm,
+       sum(CAST(c1 AS DOUBLE) * midrank)
+           - sum(CAST(c1 AS DOUBLE)) * (sum(CAST(c1 AS DOUBLE)) + 1) / 2 AS u_stat
+FROM ranked"""
+
+
+register("stream_mann_whitney", stream_mann_whitney, STREAM_MANN_WHITNEY_SQL)
