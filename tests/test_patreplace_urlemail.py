@@ -95,3 +95,69 @@ class TestURLEmail:
         assert a.analyze("https is not a url") == [
             ("https", 0), ("is", 1), ("not", 2), ("a", 3), ("url", 4)
         ]
+
+
+class TestPropertyParity:
+    """Hypothesis: batch path ≡ per-row reference path on arbitrary ASCII
+    mixes of words, digit runs, URLs and emails — the guarantee behind the
+    shared-alternation design (re, Arrow RE2 and DuckDB RE2 agree)."""
+
+    def test_urlemail_batch_per_row_property(self):
+        from hypothesis import given, settings, strategies as st
+
+        word = st.text("abcdefXYZ019_", min_size=1, max_size=8)
+        url = st.builds(
+            lambda h, p: f"https://{h}.example.org/{p}",
+            st.text("abcz09", min_size=1, max_size=6),
+            st.text("abcz09/?=%", min_size=0, max_size=8),
+        )
+        email = st.builds(
+            lambda u, d: f"{u}@{d}.test",
+            st.text("abcz09_", min_size=1, max_size=6),
+            st.text("abcz09", min_size=1, max_size=6),
+        )
+        doc = st.lists(st.one_of(word, url, email), max_size=10).map(" ".join)
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(doc, min_size=1, max_size=6))
+        def check(texts):
+            import pandas as pd
+            from lucene_solr_spark.analysis.analyzer import URLEmailAnalyzer
+
+            a = URLEmailAnalyzer()
+            frame = a.analyze_batch(pd.Series(texts))
+            got = list(zip(frame["row"].tolist(),
+                           [str(t) for t in frame["term"]],
+                           frame["pos"].tolist()))
+            want = []
+            for i, t in enumerate(texts):
+                want.extend((i, term, pos) for term, pos in a.analyze(t))
+            assert got == want
+
+        check()
+
+    def test_patreplace_batch_per_row_property(self):
+        from hypothesis import given, settings, strategies as st
+
+        doc = st.lists(
+            st.text("abcXY0123456789", min_size=1, max_size=8),
+            max_size=12,
+        ).map(" ".join)
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(doc, min_size=1, max_size=6))
+        def check(texts):
+            import pandas as pd
+            from lucene_solr_spark.analysis.analyzer import PatternReplaceAnalyzer
+
+            a = PatternReplaceAnalyzer()
+            frame = a.analyze_batch(pd.Series(texts))
+            got = list(zip(frame["row"].tolist(),
+                           [str(t) for t in frame["term"]],
+                           frame["pos"].tolist()))
+            want = []
+            for i, t in enumerate(texts):
+                want.extend((i, term, pos) for term, pos in a.analyze(t))
+            assert got == want
+
+        check()
