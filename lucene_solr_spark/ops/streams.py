@@ -1701,3 +1701,52 @@ FROM ranked"""
 
 
 register("stream_mann_whitney", stream_mann_whitney, STREAM_MANN_WHITNEY_SQL)
+
+
+def stream_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cov`` evaluator (``SJ/io/eval/CovarianceEvaluator``, commons-math
+    Covariance — sample covariance): cov of event value against
+    hour-of-day per event_type, from the same exact sufficient statistics
+    as ``stream_corr`` (one map-side-combined aggregate):
+    cov = (Σxy − Σx·Σy/n) / (n − 1)."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.select(
+            "event_type",
+            F.hour("ts").cast("long").alias("x"),
+            F.col("value").cast("decimal(18,2)").alias("y"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.col("y") * F.col("x")).cast("double").alias("sxy"),
+        )
+    )
+    return s.select(
+        "event_type",
+        s.n.cast("long").alias("n_obs"),
+        ((s.sxy - s.sx * s.sy / s.n) / (s.n - 1)).alias("cov"),
+    ).orderBy("event_type")
+
+
+STREAM_COV_SQL = """
+WITH s AS (
+    SELECT event_type,
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(x) AS DOUBLE) AS sx,
+           CAST(sum(y) AS DOUBLE) AS sy,
+           CAST(sum(y * x) AS DOUBLE) AS sxy
+    FROM (
+        SELECT event_type, hour(ts)::BIGINT AS x,
+               CAST(value AS DECIMAL(18,2)) AS y
+        FROM events
+    ) GROUP BY 1
+)
+SELECT event_type, n::BIGINT AS n_obs,
+       (sxy - sx * sy / n) / (n - 1) AS cov
+FROM s ORDER BY event_type"""
+
+
+register("stream_cov", stream_cov, STREAM_COV_SQL)
