@@ -1750,3 +1750,155 @@ FROM s ORDER BY event_type"""
 
 
 register("stream_cov", stream_cov, STREAM_COV_SQL)
+
+
+def _dataset_counts(spark: SparkSession, sf_dir: str):
+    """Shared front for the dataset-comparison evaluators: per-term exact
+    counts in two sub-corpora (source src1 vs src2), full-join aligned
+    (absent term → 0). One tokenize pass, ONE (term, side) hash-agg."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src1", "src2")
+    )
+    toks = docs.select(
+        (F.col("source") == "src1").cast("long").alias("a"),
+        F.explode(
+            F.expr(r"regexp_extract_all(lower(text), '[0-9a-z_]+', 0)")
+        ).alias("term"),
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.sum("a").cast("double").alias("o1"),
+            F.sum(1 - F.col("a")).cast("double").alias("o2"),
+        )
+    )
+
+
+def stream_chisq_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``chiSquareDataSet`` evaluator (``SJ/io/eval/
+    ChiSquareDataSetEvaluator``, commons-math ChiSquareTest
+    #chiSquareDataSetsComparison): χ² between two term-count vectors —
+    here the src1 vs src2 sub-corpora term distributions, the
+    corpus-drift monitor a training pipeline runs between snapshots.
+    χ² = Σ_t (√(N2/N1)·o1 − √(N1/N2)·o2)² / (o1 + o2) over terms present
+    in either dataset (commons-math's unequal-length form).
+
+    Float discipline: counts are exact; the per-term contributions are
+    f32-rounded then summed in a DETERMINISTIC term-ordered double fold
+    (the text_unigram_ppl discipline)."""
+    c = _dataset_counts(spark, sf_dir)
+    tot = c.agg(
+        F.sum("o1").alias("n1"), F.sum("o2").alias("n2"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = c.crossJoin(F.broadcast(tot))
+    contrib = j.select(
+        "term",
+        (
+            (F.sqrt(F.col("n2") / F.col("n1")) * F.col("o1")
+             - F.sqrt(F.col("n1") / F.col("n2")) * F.col("o2"))
+            * (F.sqrt(F.col("n2") / F.col("n1")) * F.col("o1")
+               - F.sqrt(F.col("n1") / F.col("n2")) * F.col("o2"))
+            / (F.col("o1") + F.col("o2"))
+        ).cast("float").alias("c32"),
+        "k",
+    )
+    return contrib.groupBy("k").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", F.col("c32").cast("double").alias("c")))),
+            F.lit(0.0), lambda a, x: a + x["c"],
+        ).alias("chisq"),
+    ).select(
+        F.col("k").cast("long").alias("n_terms"),
+        "chisq",
+    )
+
+
+STREAM_CHISQ_SQL = """
+WITH c AS (
+    SELECT term,
+           CAST(sum(a) AS DOUBLE) AS o1,
+           CAST(sum(1 - a) AS DOUBLE) AS o2
+    FROM (
+        SELECT CASE WHEN source = 'src1' THEN 1 ELSE 0 END::BIGINT AS a,
+               unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+        FROM documents WHERE source IN ('src1', 'src2')
+    ) GROUP BY 1
+),
+tot AS (SELECT sum(o1) AS n1, sum(o2) AS n2, count(*)::BIGINT AS k FROM c),
+contrib AS (
+    SELECT term,
+           CAST((sqrt(n2 / n1) * o1 - sqrt(n1 / n2) * o2)
+                * (sqrt(n2 / n1) * o1 - sqrt(n1 / n2) * o2)
+                / (o1 + o2) AS FLOAT) AS c32,
+           k
+    FROM c, tot
+)
+SELECT k AS n_terms,
+       list_reduce(list(CAST(c32 AS DOUBLE) ORDER BY term), (a, b) -> a + b) AS chisq
+FROM contrib GROUP BY k"""
+
+
+register("stream_chisq_dataset", stream_chisq_dataset, STREAM_CHISQ_SQL)
+
+
+def stream_gtest_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``gTestDataSet`` evaluator (``SJ/io/eval/GTestDataSetEvaluator``,
+    commons-math GTest#gDataSetsComparison): G statistic between the same
+    two term-count vectors — G = 2·Σ o·ln(o/e), expected from the pooled
+    margins e1 = (o1+o2)·N1/(N1+N2); a 0 cell contributes 0 (o·ln o → 0).
+    Same exact-count front and term-ordered f32-contribution fold as the
+    χ² evaluator."""
+    c = _dataset_counts(spark, sf_dir)
+    tot = c.agg(
+        F.sum("o1").alias("n1"), F.sum("o2").alias("n2"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = c.crossJoin(F.broadcast(tot))
+    rowsum = F.col("o1") + F.col("o2")
+    e1 = rowsum * F.col("n1") / (F.col("n1") + F.col("n2"))
+    e2 = rowsum * F.col("n2") / (F.col("n1") + F.col("n2"))
+    g1 = F.when(F.col("o1") > 0, F.col("o1") * F.log(F.col("o1") / e1)).otherwise(F.lit(0.0))
+    g2 = F.when(F.col("o2") > 0, F.col("o2") * F.log(F.col("o2") / e2)).otherwise(F.lit(0.0))
+    contrib = j.select(
+        "term", (2.0 * (g1 + g2)).cast("float").alias("c32"), "k",
+    )
+    return contrib.groupBy("k").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", F.col("c32").cast("double").alias("c")))),
+            F.lit(0.0), lambda a, x: a + x["c"],
+        ).alias("gstat"),
+    ).select(F.col("k").cast("long").alias("n_terms"), "gstat")
+
+
+STREAM_GTEST_SQL = """
+WITH c AS (
+    SELECT term,
+           CAST(sum(a) AS DOUBLE) AS o1,
+           CAST(sum(1 - a) AS DOUBLE) AS o2
+    FROM (
+        SELECT CASE WHEN source = 'src1' THEN 1 ELSE 0 END::BIGINT AS a,
+               unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+        FROM documents WHERE source IN ('src1', 'src2')
+    ) GROUP BY 1
+),
+tot AS (SELECT sum(o1) AS n1, sum(o2) AS n2, count(*)::BIGINT AS k FROM c),
+contrib AS (
+    SELECT term,
+           CAST(2.0 * (
+               CASE WHEN o1 > 0
+                    THEN o1 * ln(o1 / ((o1 + o2) * n1 / (n1 + n2)))
+                    ELSE 0.0 END
+             + CASE WHEN o2 > 0
+                    THEN o2 * ln(o2 / ((o1 + o2) * n2 / (n1 + n2)))
+                    ELSE 0.0 END
+           ) AS FLOAT) AS c32,
+           k
+    FROM c, tot
+)
+SELECT k AS n_terms,
+       list_reduce(list(CAST(c32 AS DOUBLE) ORDER BY term), (a, b) -> a + b) AS gstat
+FROM contrib GROUP BY k"""
+
+
+register("stream_gtest_dataset", stream_gtest_dataset, STREAM_GTEST_SQL)
