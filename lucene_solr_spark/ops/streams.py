@@ -1902,3 +1902,70 @@ FROM contrib GROUP BY k"""
 
 
 register("stream_gtest_dataset", stream_gtest_dataset, STREAM_GTEST_SQL)
+
+
+def stream_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ks`` evaluator (commons-math KolmogorovSmirnovTest
+    #kolmogorovSmirnovStatistic, two-sample): D = max_v |F1(v) − F2(v)|
+    between the AM and PM value ECDFs — the distribution-shift detector.
+
+    Scale shape (the Mann–Whitney recipe): ECDFs from VALUE-LEVEL
+    aggregation — one (value) hash-agg, a window over DISTINCT values for
+    the running cumulatives, one max. Exact integer cumulative counts
+    divide by exact totals in double, so D is bit-deterministic."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    am = (F.hour("ts") < 12).cast("long")
+    vals = (
+        ev.select(F.col("value").cast("decimal(18,2)").alias("v"), am.alias("g"))
+        .groupBy("v")
+        .agg(F.sum("g").alias("c1"), F.sum(1 - F.col("g")).alias("c2"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.select(
+        "v",
+        F.sum("c1").over(w).alias("k1"),
+        F.sum("c2").over(w).alias("k2"),
+    )
+    tot = vals.agg(
+        F.sum("c1").cast("double").alias("n1"),
+        F.sum("c2").cast("double").alias("n2"),
+    )
+    out = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(F.col("n1")).alias("n1"),
+        F.max(F.col("n2")).alias("n2"),
+        F.max(
+            F.abs(
+                F.col("k1").cast("double") / F.col("n1")
+                - F.col("k2").cast("double") / F.col("n2")
+            )
+        ).alias("d_stat"),
+    )
+    return out.select(
+        F.col("n1").cast("long").alias("n_am"),
+        F.col("n2").cast("long").alias("n_pm"),
+        "d_stat",
+    )
+
+
+STREAM_KS_SQL = """
+WITH vals AS (
+    SELECT CAST(value AS DECIMAL(18,2)) AS v,
+           sum(CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END)::BIGINT AS c1,
+           sum(CASE WHEN hour(ts) < 12 THEN 0 ELSE 1 END)::BIGINT AS c2
+    FROM events GROUP BY 1
+),
+cum AS (
+    SELECT v,
+           sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k1,
+           sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k2
+    FROM vals
+),
+tot AS (SELECT max(k1) AS n1, max(k2) AS n2 FROM cum)
+SELECT n1::BIGINT AS n_am, n2::BIGINT AS n_pm,
+       (SELECT max(abs(CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)) FROM cum) AS d_stat
+FROM tot"""
+
+
+register("stream_ks_test", stream_ks_test, STREAM_KS_SQL)
