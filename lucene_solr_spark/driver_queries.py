@@ -514,7 +514,7 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, sf_dir, "urlemail", URLEMAIL_TEXT_EXPR
     ).topk("or2", URLEMAIL_Q, k=10)
     # MinHashFilter LSH fingerprint index (LA/minhash): docs index as their
-    # 16-bucket min-hash signatures; MLT over doc 0's signature ranks by
+    # 16-bucket min-hash signatures; MLT over the source doc's signature ranks by
     # shared buckets ≈ Jaccard resemblance (all 16 sig tokens have tf=1, so
     # top_terms=16 selects the whole signature) — index-time near-dup search
     out["ft_minhash_sim_topk"] = lambda spark, sf_dir: get_engine(

@@ -49,7 +49,7 @@ class DocumentsEngine:
         # bump the version token whenever the on-disk index format changes
         # (cache dirs are content-addressed; a stale format must not resume)
         tag = hashlib.md5(
-            f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{analyzer}|{n_segments}|{variant}|{row_filter}|{text_expr}|v6".encode()
+            f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{analyzer}|{n_segments}|{variant}|{row_filter}|{text_expr}|v7".encode()
         ).hexdigest()[:16]
         self.index_dir = os.path.join(
             tempfile.gettempdir(), "lucene_solr_spark_idx", f"docs-{analyzer}-{tag}"
@@ -4083,9 +4083,24 @@ def get_split_searchers(
     out_root = parent.index_dir + f"-split{n}"
     marker = os.path.join(out_root, "_split_done")
     if not os.path.exists(marker):
-        split_index(spark, parent.index_dir, n, out_root)
-        with open(marker, "w") as fh:
+        # split into a private temp root, publish by ONE atomic rename —
+        # two concurrent drivers can no longer interleave writes behind a
+        # half-written marker (the loser keeps the winner's complete tree)
+        import shutil as _sh
+
+        tmp_root = out_root + f".tmp.{os.getpid()}"
+        _sh.rmtree(tmp_root, ignore_errors=True)
+        split_index(spark, parent.index_dir, n, tmp_root)
+        with open(os.path.join(tmp_root, "_split_done"), "w") as fh:
             fh.write("ok")
+        try:
+            os.rename(tmp_root, out_root)
+        except OSError:
+            if os.path.exists(marker):  # a concurrent driver won — use its tree
+                _sh.rmtree(tmp_root, ignore_errors=True)
+            else:  # a dead half-built tree squats on the name: replace it
+                _sh.rmtree(out_root, ignore_errors=True)
+                os.rename(tmp_root, out_root)
     key = (os.path.abspath(sf_dir), f"{analyzer}+split{n}")
     cached = _ENGINES.get(key)
     if cached is None:

@@ -195,6 +195,13 @@ def rollback_to(index_dir: str, gen: int) -> CommitInfo:
             p = os.path.join(index_dir, d, f"seg={s}")
             if os.path.isdir(p):
                 shutil.rmtree(p)
+
+    # the restored stats tables match the restored manifest/tombstone state
+    # exactly (they were retained together at capture), so re-stamp the
+    # open-fast-path sentinel — no _finalize recompute needed
+    from .build import stamp_finalize_done
+
+    stamp_finalize_done(index_dir)
     return info
 
 

@@ -397,6 +397,9 @@ def merge_segments(
         }, f)
     if norms_bc is not None:
         norms_bc.destroy()
+    from .build import stamp_finalize_done
+
+    stamp_finalize_done(dst_dir)  # stats copied through are already consistent
     return spark.read.parquet(os.path.join(dst_dir, "postings"))
 
 
@@ -604,4 +607,7 @@ def tiered_merge(
         positions=meta.positions, n_segments=len(plan), version=meta.version,
         keyword_cols=meta.keyword_cols,
     ).save(dst_dir)
+    from .build import stamp_finalize_done
+
+    stamp_finalize_done(dst_dir)  # meta + copied segments changed post-merge-stamp
     return plan

@@ -151,6 +151,10 @@ def split_index(
         )
     elif stats_mode != "per_child":
         raise ValueError(f"unknown stats_mode {stats_mode!r}")
+    from .build import stamp_finalize_done
+
+    for cdir in out:  # children open via the manifest fast path thereafter
+        stamp_finalize_done(cdir)
     return out
 
 

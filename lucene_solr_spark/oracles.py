@@ -20,6 +20,8 @@ stop-hole position gaps, ``L/search/HitQueue`` (score desc, docID asc).
 
 from __future__ import annotations
 
+import re
+
 from .analysis.analyzer import ENGLISH_STOP_WORDS
 from .search.query import (
     BooleanSpec, MultiPhraseClause, OrGroupClause, PhraseClause,
@@ -1304,8 +1306,11 @@ def fixture_text_topk_sql(
     emails) the driver corpus lacks; doc ids are unchanged."""
     sql = bm25_topk_sql(analyzer, spec, k)
     body = sql[len("WITH "):].replace("FROM documents", "FROM docs_eff")
+    # column-complete projection: every documents column survives with only
+    # text replaced, so future bm25_topk_sql variants referencing filter
+    # predicates or keyword columns keep working through the rewrite
     return (
-        f"WITH docs_eff AS (SELECT doc_id, {text_expr_sql} AS text "
+        f"WITH docs_eff AS (SELECT * REPLACE (({text_expr_sql}) AS text) "
         f"FROM documents),{body}"
     )
 
@@ -2074,11 +2079,21 @@ def terms_enum_regex_sql(
 ) -> str:
     """TermsComponent ``terms.regex`` oracle — unanchored regex search over
     the dictionary (Java regex and RE2 agree on the anchored alternation
-    patterns the fixtures use), same mincount/sort/limit semantics."""
+    patterns the fixtures use), same mincount/sort/limit semantics.
+
+    The engine side evaluates Java regex (``rlike``) while DuckDB uses RE2;
+    the assertion pins the supported subset (literals, alternation, classes,
+    anchors, basic quantifiers) where the two dialects agree — backrefs and
+    lookaround would silently diverge."""
+    assert not re.search(r"\\[0-9]|\(\?<?[=!]", pattern), (
+        f"terms.regex pattern {pattern!r} uses backreferences/lookaround — "
+        "outside the Java-regex/RE2 common subset the oracle supports"
+    )
+    quoted = pattern.replace("'", "''")
     return f"""WITH {base_ctes(analyzer)}
 SELECT term, df, ttf FROM (
     SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
-    FROM kept WHERE regexp_matches(term, '{pattern}') GROUP BY term
+    FROM kept WHERE regexp_matches(term, '{quoted}') GROUP BY term
     HAVING count(DISTINCT doc_id) >= {mincount}
 ) ORDER BY df DESC, term ASC LIMIT {limit}"""
 
