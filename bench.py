@@ -133,6 +133,12 @@ def main() -> None:
         extras["n_turns"] = float(n_turns)
         extras["build_turns_per_sec"] = n_turns / timings["transcripts_build"]
 
+        # settle: the three builds just wrote ~GBs; let writeback drain so
+        # the query timings don't pay the build's dirty-page flush (the
+        # quiet-suite protocol's step — VERDICT r4 bench-noise item)
+        os.sync()
+        time.sleep(2)
+
         searcher = IndexSearcher(spark, f"{tmp}/tindex")
         qset = generate_queries()
         t0 = time.monotonic()
@@ -141,10 +147,14 @@ def main() -> None:
             for q in qset
         })
         timings["transcripts_compile"] = time.monotonic() - t0
-        t0 = time.monotonic()
-        res = searcher.search_many(compiled, mode="wand")
-        n_hits = res.count()
-        timings["transcripts_queries_50"] = time.monotonic() - t0
+        n_hits = 0
+        timings["transcripts_queries_50"] = float("inf")
+        for _ in range(2):   # best-of-2, the per-query protocol
+            t0 = time.monotonic()
+            n_hits = searcher.search_many(compiled, mode="wand").count()
+            timings["transcripts_queries_50"] = min(
+                timings["transcripts_queries_50"], time.monotonic() - t0
+            )
         extras["qset_hits"] = float(n_hits)
         extras["qset_qps"] = 50.0 / timings["transcripts_queries_50"]
 

@@ -6,10 +6,13 @@ Reference semantics (see SURVEY.md §2.A):
   UAX#29 word-break segmentation, ``maxTokenLength=255`` (longer runs split).
   For ASCII input, tokens are runs of ``[0-9A-Za-z_]`` with embedded
   apostrophes (UAX#29 MidNumLet) — punctuation and whitespace are dropped.
-  Non-ASCII input routes to ``_UNI_TOKEN_RE``, a UAX#29 approximation:
-  unicode letter/digit/mark runs, per-character Han/Hiragana tokens
-  (IDEOGRAPHIC/HIRAGANA types), Katakana/Hangul/Cyrillic/... runs. Residual
-  deviations from full UAX#29 are documented at the regex definition.
+  Non-ASCII input routes to the FULL UAX#29 word-break implementation
+  (``analysis/uax29.py``): the WB5-WB13b joining rules, Extend/Format
+  transparency, Han/Hiragana singles (IDEOGRAPHIC/HIRAGANA types), Katakana
+  runs, Complex_Context (SE Asian) runs — table-driven over the Unicode
+  word-break property data. Path dispatch is per-row on ``isascii()``;
+  the documented ASCII-subset deviation (no '.'/','/':' sandwich joins in
+  pure-ASCII text) is pinned in ``tests/test_uax29.py``.
 - LowerCaseFilter (``L/analysis/LowerCaseFilter.java``).
 - StopFilter (``L/analysis/StopFilter.java``): drops the 33-word English set
   (``LA/en/EnglishAnalyzer.java#ENGLISH_STOP_WORDS_SET``) and — critically for
@@ -42,18 +45,11 @@ ENGLISH_STOP_WORDS = frozenset(
 # to mirror StandardTokenizer#maxTokenLength.
 _TOKEN_RE = re.compile(r"[0-9A-Za-z_](?:['’]?[0-9A-Za-z_]){0,254}")
 
-# UAX#29-approximating tokenizer for non-ASCII input (StandardTokenizer's
-# word-break classes, ``StandardTokenizerImpl.jflex`` token types):
-# - HAN ideographs + Hiragana emit ONE TOKEN PER CHARACTER (Lucene's
-#   IDEOGRAPHIC / HIRAGANA types);
-# - all other letters/digits/marks (unicode ``\w`` + combining diacriticals,
-#   so NFD sequences stay one token) form maximal runs with embedded
-#   apostrophes (MidLetter) — covers Latin/Greek/Cyrillic/Hangul/Katakana
-#   runs, split at 255 chars like maxTokenLength.
-# Known deviations from full UAX#29 (documented, golden-pinned): combining
-# marks outside U+0300–U+036F break runs; supplementary-plane Han (U+20000+)
-# tokenizes as runs, not singles; no Thai/Lao dictionary segmentation
-# (Lucene's StandardTokenizer doesn't do that either).
+# Legacy UAX#29-approximating regex — retained ONLY as the sentinel default
+# for ``uni_token_re`` (chains that keep it route non-ASCII input through
+# the full table-driven UAX#29 implementation in ``uax29.py``; chains that
+# SWAP it — whitespace, URL/email — keep their regex semantics) and as the
+# word-run component of the URL/email alternation below.
 _IDEO_CLS = (
     "\u2E80-\u2FDF"  # CJK radicals / Kangxi
     "\u3040-\u309F"  # Hiragana
@@ -113,14 +109,27 @@ class _BaseAnalyzer:
         (discountOverlaps: overlapping emissions don't change norms)."""
         return frame
 
+    def uni_tokenize(self, text: str) -> list[str]:
+        """Non-ASCII tokenizer: full UAX#29 word break (analysis/uax29.py)
+        for StandardTokenizer-semantics chains; subclasses that swap
+        ``uni_token_re`` (whitespace, URL/email) keep their regex rule."""
+        if self.uni_token_re is not _UNI_TOKEN_RE:
+            return self.uni_token_re.findall(text)
+        from .uax29 import tokenize as _uax29_tokenize
+
+        return _uax29_tokenize(text)
+
     def _analyze_base(self, text: str) -> list[tuple[str, int]]:
         # ASCII rides the exact fast-path-equivalent regex; non-ASCII takes
-        # the UAX#29-approximating class (tokenize THEN lower, the reference
+        # the UAX#29 word-break rules (tokenize THEN lower, the reference
         # filter order — unicode lowering can change length, so lowering
         # per-token keeps offsets/segmentation independent of case)
-        tre = self.token_re if text.isascii() else self.uni_token_re
+        raws = (
+            self.token_re.findall(text) if text.isascii()
+            else self.uni_tokenize(text)
+        )
         out: list[tuple[str, int]] = []
-        for pos, raw in enumerate(tre.findall(text)):
+        for pos, raw in enumerate(raws):
             tok = raw.lower() if self.lowercase else raw
             if tok in self.stop_words:
                 continue
@@ -204,16 +213,17 @@ class _BaseAnalyzer:
         if pd_texts is None:
             texts = col.to_pandas().astype(str)
         if not is_ascii:
-            # Non-ASCII batches take the per-row reference path: RE2
-            # (count_substring_regex) vs Python `re`, and utf8_lower vs
-            # str.lower, can disagree on unicode input in ways that keep the
-            # TOTAL match count equal while shifting tokens across row
-            # boundaries — a divergence the count-sum guard below cannot
-            # see. The batch fast path is only provably row-aligned for
-            # ASCII (where both engines implement identical char-class
-            # semantics and lowercasing is 1:1); per-row is the semantic
-            # reference, just slower.
-            return self._analyze_batch_slow(texts)
+            if self.uni_token_re is not _UNI_TOKEN_RE:
+                # regex-tokenizer chains (whitespace, URL/email) keep the
+                # per-row reference path: RE2 vs Python `re` can shift
+                # tokens across row boundaries on unicode input in ways the
+                # count-sum guard cannot see; per-row is the semantic
+                # reference for those chains.
+                return self._analyze_batch_slow(texts)
+            # StandardTokenizer chains: the batched UAX#29 scan — one
+            # classify+rule pass over the '\n'-joined non-ASCII rows, ASCII
+            # rows recursing onto their own fast path. No per-row Python.
+            return self._analyze_batch_uax29(texts)
         # apostrophe-bearing ASCII batches: regex path ('\n' can never
         # appear inside a token, so joining preserves matches)
         joined = "\n".join(texts)
@@ -365,6 +375,84 @@ class _BaseAnalyzer:
 
         doc_len = np.bincount(row, minlength=n_rows).astype(np.int64)
         frame = pd.DataFrame({"row": row, "term": term, "pos": pos})
+        frame.attrs["doc_len"] = doc_len
+        return frame
+
+    def _analyze_batch_uax29(self, texts: pd.Series) -> pd.DataFrame:
+        """Batched UAX#29 path for mixed/non-ASCII batches (StandardTokenizer
+        chains only). ASCII rows recurse onto the byte-LUT/regex fast path
+        (keeping the documented ASCII-subset rule and per-row dispatch
+        determinism); the non-ASCII rows join with '\\n' (word-break class
+        Other — never joined across, so the joined scan ≡ per-row scans,
+        parity-pinned) and tokenize in ONE classify+rule pass. Lower, stop
+        and stem all run on the factorized UNIQUE token set — O(vocabulary)
+        Python, O(tokens) numpy gathers, no per-row loop."""
+        n_rows = len(texts)
+        mask = np.fromiter((t.isascii() for t in texts), dtype=bool, count=n_rows)
+        doc_len = np.zeros(n_rows, dtype=np.int64)
+        frames: list[pd.DataFrame] = []
+
+        if mask.any():
+            remap = np.flatnonzero(mask)
+            fa = self._analyze_batch_base(texts[mask].reset_index(drop=True))
+            doc_len[remap] = fa.attrs["doc_len"]
+            if len(fa):
+                fa = fa.assign(row=remap[fa["row"].to_numpy()])
+                frames.append(fa)
+
+        uidx = np.flatnonzero(~mask)
+        if uidx.size:
+            import pyarrow.compute as pc
+
+            from .uax29 import tokenize_batch
+
+            sub = [texts.iloc[int(i)] for i in uidx]
+            flat, rloc, pos = tokenize_batch(sub)
+            # dictionary-encode the Arrow token column: Python strings
+            # materialize for the (small) unique set only — same discipline
+            # as the ASCII byte-LUT path
+            dict_arr = pc.dictionary_encode(flat)
+            codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq = np.array(dict_arr.dictionary.to_pylist(), dtype=object)
+            # tokenize THEN lower, per token — on the unique set only
+            if self.lowercase:
+                low = np.array([u.lower() for u in uniq], dtype=object)
+            else:
+                low = uniq
+            rows_g = uidx[rloc]
+            if self.stop_words:
+                stop_mask = np.array([u in self.stop_words for u in low], dtype=bool)
+                keep = ~stop_mask[codes] if len(codes) else np.zeros(0, dtype=bool)
+                codes, rows_g, pos = codes[keep], rows_g[keep], pos[keep]
+            if self.stem:
+                memo = self._stem_memo
+                low = np.array([
+                    memo.get(u) or memo.setdefault(
+                        u, porter_stem(u) if u.isascii() else u
+                    )
+                    for u in low
+                ], dtype=object)
+            if len(rows_g):
+                doc_len[uidx] = np.bincount(rows_g, minlength=n_rows)[uidx]
+            frames.append(pd.DataFrame({
+                "row": rows_g.astype(np.int64),
+                "term": low[codes] if len(codes) else np.empty(0, dtype=object),
+                "pos": pos.astype(np.int32),
+            }))
+
+        if not frames:
+            frame = pd.DataFrame({
+                "row": np.empty(0, dtype=np.int64),
+                "term": np.empty(0, dtype=object),
+                "pos": np.empty(0, dtype=np.int32),
+            })
+        elif len(frames) == 1:
+            frame = frames[0]
+        else:
+            frame = pd.concat(frames, ignore_index=True)
+            frame["term"] = frame["term"].astype(object)
+            order = np.lexsort((frame["pos"].to_numpy(), frame["row"].to_numpy()))
+            frame = frame.iloc[order].reset_index(drop=True)
         frame.attrs["doc_len"] = doc_len
         return frame
 

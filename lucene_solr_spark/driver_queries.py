@@ -105,6 +105,11 @@ FULLTEXT_TOPK = {
 # standard rule they would shatter into word fragments.
 PATREPLACE_Q = ["merge42", "batch7"]
 URLEMAIL_Q = ["https://docs.example.org/merge-guide", "dev-team@spark.test"]
+# UAX#29 unicode fixture (engine.UNICODE_TEXT_EXPR): Cyrillic + Greek words
+# that only exist in the injected multilingual suffixes — both sides
+# tokenize them through their unicode rules (engine: full UAX#29 word
+# break; oracle: the script-class RE2 pattern, same tokens by construction)
+UNICODE_Q = ["поиск", "κείμενο"]
 # copyField catchall: a body word ∧ a keyword-metadata value (source column)
 COPYFIELD_Q = ["merge", "src7"]
 # SPLITSHARD scatter-gather (≡ single collection, bitwise)
@@ -513,6 +518,15 @@ def fulltext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_urlemail_topk"] = lambda spark, sf_dir: get_fixture_engine(
         spark, sf_dir, "urlemail", URLEMAIL_TEXT_EXPR
     ).topk("or2", URLEMAIL_Q, k=10)
+    # full UAX#29 word break over a non-ASCII corpus (StandardTokenizer's
+    # StandardTokenizerImpl.jflex semantics — Cyrillic/Greek/accented-Latin
+    # runs, Han singles, Katakana runs): the index and the query analyze
+    # through analysis/uax29.py; bitwise vs the shared-expansion oracle
+    from .engine import UNICODE_TEXT_EXPR
+
+    out["ft_unicode_topk"] = lambda spark, sf_dir: get_fixture_engine(
+        spark, sf_dir, "uni", UNICODE_TEXT_EXPR, name="unicode"
+    ).topk("or2", UNICODE_Q, k=10)
     # MinHashFilter LSH fingerprint index (LA/minhash): docs index as their
     # 16-bucket min-hash signatures; MLT over the source doc's signature ranks by
     # shared buckets ≈ Jaccard resemblance (all 16 sig tokens have tf=1, so
@@ -1696,6 +1710,13 @@ SELECT rank::INTEGER AS rank, key, weight::BIGINT AS weight, doc_id::BIGINT AS d
         "urlemail",
         parse_fixture_query(ANALYZERS["urlemail"](), "or2", URLEMAIL_Q, 0),
         10, URLEMAIL_TEXT_SQL,
+    )
+    from .engine import UNICODE_TEXT_SQL
+
+    out["ft_unicode_topk"] = fixture_text_topk_sql(
+        "uni",
+        parse_fixture_query(ANALYZERS["uni"](), "or2", UNICODE_Q, 0),
+        10, UNICODE_TEXT_SQL,
     )
     from .engine import COPYFIELD_TEXT_EXPR
 

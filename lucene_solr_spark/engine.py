@@ -3355,6 +3355,23 @@ PATREPLACE_TEXT_SQL = _PATREPLACE_TEXT_T.format(id="doc_id")
 URLEMAIL_TEXT_EXPR = _URLEMAIL_TEXT_T.format(id="doc_key")
 URLEMAIL_TEXT_SQL = _URLEMAIL_TEXT_T.format(id="doc_id")
 
+# UAX#29 unicode fixture: deterministic multilingual suffixes (Cyrillic,
+# Greek, accented Latin, Han+Katakana, decimal numbers) route every doc
+# through the full word-break path (``analysis/uax29.py`` — Han singles,
+# Katakana runs, MidNumLet digit joins). Valid Spark SQL AND DuckDB SQL
+# verbatim; the oracle tokenizes with the script-class RE2 pattern
+# (oracles.UNI_TOKEN_SQL) that agrees with UAX#29 on this vocabulary.
+_UNICODE_TEXT_T = (
+    "concat(text,"
+    " case when {id} % 5 = 0 then ' поиск данных быстрый поиск'"
+    " when {id} % 5 = 1 then ' café naïve déjà 3.14'"
+    " when {id} % 5 = 2 then ' Ελληνικά κείμενο αναζήτηση'"
+    " when {id} % 5 = 3 then ' 検索 エンジン 索引'"
+    " else ' recherche données requête' end)"
+)
+UNICODE_TEXT_EXPR = _UNICODE_TEXT_T.format(id="doc_key")
+UNICODE_TEXT_SQL = _UNICODE_TEXT_T.format(id="doc_id")
+
 
 def get_fixture_engine(
     spark: SparkSession, sf_dir: str, analyzer: str, text_expr: str,

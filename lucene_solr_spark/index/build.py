@@ -101,6 +101,10 @@ ANALYZERS = {
     "patreplace": PatternReplaceAnalyzer,
     "urlemail": URLEmailAnalyzer,
     "minhashsig": MinHashAnalyzer,
+    # alias: SimpleAnalyzer chain whose non-ASCII corpus exercises the full
+    # UAX#29 path; distinct name so the DuckDB oracle picks the unicode
+    # token pattern (oracles.base_ctes) for the ft_unicode fixture
+    "uni": SimpleAnalyzer,
 }
 
 MANIFEST_SCHEMA = (

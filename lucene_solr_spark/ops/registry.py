@@ -37,6 +37,6 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import facets, streams, dedup, textmetrics, ann, multimodal, graph, update_chain, pipeline, payloads  # noqa: F401
+    from . import facets, streams, dedup, textmetrics, ann, multimodal, graph, update_chain, pipeline, payloads, evaluators  # noqa: F401
 
     _LOADED = True

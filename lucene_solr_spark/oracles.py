@@ -31,6 +31,19 @@ from .util.smallfloat import LENGTH_TABLE
 # Same token rule as analysis.analyzer._TOKEN_RE, RE2 syntax, SQL-quoted.
 TOKEN_RE_SQL = "[0-9A-Za-z_](?:[''’]?[0-9A-Za-z_]){0,254}"
 
+# Unicode fixture token rule (analyzer "uni"): agrees with the engine's full
+# UAX#29 word break (analysis/uax29.py) ON THE FIXTURE VOCABULARY — Han
+# ideographs as singles, Katakana/Latin/Greek/Cyrillic letter runs, decimal
+# numbers with MidNum/MidNumLet separators joined. General UAX#29 (mid-dot
+# letter joins, Hebrew quotes, Extend transparency) is NOT expressible in
+# one RE2 pattern; those rules are pinned by tests/test_uax29.py goldens
+# instead, the documented fixture-oracle split.
+UNI_TOKEN_SQL = (
+    r"[0-9]+(?:[.,][0-9]+)*"
+    r"|\p{Han}"
+    r"|[\p{Latin}\p{Greek}\p{Cyrillic}\p{Katakana}]+"
+)
+
 _STOP_LIST_SQL = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
 
 _SF_ROWS = ", ".join(f"({b}, {int(LENGTH_TABLE[b])})" for b in range(256))
@@ -45,7 +58,7 @@ def _kept_ctes(analyzer: str) -> tuple[str, str]:
     ``primary`` is the stream whose count is the norm length
     (discountOverlaps: shingles/edge-grams emitted at a source token's
     position don't lengthen the doc)."""
-    if analyzer == "simple":
+    if analyzer in ("simple", "uni"):
         return "kept AS (SELECT * FROM raw_toks)", "kept"
     if analyzer == "stop":
         return (
@@ -319,6 +332,9 @@ def base_ctes(analyzer: str, k1: float = 1.2, b: float = 0.75) -> str:
 
         tok_pattern = f"{URLEMAIL_SQL_PREFIX}|{TOKEN_RE_SQL}"
         term_expr = "lower(unnest(toks))"
+    elif analyzer == "uni":
+        # full-UAX#29 corpus (non-ASCII fixture): script-class token rule
+        tok_pattern, term_expr = UNI_TOKEN_SQL, "lower(unnest(toks))"
     else:
         tok_pattern, term_expr = TOKEN_RE_SQL, "lower(unnest(toks))"
     return f"""

@@ -62,3 +62,81 @@ def test_stream_converges_to_batch_monitor(spark, tmp_path):
     )
     again = spark.read.parquet(out).count()
     assert again == len(got_pdf)
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+def test_presearcher_prunes_large_registry(spark):
+    """TermFilteredPresearcher analog: a 10^4-query registry over mostly
+    out-of-corpus vocabulary — evaluated candidates must be ≪ registry size
+    while the match set stays IDENTICAL to the exhaustive path."""
+    import duckdb
+    import pandas as pd
+
+    from lucene_solr_spark.index.build import ANALYZERS
+    from lucene_solr_spark.search.query import parse_fixture_query
+    from lucene_solr_spark.streaming.monitor import (
+        Presearcher, match_frame,
+    )
+
+    an = ANALYZERS["simple"]()
+    pdf = duckdb.sql(
+        f"SELECT doc_id, text FROM '{os.path.join(SF, 'documents.parquet')}' ORDER BY doc_id"
+    ).df()
+    frame = an.analyze_batch(pdf["text"].reset_index(drop=True))
+
+    # 10^4 standing queries: a small slice targets corpus vocabulary, the
+    # bulk uses synthetic out-of-corpus terms (the realistic alerting shape:
+    # most standing queries are dormant for any given batch)
+    corpus_words = ["merge", "batch", "vector", "stream", "filter",
+                    "table", "hash", "scan", "join", "sort"]
+    registry = {}
+    for i in range(10_000):
+        if i % 100 == 0:
+            a, b = corpus_words[i // 100 % 10], corpus_words[(i // 100 + 1) % 10]
+            registry[f"q{i:05d}"] = parse_fixture_query(an, "and2", [a, b], 0)
+        elif i % 7 == 0:
+            registry[f"q{i:05d}"] = parse_fixture_query(
+                an, "or2", [f"zzqx{i}", f"zzqy{i}"], 0
+            )
+        else:
+            registry[f"q{i:05d}"] = parse_fixture_query(
+                an, "and2", [f"zzqa{i}", f"zzqb{i}"], 0
+            )
+
+    pre = Presearcher(registry)
+    pairs, n_eval = pre.match(frame, len(pdf))
+    assert n_eval < len(registry) / 20, (
+        f"presearcher evaluated {n_eval}/{len(registry)} queries — not pruning"
+    )
+    exhaustive = match_frame(frame, len(pdf), registry)
+    assert sorted(pairs) == sorted(exhaustive)
+    assert pairs, "the corpus-vocabulary slice must alert"
+
+
+def test_presearcher_anytoken_and_disjunction_safety():
+    """Safety rules: a pure MUST_NOT query is always a candidate (ANYTOKEN);
+    a disjunction is a candidate when ANY disjunct's representative is
+    present; a conjunction's single representative never loses matches."""
+    import pandas as pd
+
+    from lucene_solr_spark.index.build import ANALYZERS
+    from lucene_solr_spark.search.query import parse_fixture_query
+    from lucene_solr_spark.streaming.monitor import Presearcher, match_frame
+
+    an = ANALYZERS["simple"]()
+    from lucene_solr_spark.search.query import BooleanSpec, TermClause
+
+    registry = {
+        "conj": parse_fixture_query(an, "and2", ["alpha", "beta"], 0),
+        "disj": parse_fixture_query(an, "or2", ["gamma", "delta"], 0),
+        # no positive clause: must always be a candidate (ANYTOKEN fallback)
+        "neg": BooleanSpec(must_not=[TermClause("noise")]),
+    }
+    pre = Presearcher(registry)
+    texts = pd.Series(["alpha beta here", "only delta here", "nothing else"])
+    frame = an.analyze_batch(texts)
+    assert pre.anytoken == ["neg"]
+    pairs, n_eval = pre.match(frame, 3)
+    assert sorted(pairs) == sorted(match_frame(frame, 3, registry))
+    assert ("delta" in {t for t in frame["term"].astype(str)})
+    assert n_eval == 3  # conj + disj have representatives present; neg is ANYTOKEN
