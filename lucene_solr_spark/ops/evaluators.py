@@ -397,3 +397,360 @@ register(
     STREAM_HARMONIC_GEOMETRIC_SQL,
 )
 register("stream_moving_median", stream_moving_median, STREAM_MOVING_MEDIAN_SQL)
+
+
+# =====================  tranche 3  ==========================================
+# conv / finddelay / expMovingAvg / zscores / mode / polyfit — the series-
+# analysis slice of SJ/io/eval. Same float discipline: exact decimal sums,
+# data-independent double constants injected as IDENTICAL literals on both
+# sides, closed forms evaluated with the same op order in Spark and DuckDB.
+
+
+# --- mode (SJ/io/eval/ModeEvaluator): most frequent value; ties -> smallest --
+
+def stream_mode_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", _y().alias("y"))
+    counts = ev.groupBy("event_type", "y").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("c"), F.asc("y"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type", F.col("y").cast("double").alias("mode_v"),
+            F.col("c").cast("long").alias("mode_count"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAM_MODE_SQL = """
+WITH counts AS (
+    SELECT event_type, CAST(value AS DECIMAL(18,2)) AS y, count(*)::BIGINT AS c
+    FROM events GROUP BY 1, 2
+), r AS (
+    SELECT event_type, y, c,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY c DESC, y ASC) AS rn
+    FROM counts
+)
+SELECT event_type, CAST(y AS DOUBLE) AS mode_v, c AS mode_count
+FROM r WHERE rn = 1 ORDER BY event_type"""
+
+
+# --- zscores (SJ/io/eval/NormalizeEvaluator): (x - mean) / sample stddev ----
+
+def stream_zscores_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("event_id").cast("long").alias("event_id"),
+        _y().alias("y"),
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sm"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("sm").cast("double")
+    stats = s.select(
+        "event_type",
+        (sd / nd).alias("mean_v"),
+        F.sqrt((F.col("syy") - sd * sd / nd) / (nd - F.lit(1.0))).alias("sd_v"),
+    )
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type", "event_id",
+            F.col("y").cast("double").alias("v"),
+            ((F.col("y").cast("double") - F.col("mean_v")) / F.col("sd_v"))
+            .alias("zscore"),
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+STREAM_ZSCORES_SQL = """
+WITH s AS (
+    SELECT event_type, count(*)::BIGINT AS n,
+           sum(CAST(value AS DECIMAL(18,2))) AS sm,
+           CAST(sum(CAST(value AS DECIMAL(18,2))
+                    * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS syy
+    FROM events GROUP BY 1
+), stats AS (
+    SELECT event_type,
+           CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mean_v,
+           sqrt((syy - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                / (CAST(n AS DOUBLE) - 1.0)) AS sd_v
+    FROM s
+), firsts AS (
+    SELECT event_type, event_id, CAST(value AS DECIMAL(18,2)) AS y,
+           row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+    FROM events
+)
+SELECT f.event_type, f.event_id, CAST(f.y AS DOUBLE) AS v,
+       (CAST(f.y AS DOUBLE) - st.mean_v) / st.sd_v AS zscore
+FROM firsts f JOIN stats st USING (event_type)
+WHERE f.rn <= 4 ORDER BY event_type, event_id"""
+
+
+# --- conv (SJ/io/eval/ConvolutionEvaluator): full convolution of the two
+# aligned hourly series, c_k = sum_i a_i * b_(k-i), k = 0 .. 2n-2 ------------
+
+def stream_conv_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ab = _two_series(spark, sf_dir)
+    a = ab.select(F.col("h").alias("i"), F.col("sa"))
+    b = ab.select(F.col("h").alias("j"), F.col("sb"))
+    # products are exact decimals; the per-k sum is exact -> order-free
+    return (
+        a.crossJoin(b)   # 24x24 bucket pairs — bounded, never row-scale
+        .select((F.col("i") + F.col("j")).alias("k"),
+                (F.col("sa") * F.col("sb")).alias("p"))
+        .groupBy("k")
+        .agg(F.sum("p").cast("double").alias("conv"))
+        .orderBy("k")
+    )
+
+
+STREAM_CONV_SQL = f"""
+WITH {_TWO_SERIES_SQL}
+SELECT a.i + b.j AS k, CAST(sum(a.sa * b.sb) AS DOUBLE) AS conv
+FROM (SELECT h AS i, sa FROM ab) a
+CROSS JOIN (SELECT h AS j, sb FROM ab) b
+GROUP BY 1 ORDER BY k"""
+
+
+# --- finddelay (SJ/io/eval/FindDelayEvaluator): delay of b relative to a =
+# argmax over lags of the raw cross-correlation sum_t a_t * b_(t-lag) --------
+
+MAX_LAG = 6
+
+
+def stream_finddelay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ab = _two_series(spark, sf_dir)
+    a = ab.select(F.col("h").alias("t"), "sa")
+    b = ab.select(F.col("h").alias("u"), "sb")
+    lags = spark.range(-MAX_LAG, MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    xc = (
+        a.crossJoin(lags)
+        .join(b, F.col("u") == F.col("t") - F.col("lag"))
+        .groupBy("lag")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("xcorr"))
+    )
+    return (
+        xc.orderBy(F.desc("xcorr"), F.asc("lag")).limit(1)
+        .select("lag", F.col("xcorr").cast("double").alias("xcorr"))
+    )
+
+
+STREAM_FINDDELAY_SQL = f"""
+WITH {_TWO_SERIES_SQL},
+lags AS (SELECT unnest(range(-{MAX_LAG}, {MAX_LAG + 1}))::INT AS lag),
+xc AS (
+    SELECT l.lag, sum(a.sa * b.sb) AS xcorr
+    FROM (SELECT h AS t, sa FROM ab) a
+    CROSS JOIN lags l
+    JOIN (SELECT h AS u, sb FROM ab) b ON b.u = a.t - l.lag
+    GROUP BY 1
+)
+SELECT lag, CAST(xcorr AS DOUBLE) AS xcorr
+FROM xc ORDER BY xcorr DESC, lag ASC LIMIT 1"""
+
+
+# --- expMovingAvg (SJ/io/eval/ExponentialMovingAverageEvaluator) ------------
+# alpha = 2/(window+1); seed = simple average of the first `window` points
+# (the moving-average-family convention; seed choice documented + pinned).
+# Closed form per t >= w-1 (0-based hourly index):
+#   ema_t = sum_{u=w..t} alpha*(1-alpha)^(t-u) * x_u + (1-alpha)^(t-w+1)*seed
+# The (1-alpha)^k weights are DATA-INDEPENDENT: computed once in numpy and
+# injected as identical float64 literals into both engines, so each term is
+# the same IEEE product; terms quantize to DECIMAL(38,6) and sum exactly.
+# Scale 6 (not 18): at term magnitude ~1e3, double->decimal conversion is
+# exact-at-precision in BOTH engines at 6 fractional digits, while scale 18
+# exceeds double's mantissa there and the engines' conversion paths round
+# differently (~1e-13 divergence, observed); the 1e-6 term quantization IS
+# this evaluator's pinned arithmetic, identical on both sides.
+
+EMA_WINDOW = 5
+_EMA_ALPHA = 2.0 / (EMA_WINDOW + 1)
+_EMA_W = [(k, (1.0 - _EMA_ALPHA) ** k) for k in range(24)]
+
+
+def _ema_weights_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(k, w) for k, w in _EMA_W], "k int, w double"
+    )
+
+
+def stream_exp_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly(spark, sf_dir).filter(F.col("event_type") == "click")
+    x = hourly.select(F.col("h"), F.col("s"))
+    weights = F.broadcast(_ema_weights_df(spark))
+    wseed = Window.partitionBy(F.lit(0)).orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seeded = x.select(
+        "h", "s",
+        (F.sum("s").over(wseed) / F.lit(float(EMA_WINDOW))).alias("sma_all"),
+        F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("h")).alias("rn"),
+    )
+    # seed = SMA of the first w points (rn == w); ema defined for rn >= w
+    seed_row = seeded.filter(F.col("rn") == EMA_WINDOW).select(
+        F.col("sma_all").alias("seed"), F.col("h").alias("h_seed")
+    )
+    # tail contribution: for t (rn>=w), sum over u in (w..t]:
+    #   alpha * (1-alpha)^(t-u) * x_u   — u indexed by rn
+    t_rows = seeded.filter(F.col("rn") >= EMA_WINDOW).select(
+        F.col("h").alias("t_h"), F.col("rn").alias("t_rn")
+    )
+    u_rows = seeded.filter(F.col("rn") > EMA_WINDOW).select(
+        F.col("rn").alias("u_rn"), F.col("s").alias("u_s")
+    )
+    tail = (
+        t_rows.join(u_rows, F.col("u_rn") <= F.col("t_rn"))
+        .join(weights, F.col("k") == F.col("t_rn") - F.col("u_rn"))
+        .select(
+            "t_h",
+            (F.lit(_EMA_ALPHA) * F.col("w") * F.col("u_s").cast("double"))
+            .cast("decimal(38,6)").alias("term"),
+        )
+        .groupBy("t_h")
+        .agg(F.sum("term").alias("tail_sum"))
+    )
+    out = (
+        t_rows.join(tail, "t_h", "left")
+        .crossJoin(F.broadcast(seed_row))
+        .join(weights, F.col("k") == F.col("t_rn") - F.lit(EMA_WINDOW))
+        .select(
+            F.col("t_h").alias("h"),
+            (F.coalesce(F.col("tail_sum"), F.lit(0)).cast("double")
+             + F.col("w") * F.col("seed").cast("double")).alias("ema"),
+        )
+    )
+    return out.orderBy("h")
+
+
+def _ema_weights_sql() -> str:
+    # NOTE: DuckDB parses a bare 0.4444... literal as DECIMAL and re-rounds
+    # 17-digit fractions (observed: 0.44444444444444453 -> 0.4444444444444446
+    # even under CAST AS DOUBLE). EXPONENT-notation literals parse as DOUBLE
+    # directly, so %.17e injects the bitwise-exact float64 the Spark side
+    # multiplies with.
+    rows = ", ".join(f"({k}, {w:.17e})" for k, w in _EMA_W)
+    return f"(VALUES {rows}) AS wt(k, w)"
+
+
+STREAM_EMA_SQL = f"""
+WITH {_HOURLY_SQL},
+c AS (
+    SELECT h, s,
+           sum(s) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) / {float(EMA_WINDOW)!r} AS sma_all,
+           row_number() OVER (ORDER BY h) AS rn
+    FROM hourly WHERE event_type = 'click'
+),
+seed AS (SELECT sma_all AS seed FROM c WHERE rn = {EMA_WINDOW}),
+tail AS (
+    SELECT t.h AS t_h,
+           sum(CAST({_EMA_ALPHA:.17e} * CAST(wt.w AS DOUBLE) * CAST(u.s AS DOUBLE)
+                    AS DECIMAL(38,6))) AS tail_sum
+    FROM c t
+    JOIN c u ON u.rn > {EMA_WINDOW} AND u.rn <= t.rn
+    JOIN {_ema_weights_sql()} ON wt.k = t.rn - u.rn
+    WHERE t.rn >= {EMA_WINDOW}
+    GROUP BY 1
+)
+SELECT t.h,
+       coalesce(CAST(tail.tail_sum AS DOUBLE), 0.0)
+           + CAST(wt.w AS DOUBLE) * CAST(seed.seed AS DOUBLE) AS ema
+FROM c t
+LEFT JOIN tail ON tail.t_h = t.h
+CROSS JOIN seed
+JOIN {_ema_weights_sql()} ON wt.k = t.rn - {EMA_WINDOW}
+WHERE t.rn >= {EMA_WINDOW}
+ORDER BY t.h"""
+
+
+# --- polyfit (SJ/io/eval/PolyFitEvaluator, degree 2): least-squares fit of
+# the hourly sum series per event_type; normal equations solved by Cramer's
+# rule with the IDENTICAL expression tree on both sides. x = hour (exact
+# ints), y = exact decimal sums -> every input to the double arithmetic is
+# exact, so the closed form is bit-deterministic. ----------------------------
+
+def stream_polyfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly(spark, sf_dir)
+    x = F.col("h").cast("long")
+    s = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(x * x).cast("double").alias("s2"),
+        F.sum(x * x * x).cast("double").alias("s3"),
+        F.sum(x * x * x * x).cast("double").alias("s4"),
+        F.sum(F.col("s")).cast("double").alias("sy"),
+        F.sum(F.col("s") * x).cast("double").alias("sxy"),
+        F.sum(F.col("s") * x * x).cast("double").alias("sxxy"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    sy, sxy, sxxy = F.col("sy"), F.col("sxy"), F.col("sxxy")
+    det = (
+        n * (s2 * s4 - s3 * s3)
+        - s1 * (s1 * s4 - s2 * s3)
+        + s2 * (s1 * s3 - s2 * s2)
+    )
+    c0 = (
+        sy * (s2 * s4 - s3 * s3)
+        - s1 * (sxy * s4 - sxxy * s3)
+        + s2 * (sxy * s3 - sxxy * s2)
+    ) / det
+    c1 = (
+        n * (sxy * s4 - sxxy * s3)
+        - sy * (s1 * s4 - s2 * s3)
+        + s2 * (s1 * sxxy - s2 * sxy)
+    ) / det
+    c2 = (
+        n * (s2 * sxxy - s3 * sxy)
+        - s1 * (s1 * sxxy - s2 * sxy)
+        + sy * (s1 * s3 - s2 * s2)
+    ) / det
+    return s.select(
+        "event_type", c0.alias("c0"), c1.alias("c1"), c2.alias("c2"),
+    ).orderBy("event_type")
+
+
+STREAM_POLYFIT_SQL = f"""
+WITH {_HOURLY_SQL},
+agg AS (
+    SELECT event_type,
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(h::BIGINT) AS DOUBLE) AS s1,
+           CAST(sum(h::BIGINT * h::BIGINT) AS DOUBLE) AS s2,
+           CAST(sum(h::BIGINT * h::BIGINT * h::BIGINT) AS DOUBLE) AS s3,
+           CAST(sum(h::BIGINT * h::BIGINT * h::BIGINT * h::BIGINT) AS DOUBLE) AS s4,
+           CAST(sum(s) AS DOUBLE) AS sy,
+           CAST(sum(s * h::BIGINT) AS DOUBLE) AS sxy,
+           CAST(sum(s * h::BIGINT * h::BIGINT) AS DOUBLE) AS sxxy
+    FROM hourly GROUP BY 1
+)
+SELECT event_type,
+       (sy * (s2 * s4 - s3 * s3) - s1 * (sxy * s4 - sxxy * s3)
+            + s2 * (sxy * s3 - sxxy * s2))
+       / (n * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s2 * s3)
+            + s2 * (s1 * s3 - s2 * s2)) AS c0,
+       (n * (sxy * s4 - sxxy * s3) - sy * (s1 * s4 - s2 * s3)
+            + s2 * (s1 * sxxy - s2 * sxy))
+       / (n * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s2 * s3)
+            + s2 * (s1 * s3 - s2 * s2)) AS c1,
+       (n * (s2 * sxxy - s3 * sxy) - s1 * (s1 * sxxy - s2 * sxy)
+            + sy * (s1 * s3 - s2 * s2))
+       / (n * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s2 * s3)
+            + s2 * (s1 * s3 - s2 * s2)) AS c2
+FROM agg ORDER BY event_type"""
+
+
+register("stream_mode_eval", stream_mode_eval, STREAM_MODE_SQL)
+register("stream_zscores_eval", stream_zscores_eval, STREAM_ZSCORES_SQL)
+register("stream_conv_eval", stream_conv_eval, STREAM_CONV_SQL)
+register("stream_finddelay", stream_finddelay, STREAM_FINDDELAY_SQL)
+register("stream_exp_moving_avg", stream_exp_moving_avg, STREAM_EMA_SQL)
+register("stream_polyfit", stream_polyfit, STREAM_POLYFIT_SQL)

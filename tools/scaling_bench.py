@@ -62,9 +62,10 @@ def _settle() -> None:
     """Flush dirty pages and let writeback drain before a timed section —
     the previous run's merge/index writes otherwise steal disk+memory
     bandwidth from the next run's build (measured: up to 1.7x build-time
-    inflation for the run scheduled right after a heavy write phase)."""
+    inflation for the run scheduled right after a heavy write phase).
+    LSS_SETTLE_SECS extends the drain for record-protocol runs."""
     os.sync()
-    time.sleep(2)
+    time.sleep(float(os.environ.get("LSS_SETTLE_SECS", "2")))
 
 
 def measured_run(cpus: int) -> None:
