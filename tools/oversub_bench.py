@@ -58,23 +58,31 @@ def measured(cpus: int, task_cpus: int) -> None:
     from lucene_solr_spark.index.build import build_index_presorted
 
     idx = f"/tmp/lss_oversub_idx_{cpus}_{task_cpus}"
-    shutil.rmtree(idx, ignore_errors=True)
-    os.sync()
-    time.sleep(2)
-    t0 = time.monotonic()
-    manifest = build_index_presorted(
-        spark, CORPUS, idx,
-        key_cols=("conv_id", "turn_idx"), analyzer="lucene",
-        positions=True, files_per_segment=1,
-    )
-    secs = time.monotonic() - t0
-    n_turns = sum(r.n_docs for r in manifest.collect())
+    # best-of-N with a warm page cache (trial 1 after a drop_caches is
+    # DISK-bound — it measures corpus re-read, not compute; the scaling
+    # bench's best-of-N convention)
+    trials = int(os.environ.get("LSS_TRIALS", "3"))
+    best = float("inf")
+    n_turns = 0
+    for _ in range(trials):
+        shutil.rmtree(idx, ignore_errors=True)
+        os.sync()
+        time.sleep(2)
+        t0 = time.monotonic()
+        manifest = build_index_presorted(
+            spark, CORPUS, idx,
+            key_cols=("conv_id", "turn_idx"), analyzer="lucene",
+            positions=True, files_per_segment=1,
+        )
+        secs = time.monotonic() - t0
+        n_turns = sum(r.n_docs for r in manifest.collect())
+        best = min(best, secs)
     shutil.rmtree(idx, ignore_errors=True)
     print(json.dumps({
         "cpus": cpus, "task_cpus": task_cpus,
         "concurrent_tasks": cpus // task_cpus,
-        "build_secs": round(secs, 3),
-        "build_turns_per_sec": round(n_turns / secs, 1),
+        "build_secs": round(best, 3),
+        "build_turns_per_sec": round(n_turns / best, 1),
         "n_turns": n_turns,
     }))
 
