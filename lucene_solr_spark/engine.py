@@ -2716,7 +2716,31 @@ class DocumentsEngine:
             .orderBy("rank")
         )
 
-    def monitor_matches(self, stored: dict[str, tuple]) -> DataFrame:
+    def _monitor_candidate_specs(self, stored: dict[str, tuple]) -> dict:
+        """TermFilteredPresearcher pruning for the BATCH face
+        (``lucene/monitor`` QueryIndex lookup, reference
+        ``TermFilteredPresearcher#buildQuery``): the registry's minimal
+        representative-term sets probe the INDEX DICTIONARY (one term-pruned
+        term_stats scan — df>0 means the term exists in the corpus), and
+        only queries with a present representative (plus the ANYTOKEN
+        fallback set) compile and execute. At 10^5 standing queries over a
+        corpus touching few of them, the scan/compile/kernel work drops to
+        the candidate count; match-set identity is guaranteed by the same
+        extraction-safety argument as the streaming face."""
+        from .streaming.monitor import Presearcher
+
+        specs = {
+            qid: self.searcher.parse(qt, list(terms), msm)
+            for qid, (qt, terms, msm) in stored.items()
+        }
+        pre = Presearcher(specs)
+        reps = [str(t) for t in pre._terms]
+        present = {t for t, df in self.searcher.term_stats(reps).items() if df > 0}
+        return pre.candidates_from_terms(present)
+
+    def monitor_matches(
+        self, stored: dict[str, tuple], presearch: bool = True
+    ) -> DataFrame:
         """Stored-query matching — the ``lucene/monitor`` module (né Luwak;
         ``lucene/monitor/src/java/.../monitor/Monitor.java#match``): a
         registry of standing queries is evaluated against documents, and
@@ -2729,11 +2753,19 @@ class DocumentsEngine:
         (``searcher.search_many`` — the same shape Monitor's QueryIndex
         batching has), so cost is one corpus scan regardless of registry
         size; matching is unranked (no top-k truncation — a monitor must
-        not drop matches)."""
-        specs = {
-            qid: (self.searcher.parse(qt, list(terms), msm), 1 << 30)
-            for qid, (qt, terms, msm) in stored.items()
-        }
+        not drop matches). ``presearch`` prunes the registry against the
+        index dictionary first (``_monitor_candidate_specs``) — identical
+        matches, candidate-sized compile/execute."""
+        if presearch:
+            cand = self._monitor_candidate_specs(stored)
+            specs = {qid: (spec, 1 << 30) for qid, spec in cand.items()}
+        else:
+            specs = {
+                qid: (self.searcher.parse(qt, list(terms), msm), 1 << 30)
+                for qid, (qt, terms, msm) in stored.items()
+            }
+        if not specs:   # every standing query pruned: nothing can match
+            return self.spark.createDataFrame([], "query_id string, doc_id long")
         compiled = self.searcher.compile_many(specs)
         hits = self.searcher.search_many(compiled, mode="exact")
         keys = self.searcher.docs.select("doc_id", "doc_key")

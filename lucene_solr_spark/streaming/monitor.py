@@ -182,10 +182,22 @@ class Presearcher:
 
     def candidates(self, frame: pd.DataFrame) -> dict[str, BooleanSpec]:
         """Registry subset worth evaluating against this analyzed batch."""
+        if not len(frame):
+            return {q: self.registry[q] for q in self.anytoken}
+        vocab = np.unique(frame["term"].astype(str).to_numpy())
+        return self.candidates_from_terms(vocab)
+
+    def candidates_from_terms(self, vocab) -> dict[str, BooleanSpec]:
+        """Registry subset whose representative terms appear in ``vocab``
+        (a sorted-unique array or a set) — the same pruning keyed off an
+        INDEX DICTIONARY instead of a batch: the batch face asks 'which
+        standing queries can match this corpus at all' before compiling."""
         out: dict[str, BooleanSpec] = {q: self.registry[q] for q in self.anytoken}
-        if len(frame) and len(self._terms):
-            vocab = np.unique(frame["term"].astype(str).to_numpy())
-            hit = np.isin(self._terms, vocab, assume_unique=True)
+        if len(self._terms):
+            if isinstance(vocab, (set, frozenset)):
+                hit = np.array([t in vocab for t in self._terms], dtype=bool)
+            else:
+                hit = np.isin(self._terms, vocab, assume_unique=True)
             for i in np.flatnonzero(hit):
                 for q in self._qids[i]:
                     out[q] = self.registry[q]

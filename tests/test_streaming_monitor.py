@@ -140,3 +140,29 @@ def test_presearcher_anytoken_and_disjunction_safety():
     assert sorted(pairs) == sorted(match_frame(frame, 3, registry))
     assert ("delta" in {t for t in frame["term"].astype(str)})
     assert n_eval == 3  # conj + disj have representatives present; neg is ANYTOKEN
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+def test_batch_monitor_presearch_prunes_and_matches_identically(spark):
+    """Batch-face presearcher: the index-dictionary probe prunes standing
+    queries with no representative term in the corpus; matches are
+    IDENTICAL to the exhaustive path."""
+    from lucene_solr_spark.engine import get_engine
+
+    eng = get_engine(spark, SF, "simple")
+    big = dict(REGISTRY)
+    for i in range(200):   # dormant queries: vocabulary absent from corpus
+        big[f"dormant{i:03d}"] = ("and2", (f"zzqa{i}", f"zzqb{i}"), 0)
+
+    cand = eng._monitor_candidate_specs(big)
+    assert set(cand) == set(REGISTRY), (
+        "exactly the corpus-vocabulary registry slice must survive pruning"
+    )
+    with_pre = eng.monitor_matches(big).toPandas()
+    without = eng.monitor_matches(big, presearch=False).toPandas()
+    a = {(q, int(d)) for q, d in zip(with_pre.query_id, with_pre.doc_id)}
+    b = {(q, int(d)) for q, d in zip(without.query_id, without.doc_id)}
+    assert a == b and a, "presearch changed the match set"
+
+    all_dormant = {f"d{i}": ("and2", (f"zzqc{i}", f"zzqd{i}"), 0) for i in range(5)}
+    assert eng.monitor_matches(all_dormant).count() == 0
