@@ -754,3 +754,113 @@ register("stream_conv_eval", stream_conv_eval, STREAM_CONV_SQL)
 register("stream_finddelay", stream_finddelay, STREAM_FINDDELAY_SQL)
 register("stream_exp_moving_avg", stream_exp_moving_avg, STREAM_EMA_SQL)
 register("stream_polyfit", stream_polyfit, STREAM_POLYFIT_SQL)
+
+
+# =====================  tranche 4  ==========================================
+# norm / l1norm / linfnorm / unitize + meanDifference / pairedTtest — the
+# vector-norm and paired-sample slice of SJ/io/eval. Same discipline:
+# exact decimal sufficient statistics, closed forms with the identical
+# expression tree on both sides.
+
+
+# --- norm (L2), l1norm, linfnorm (SJ/io/eval/NormEvaluator,
+# L1NormEvaluator, LInfNormEvaluator) of the hourly click series -------------
+
+def stream_norms_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly(spark, sf_dir).filter(F.col("event_type") == "click")
+    s = hourly.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.col("s") * F.col("s")).alias("ss"),     # exact decimal
+        F.sum(F.abs(F.col("s"))).alias("sa"),
+        F.max(F.abs(F.col("s"))).alias("mx"),
+    )
+    return s.select(
+        "n_buckets",
+        F.sqrt(F.col("ss").cast("double")).alias("l2_norm"),
+        F.col("sa").cast("double").alias("l1_norm"),
+        F.col("mx").cast("double").alias("linf_norm"),
+    )
+
+
+STREAM_NORMS_SQL = f"""
+WITH {_HOURLY_SQL},
+c AS (SELECT s FROM hourly WHERE event_type = 'click'),
+a AS (
+    SELECT count(*)::BIGINT AS n_buckets, sum(s * s) AS ss,
+           sum(abs(s)) AS sa, max(abs(s)) AS mx
+    FROM c
+)
+SELECT n_buckets, sqrt(CAST(ss AS DOUBLE)) AS l2_norm,
+       CAST(sa AS DOUBLE) AS l1_norm, CAST(mx AS DOUBLE) AS linf_norm
+FROM a"""
+
+
+# --- unitize (SJ/io/eval/UnitEvaluator): series / L2 norm -------------------
+
+def stream_unitize_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly(spark, sf_dir).filter(F.col("event_type") == "click")
+    nrm = hourly.agg(F.sum(F.col("s") * F.col("s")).alias("ss")).select(
+        F.sqrt(F.col("ss").cast("double")).alias("l2")
+    )
+    return (
+        hourly.crossJoin(F.broadcast(nrm))   # 1-row norm — broadcast scalar
+        .select(
+            "h",
+            F.col("s").cast("double").alias("v"),
+            (F.col("s").cast("double") / F.col("l2")).alias("unit"),
+        )
+        .orderBy("h")
+    )
+
+
+STREAM_UNITIZE_SQL = f"""
+WITH {_HOURLY_SQL},
+c AS (SELECT h, s FROM hourly WHERE event_type = 'click'),
+nrm AS (SELECT sqrt(CAST(sum(s * s) AS DOUBLE)) AS l2 FROM c)
+SELECT h, CAST(s AS DOUBLE) AS v, CAST(s AS DOUBLE) / nrm.l2 AS unit
+FROM c CROSS JOIN nrm ORDER BY h"""
+
+
+# --- meanDifference + pairedTtest (SJ/io/eval/MeanDifferenceEvaluator,
+# PairedTTestEvaluator — commons-math TTest#pairedTTest): over the aligned
+# click/view hourly pairs. d = sa - sb is EXACT decimal per bucket, so
+# sum(d), sum(d^2) are exact; t = mean(d) / sqrt(var(d)/n) with the
+# (n-1)-denominator sample variance, identical op order both sides. -------
+
+def stream_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ab = _two_series(spark, sf_dir)
+    d = F.col("sa") - F.col("sb")
+    s = ab.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d).alias("sd"),
+        F.sum(d * d).alias("sdd"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("sd").cast("double")
+    var = (F.col("sdd").cast("double") - sd * sd / nd) / (nd - F.lit(1.0))
+    return s.select(
+        "n",
+        (sd / nd).alias("mean_difference"),
+        ((sd / nd) / F.sqrt(var / nd)).alias("t_stat"),
+    )
+
+
+STREAM_PAIRED_TTEST_SQL = f"""
+WITH {_TWO_SERIES_SQL},
+s AS (
+    SELECT count(*)::BIGINT AS n, sum(sa - sb) AS sd,
+           sum((sa - sb) * (sa - sb)) AS sdd
+    FROM ab
+)
+SELECT n,
+       CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS mean_difference,
+       (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+           / sqrt(((CAST(sdd AS DOUBLE)
+                    - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0)) / CAST(n AS DOUBLE)) AS t_stat
+FROM s"""
+
+
+register("stream_norms_eval", stream_norms_eval, STREAM_NORMS_SQL)
+register("stream_unitize_eval", stream_unitize_eval, STREAM_UNITIZE_SQL)
+register("stream_paired_ttest", stream_paired_ttest, STREAM_PAIRED_TTEST_SQL)
