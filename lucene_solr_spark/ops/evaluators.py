@@ -864,3 +864,67 @@ FROM s"""
 register("stream_norms_eval", stream_norms_eval, STREAM_NORMS_SQL)
 register("stream_unitize_eval", stream_unitize_eval, STREAM_UNITIZE_SQL)
 register("stream_paired_ttest", stream_paired_ttest, STREAM_PAIRED_TTEST_SQL)
+
+
+# --- integrate (SJ/io/eval/IntegrateEvaluator — trapezoid rule over the
+# series) + lerp (LerpEvaluator — linear interpolation at half-bucket
+# points) over the hourly click series. Trapezoid terms (s_i + s_{i+1})/2
+# and midpoint lerps are exact decimal arithmetic; sums stay exact. -------
+
+def stream_integrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly(spark, sf_dir).filter(F.col("event_type") == "click")
+    w = Window.partitionBy("event_type").orderBy("h")
+    seg = hourly.select(
+        (F.lag("s", 1).over(w) + F.col("s")).alias("pair2"),  # exact decimal
+    ).filter(F.col("pair2").isNotNull())
+    s = seg.agg(F.count(F.lit(1)).cast("long").alias("n_segments"),
+                F.sum("pair2").alias("sp"))
+    return s.select(
+        "n_segments",
+        (F.col("sp").cast("double") / F.lit(2.0)).alias("integral"),
+    )
+
+
+STREAM_INTEGRATE_SQL = f"""
+WITH {_HOURLY_SQL},
+c AS (SELECT h, s FROM hourly WHERE event_type = 'click'),
+seg AS (
+    SELECT lag(s, 1) OVER (ORDER BY h) + s AS pair2 FROM c
+)
+SELECT count(*)::BIGINT AS n_segments,
+       CAST(sum(pair2) AS DOUBLE) / 2.0 AS integral
+FROM seg WHERE pair2 IS NOT NULL"""
+
+
+def stream_lerp_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly(spark, sf_dir).filter(F.col("event_type") == "click")
+    w = Window.partitionBy("event_type").orderBy("h")
+    return (
+        hourly.select(
+            "h",
+            F.lag("s", 1).over(w).alias("prev"),
+            F.col("s").alias("cur"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .select(
+            (F.col("h").cast("double") - F.lit(0.5)).alias("x"),
+            ((F.col("prev") + F.col("cur")).cast("double") / F.lit(2.0))
+            .alias("lerp"),
+        )
+        .orderBy("x")
+    )
+
+
+STREAM_LERP_SQL = f"""
+WITH {_HOURLY_SQL},
+c AS (SELECT h, s FROM hourly WHERE event_type = 'click'),
+p AS (
+    SELECT h, lag(s, 1) OVER (ORDER BY h) AS prev, s AS cur FROM c
+)
+SELECT CAST(h AS DOUBLE) - 0.5 AS x,
+       CAST(prev + cur AS DOUBLE) / 2.0 AS lerp
+FROM p WHERE prev IS NOT NULL ORDER BY x"""
+
+
+register("stream_integrate_eval", stream_integrate_eval, STREAM_INTEGRATE_SQL)
+register("stream_lerp_eval", stream_lerp_eval, STREAM_LERP_SQL)
